@@ -60,6 +60,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table, with its TIMESTAMP(NANOS) parquet column normalized.
+
+    Spark's parquet reader rejects nano timestamps; read them as raw longs
+    (nanosAsLong) and rebuild a TIMESTAMP_NTZ by truncating to micros — the
+    exact semantics DuckDB applies, so oracle comparisons line up. The
+    rebuild is pure NTZ arithmetic (timestampadd from epoch), independent of
+    the session timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, ts div 1000,"
+            " cast('1970-01-01 00:00:00' as timestamp_ntz))"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # batch_control — derived from orders: batch_id = o_orderkey // 100 (the
 # reference ingests ~100 orders/batch, config.json:10), replicated over three

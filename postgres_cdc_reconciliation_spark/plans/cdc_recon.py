@@ -1,0 +1,505 @@
+"""CDC, reconciliation, and replication-status queries with DuckDB oracles.
+
+These are the reference's core capabilities (SURVEY.md §2.1, §2.3 J7/J8,
+§2.9) re-expressed Spark-first, driven by the deterministic fixtures in
+..fixtures (same derivations on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .. import fixtures as fx
+from ..functions.lsn import long_to_lsn, lsn_to_long
+from ..operators import status as st
+from .registry import register
+
+SPECS = ["public.orders", "public.lineitem", "public.customer", "public.missing"]
+_SPECS_VALUES = ", ".join(
+    "('%s', '%s')" % tuple(s.split(".")) for s in SPECS
+)
+
+
+def _lsn(e: str) -> str:
+    return fx.oracle_lsn_to_long(e)
+
+
+# Shared oracle CTE pipeline mirroring operators.status.latest_status_multi.
+_LATEST_JOINED_CTES = f"""{fx.oracle_batch_control_cte()},
+{fx.oracle_slots_cte()},
+{fx.oracle_pubs_cte()},
+specs(schema_name, table_name) AS (VALUES {_SPECS_VALUES}),
+latest AS (
+  SELECT * FROM (
+    SELECT bc.schema_name, bc.table_name, bc.batch_id,
+           bc.completion_lsn AS batch_lsn, bc.completion_timestamp,
+           ROW_NUMBER() OVER (PARTITION BY bc.schema_name, bc.table_name
+                              ORDER BY bc.batch_id DESC) AS rn
+    FROM batch_control bc
+    JOIN specs s ON bc.schema_name = s.schema_name AND bc.table_name = s.table_name
+    WHERE bc.status = 'COMPLETED' AND bc.completion_lsn IS NOT NULL
+  ) WHERE rn = 1
+),
+table_pub AS (
+  SELECT s.schema_name, s.table_name, MIN(pt.pubname) AS pubname
+  FROM publication_tables pt
+  JOIN specs s ON pt.schemaname = s.schema_name AND pt.tablename = s.table_name
+  GROUP BY 1, 2
+),
+rel_slot AS (
+  SELECT * FROM (
+    SELECT tp.schema_name, tp.table_name, rs.slot_name,
+           rs.confirmed_flush_lsn, tp.pubname,
+           ROW_NUMBER() OVER (
+             PARTITION BY tp.schema_name, tp.table_name
+             ORDER BY CASE WHEN rs.slot_name LIKE '%' || tp.pubname || '%' THEN 1
+                           WHEN rs.slot_name LIKE '%' || tp.table_name || '%' THEN 2
+                           ELSE 3 END,
+                      rs.slot_name) AS rn
+    FROM replication_slots rs CROSS JOIN table_pub tp
+    WHERE rs.slot_type = 'logical' AND rs.active
+      AND (rs.slot_name LIKE '%' || tp.pubname || '%'
+           OR rs.slot_name LIKE '%' || tp.table_name || '%'
+           OR tp.pubname LIKE '%' || replace(rs.slot_name, '_slot', '') || '%')
+  ) WHERE rn = 1
+),
+joined AS (
+  SELECT lb.schema_name, lb.table_name, lb.batch_id AS latest_batch_id,
+         rs.slot_name,
+         COALESCE(rs.pubname, 'unknown') AS publication_name,
+         rs.confirmed_flush_lsn AS slot_current_lsn,
+         lb.batch_lsn AS batch_completion_lsn,
+         {_lsn('rs.confirmed_flush_lsn')} >= {_lsn('lb.batch_lsn')} AS replication_complete,
+         round(date_diff('second', lb.completion_timestamp, TIMESTAMP '{fx.AS_OF}') / 60.0, 2)
+           AS minutes_since_completion
+  FROM latest lb
+  JOIN rel_slot rs ON lb.schema_name = rs.schema_name AND lb.table_name = rs.table_name
+)"""
+
+
+@register(
+    "q_latest_per_group",
+    f"""WITH {_LATEST_JOINED_CTES}
+SELECT * FROM joined""",
+    doc="W1/W2/J1-J4 latest-batch status per table, one vectorized plan — check_latest_batch_replication_status.sql:17-83",
+)
+def q_latest_per_group(spark, sf_dir):
+    return st.latest_status_multi(
+        spark,
+        fx.batch_control_df(spark, sf_dir),
+        fx.slots_df(spark),
+        fx.pubs_df(spark),
+        SPECS,
+        as_of=fx.AS_OF,
+    )
+
+
+@register(
+    "q_health_report",
+    f"""WITH {_LATEST_JOINED_CTES}
+SELECT schema_name, table_name, latest_batch_id, slot_name, publication_name,
+       replication_complete,
+       CAST(CASE WHEN NOT replication_complete
+                 THEN {_lsn('batch_completion_lsn')} - {_lsn('slot_current_lsn')}
+                 ELSE 0 END AS BIGINT) AS lag_bytes,
+       minutes_since_completion,
+       CASE WHEN replication_complete THEN 'READY'
+            WHEN minutes_since_completion > 60 THEN 'STUCK'
+            WHEN minutes_since_completion > 30 THEN 'SLOW'
+            ELSE 'REPLICATING' END AS health_status
+FROM joined""",
+    doc="U1/F5/F6/O2/T7 multi-table health report — check_multiple_tables_replication_status.sql:1-90",
+)
+def q_health_report(spark, sf_dir):
+    return st.multiple_tables_replication_status(
+        spark,
+        fx.batch_control_df(spark, sf_dir),
+        fx.slots_df(spark),
+        fx.pubs_df(spark),
+        SPECS,
+        as_of=fx.AS_OF,
+    )
+
+
+@register(
+    "q_batch_status",
+    f"""WITH {fx.oracle_batch_control_cte()},
+{fx.oracle_slots_cte()},
+{fx.oracle_pubs_cte()},
+batch_info AS (
+  SELECT schema_name, table_name, batch_id, completion_lsn AS batch_lsn
+  FROM batch_control
+  WHERE schema_name = 'public' AND table_name = 'orders'
+    AND status = 'COMPLETED' AND completion_lsn IS NOT NULL
+    AND completion_timestamp >= TIMESTAMP '{fx.AS_OF}' - INTERVAL 24 HOUR
+),
+table_pubs AS (
+  SELECT DISTINCT pubname FROM publication_tables
+  WHERE schemaname = 'public' AND tablename = 'orders'
+),
+slot_info AS (
+  SELECT rs.slot_name, rs.confirmed_flush_lsn, MIN(tp.pubname) AS matched_publication
+  FROM replication_slots rs
+  LEFT JOIN table_pubs tp
+    ON rs.slot_name LIKE '%' || tp.pubname || '%'
+    OR tp.pubname LIKE '%' || replace(rs.slot_name, '_slot', '') || '%'
+  WHERE rs.slot_type = 'logical' AND rs.active
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT * FROM slot_info
+  WHERE matched_publication IS NOT NULL OR slot_name LIKE '%orders%'
+)
+SELECT bi.schema_name, bi.table_name, bi.batch_id, k.slot_name,
+       COALESCE(k.matched_publication, 'unknown') AS publication_name,
+       k.confirmed_flush_lsn AS slot_current_lsn,
+       bi.batch_lsn AS batch_completion_lsn,
+       {_lsn('k.confirmed_flush_lsn')} >= {_lsn('bi.batch_lsn')} AS replication_complete,
+       CAST(CASE WHEN {_lsn('k.confirmed_flush_lsn')} < {_lsn('bi.batch_lsn')}
+                 THEN {_lsn('bi.batch_lsn')} - {_lsn('k.confirmed_flush_lsn')}
+                 ELSE 0 END AS BIGINT) AS lag_bytes
+FROM batch_info bi CROSS JOIN kept k""",
+    doc="P2-P4/J2/J3/F10/T6 all recent batches × matching slots — check_batch_replication_status.sql:17-92",
+)
+def q_batch_status(spark, sf_dir):
+    return st.batch_replication_status(
+        spark,
+        fx.batch_control_df(spark, sf_dir),
+        fx.slots_df(spark),
+        fx.pubs_df(spark),
+        "public",
+        "orders",
+        as_of=fx.AS_OF,
+    )
+
+
+@register(
+    "q_like_join",
+    f"""WITH {fx.oracle_slots_cte()},
+{fx.oracle_pubs_cte()}
+SELECT rs.slot_name, pt.pubname,
+       CASE WHEN rs.slot_name LIKE '%' || pt.pubname || '%' THEN 1
+            WHEN pt.pubname LIKE '%' || replace(rs.slot_name, '_slot', '') || '%' THEN 2
+            ELSE 3 END AS priority
+FROM replication_slots rs
+JOIN publication_tables pt
+  ON rs.slot_name LIKE '%' || pt.pubname || '%'
+  OR pt.pubname LIKE '%' || replace(rs.slot_name, '_slot', '') || '%'
+WHERE rs.slot_type = 'logical' AND rs.active""",
+    doc="J2/P5 theta-join via LIKE on concatenated columns → BroadcastNestedLoopJoin — check_batch_replication_status.sql:49-59",
+)
+def q_like_join(spark, sf_dir):
+    slots = fx.slots_df(spark).filter(
+        (F.col("slot_type") == "logical") & F.col("active")
+    )
+    pubs = fx.pubs_df(spark)
+    cond = F.col("slot_name").contains(F.col("pubname")) | F.col("pubname").contains(
+        F.regexp_replace("slot_name", "_slot", "")
+    )
+    prio = (
+        F.when(F.col("slot_name").contains(F.col("pubname")), 1)
+        .when(
+            F.col("pubname").contains(F.regexp_replace("slot_name", "_slot", "")), 2
+        )
+        .otherwise(3)
+    )
+    return (
+        slots.join(F.broadcast(pubs), cond)
+        .select("slot_name", "pubname", prio.alias("priority"))
+    )
+
+
+@register(
+    "q_lsn_ops",
+    f"""WITH {fx.oracle_batch_control_cte()}
+SELECT id, completion_lsn,
+       {_lsn('completion_lsn')} AS lsn_long,
+       printf('%X/%X', {_lsn('completion_lsn')} // 4294967296,
+                        {_lsn('completion_lsn')} % 4294967296) AS canonical,
+       {_lsn('completion_lsn')} - {_lsn("'1/50000'")} AS diff_from_mark,
+       {_lsn('completion_lsn')} >= {_lsn("'1/50000'")} AS past_mark
+FROM batch_control WHERE completion_lsn IS NOT NULL""",
+    doc="F10-F12 LSN text↔BIGINT encode/decode/compare/diff — check_batch_replication_status.sql:25,75,80",
+)
+def q_lsn_ops(spark, sf_dir):
+    bc = fx.batch_control_df(spark, sf_dir).filter(F.col("completion_lsn").isNotNull())
+    lsn = lsn_to_long("completion_lsn")
+    mark = 4294967296 + 327680  # '1/50000'
+    return bc.select(
+        "id",
+        "completion_lsn",
+        lsn.alias("lsn_long"),
+        long_to_lsn(lsn).alias("canonical"),
+        (lsn - F.lit(mark)).alias("diff_from_mark"),
+        (lsn >= F.lit(mark)).alias("past_mark"),
+    )
+
+
+@register(
+    "q_minutes_since",
+    f"""WITH {fx.oracle_batch_control_cte()}
+SELECT id, table_name, batch_id,
+       round(date_diff('second', completion_timestamp, TIMESTAMP '{fx.AS_OF}') / 60.0, 2)
+         AS minutes_since
+FROM batch_control WHERE completion_timestamp IS NOT NULL""",
+    doc="F9 EXTRACT(EPOCH)/60 + ROUND(2) — check_latest_batch_replication_status.sql:79",
+)
+def q_minutes_since(spark, sf_dir):
+    bc = fx.batch_control_df(spark, sf_dir).filter(
+        F.col("completion_timestamp").isNotNull()
+    )
+    return bc.select(
+        "id",
+        "table_name",
+        "batch_id",
+        F.round(
+            F.expr(
+                f"timestampdiff(SECOND, completion_timestamp, cast('{fx.AS_OF}' as timestamp_ntz))"
+            )
+            / 60.0,
+            2,
+        ).alias("minutes_since"),
+    )
+
+
+# --- CDC envelope / apply (S5-S7, T2/T3/T5) --------------------------------
+
+
+@register(
+    "q_cdc_parse",
+    """SELECT event_id, event_type,
+              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+       FROM events""",
+    doc="F20/S5 JSON field extraction (envelope-parse analog) — docker-compose.yml:73-76",
+)
+def q_cdc_parse(spark, sf_dir):
+    e = fx.events_df(spark, sf_dir)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "q_cdc_unwrap",
+    f"""WITH {fx.oracle_cdc_events_cte()}
+SELECT order_id, op, CAST(amount AS DOUBLE) AS amount, customer_id, batch_id,
+       source_lsn,
+       CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted
+FROM cdc_events""",
+    doc="S6/T3 ExtractNewRecordState unwrap: after-image + __deleted rewrite — debezium-connector-config.json:22-25",
+)
+def q_cdc_unwrap(spark, sf_dir):
+    ev = fx.cdc_events_df(spark, sf_dir)
+    return ev.select(
+        "order_id",
+        "op",
+        F.col("amount").cast("double").alias("amount"),
+        "customer_id",
+        "batch_id",
+        "source_lsn",
+        F.when(F.col("op") == "d", "true").otherwise("false").alias("__deleted"),
+    )
+
+
+@register(
+    "q_cdc_apply",
+    f"""WITH {fx.oracle_cdc_events_cte()},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY order_id ORDER BY lsn_long DESC) AS rn
+  FROM cdc_events
+)
+SELECT order_id, CAST(amount AS DOUBLE) AS amount, customer_id, batch_id, source_lsn
+FROM ranked WHERE rn = 1 AND op <> 'd'""",
+    doc="S7/T2 upsert apply: last event per PK wins (max LSN), deletes drop — jdbc-sink-connector-config.json:10-17",
+)
+def q_cdc_apply(spark, sf_dir):
+    ev = fx.cdc_events_df(spark, sf_dir)
+    w = Window.partitionBy("order_id").orderBy(F.desc("lsn_long"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select(
+            "order_id",
+            F.col("amount").cast("double").alias("amount"),
+            "customer_id",
+            "batch_id",
+            "source_lsn",
+        )
+    )
+
+
+@register(
+    "q_frontier_complete",
+    f"""WITH {fx.oracle_cdc_events_cte()},
+frontier AS (
+  SELECT MAX(lsn_long) AS frontier_lsn FROM cdc_events WHERE order_id % 2 = 0
+),
+per_batch AS (
+  SELECT batch_id, MAX(lsn_long) AS batch_max_lsn FROM cdc_events GROUP BY batch_id
+)
+SELECT p.batch_id, p.batch_max_lsn,
+       printf('%X/%X', p.batch_max_lsn // 4294967296, p.batch_max_lsn % 4294967296) AS batch_max_lsn_text,
+       p.batch_max_lsn <= f.frontier_lsn AS complete,
+       CAST(CASE WHEN p.batch_max_lsn > f.frontier_lsn
+                 THEN p.batch_max_lsn - f.frontier_lsn ELSE 0 END AS BIGINT) AS lag_bytes
+FROM per_batch p CROSS JOIN frontier f""",
+    doc="T5/T6/F11 completeness frontier (event-progress watermark): batch complete ⟺ frontier ≥ batch max LSN — check_batch_replication_status.sql:74-82",
+)
+def q_frontier_complete(spark, sf_dir):
+    ev = fx.cdc_events_df(spark, sf_dir)
+    frontier = ev.filter(F.col("order_id") % 2 == 0).agg(
+        F.max("lsn_long").alias("frontier_lsn")
+    )
+    per_batch = ev.groupBy("batch_id").agg(F.max("lsn_long").alias("batch_max_lsn"))
+    return per_batch.crossJoin(F.broadcast(frontier)).select(
+        "batch_id",
+        "batch_max_lsn",
+        long_to_lsn("batch_max_lsn").alias("batch_max_lsn_text"),
+        (F.col("batch_max_lsn") <= F.col("frontier_lsn")).alias("complete"),
+        F.when(
+            F.col("batch_max_lsn") > F.col("frontier_lsn"),
+            F.col("batch_max_lsn") - F.col("frontier_lsn"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lag_bytes"),
+    )
+
+
+# --- reconciliation (J7/J8, U2, A4) ----------------------------------------
+
+
+@register(
+    "q_recon_diff",
+    f"""WITH {fx.oracle_recon_cte()},
+src_g AS (
+  SELECT order_id, COUNT(*) AS src_cnt, MAX(amount) AS src_amt FROM recon_src GROUP BY order_id
+),
+tgt_g AS (
+  SELECT order_id, COUNT(*) AS tgt_cnt, MAX(amount) AS tgt_amt FROM recon_tgt GROUP BY order_id
+),
+d AS (
+  SELECT COALESCE(s.order_id, t.order_id) AS order_id,
+         COALESCE(s.src_cnt, 0) AS src_cnt, COALESCE(t.tgt_cnt, 0) AS tgt_cnt,
+         CAST(s.src_amt AS DOUBLE) AS src_amount, CAST(t.tgt_amt AS DOUBLE) AS tgt_amount,
+         CASE WHEN s.order_id IS NULL THEN 'extra_in_target'
+              WHEN t.order_id IS NULL THEN 'missing_in_target'
+              WHEN s.src_cnt <> t.tgt_cnt THEN 'cardinality_mismatch'
+              WHEN s.src_amt IS DISTINCT FROM t.tgt_amt THEN 'value_mismatch'
+         END AS diff_type
+  FROM src_g s FULL OUTER JOIN tgt_g t ON s.order_id = t.order_id
+)
+SELECT * FROM d WHERE diff_type IS NOT NULL""",
+    doc="J7 keyed full-outer reconciliation diff (fixes the reference's positional-zip misalignment, verify_replication.py:125-142)",
+)
+def q_recon_diff(spark, sf_dir):
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    src_g = src.groupBy("order_id").agg(
+        F.count("*").alias("src_cnt"), F.max("amount").alias("src_amt")
+    )
+    tgt_g = tgt.groupBy("order_id").agg(
+        F.count("*").alias("tgt_cnt"), F.max("amount").alias("tgt_amt")
+    )
+    j = src_g.join(tgt_g, "order_id", "full_outer")
+    diff_type = (
+        F.when(F.col("src_cnt").isNull(), "extra_in_target")
+        .when(F.col("tgt_cnt").isNull(), "missing_in_target")
+        .when(F.col("src_cnt") != F.col("tgt_cnt"), "cardinality_mismatch")
+        .when(~F.col("src_amt").eqNullSafe(F.col("tgt_amt")), "value_mismatch")
+    )
+    return (
+        j.select(
+            "order_id",
+            F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
+            F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
+            F.col("src_amt").cast("double").alias("src_amount"),
+            F.col("tgt_amt").cast("double").alias("tgt_amount"),
+            diff_type.alias("diff_type"),
+        )
+        .filter(F.col("diff_type").isNotNull())
+    )
+
+
+@register(
+    "q_recon_setdiff",
+    f"""WITH {fx.oracle_recon_cte()}
+SELECT 'src_minus_tgt' AS direction, order_id, CAST(amount AS DOUBLE) AS amount, status
+FROM (SELECT * FROM recon_src EXCEPT ALL SELECT * FROM recon_tgt)
+UNION ALL
+SELECT 'tgt_minus_src', order_id, CAST(amount AS DOUBLE), status
+FROM (SELECT * FROM recon_tgt EXCEPT ALL SELECT * FROM recon_src)""",
+    doc="U2 INTERSECT/EXCEPT set-diff reconciliation — generalizes verify_replication.py:125-142",
+)
+def q_recon_setdiff(spark, sf_dir):
+    src, tgt = fx.recon_pair(spark, sf_dir)
+
+    def tag(df, direction):
+        return df.select(
+            F.lit(direction).alias("direction"),
+            "order_id",
+            F.col("amount").cast("double").alias("amount"),
+            "status",
+        )
+
+    return tag(src.exceptAll(tgt), "src_minus_tgt").unionByName(
+        tag(tgt.exceptAll(src), "tgt_minus_src")
+    )
+
+
+@register(
+    "q_lateral_counts",
+    f"""WITH {fx.oracle_recon_cte()},
+s AS (SELECT status, COUNT(*) AS src_count FROM recon_src GROUP BY status),
+t AS (SELECT status, COUNT(*) AS tgt_count FROM recon_tgt GROUP BY status)
+SELECT COALESCE(s.status, t.status) AS status,
+       COALESCE(s.src_count, 0) AS src_count,
+       COALESCE(t.tgt_count, 0) AS tgt_count,
+       COALESCE(s.src_count, 0) = COALESCE(t.tgt_count, 0) AS counts_match
+FROM s FULL OUTER JOIN t ON s.status = t.status""",
+    doc="J6/J8/A4 per-group source-vs-target count compare (dblink/LATERAL analog, native in Spark) — docs/replication_troubleshooting.md:127-149",
+)
+def q_lateral_counts(spark, sf_dir):
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    s = src.groupBy("status").agg(F.count("*").alias("src_count"))
+    t = tgt.groupBy("status").agg(F.count("*").alias("tgt_count"))
+    return s.join(t, "status", "full_outer").select(
+        "status",
+        F.coalesce("src_count", F.lit(0)).alias("src_count"),
+        F.coalesce("tgt_count", F.lit(0)).alias("tgt_count"),
+        (
+            F.coalesce("src_count", F.lit(0)) == F.coalesce("tgt_count", F.lit(0))
+        ).alias("counts_match"),
+    )
+
+
+@register(
+    "q_csv_roundtrip",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+              CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total,
+              o_orderdate
+       FROM orders""",
+    doc="S1/S2 CSV feed-file sink + bulk load roundtrip fidelity — data_generator.py:57-64,110-114 (oracle = identity: roundtrip must lose nothing)",
+)
+def q_csv_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    sel = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("total"),
+        "o_orderdate",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "pcr_csv_roundtrip_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    sel.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.csv(
+        path,
+        header=True,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, total double, o_orderdate timestamp_ntz",
+    )
