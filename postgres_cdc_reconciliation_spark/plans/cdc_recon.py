@@ -316,18 +316,19 @@ FROM ranked WHERE rn = 1 AND op <> 'd'""",
     doc="S7/T2 upsert apply: last event per PK wins (max LSN), deletes drop — jdbc-sink-connector-config.json:10-17",
 )
 def q_cdc_apply(spark, sf_dir):
+    # max_by hash-agg (map-side combine), not a window sort — the oracle's
+    # ROW_NUMBER formulation is semantically identical but this one shuffles
+    # O(keys) instead of sorting O(events). See operators.apply.
+    from ..operators.apply import latest_per_key
+
     ev = fx.cdc_events_df(spark, sf_dir)
-    w = Window.partitionBy("order_id").orderBy(F.desc("lsn_long"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
-        .select(
-            "order_id",
-            F.col("amount").cast("double").alias("amount"),
-            "customer_id",
-            "batch_id",
-            "source_lsn",
-        )
+    latest = latest_per_key(ev, ["order_id"], lsn_col="lsn_long", lsn_is_text=False)
+    return latest.filter(F.col("op") != "d").select(
+        "order_id",
+        F.col("amount").cast("double").alias("amount"),
+        "customer_id",
+        "batch_id",
+        "source_lsn",
     )
 
 

@@ -1,0 +1,105 @@
+"""CDC envelope parse / unwrap / apply semantics (SURVEY.md §2.1 S5-S7, §2.9).
+
+Covers the FIXTURES.md §5 event mix: inserts for all keys, updates for a
+subset, deletes, out-of-order duplicates per key (max-LSN dedup), and a
+tombstone (null value → filtered)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.apply import (
+    apply_batch,
+    latest_per_key,
+)
+from postgres_cdc_reconciliation_spark.sources.cdc import parse_stream, unwrap
+
+
+def make_raw(spark):
+    def env(op, before, after, lsn, ts_ms=1700000000000):
+        return json.dumps(
+            {"op": op, "before": before, "after": after,
+             "source": {"lsn": lsn, "txId": 7, "ts_ms": ts_ms,
+                        "schema": "public", "table": "orders"}}
+        )
+
+    def row(oid, amount):
+        return {"order_id": oid, "customer_id": oid % 10,
+                "amount": f"{amount:.2f}", "ts": "2026-01-01 00:00:00",
+                "batch_id": oid // 2}
+
+    events = [
+        ("1", env("c", None, row(1, 10.00), "0/10")),
+        ("2", env("c", None, row(2, 20.00), "0/20")),
+        ("3", env("c", None, row(3, 30.00), "0/30")),
+        # out-of-order duplicate updates for key 1: lsn 0/50 then 0/40
+        ("1", env("u", row(1, 10.00), row(1, 11.00), "0/50")),
+        ("1", env("u", row(1, 10.00), row(1, 10.50), "0/40")),
+        # delete key 2 (before-image carried)
+        ("2", env("d", row(2, 20.00), None, "0/60")),
+        # tombstone (null value)
+        ("2", None),
+    ]
+    return spark.createDataFrame(events, "key string, value string")
+
+
+def test_parse_unwrap(spark):
+    parsed = parse_stream(make_raw(spark))
+    assert parsed.count() == 7
+    # tombstone row: null op
+    assert parsed.filter(F.col("op").isNull()).count() == 1
+    flat = unwrap(parsed)
+    assert flat.count() == 6  # tombstone dropped
+    deleted = flat.filter(F.col("__deleted") == "true").collect()
+    assert len(deleted) == 1 and deleted[0]["order_id"] == 2
+    # delete carries the before-image
+    assert float(deleted[0]["amount"]) == 20.00
+
+
+def test_latest_per_key_max_lsn(spark):
+    flat = unwrap(parse_stream(make_raw(spark)))
+    latest = latest_per_key(flat, ["order_id"]).collect()
+    by_key = {r["order_id"]: r for r in latest}
+    assert set(by_key) == {1, 2, 3}
+    assert float(by_key[1]["amount"]) == 11.00  # lsn 0/50 beats 0/40
+    assert by_key[2]["op"] == "d"
+
+
+def test_apply_batch_upsert_delete_idempotent(spark):
+    flat = unwrap(parse_stream(make_raw(spark)))
+    target0 = flat.limit(0).drop("op", "source_lsn", "ts_ms", "__deleted")
+    t1 = apply_batch(target0, flat, ["order_id"])
+    rows = {r["order_id"]: float(r["amount"]) for r in t1.collect()}
+    assert rows == {1: 11.00, 3: 30.00}  # 2 deleted
+    # idempotent: re-applying the same events changes nothing
+    t2 = apply_batch(t1, flat, ["order_id"])
+    rows2 = {r["order_id"]: float(r["amount"]) for r in t2.collect()}
+    assert rows2 == rows
+    # incremental batch: update 3, insert 4, delete 1
+    def env_row(oid, amount, op, lsn):
+        return (
+            oid,
+            oid % 10,
+            None if amount is None else f"{amount:.2f}",
+            None,
+            oid // 2,
+            op,
+            lsn,
+            1700000000001,
+            "true" if op == "d" else "false",
+        )
+
+    batch2 = spark.createDataFrame(
+        [
+            env_row(3, 33.00, "u", "0/100"),
+            env_row(4, 40.00, "c", "0/110"),
+            env_row(1, 11.00, "d", "0/120"),
+        ],
+        "order_id long, customer_id int, amount string, ts timestamp_ntz, "
+        "batch_id long, op string, source_lsn string, ts_ms long, __deleted string",
+    ).withColumn("amount", F.col("amount").cast("decimal(10,2)"))
+    t3 = apply_batch(t2, batch2, ["order_id"])
+    rows3 = {r["order_id"]: float(r["amount"]) for r in t3.collect()}
+    assert rows3 == {3: 33.00, 4: 40.00}
