@@ -1,0 +1,157 @@
+"""[EXT] Deduplication operators for large-scale text corpora.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard — all as native Spark SQL expressions so the
+hot path stays JVM-side and shuffles are keyed (no driver collects, no
+pairwise O(n²) except *inside* candidate buckets).
+
+Cross-engine determinism: hashing is md5-based (identical in Spark and
+DuckDB), so every operator here is oracle-checkable. At production scale
+you'd swap md5 for xxhash64 (cheaper); the structure is unchanged.
+
+Scale design notes:
+- shingling explodes ~L tokens/doc into ~L rows — linear, partition-local;
+- minhash is a groupBy(doc) with min() aggregates — map-side combine;
+- LSH banding turns near-dup search into equality joins on (band, value):
+  shuffle keys are band buckets, never full-corpus cross joins;
+- the final Jaccard verify runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_tokens", F.split(F.col(text_col), " "))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc, exploded to (id, shingle) rows."""
+    t = tokens(df, text_col)
+    sh = F.when(
+        F.size("_tokens") >= k,
+        F.expr(
+            f"transform(sequence(0, size(_tokens) - {k}),"
+            f" i -> concat_ws(' ', slice(_tokens, i + 1, {k})))"
+        ),
+    ).otherwise(F.array())
+    return (
+        t.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def _hash_expr(col: str, seed: int):
+    """Deterministic 32-bit hash from md5 (cross-engine reproducible)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.col(col), F.lit(f"#{seed}"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 8
+) -> DataFrame:
+    """Per-doc minhash signature: min over shingles of h_seed(shingle)."""
+    aggs = [
+        F.min(_hash_expr("shingle", s)).alias(f"h{s}") for s in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band (equality bucket join).
+
+    Bands of `band_size` consecutive hashes; docs agreeing on a whole band
+    land in the same bucket. Output: (doc_a, doc_b, n_shared_bands)."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col(f"h{b * band_size + j}") for j in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("band"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over k-shingle sets for pairs sharing ≥1 shingle.
+
+    Inverted-index join on shingle (keyed shuffle); |A|,|B| precomputed.
+    common/(|A|+|B|-common) — integer inputs, double division (bit-stable
+    across engines)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "common", "jaccard"
+    )
+
+
+def simhash16(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash per doc: bit b = sign of Σ_tokens (±1 by token-hash bit b).
+
+    Token multiplicity counts (standard SimHash weighting by frequency).
+    Exploded tokens → one groupBy with 16 conditional sums — a single keyed
+    shuffle, partial-aggregated map-side."""
+    tok = tokens(df, text_col).select(
+        F.col(id_col), F.explode("_tokens").alias("tok")
+    )
+    th = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    tok = tok.withColumn("th", th)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))

@@ -1,0 +1,107 @@
+"""[EXT] Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an IVF-style bucketed
+variant as the scale path (probe only the query's cluster bucket instead of
+the full corpus — here the corpus ships precomputed cluster labels; in a
+full system a k-means step would assign them).
+
+All math is native Spark SQL array expressions (zip_with + aggregate =
+sequential double fold, deterministic) — no UDF, no driver collect. The
+candidate generation is a keyed join (query×bucket), the ranking a
+window partitioned by query: both shuffle-bounded, never O(corpus²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_D = "transform({c}, x -> cast(x as double))"
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({_D.format(c=a)}, {_D.format(c=b)}, (x, y) -> x * y),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "_norm",
+        F.sqrt(
+            F.expr(
+                f"aggregate(transform({vec_col}, x -> cast(x as double) * cast(x as double)),"
+                f" cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+        ),
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors per query (self excluded).
+
+    bucket_col=None → brute force (query broadcast against full corpus);
+    bucket_col='label' → IVF-style: candidates restricted to the query's
+    bucket (equality join on the bucket key — shuffle pruning)."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+        *([F.col(bucket_col).alias("q_bucket")] if bucket_col else []),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+        *([F.col(bucket_col).alias("c_bucket")] if bucket_col else []),
+    )
+    if bucket_col:
+        joined = c.join(F.broadcast(q), F.col("q_bucket") == F.col("c_bucket"))
+    else:
+        joined = c.crossJoin(F.broadcast(q))
+    scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cos", _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, blocked by bucket.
+
+    Blocking keeps the pair join O(Σ bucket²) instead of O(n²); at scale the
+    bucket key comes from LSH or coarse k-means."""
+    v = with_norm(vectors, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("v"), F.col("_norm").alias("n"),
+        F.col(bucket_col).alias("bk"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bk") == F.col("b.bk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        (_dot("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)

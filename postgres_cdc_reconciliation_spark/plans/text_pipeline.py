@@ -31,7 +31,7 @@ def q_token_count(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_measured"),
         F.col("text").rlike("spark").alias("mentions_spark"),
     )
@@ -54,7 +54,7 @@ def q_lang_id(spark, sf_dir):
     return d.select(
         "doc_id",
         "lang",
-        hits.alias("en_stopword_hits"),
+        hits.cast("long").alias("en_stopword_hits"),
         F.when(hits >= 2, "en").otherwise("other").alias("lang_guess"),
     )
 
@@ -89,7 +89,7 @@ def q_quality_score(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         avg_len.alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         F.when(
@@ -135,3 +135,190 @@ def q_dedup_exact(spark, sf_dir):
             F.min("doc_id").alias("canonical_doc_id"),
         )
     )
+
+
+# --- fuzzy dedup (MinHash-LSH, n-gram Jaccard, SimHash) --------------------
+
+_SHINGLE_CTE = """
+tokd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM tokd
+)"""
+
+_MINHASH_AGGS = ",\n    ".join(
+    f"MIN(CAST('0x' || substr(md5(shingle || '#{s}'), 1, 8) AS BIGINT)) AS h{s}"
+    for s in range(8)
+)
+_BAND_LIST = ", ".join(
+    f"concat_ws('_', {b}, h{2 * b}, h{2 * b + 1})" for b in range(4)
+)
+
+
+@register(
+    "q_dedup_minhash",
+    f"""WITH {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS band FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY 1, 2""",
+    doc="[EXT] MinHash+LSH near-dup candidates: shingle→minhash(md5)→band→bucket equality join (shuffle on band buckets, never O(n²))",
+)
+def q_dedup_minhash(spark, sf_dir):
+    from ..operators.dedup import lsh_candidates, minhash_signatures, shingles
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signatures(shingles(d, k=3), n_hashes=8)
+    return lsh_candidates(sig, n_hashes=8, band_size=2)
+
+
+@register(
+    "q_dedup_ngram",
+    f"""WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.common,
+       CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common) >= 0.5""",
+    doc="[EXT] exact 3-gram Jaccard near-dup via inverted-index join (keyed shuffle on shingle)",
+)
+def q_dedup_ngram(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard_pairs, shingles
+
+    d = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs(shingles(d, k=3), threshold=0.5)
+
+
+_SIMHASH_SUMS = ",\n    ".join(
+    f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
+
+
+@register(
+    "q_dedup_simhash",
+    f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) AS th FROM tok
+),
+agg AS (
+  SELECT doc_id, {_SIMHASH_SUMS}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM agg""",
+    doc="[EXT] 16-bit SimHash signatures (frequency-weighted, one keyed shuffle with partial agg)",
+)
+def q_dedup_simhash(spark, sf_dir):
+    from ..operators.dedup import simhash16
+
+    return simhash16(_docs(spark, sf_dir))
+
+
+# --- similarity search over embeddings -------------------------------------
+
+_VEC_CTE = """
+v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+  FROM embeddings
+)"""
+
+
+@register(
+    "q_ann_cosine",
+    f"""WITH {_VEC_CTE},
+q AS (SELECT * FROM v WHERE vec_id < 16),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e) / (q.n * c.n) AS cos
+  FROM q JOIN v c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+FROM ranked WHERE rank <= 5""",
+    doc="[EXT] brute-force cosine top-k (exact baseline): broadcast queries × corpus, native array fold, window top-k",
+)
+def q_ann_cosine(spark, sf_dir):
+    from ..operators.similarity import cosine_topk
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = v.filter(F.col("vec_id") < 16)
+    top = cosine_topk(q, v, k=5)
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos_r"),
+    )
+
+
+@register(
+    "q_ann_ivf",
+    f"""WITH {_VEC_CTE},
+q AS (SELECT * FROM v WHERE vec_id < 16),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e) / (q.n * c.n) AS cos
+  FROM q JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+FROM ranked WHERE rank <= 5""",
+    doc="[EXT] IVF-style ANN: probe only the query's cluster bucket (equality join on label = shuffle pruning; the 100 TB scale path)",
+)
+def q_ann_ivf(spark, sf_dir):
+    from ..operators.similarity import cosine_topk
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = v.filter(F.col("vec_id") < 16)
+    top = cosine_topk(q, v, k=5, bucket_col="label")
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos_r"),
+    )
+
+
+@register(
+    "q_dedup_embed",
+    f"""WITH {_VEC_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) / (a.n * b.n), 4) AS cos_r
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.8""",
+    doc="[EXT] embedding-cosine near-dup pairs, blocked by cluster label (O(Σ bucket²), not O(n²))",
+)
+def q_dedup_embed(spark, sf_dir):
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(v, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
