@@ -1,0 +1,201 @@
+"""Additional operator coverage: session windows, rollup, distinct counts,
+set intersection, date/string/math scalar packs (SURVEY.md §2.4 A6, §2.7 U2,
+§2.8, §2.9 T12).
+
+Dialect-alignment conventions (see registry docstring): strings for
+formatted dates, round(…, 6) on transcendental math (libm last-ulp risk),
+exact integer/decimal math everywhere else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..fixtures import events_df
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@register(
+    "q_session_window",
+    """WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM sessions GROUP BY user_id, session_id""",
+    doc="T12 [EXT] session windows (30-min gap): Spark session_window ≡ SQL gaps-and-islands; streaming-capable with withWatermark",
+)
+def q_session_window(spark, sf_dir):
+    e = events_df(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+@register(
+    "q_rollup",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders
+       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    doc="A6 [EXT] rollup hierarchy totals (partial-agg friendly grouping sets)",
+)
+def q_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
+    "q_count_distinct",
+    """SELECT o_orderstatus,
+              COUNT(DISTINCT o_custkey) AS n_customers,
+              COUNT(DISTINCT o_orderpriority) AS n_priorities
+       FROM orders GROUP BY o_orderstatus""",
+    doc="A6 exact distinct aggregation (expand+two-phase agg in Spark; approx_count_distinct is the sketch variant, not oracle-comparable)",
+)
+def q_count_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+@register(
+    "q_intersect",
+    """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT COUNT(*) AS n_common
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)""",
+    doc="U2 INTERSECT ALL (customers with both F and O orders)",
+)
+def q_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersectAll(b).agg(F.count("*").alias("n_common"))
+
+
+@register(
+    "q_date_funcs",
+    """SELECT o_orderkey,
+              year(o_orderdate) AS y,
+              month(o_orderdate) AS m,
+              quarter(o_orderdate) AS q,
+              strftime(o_orderdate, '%Y-%m') AS ym,
+              o_orderdate + INTERVAL 7 DAY AS plus_week,
+              date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
+       FROM orders WHERE o_orderkey < 500""",
+    doc="F7-F9 date/time functions: extract, format, interval add, day diff",
+)
+def q_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.expr("timestampadd(DAY, 7, o_orderdate)").alias("plus_week"),
+        F.expr(
+            "timestampdiff(DAY, cast('1995-01-01 00:00:00' as timestamp_ntz), o_orderdate)"
+        ).alias("days_since_95"),
+    )
+
+
+@register(
+    "q_string_pack",
+    """SELECT p_partkey,
+              upper(p_name) AS uname,
+              lower(p_brand) AS lbrand,
+              substr(p_name, 1, 8) AS prefix,
+              lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+              strpos(p_type, 'BRUSHED') AS brushed_at,
+              reverse(p_brand) AS rbrand,
+              repeat('-', 3) || p_brand AS dashed,
+              length(p_name) AS name_len,
+              trim(' ' || p_brand || ' ') AS trimmed
+       FROM part""",
+    doc="F1-F4 extended string functions pack",
+)
+def q_string_pack(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_name", 1, 8).alias("prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.instr(F.col("p_type"), "BRUSHED").cast("long").alias("brushed_at"),
+        F.reverse("p_brand").alias("rbrand"),
+        F.concat(F.repeat(F.lit("-"), 3), F.col("p_brand")).alias("dashed"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "q_math_pack",
+    """SELECT s_suppkey,
+              abs(s_acctbal) AS abal,
+              CAST(ceil(s_acctbal) AS DOUBLE) AS cbal,
+              CAST(floor(s_acctbal) AS DOUBLE) AS fbal,
+              round(sqrt(abs(s_acctbal)), 6) AS sq,
+              round(ln(abs(s_acctbal) + 1), 6) AS lnb,
+              round(exp(s_suppkey % 5), 6) AS ex,
+              CAST(pow(2, s_suppkey % 10) AS DOUBLE) AS p2,
+              s_suppkey % 7 AS m7,
+              sign(s_acctbal) AS sg
+       FROM supplier""",
+    doc="extended math functions pack (transcendentals rounded to 6dp: libm last-ulp differences across engines)",
+)
+def q_math_pack(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.abs("s_acctbal").alias("abal"),
+        F.ceil("s_acctbal").cast("double").alias("cbal"),
+        F.floor("s_acctbal").cast("double").alias("fbal"),
+        F.round(F.sqrt(F.abs("s_acctbal")), 6).alias("sq"),
+        F.round(F.log(F.abs(F.col("s_acctbal")) + 1), 6).alias("lnb"),
+        F.round(F.exp(F.col("s_suppkey") % 5), 6).alias("ex"),
+        F.pow(F.lit(2), F.col("s_suppkey") % 10).cast("double").alias("p2"),
+        (F.col("s_suppkey") % 7).alias("m7"),
+        F.signum("s_acctbal").alias("sg"),
+    )

@@ -45,5 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401
     from . import cdc_recon  # noqa: F401
     from . import text_pipeline  # noqa: F401
+    from . import coverage  # noqa: F401
+    from . import multimodal  # noqa: F401
 
     return dict(_REGISTRY)
