@@ -47,5 +47,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import text_pipeline  # noqa: F401
     from . import coverage  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import analytics  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,74 @@
+"""Reconciliation self-test (SURVEY.md §5): inject known mutations, assert
+the diff finds exactly them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark import fixtures as fx
+from postgres_cdc_reconciliation_spark.operators.recon import (
+    compare_counts,
+    diff_by_hash,
+    diff_rows,
+    diff_rows_positional,
+    verify_batch,
+)
+
+
+def test_diff_rows_finds_exact_mutations(spark, sf_dir):
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    d = diff_rows(src, tgt, ["order_id"])
+    by_type = {r["diff_type"]: r["cnt"] for r in d.groupBy("diff_type").agg(F.count("*").alias("cnt")).collect()}
+    n = src.count()
+    missing = src.filter(F.col("order_id") % 97 == 0).count()
+    dups = src.filter((F.col("order_id") % 101 == 0) & (F.col("order_id") % 97 != 0)).count()
+    perturbed = src.filter(
+        (F.col("order_id") % 89 == 0) & (F.col("order_id") % 97 != 0) & (F.col("order_id") % 101 != 0)
+    ).count()
+    assert by_type.get("missing_in_target", 0) == missing
+    assert by_type.get("extra_in_target", 0) == 3  # shifted-key extras
+    assert by_type.get("cardinality_mismatch", 0) == dups
+    assert by_type.get("value_mismatch", 0) == perturbed
+    assert n > 0
+
+
+def test_diff_by_hash_matches_keyed_diff(spark, sf_dir):
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    # dedupe cardinality effects: hash diff is per-key, so compare on the
+    # deduped portion (unique keys both sides)
+    s1 = src.dropDuplicates(["order_id"])
+    t1 = tgt.dropDuplicates(["order_id"])
+    keyed = diff_rows(s1, t1, ["order_id"])
+    hashed = diff_by_hash(s1, t1, ["order_id"])
+    assert keyed.count() == hashed.count()
+    assert set(r["order_id"] for r in keyed.collect()) == set(
+        r["order_id"] for r in hashed.collect()
+    )
+
+
+def test_positional_diff_misaligns_like_reference(spark):
+    # the documented reference behavior: one missing row shifts everything
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(1, 6)], "id int, v string")
+    tgt = src.filter(F.col("id") != 2)  # drop one row
+    d = diff_rows_positional(src, tgt, ["id"])
+    # every position from the gap onward differs (4 rows: pos 2..5)
+    assert d.count() == 4
+
+
+def test_verify_batch_verdicts(spark, sf_dir):
+    src, _ = fx.recon_pair(spark, sf_dir)
+    ok = verify_batch(spark, src, src, ["order_id"])
+    assert ok["consistent"] and ok["counts_match"] and ok["n_differences"] == 0
+    _, tgt = fx.recon_pair(spark, sf_dir)
+    bad = verify_batch(spark, src, tgt, ["order_id"], max_report=5)
+    assert not bad["consistent"] and len(bad["sample"]) == 5
+
+
+def test_compare_counts_multi_table(spark, sf_dir):
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    out = compare_counts(
+        {"orders": (src, tgt), "orders_self": (src, src)}
+    ).collect()
+    by_t = {r["table_name"]: r for r in out}
+    assert not by_t["orders"]["counts_match"]
+    assert by_t["orders_self"]["counts_match"]
