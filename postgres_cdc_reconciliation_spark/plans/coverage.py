@@ -199,3 +199,38 @@ def q_math_pack(spark, sf_dir):
         (F.col("s_suppkey") % 7).alias("m7"),
         F.signum("s_acctbal").alias("sg"),
     )
+
+
+@register(
+    "q_sql_api",
+    """SELECT o_orderstatus, COUNT(*) AS cnt,
+              (SELECT COUNT(*) FROM orders) AS total,
+              CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders) AS frac
+       FROM orders GROUP BY o_orderstatus""",
+    doc="P9/J4 dynamic SQL via spark.sql over temp views + scalar subquery (plpgsql format()+EXECUTE analog — docs/replication_troubleshooting.md:127-139)",
+)
+def q_sql_api(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    table = "orders_v"  # dynamic identifier, format('%I')-style
+    return spark.sql(
+        f"""SELECT o_orderstatus, COUNT(*) AS cnt,
+                   (SELECT COUNT(*) FROM {table}) AS total,
+                   CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM {table}) AS frac
+            FROM {table} GROUP BY o_orderstatus"""
+    )
+
+
+@register(
+    "q_approx_stats",
+    None,  # sketches are estimator-specific → rows-only check by design
+    doc="A6 [EXT] sketch aggregates: approx_count_distinct (HLL) + approx percentiles; estimates differ per engine so the driver records the weaker rows-only check",
+)
+def q_approx_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
+            "price_p50_p95"
+        ),
+        F.count("*").alias("exact_rows"),
+    )

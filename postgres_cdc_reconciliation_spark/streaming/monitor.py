@@ -1,0 +1,73 @@
+"""Polling monitor (T8) + heartbeat (T9).
+
+The reference's monitor loop polls check_batch_status every `interval`
+seconds until `timeout` (verify_replication.py:148-167, defaults 300s/10s);
+Debezium heartbeats advance the frontier on idle tables
+(postgres.json:439-455).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import functions as F
+
+
+def poll_until(
+    check: Callable[[], bool],
+    timeout_s: float = 300.0,
+    interval_s: float = 10.0,
+    clock: Callable[[], float] = time.monotonic,
+    sleep: Callable[[float], None] = time.sleep,
+) -> bool:
+    """Poll `check` until it returns True or timeout (monitor loop analog).
+
+    clock/sleep injectable for deterministic tests."""
+    deadline = clock() + timeout_s
+    while True:
+        if check():
+            return True
+        if clock() >= deadline:
+            return False
+        sleep(interval_s)
+
+
+def wait_replication_complete(
+    spark,
+    status_fn: Callable[[], "object"],
+    batch_id: int,
+    timeout_s: float = 300.0,
+    interval_s: float = 10.0,
+    **poll_kw,
+) -> bool:
+    """verify_replication.py:72-97 analog: re-evaluate the status query per
+    poll, complete when the batch row reports replication_complete."""
+
+    def check() -> bool:
+        rows = (
+            status_fn()
+            .filter(F.col("latest_batch_id") == batch_id)
+            .select("replication_complete")
+            .collect()
+        )
+        return bool(rows) and bool(rows[0][0])
+
+    return poll_until(check, timeout_s, interval_s, **poll_kw)
+
+
+def heartbeat(spark, frontier_path: str) -> None:
+    """Advance-on-idle: re-append the current max frontier row so downstream
+    freshness checks see progress even with zero new events (T9).
+
+    Append-only + max() read semantics make this a no-op for the frontier
+    VALUE while refreshing its recency."""
+    try:
+        f = spark.read.parquet(frontier_path)
+    except Exception:
+        return
+    f.agg(
+        F.max("applied_lsn_long").alias("applied_lsn_long"),
+        F.lit(0).cast("long").alias("n_events"),
+        F.max("micro_batch_id").alias("micro_batch_id"),
+    ).write.mode("append").parquet(frontier_path)
