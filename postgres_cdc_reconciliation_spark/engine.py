@@ -80,6 +80,13 @@ class Engine:
 
     # --- CDC pipeline (M5) ---
 
+    def snapshot_backfill(self, snapshot: DataFrame, target_path: str) -> None:
+        """Initial-snapshot-then-stream (T4, snapshot.mode=initial,
+        postgres.json:270-277): materialize the consistent snapshot as the
+        target's starting state; the change stream applies from there. The
+        stream's checkpoint plays the captured-offset role."""
+        snapshot.write.mode("overwrite").parquet(target_path)
+
     def start_cdc_pipeline(
         self, target_path, key_cols, checkpoint_dir, frontier_path=None,
         kafka_bootstrap=None, topic=None, file_path=None, trigger=None,

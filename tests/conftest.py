@@ -11,10 +11,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from postgres_cdc_reconciliation_spark.session import get_spark
 
-    s = get_spark(app_name="pcr-tests")
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        app_name="pcr-tests",
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
     s.stop()
 

@@ -1,0 +1,80 @@
+"""Physical-layout guarantees, asserted against the optimized plans:
+bucketed join has no shuffle, partitioned scan prunes, salted join is
+row-equivalent to the plain join."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.layout import (
+    salted_join,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(o, "orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "lineitem_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, "o_orderkey").groupBy("o_orderstatus").count()
+        plan = _plan(joined)
+        # bucketed SMJ: no shuffle Exchange feeding the join
+        n_shuffle = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert "SortMergeJoin" in plan
+        assert n_shuffle == 0, f"expected shuffle-free bucketed join, got {n_shuffle}"
+        # sanity: same result as unbucketed
+        base = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, base.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(o, path, ["order_year"])
+    scan = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    plan = _plan(scan)
+    assert re.search(r"PartitionFilters: \[.*order_year.*1997", plan), plan
+    expected = o.filter(F.col("order_year") == 1997).count()
+    assert scan.count() == expected
+
+
+def test_salted_join_row_equivalent(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    plain = li.join(o, "k").count()
+    salted = salted_join(li, o, "k", n_salts=4).count()
+    assert salted == plain

@@ -101,3 +101,39 @@ def test_stream_apply_and_frontier(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert final2 == final
+
+
+def test_snapshot_then_stream(spark, tmp_path):
+    """T4: snapshot backfill, then the incremental stream applies on top."""
+    from postgres_cdc_reconciliation_spark.engine import Engine
+
+    eng = Engine(spark)
+    target = str(tmp_path / "target2")
+    snapshot = spark.createDataFrame(
+        [(i, i % 10, f"{i * 10.0:.2f}", None, 0) for i in range(1, 4)],
+        "order_id long, customer_id int, amount string, ts timestamp_ntz, batch_id long",
+    )
+    eng.snapshot_backfill(snapshot, target)
+    assert spark.read.parquet(target).count() == 3
+
+    src = tmp_path / "inc_in"
+    src.mkdir()
+    with open(src / "inc.json", "w") as f:
+        f.write(
+            json.dumps({"key": "1", "value": json.dumps(_env("u", _row(1, 10.0), _row(1, 99.0), "0/20"))})
+            + "\n"
+        )
+        f.write(
+            json.dumps({"key": "2", "value": json.dumps(_env("d", _row(2, 20.0), None, "0/21"))})
+            + "\n"
+        )
+    q = eng.start_cdc_pipeline(
+        target, ["order_id"], str(tmp_path / "ckpt2"),
+        file_path=str(src), trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    final = {
+        r["order_id"]: float(r["amount"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert final == {1: 99.0, 3: 30.0}  # 1 updated over snapshot, 2 deleted
