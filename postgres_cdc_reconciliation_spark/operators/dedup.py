@@ -42,21 +42,28 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: i
     )
 
 
-def _hash_expr(col: str, seed: int):
-    """Deterministic 32-bit hash from md5 (cross-engine reproducible)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.col(col), F.lit(f"#{seed}"))), 1, 8), 16, 10
-    ).cast("long")
-
-
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 8
 ) -> DataFrame:
-    """Per-doc minhash signature: min over shingles of h_seed(shingle)."""
+    """Per-doc minhash signature: min over shingles of h_s(shingle).
+
+    The n_hashes independent 32-bit hash functions are disjoint 8-hex-char
+    slices of md5(shingle) || md5(shingle||'x') — 2 md5 evaluations yield 8
+    hashes (4× cheaper than hashing per seed, same LSH independence in
+    practice), and md5 keeps it DuckDB-reproducible."""
+    if n_hashes > 8:
+        raise ValueError("slice scheme provides up to 8 hash functions")
+    hexed = sh.withColumn(
+        "_hex",
+        F.concat(F.md5("shingle"), F.md5(F.concat(F.col("shingle"), F.lit("x")))),
+    )
     aggs = [
-        F.min(_hash_expr("shingle", s)).alias(f"h{s}") for s in range(n_hashes)
+        F.min(
+            F.conv(F.substring("_hex", 8 * s + 1, 8), 16, 10).cast("long")
+        ).alias(f"h{s}")
+        for s in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hexed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidates(

@@ -121,3 +121,68 @@ def q_regional_revenue(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+_VERSIONS_CTE = """
+versions AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS vkey,
+         o_orderdate + to_days(off) AS vts,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + off AS DOUBLE) AS vprice
+  FROM orders, (SELECT unnest([0, 10, 20]) AS off)
+)"""
+
+
+@register(
+    "q_asof_join",
+    f"""WITH {_VERSIONS_CTE}
+SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, v.vts, v.vprice
+FROM lineitem l
+ASOF LEFT JOIN versions v
+  ON l.l_orderkey = v.vkey AND l.l_shipdate >= v.vts""",
+    doc="[EXT] as-of join (point-in-time version lookup): union + forward-fill window, one keyed shuffle — oracle is DuckDB's native ASOF JOIN",
+)
+def q_asof_join(spark, sf_dir):
+    from ..operators.temporal import asof_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders")
+    offs = spark.createDataFrame([(0,), (10,), (20,)], "off int")
+    versions = o.crossJoin(F.broadcast(offs)).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("timestampadd(DAY, off, o_orderdate)").alias("vts"),
+        F.expr("cast(cast(o_totalprice as decimal(12,2)) + off as double)").alias(
+            "vprice"
+        ),
+    )
+    return asof_join(li, versions, "l_orderkey", "l_shipdate", "vts").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "vts", "vprice"
+    )
+
+
+@register(
+    "q_range_join",
+    """SELECT o.o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+FROM orders o JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderstatus""",
+    doc="[EXT] equi+range join (shipments within 90d of order): equality key drives the shuffle, range predicate post-filters",
+)
+def q_range_join(spark, sf_dir):
+    from ..operators.temporal import range_join
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "range_end", F.expr("timestampadd(DAY, 90, o_orderdate)")
+    )
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    j = range_join(li, o, "o_orderkey", "l_shipdate", "o_orderdate", "range_end")
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+    )

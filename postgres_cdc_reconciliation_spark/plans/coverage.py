@@ -234,3 +234,37 @@ def q_approx_stats(spark, sf_dir):
         ),
         F.count("*").alias("exact_rows"),
     )
+
+
+@register(
+    "q_grouped_demean",
+    """WITH m AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_v
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       e.value - m.mean_v AS demeaned
+FROM events e JOIN m USING (user_id)""",
+    doc="[EXT] grouped-map applyInPandas (per-user demean): real Arrow grouped-pandas path, decimal-exact mean, raw IEEE subtraction (no rounding: round() half-rules differ between pandas and DuckDB)",
+)
+def q_grouped_demean(spark, sf_dir):
+    import pandas as pd
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        # decimal-exact mean: integer cents, one float division (matches the
+        # oracle's CAST(SUM(DECIMAL) AS DOUBLE)/COUNT bit for bit)
+        cents = (pdf["value"] * 100).round().astype("int64")
+        mean_v = (float(cents.sum()) / 100.0) / len(pdf)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "demeaned": pdf["value"] - mean_v,
+            }
+        )
+
+    e = events_df(spark, sf_dir).select("event_id", "user_id", "value")
+    return e.groupBy("user_id").applyInPandas(
+        demean, "event_id long, user_id long, demeaned double"
+    )

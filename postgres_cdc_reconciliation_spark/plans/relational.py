@@ -348,3 +348,115 @@ def q_priority_pick(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "q_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+    doc="J3-complement NOT EXISTS → left-anti join (customers without open orders)",
+)
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_pivot",
+    """SELECT o_orderpriority,
+              COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS F,
+              COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS O,
+              COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS P
+       FROM orders GROUP BY o_orderpriority""",
+    doc="A6 [EXT] pivot (status columns per priority) ≡ conditional aggregation",
+)
+def q_pivot(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("F"),
+        F.coalesce("O", F.lit(0)).alias("O"),
+        F.coalesce("P", F.lit(0)).alias("P"),
+    )
+
+
+@register(
+    "q_regex_pack",
+    """SELECT doc_id,
+              regexp_extract(text, '[a-z]+') AS first_word,
+              regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head,
+              len(regexp_extract_all(text, 'spark')) AS spark_mentions,
+              regexp_matches(text, '^the ') AS starts_the
+       FROM (SELECT doc_id, substr(text, 1, 40) AS text FROM documents)""",
+    doc="F2-extended regex functions: extract, global replace, count, match",
+)
+def q_regex_pack(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled_head"),
+        F.regexp_count("text", F.lit("spark")).cast("long").alias("spark_mentions"),
+        F.col("text").rlike("^the ").alias("starts_the"),
+    )
+
+
+@register(
+    "q_null_funcs",
+    """SELECT c_custkey,
+              NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+              COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_coalesced,
+              GREATEST(c_custkey % 7, c_custkey % 5, 3) AS g,
+              LEAST(c_custkey % 7, c_custkey % 5, 3) AS l,
+              c_acctbal IS NULL AS bal_missing,
+              IFNULL(NULLIF(c_nationkey, 0), -1) AS nation_or_neg
+       FROM customer""",
+    doc="F4-extended null handling: nullif/coalesce/greatest/least/ifnull",
+)
+def q_null_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_or_null"),
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("suppressed")
+        ).alias("seg_coalesced"),
+        F.greatest(F.col("c_custkey") % 7, F.col("c_custkey") % 5, F.lit(3)).alias("g"),
+        F.least(F.col("c_custkey") % 7, F.col("c_custkey") % 5, F.lit(3)).alias("l"),
+        F.col("c_acctbal").isNull().alias("bal_missing"),
+        F.ifnull(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias(
+            "nation_or_neg"
+        ),
+    )
+
+
+@register(
+    "q_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12""",
+    doc="TPC-H Q18-shaped GROUP BY + HAVING (post-aggregation filter)",
+)
+def q_having(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )

@@ -150,7 +150,7 @@ sh AS (
 )"""
 
 _MINHASH_AGGS = ",\n    ".join(
-    f"MIN(CAST('0x' || substr(md5(shingle || '#{s}'), 1, 8) AS BIGINT)) AS h{s}"
+    f"MIN(CAST('0x' || substr(md5(shingle) || md5(shingle || 'x'), {8 * s + 1}, 8) AS BIGINT)) AS h{s}"
     for s in range(8)
 )
 _BAND_LIST = ", ".join(
