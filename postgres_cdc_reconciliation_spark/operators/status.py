@@ -26,7 +26,7 @@ keyed, never a single global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.lsn import lsn_to_long
@@ -58,20 +58,22 @@ def _latest_batches(batch_control: DataFrame, specs: DataFrame) -> DataFrame:
     OVER (ORDER BY batch_id DESC) ... rn=1), generalized to all tables at
     once via partitionBy.
     """
-    w = Window.partitionBy("schema_name", "table_name").orderBy(F.desc("batch_id"))
+    filtered = batch_control.join(
+        F.broadcast(specs), ["schema_name", "table_name"]
+    ).filter((F.col("status") == "COMPLETED") & F.col("completion_lsn").isNotNull())
+    # top-1-per-group via max_by hash agg, not a window sort: map-side
+    # partial agg collapses each table to one row before the shuffle
+    # (same result — batch_id is unique per table; SURVEY.md §7 delta 4)
+    payload = F.struct("batch_id", "completion_lsn", "completion_timestamp")
     return (
-        batch_control.join(F.broadcast(specs), ["schema_name", "table_name"])
-        .filter(
-            (F.col("status") == "COMPLETED") & F.col("completion_lsn").isNotNull()
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        filtered.groupBy("schema_name", "table_name")
+        .agg(F.max_by(payload, F.col("batch_id")).alias("_top"))
         .select(
             "schema_name",
             "table_name",
-            "batch_id",
-            F.col("completion_lsn").alias("batch_lsn"),
-            "completion_timestamp",
+            F.col("_top.batch_id").alias("batch_id"),
+            F.col("_top.completion_lsn").alias("batch_lsn"),
+            F.col("_top.completion_timestamp").alias("completion_timestamp"),
         )
     )
 
@@ -111,14 +113,23 @@ def _relevant_slots(slots: DataFrame, table_pub: DataFrame) -> DataFrame:
         .when(F.col("slot_name").contains(F.col("table_name")), 2)
         .otherwise(3)
     )
-    w = Window.partitionBy("schema_name", "table_name").orderBy(
-        "priority", "slot_name"
-    )
+    # priority pick as min_by over (priority, slot_name) — hash agg, no sort;
+    # lexicographic struct ordering reproduces the CASE-priority ORDER BY
+    # with the deterministic slot_name tie-break
+    payload = F.struct("slot_name", "confirmed_flush_lsn", "pubname")
     return (
         joined.withColumn("priority", priority)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("schema_name", "table_name", "slot_name", "confirmed_flush_lsn", "pubname")
+        .groupBy("schema_name", "table_name")
+        .agg(
+            F.min_by(payload, F.struct("priority", "slot_name")).alias("_best")
+        )
+        .select(
+            "schema_name",
+            "table_name",
+            F.col("_best.slot_name").alias("slot_name"),
+            F.col("_best.confirmed_flush_lsn").alias("confirmed_flush_lsn"),
+            F.col("_best.pubname").alias("pubname"),
+        )
     )
 
 

@@ -1,0 +1,71 @@
+"""Semantic quality of the dedup/similarity operators: plant known
+near-duplicates, assert they are found (oracle parity only proves the two
+engines agree — these prove the operators do their job)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.dedup import (
+    lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash16,
+)
+from postgres_cdc_reconciliation_spark.operators.similarity import cosine_topk
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and the optimizer prunes columns"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("lazy", "sleepy")),  # near-dup of 1
+        (3, "completely different text about database replication slots and wal"),
+        (4, BASE),  # exact dup of 1
+        (5, "another unrelated document mentioning kafka topics and offsets only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    sh = shingles(_docs(spark), k=3)
+    cand = lsh_candidates(minhash_signatures(sh)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand}
+    assert (1, 4) in pairs  # exact dup always collides on every band
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup collides on ≥1 band
+    assert (3, 5) not in pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    sh = shingles(_docs(spark), k=3)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(sh, threshold=0.3).collect()}
+    assert pairs[(1, 4)] == 1.0  # identical shingle sets
+    assert 0.3 <= pairs[(1, 2)] < 1.0
+    assert (3, 5) not in pairs
+
+
+def test_simhash_near_dups_have_close_signatures(spark):
+    sig = {r["doc_id"]: r["simhash"] for r in simhash16(_docs(spark)).collect()}
+    assert sig[1] == sig[4]  # identical text → identical signature
+    ham_12 = bin(sig[1] ^ sig[2]).count("1")
+    ham_13 = bin(sig[1] ^ sig[3]).count("1")
+    assert ham_12 < ham_13  # near-dup closer than unrelated
+
+
+def test_cosine_topk_finds_perturbed_vector(spark):
+    import math
+
+    base = [math.sin(i * 0.7) for i in range(16)]
+    pert = [x + (0.01 if i == 0 else 0.0) for i, x in enumerate(base)]
+    orth = [math.cos(i * 1.3) for i in range(16)]
+    rows = [(1, base, 0), (2, pert, 0), (3, orth, 0), (4, [x * -1 for x in base], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    top = cosine_topk(df.filter(F.col("vec_id") == 1), df, k=1)
+    r = top.collect()[0]
+    assert r["neighbor_id"] == 2 and r["cos"] > 0.999
