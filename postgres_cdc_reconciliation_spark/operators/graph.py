@@ -1,0 +1,91 @@
+"""[EXT] Connected components over a pair graph — dedup cluster assignment.
+
+After candidate generation (LSH / Jaccard / cosine pairs), deduplication
+needs the transitive closure: if A~B and B~C, all three form one cluster
+with one canonical representative. That's connected components, computed
+here by iterative min-label propagation:
+
+  label(v) ← min(label(v), min over neighbors(label(u)))
+
+repeated until no label changes. Each iteration is two keyed shuffles
+(join edges⋈labels + min-aggregate); iterations needed = graph diameter
+(near-dup clusters are tiny, so 2-4 in practice). Deterministic: the final
+label of every vertex is the minimum vertex id in its component — which
+doubles as the canonical doc id.
+
+This is the representative *iterative* algorithm in the engine (driver
+loop over distributed steps — the one place a driver-side loop is the
+right design, matching Pregel/GraphX practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) with component = min vertex id in the component.
+
+    edges: undirected pair list; isolated vertices absent (join the result
+    back to the full vertex set with coalesce(component, id) if needed).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        e.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    e = e.cache()
+    labels = labels.cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            e.join(labels, e.v == labels.vertex)
+            .groupBy("u")
+            .agg(F.min("component").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vertex == neighbor_min.u, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
+    """Cluster assignment for every document: canonical = min id in its
+    near-dup component; singletons map to themselves."""
+    comp = connected_components(pairs)
+    return all_ids.select(F.col(id_col)).join(
+        comp.withColumnRenamed("vertex", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+    )

@@ -268,3 +268,21 @@ def q_grouped_demean(spark, sf_dir):
     return e.groupBy("user_id").applyInPandas(
         demean, "event_id long, user_id long, demeaned double"
     )
+
+
+@register(
+    "q_percentiles",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+              round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+              round(median(l_extendedprice), 6) AS med
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="A6 exact percentiles (sort-based, linear interpolation) — the exact counterpart of the approx sketch",
+)
+def q_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.median("l_extendedprice"), 6).alias("med"),
+    )

@@ -322,3 +322,77 @@ def q_dedup_embed(spark, sf_dir):
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_dup_pairs(v, threshold=0.8)
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+
+
+@register(
+    "q_text_normalize",
+    """SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                  ' +', ' ', 'g')) AS norm
+       FROM documents""",
+    doc="[EXT] text normalization: lowercase, strip punctuation, collapse whitespace",
+)
+def q_text_normalize(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+            )
+        ).alias("norm"),
+    )
+
+
+@register(
+    "q_tokenize",
+    """SELECT doc_id, x.pos, x.token
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 20),
+            unnest(list_transform(w, (t, i) -> {'pos': i - 1, 'token': t})) AS u(x)""",
+    doc="[EXT] positional tokenization (posexplode): (doc, position, token) rows",
+)
+def q_tokenize(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+@register(
+    "q_dedup_clusters",
+    f"""WITH RECURSIVE {_SHINGLE_CTE.lstrip()},
+sig AS (
+  SELECT doc_id, {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS band FROM sig
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS vertex, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id""",
+    doc="[EXT] dedup cluster assignment: LSH pairs → connected components (iterative min-label propagation; oracle = recursive-CTE transitive closure)",
+)
+def q_dedup_clusters(spark, sf_dir):
+    from ..operators.dedup import lsh_candidates, minhash_signatures, shingles
+    from ..operators.graph import dedup_clusters
+
+    d = _docs(spark, sf_dir)
+    pairs = lsh_candidates(minhash_signatures(shingles(d, k=3))).select(
+        "doc_a", "doc_b"
+    )
+    return dedup_clusters(pairs, d, "doc_id")

@@ -1,0 +1,74 @@
+"""Incremental rollup (continuous aggregate) + connected-components dedup
+clustering."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from postgres_cdc_reconciliation_spark.streaming.rollup import rollup_stream
+
+
+def test_incremental_rollup_across_batches(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    rows1 = [
+        {"ts": "2024-01-01 10:05:00", "k": "a", "value": 1.5},
+        {"ts": "2024-01-01 10:40:00", "k": "a", "value": 2.5},
+        {"ts": "2024-01-01 11:10:00", "k": "b", "value": 3.0},
+    ]
+    rows2 = [  # same 10:00 bucket for 'a' arrives in a later micro-batch
+        {"ts": "2024-01-01 10:55:00", "k": "a", "value": 4.0},
+        {"ts": "2024-01-01 12:00:00", "k": "b", "value": 5.0},
+    ]
+    for name, rows in [("b1.json", rows1), ("b2.json", rows2)]:
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    events = (
+        spark.readStream.schema("ts string, k string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    rollup = str(tmp_path / "rollup")
+    q = rollup_stream(
+        events, rollup, str(tmp_path / "ckpt"), key_cols=["k"], bucket="hour"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {
+        (r["bucket_start"].hour, r["k"]): (r["n_events"], float(r["total"]))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    # bucket (10,'a') merged across both micro-batches: 3 events, 8.00 total
+    assert got == {
+        (10, "a"): (3, 8.0),
+        (11, "b"): (1, 3.0),
+        (12, "b"): (1, 5.0),
+    }
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_with_singletons(spark):
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
+    all_ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_clusters(pairs, all_ids, "doc_id").collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 6}
