@@ -286,3 +286,89 @@ def q_percentiles(spark, sf_dir):
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
         F.round(F.median("l_extendedprice"), 6).alias("med"),
     )
+
+
+@register(
+    "q_rank_pack",
+    """SELECT o_custkey, o_orderkey,
+              ROW_NUMBER() OVER w AS rn,
+              RANK() OVER w AS rnk,
+              DENSE_RANK() OVER w AS drnk,
+              NTILE(4) OVER w AS quartile,
+              CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_key,
+              first_value(o_orderkey) OVER w AS first_key,
+              last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
+    doc="W1-W4 extended ranking pack: row_number/rank/dense_rank/ntile/lead/first/last",
+)
+def q_rank_pack(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
+
+
+@register(
+    "q_stats_pack",
+    """SELECT l_returnflag,
+              round(stddev_samp(l_extendedprice), 4) AS sd,
+              round(var_samp(l_extendedprice), 2) AS var,
+              round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+              round(covar_samp(l_quantity, l_extendedprice), 4) AS qp_cov,
+              round(avg(l_extendedprice), 6) AS mean_price
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="A6 statistical aggregates (stddev/variance/corr/covar) — rounded: accumulation order differs across engines",
+)
+def q_stats_pack(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qp_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qp_cov"),
+        F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
+    )
+
+
+@register(
+    "q_array_pack",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+       len(w) AS n,
+       list_contains(w, 'spark') AS has_spark,
+       array_to_string(w[1:3], '|') AS head3,
+       array_to_string(list_sort(list_distinct(w[1:6])), '|') AS sorted_head,
+       w[1] AS first_tok,
+       w[-1] AS last_tok
+FROM t""",
+    doc="array/list function pack (slice/contains/sort/distinct/element_at) — arrays surfaced as joined strings for stable hashing",
+)
+def q_array_pack(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    w = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n"),
+        F.array_contains(w, "spark").alias("has_spark"),
+        F.array_join(F.slice(w, 1, 3), "|").alias("head3"),
+        F.array_join(F.sort_array(F.array_distinct(F.slice(w, 1, 6))), "|").alias(
+            "sorted_head"
+        ),
+        F.element_at(w, 1).alias("first_tok"),
+        F.element_at(w, -1).alias("last_tok"),
+    )
