@@ -1,0 +1,98 @@
+"""Property-based invariants (hypothesis): LSN codec bijectivity and CDC
+apply determinism/idempotency under arbitrary event interleavings."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.functions.lsn import long_to_lsn, lsn_to_long
+from postgres_cdc_reconciliation_spark.operators.apply import apply_batch, latest_per_key
+
+LSN_MAX = 2**63 - 1
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=LSN_MAX), min_size=1, max_size=50))
+def test_lsn_roundtrip_property(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    got = [
+        r["back"]
+        for r in df.select(lsn_to_long(long_to_lsn("v")).alias("back")).collect()
+    ]
+    assert got == values
+
+
+# one event: (key 0-4, op index 0=c/1=u/2=d, amount cents)
+EVENT = st.tuples(
+    st.integers(0, 4), st.integers(0, 2), st.integers(100, 99999)
+)
+
+
+def _events_df(spark, seq):
+    rows = []
+    for lsn, (key, opi, cents) in enumerate(seq, start=1):
+        op = "cud"[opi]
+        rows.append(
+            (key, None if op == "d" else f"{cents / 100:.2f}", op, f"0/{lsn:X}")
+        )
+    df = spark.createDataFrame(
+        rows, "order_id long, amount string, op string, source_lsn string"
+    )
+    return df.withColumn("amount", F.col("amount").cast("decimal(10,2)"))
+
+
+def _expected_state(seq):
+    state = {}
+    for key, opi, cents in seq:  # in LSN order
+        if opi == 2:
+            state.pop(key, None)
+        else:
+            state[key] = round(cents / 100, 2)
+    return state
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(EVENT, min_size=1, max_size=30), st.randoms())
+def test_apply_matches_sequential_semantics_any_order(spark, seq, rnd):
+    """max-LSN apply == replaying events in LSN order, regardless of the
+    arrival order of rows in the batch."""
+    df = _events_df(spark, seq)
+    shuffled = df.orderBy(F.xxhash64("source_lsn", F.lit(rnd.randint(0, 9))))
+    target0 = df.limit(0).drop("op", "source_lsn")
+    t1 = apply_batch(target0, shuffled, ["order_id"], drop_cols=("op", "source_lsn"))
+    got = {r["order_id"]: float(r["amount"]) for r in t1.collect()}
+    assert got == _expected_state(seq)
+    # idempotency: re-apply the same batch
+    t2 = apply_batch(t1, df, ["order_id"], drop_cols=("op", "source_lsn"))
+    assert {r["order_id"]: float(r["amount"]) for r in t2.collect()} == got
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(EVENT, min_size=2, max_size=30))
+def test_apply_split_batches_equal_one_batch(spark, seq):
+    """applying [first half] then [second half] == applying all at once
+    (micro-batch boundaries don't change the final state)."""
+    mid = len(seq) // 2
+    df_all = _events_df(spark, seq)
+    target0 = df_all.limit(0).drop("op", "source_lsn")
+    one = apply_batch(target0, df_all, ["order_id"], drop_cols=("op", "source_lsn"))
+    df1 = _events_df(spark, seq).filter(lsn_to_long("source_lsn") <= mid)
+    df2 = _events_df(spark, seq).filter(lsn_to_long("source_lsn") > mid)
+    stepped = apply_batch(
+        apply_batch(target0, df1, ["order_id"], drop_cols=("op", "source_lsn")),
+        df2,
+        ["order_id"],
+        drop_cols=("op", "source_lsn"),
+    )
+    a = {r["order_id"]: float(r["amount"]) for r in one.collect()}
+    b = {r["order_id"]: float(r["amount"]) for r in stepped.collect()}
+    assert a == b
+
+
+def test_latest_per_key_picks_global_max(spark):
+    seq = [(0, 0, 100), (0, 1, 200), (0, 1, 300), (1, 0, 400)]
+    latest = latest_per_key(_events_df(spark, seq), ["order_id"], lsn_col="source_lsn")
+    got = {r["order_id"]: float(r["amount"]) for r in latest.collect()}
+    assert got == {0: 3.00, 1: 4.00}
