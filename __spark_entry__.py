@@ -12,11 +12,18 @@ just exposes the registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from postgres_cdc_reconciliation_spark.plans.registry import all_queries
+# the driver may import this file from any cwd — make the package resolvable
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from postgres_cdc_reconciliation_spark.plans.registry import all_queries  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 

@@ -105,3 +105,27 @@ class Engine:
 
     def frontier(self, frontier_path) -> DataFrame:
         return current_frontier(self.spark, frontier_path)
+
+    # --- [EXT] data-pipeline operators (M6) ---
+
+    def dedup_exact(self, docs, text_col="text", id_col="doc_id") -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return docs.groupBy(
+            F.md5(F.lower(F.trim(text_col))).alias("fp")
+        ).agg(F.count("*").alias("n_dups"), F.min(id_col).alias("canonical"))
+
+    def dedup_fuzzy(self, docs, id_col="doc_id", text_col="text", k=3) -> DataFrame:
+        """MinHash-LSH candidates → connected components → cluster map."""
+        from .operators.dedup import lsh_candidates, minhash_signatures, shingles
+        from .operators.graph import dedup_clusters
+
+        pairs = lsh_candidates(
+            minhash_signatures(shingles(docs, id_col, text_col, k))
+        ).select("doc_a", "doc_b")
+        return dedup_clusters(pairs, docs, id_col)
+
+    def similarity_topk(self, queries, corpus, k=10, bucket_col=None) -> DataFrame:
+        from .operators.similarity import cosine_topk
+
+        return cosine_topk(queries, corpus, k=k, bucket_col=bucket_col)
