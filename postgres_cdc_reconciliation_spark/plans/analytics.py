@@ -186,3 +186,114 @@ def q_range_join(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
     )
+
+
+@register(
+    "q_order_priority_count",
+    """SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority""",
+    doc="TPC-H Q4-shaped: date-range filter + correlated EXISTS (semi join referencing outer column) + count",
+)
+def q_order_priority_count(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("cast('1996-01-01' as timestamp_ntz)"))
+        & (F.col("o_orderdate") < F.expr("cast('1997-01-01' as timestamp_ntz)"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "q_cust_order_distribution",
+    """SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY n_orders""",
+    doc="TPC-H Q13-shaped: left outer join + two-level aggregation (distribution of counts)",
+)
+def q_cust_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "q_promo_revenue",
+    """SELECT
+  CAST(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+       THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+       ELSE CAST(0 AS DECIMAL(16,4)) END)
+  / SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+  AS promo_share_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey""",
+    doc="TPC-H Q14-shaped: fact⋈dim join with conditional-aggregation share (broadcast part)",
+)
+def q_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.00) * F.sum(promo) / F.sum(rev))
+            .cast("double")
+            .alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    """WITH avg_qty AS (
+  SELECT l_partkey, 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < a.threshold""",
+    doc="TPC-H Q17-shaped: per-key scalar aggregate subquery (avg threshold) joined back to the fact",
+)
+def q_small_qty_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("threshold")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )

@@ -52,3 +52,32 @@ def test_generator_is_seeded(spark):
     assert a == b
     amounts = [float(r["amount"]) for r in a]
     assert all(10.0 <= x <= 1000.0 for x in amounts)
+
+
+def test_csv_corrupt_rows_permissive(spark, tmp_path):
+    """Malformed feed-file rows: PERMISSIVE parse quarantines them in
+    _corrupt_record instead of failing the load (bulk-load robustness the
+    reference's COPY would reject wholesale)."""
+    feed = tmp_path / "bad.csv"
+    feed.write_text(
+        "order_id,customer_id,amount\n"
+        "1,10,99.50\n"
+        "not_a_number,20,x\n"
+        "3,30,12.25\n"
+    )
+    df = spark.read.csv(
+        str(feed),
+        header=True,
+        schema="order_id int, customer_id int, amount decimal(10,2), _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    try:
+        from pyspark.sql import functions as F
+
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2 and bad.count() == 1
+        assert "not_a_number" in bad.collect()[0]["_corrupt_record"]
+    finally:
+        df.unpersist()
