@@ -89,13 +89,15 @@ def cosine_topk_fast(
     bucket_col: str | None = None,
 ) -> DataFrame:
     """cosine_topk with the pairwise math in an Arrow-batched pandas UDF
-    (numpy dot per batch) — the production hot path for wide embeddings.
+    (numpy einsum per batch) — the alternative hot path for wide embeddings.
 
-    ~an order of magnitude faster than the interpreted SQL array fold at
-    dim ≥ 64 (higher-order functions don't participate in codegen); results
-    agree with cosine_topk to float round-off (numpy uses pairwise
-    summation, so last-ulp totals can differ — ranks are stable unless two
-    cosines are within ~1e-13)."""
+    Measured (scripts/scaling_probe.py, 256k pairs x 64 dims, local[32]):
+    ~1.2x the SQL fold — the interpreted higher-order fold is cheaper than
+    expected and the Python worker round-trip isn't free, so at 64 dims
+    either path is fine; the numpy path pulls ahead as dimensionality and
+    per-pair work grow (768-4096-dim model embeddings). Results agree with
+    cosine_topk to float round-off (numpy pairwise summation differs in the
+    last ulps — ranks stable unless two cosines are within ~1e-13)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 

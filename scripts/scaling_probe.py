@@ -138,12 +138,50 @@ def main():
         t10 = min(fn(spark, TENX) for _ in range(2))
         print(f"{name:<22}{t1:>9.2f}{t10:>9.2f}{t10 / t1:>7.1f}")
 
+    te, tf = t_cosine_paths(spark)
+    print(f"cosine 128x2000x64: sql_fold={te:.2f}s pandas_udf={tf:.2f}s ({te / tf:.1f}x)")
+
     plain, aqe, salted = t_skew(spark)
     print(
         f"skew_join 90%-hot-key big-big (no broadcast): "
         f"plain(noAQE)={plain:.2f}s AQE-skew-split={aqe:.2f}s salted(16)={salted:.2f}s"
     )
     spark.stop()
+
+
+def t_cosine_paths(spark):
+    """Exact SQL-fold vs vectorized pandas-UDF cosine, 128 queries x 2000 corpus x 64 dims (256k pairs)."""
+    import math
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_fast,
+    )
+
+    n, d = 2000, 64
+    rows = [
+        (i, [math.sin(0.1 * i + 0.37 * j) for j in range(d)], i % 8)
+        for i in range(n)
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+    v.count()
+    q = v.filter(F.col("vec_id") < 128)
+    t_exact = min(
+        _timed(lambda: cosine_topk(q, v, k=5).write.format("noop").mode("overwrite").save())
+        for _ in range(2)
+    )
+    t_fast = min(
+        _timed(lambda: cosine_topk_fast(q, v, k=5).write.format("noop").mode("overwrite").save())
+        for _ in range(2)
+    )
+    v.unpersist()
+    return t_exact, t_fast
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
