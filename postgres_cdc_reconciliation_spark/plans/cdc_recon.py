@@ -504,3 +504,27 @@ def q_csv_roundtrip(spark, sf_dir):
         header=True,
         schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, total double, o_orderdate timestamp_ntz",
     )
+
+
+@register(
+    "q_slot_lag_report",
+    f"""WITH {fx.oracle_slots_cte()},
+stats AS (
+  SELECT slot_name, active, restart_lsn, confirmed_flush_lsn,
+         {_lsn("'2/100000'")} - {_lsn('confirmed_flush_lsn')} AS lag_bytes
+  FROM replication_slots WHERE slot_type = 'logical'
+)
+SELECT slot_name, active, restart_lsn, confirmed_flush_lsn, lag_bytes,
+       CASE WHEN lag_bytes < 1024 THEN CAST(lag_bytes AS VARCHAR) || ' bytes'
+            WHEN lag_bytes < 1048576 THEN CAST(round(lag_bytes / 1024.0, 2) AS VARCHAR) || ' KB'
+            WHEN lag_bytes < 1073741824 THEN CAST(round(lag_bytes / 1048576.0, 2) AS VARCHAR) || ' MB'
+            ELSE CAST(round(lag_bytes / 1073741824.0, 2) AS VARCHAR) || ' GB'
+       END AS lag,
+       '2/100000' AS current_wal_lsn
+FROM stats""",
+    doc="§1 diagnostic: slot lag vs WAL frontier with tiered pretty-print, worst first — docs/replication_troubleshooting.md:7-31",
+)
+def q_slot_lag_report(spark, sf_dir):
+    from ..operators.diagnostics import slot_lag_report
+
+    return slot_lag_report(fx.slots_df(spark), "2/100000")
