@@ -29,13 +29,42 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """(vertex, component) with component = min vertex id in the component.
 
     edges: undirected pair list; isolated vertices absent (join the result
     back to the full vertex set with coalesce(component, id) if needed).
+
+    Hybrid execution (GraphX/GraphFrames practice): near-dup pair graphs are
+    usually tiny relative to the corpus — below `local_threshold` edges the
+    closure runs as driver-side union-find (micro-seconds, zero extra
+    stages); above it, distributed min-label propagation (each iteration two
+    keyed shuffles, iterations = component diameter). Both paths produce the
+    identical deterministic labeling.
     """
     spark = edges.sparkSession
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        pairs = edges.select(
+            F.col(src).cast("long"), F.col(dst).cast("long")
+        ).collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the final label = component min
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = [(v, find(v)) for v in parent]
+        return spark.createDataFrame(rows, "vertex long, component long")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -47,22 +76,38 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
     )
     e = e.cache()
-    labels = labels.cache()
+    # localCheckpoint (not cache) per iteration: truncates lineage, or the
+    # logical plan doubles every round and analysis itself blows up —
+    # the standard pitfall of iterative DataFrame algorithms
+    labels = labels.localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             e.join(labels, e.v == labels.vertex)
             .groupBy("u")
             .agg(F.min("component").alias("n_min"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.vertex == neighbor_min.u, "left"
+        ).select(
+            "vertex",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component ← label(component). Turns O(diameter)
+        # convergence into O(log diameter) — the Hash-to-Min trick.
+        lut = propagated.select(
+            F.col("vertex").alias("_v"), F.col("component").alias("_c")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.vertex == neighbor_min.u, "left")
+            propagated.join(lut, propagated.component == F.col("_v"), "left")
             .select(
                 "vertex",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("_c"), F.col("component"))
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -71,7 +116,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -72,3 +72,22 @@ def test_dedup_clusters_with_singletons(spark):
         for r in dedup_clusters(pairs, all_ids, "doc_id").collect()
     }
     assert out == {1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 6}
+
+
+def test_components_distributed_matches_local(spark):
+    """The BSP path (forced via local_threshold=0) and the union-find fast
+    path produce identical labelings."""
+    import random
+
+    rnd = random.Random(7)
+    edges = [(rnd.randint(0, 200), rnd.randint(0, 200)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {
+        (r["vertex"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r["vertex"], r["component"])
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist
