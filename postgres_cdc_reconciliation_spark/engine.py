@@ -106,6 +106,27 @@ class Engine:
     def frontier(self, frontier_path) -> DataFrame:
         return current_frontier(self.spark, frontier_path)
 
+    # --- SQL surface ---
+
+    def register_views(self, sf_dir: str, suffix: str = "") -> list[str]:
+        """Register every corpus table as a temp view so users can drive the
+        engine through plain spark.sql(...) — the reference's psql surface."""
+        from .fixtures import events_df
+
+        tables = [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ]
+        names = []
+        for t in tables:
+            self.spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(
+                t + suffix
+            )
+            names.append(t + suffix)
+        events_df(self.spark, sf_dir).createOrReplaceTempView("events" + suffix)
+        names.append("events" + suffix)
+        return names
+
     # --- [EXT] data-pipeline operators (M6) ---
 
     def dedup_exact(self, docs, text_col="text", id_col="doc_id") -> DataFrame:

@@ -528,3 +528,53 @@ def q_slot_lag_report(spark, sf_dir):
     from ..operators.diagnostics import slot_lag_report
 
     return slot_lag_report(fx.slots_df(spark), "2/100000")
+
+
+@register(
+    "q_orc_roundtrip",
+    """SELECT o_orderkey, o_orderstatus,
+              CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
+       FROM orders""",
+    doc="S1/S2-extension: ORC write/read roundtrip fidelity (columnar alternative to parquet; oracle = identity)",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    sel = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("total"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "pcr_orc_roundtrip_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    sel.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
+    "q_json_roundtrip",
+    """SELECT o_orderkey, o_orderstatus,
+              CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
+       FROM orders""",
+    doc="S1/S2-extension: JSON-lines write/read roundtrip with declared schema (interchange format; oracle = identity)",
+)
+def q_json_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    sel = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("total"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "pcr_json_roundtrip_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    sel.write.mode("overwrite").json(path)
+    return spark.read.json(
+        path, schema="o_orderkey bigint, o_orderstatus string, total double"
+    )
