@@ -372,3 +372,30 @@ def q_array_pack(spark, sf_dir):
         F.element_at(w, 1).alias("first_tok"),
         F.element_at(w, -1).alias("last_tok"),
     )
+
+
+@register(
+    "q_unpivot",
+    """SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+         CAST(o_custkey AS DECIMAL(12,2)) AS custkey_num
+  FROM orders WHERE o_orderkey < 100
+)
+UNPIVOT (val FOR metric IN (totalprice, custkey_num))""",
+    doc="A6 [EXT] unpivot/melt: wide metrics → (key, metric, value) long form",
+)
+def q_unpivot(spark, sf_dir):
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("totalprice"),
+            F.col("o_custkey").cast("decimal(12,2)").alias("custkey_num"),
+        )
+    )
+    return o.unpivot(
+        "o_orderkey", ["totalprice", "custkey_num"], "metric", "val"
+    ).withColumn("val", F.col("val").cast("double"))

@@ -115,11 +115,14 @@ def unwrap(parsed: DataFrame, drop_tombstones: bool = True) -> DataFrame:
     Insert/update/read → after-image columns, __deleted='false'.
     Delete → before-image columns, __deleted='true' (delete rewrite,
     debezium-connector-config.json:24-25).
-    Tombstone (null op) → dropped when drop_tombstones.
+    Tombstone (null op) → dropped when drop_tombstones; unknown op codes
+    (malformed envelopes that still parsed) are dropped unconditionally —
+    only Debezium's c/u/d/r are events.
     """
     df = parsed
     if drop_tombstones:
         df = df.filter(F.col("op").isNotNull())
+    df = df.filter(F.col("op").isNull() | F.col("op").isin("c", "u", "d", "r"))
     image = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
     return df.select(
         image.alias("row"),
