@@ -7,7 +7,6 @@ These are the reference's core capabilities (SURVEY.md §2.1, §2.3 J7/J8,
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .. import fixtures as fx

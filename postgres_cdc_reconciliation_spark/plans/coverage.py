@@ -399,3 +399,17 @@ def q_unpivot(spark, sf_dir):
     return o.unpivot(
         "o_orderkey", ["totalprice", "custkey_num"], "metric", "val"
     ).withColumn("val", F.col("val").cast("double"))
+
+
+@register(
+    "q_sample",
+    None,  # sampler implementations differ per engine → rows-only by design
+    doc="seeded Bernoulli sampling (TABLESAMPLE): deterministic within Spark, engine-specific sampler → rows-only check",
+)
+def q_sample(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("sampled_rows"))
+    )

@@ -13,7 +13,7 @@ checkpointed with the query — restart-safe.
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from postgres_cdc_reconciliation_spark import fixtures as fx
 from postgres_cdc_reconciliation_spark.operators.diagnostics import (
     all_tables_status,

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from postgres_cdc_reconciliation_spark.functions.lsn import (
     long_to_lsn,
     lsn_diff,

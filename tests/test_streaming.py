@@ -5,9 +5,6 @@ reproduced deterministically in FIXTURES.md §7 spirit)."""
 from __future__ import annotations
 
 import json
-import os
-
-from pyspark.sql import functions as F
 
 from postgres_cdc_reconciliation_spark.operators.apply import apply_stream
 from postgres_cdc_reconciliation_spark.sources.cdc import (
