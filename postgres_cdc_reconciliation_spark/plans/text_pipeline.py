@@ -396,3 +396,90 @@ def q_dedup_clusters(spark, sf_dir):
         "doc_a", "doc_b"
     )
     return dedup_clusters(pairs, d, "doc_id")
+
+
+@register(
+    "q_corpus_curation",
+    f"""WITH RECURSIVE {_SHINGLE_CTE.lstrip()},
+quality AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_tok
+  FROM documents
+),
+kept_quality AS (
+  SELECT doc_id, lang, text FROM quality
+  WHERE n_tokens BETWEEN 10 AND 1000 AND avg_tok BETWEEN 3.0 AND 9.0
+),
+exact_canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept_quality
+  GROUP BY md5(lower(trim(text)))
+),
+exact_kept AS (
+  SELECT k.doc_id, k.lang FROM kept_quality k JOIN exact_canon e USING (doc_id)
+),
+sig AS (
+  SELECT doc_id, {_MINHASH_AGGS}
+  FROM sh WHERE doc_id IN (SELECT doc_id FROM exact_kept) GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS band FROM sig
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS vertex, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+final AS (
+  SELECT k.doc_id, k.lang,
+         COALESCE(c.component, k.doc_id) AS canonical
+  FROM exact_kept k LEFT JOIN comp c ON c.vertex = k.doc_id
+)
+SELECT lang,
+       COUNT(*) AS docs_in,
+       COUNT(*) FILTER (WHERE doc_id = canonical) AS docs_kept
+FROM final GROUP BY lang""",
+    doc="[EXT] end-to-end corpus curation: quality filter → exact dedup → MinHash-LSH fuzzy dedup → connected components → canonical survivors per language — the complete training-data pipeline in one plan",
+)
+def q_corpus_curation(spark, sf_dir):
+    from ..operators.dedup import lsh_candidates, minhash_signatures, shingles
+    from ..operators.graph import dedup_clusters
+
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    avg_tok = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_tokens
+    kept_quality = d.filter(
+        n_tokens.between(10, 1000) & avg_tok.between(3.0, 9.0)
+    ).select("doc_id", "lang", "text")
+
+    exact_canon = (
+        kept_quality.groupBy(F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_kept = kept_quality.join(exact_canon, "doc_id", "left_semi").select(
+        "doc_id", "lang", "text"
+    )
+
+    pairs = lsh_candidates(
+        minhash_signatures(shingles(exact_kept, k=3))
+    ).select("doc_a", "doc_b")
+    clusters = dedup_clusters(pairs, exact_kept, "doc_id")
+    final = exact_kept.select("doc_id", "lang").join(clusters, "doc_id")
+    return final.groupBy("lang").agg(
+        F.count("*").alias("docs_in"),
+        F.count(F.when(F.col("doc_id") == F.col("canonical_id"), 1)).alias(
+            "docs_kept"
+        ),
+    )
