@@ -93,7 +93,24 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Derived-fixture cache: the same batch_control / cdc_events DataFrames are
+# inputs to ~10 registered queries; within one session derive + cache once
+# (metadata-sized: ~4.5k control rows / ~400k event rows at sf0.1).
+_FIXTURE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, kind)
+    if key not in _FIXTURE_CACHE:
+        _FIXTURE_CACHE[key] = build().cache()
+    return _FIXTURE_CACHE[key]
+
+
 def batch_control_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(spark, sf_dir, "batch_control", lambda: _batch_control_df(spark, sf_dir))
+
+
+def _batch_control_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = (
         orders_raw(spark, sf_dir)
         .select(F.floor(F.col("o_orderkey") / 100).cast("long").alias("batch_id"))
@@ -238,6 +255,10 @@ def oracle_lsn_to_long(expr: str) -> str:
 
 
 def cdc_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(spark, sf_dir, "cdc_events", lambda: _cdc_events_df(spark, sf_dir))
+
+
+def _cdc_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders_raw(spark, sf_dir).select(
         F.col("o_orderkey").alias("order_id"),
         (F.col("o_custkey") % 1000).cast("int").alias("customer_id"),
