@@ -80,12 +80,26 @@ class Engine:
 
     # --- CDC pipeline (M5) ---
 
-    def snapshot_backfill(self, snapshot: DataFrame, target_path: str) -> None:
+    def snapshot_backfill(
+        self,
+        snapshot: DataFrame,
+        target_path: str,
+        key_cols: list[str] | None = None,
+    ) -> None:
         """Initial-snapshot-then-stream (T4, snapshot.mode=initial,
         postgres.json:270-277): materialize the consistent snapshot as the
         target's starting state; the change stream applies from there. The
-        stream's checkpoint plays the captured-offset role."""
-        snapshot.write.mode("overwrite").parquet(target_path)
+        stream's checkpoint plays the captured-offset role.
+
+        With ``key_cols`` the snapshot lands directly in the PK-hash-bucketed
+        layout ``apply_stream`` maintains (so the first micro-batch is an
+        O(delta) bucket merge, not an O(target) migration)."""
+        if key_cols:
+            from .operators.apply import write_bucketed_target
+
+            write_bucketed_target(snapshot, target_path, key_cols, dynamic=False)
+        else:
+            snapshot.write.mode("overwrite").parquet(target_path)
 
     def start_cdc_pipeline(
         self, target_path, key_cols, checkpoint_dir, frontier_path=None,

@@ -8,9 +8,12 @@ FAILED row with error_message.
 Spark design: parquet appends are atomic per-file but not transactional
 across (data, control) — so the ordering IS the protocol: write data first,
 control row last (commit marker). A reader that joins data against COMPLETED
-control rows never sees a half-ingested batch; a crash between the two
-writes leaves data without its marker, which the next ingest of the same
-batch_id may overwrite idempotently (dedup on batch_id at read time).
+control rows never sees a half-ingested batch. Each batch's data lands in
+its own ``_ingest_batch={batch_id}`` partition via dynamic partition
+overwrite, so retrying a batch whose marker write failed REPLACES the
+orphaned data instead of appending a second copy (the reference's
+single-transaction rollback, data_generator.py:96-128, prevents exactly
+that duplicate).
 
 The engine LSN: with no WAL, the frontier advances by bytes written —
 previous frontier + ingested row count (byte analog), formatted as pg_lsn
@@ -28,11 +31,19 @@ from .functions.lsn import lsn_to_long
 from . import schemas
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _read_control(spark: SparkSession, control_path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(control_path)
-    except Exception:
+    # only true absence means "no control table yet" — a transient read error
+    # must raise, not silently restart the LSN frontier at 0 (ADVICE r1:
+    # current_engine_lsn returning 0 would regress completion_lsn monotonicity)
+    if not _path_exists(spark, control_path):
         return None
+    return spark.read.parquet(control_path)
 
 
 def current_engine_lsn(spark: SparkSession, control_path: str) -> int:
@@ -112,8 +123,18 @@ def ingest_batch(
         df = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
         row_count = df.count()
 
-        # data first …
-        df.write.mode("append").parquet(table_path)
+        # data first — into this batch's own partition, dynamically
+        # overwritten so a retry after a failed marker write replaces any
+        # orphaned copy instead of duplicating it. `_ingest_batch` mirrors
+        # batch_id as the layout key; batch_id itself stays a typed data
+        # column (partition-value inference must not change its type).
+        (
+            df.withColumn("_ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_ingest_batch")
+            .parquet(table_path)
+        )
 
         # … control marker last, stamped with the advanced frontier
         new_lsn = current_engine_lsn(spark, control_path) + max(row_count, 1)
@@ -147,6 +168,8 @@ def read_committed(
 ) -> DataFrame:
     """Read only rows whose batch has a COMPLETED marker (bracket semantics)."""
     data = spark.read.parquet(table_path)
+    if "_ingest_batch" in data.columns:
+        data = data.drop("_ingest_batch")
     ctl = _read_control(spark, control_path)
     if ctl is None:
         return data.limit(0)

@@ -368,9 +368,9 @@ def q_anti_join(spark, sf_dir):
 @register(
     "q_pivot",
     """SELECT o_orderpriority,
-              COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS F,
-              COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS O,
-              COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS P
+              CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS F,
+              CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS O,
+              CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS P
        FROM orders GROUP BY o_orderpriority""",
     doc="A6 [EXT] pivot (status columns per priority) ≡ conditional aggregation",
 )
@@ -383,9 +383,9 @@ def q_pivot(spark, sf_dir):
     )
     return p.select(
         "o_orderpriority",
-        F.coalesce("F", F.lit(0)).alias("F"),
-        F.coalesce("O", F.lit(0)).alias("O"),
-        F.coalesce("P", F.lit(0)).alias("P"),
+        F.coalesce("F", F.lit(0)).cast("long").alias("F"),
+        F.coalesce("O", F.lit(0)).cast("long").alias("O"),
+        F.coalesce("P", F.lit(0)).cast("long").alias("P"),
     )
 
 

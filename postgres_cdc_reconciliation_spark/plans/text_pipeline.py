@@ -313,14 +313,17 @@ def q_ann_ivf(spark, sf_dir):
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.e, b.e) / (a.n * b.n), 4) AS cos_r
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.8""",
-    doc="[EXT] embedding-cosine near-dup pairs, blocked by cluster label (O(Σ bucket²), not O(n²))",
+WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.35""",
+    doc="[EXT] embedding-cosine near-dup pairs, blocked by cluster label (O(Σ bucket²), not O(n²)). "
+    "Threshold 0.35 picked so the testdata yields non-trivial pairs at every sf "
+    "(max pairwise cosine there is ~0.47; nearest pair is >5e-5 from the cut, so "
+    "engine float-noise can't flip membership).",
 )
 def q_dedup_embed(spark, sf_dir):
     from ..operators.similarity import embedding_near_dup_pairs
 
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = embedding_near_dup_pairs(v, threshold=0.8)
+    pairs = embedding_near_dup_pairs(v, threshold=0.35)
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 

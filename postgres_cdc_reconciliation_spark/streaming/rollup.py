@@ -64,6 +64,36 @@ def merge_rollup(
     )
 
 
+def _fs(spark, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def committed_versions(spark, rollup_path: str) -> list[int]:
+    """Batch-ids of rollup snapshots whose write fully committed (_SUCCESS)."""
+    fs, jpath = _fs(spark, rollup_path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith("v="):
+            success = spark._jvm.org.apache.hadoop.fs.Path(
+                status.getPath(), "_SUCCESS"
+            )
+            if fs.exists(success):
+                out.append(int(name[2:]))
+    return sorted(out)
+
+
+def current_rollup(spark, rollup_path: str) -> DataFrame | None:
+    """The latest committed rollup snapshot (None before the first commit)."""
+    versions = committed_versions(spark, rollup_path)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{rollup_path}/v={versions[-1]}")
+
+
 def rollup_stream(
     events: DataFrame,
     rollup_path: str,
@@ -72,24 +102,44 @@ def rollup_stream(
     key_cols: list[str] | None = None,
     value_col: str = "value",
     bucket: str = "hour",
+    keep_versions: int = 2,
 ):
-    """foreachBatch writer maintaining the rollup table incrementally."""
+    """foreachBatch writer maintaining the rollup table incrementally.
+
+    Replay safety (foreachBatch is at-least-once): each micro-batch commits a
+    full rollup snapshot at ``{rollup_path}/v={batch_id}`` — the _SUCCESS
+    marker is the commit record, and the max committed version is the
+    high-water mark. A replayed batch (batch_id <= high-water) is skipped, so
+    its partial aggregates can never double-merge. A crash mid-write leaves
+    an uncommitted v-dir that the replay simply overwrites from the previous
+    committed version — the merge input is always a *committed* snapshot,
+    never a partial write. Old versions are pruned after commit
+    (``keep_versions``); snapshots are bucket-cardinality-sized, so a
+    version's cost is O(buckets), not O(events).
+    """
     key_cols = key_cols or []
     spark = events.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        partial = _partial(batch_df, ts_col, key_cols, value_col, bucket)
-        try:
-            existing = spark.read.parquet(rollup_path)
-        except Exception:
-            existing = None
-        merged = merge_rollup(existing, partial, key_cols)
-        merged.write.mode("overwrite").parquet(rollup_path + "_next")
-        spark.read.parquet(rollup_path + "_next").write.mode("overwrite").parquet(
-            rollup_path
+        versions = committed_versions(spark, rollup_path)
+        if versions and batch_id <= versions[-1]:
+            return  # at-least-once replay of an already-merged batch
+        existing = (
+            spark.read.parquet(f"{rollup_path}/v={versions[-1]}")
+            if versions
+            else None
         )
+        partial = _partial(batch_df, ts_col, key_cols, value_col, bucket)
+        merged = merge_rollup(existing, partial, key_cols)
+        merged.write.mode("overwrite").parquet(f"{rollup_path}/v={batch_id}")
+        # prune: keep the newest `keep_versions` committed snapshots
+        fs, _ = _fs(spark, rollup_path)
+        for v in committed_versions(spark, rollup_path)[:-keep_versions]:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(f"{rollup_path}/v={v}"), True
+            )
 
     return (
         events.writeStream.foreachBatch(_apply)

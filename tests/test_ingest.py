@@ -81,3 +81,34 @@ def test_csv_corrupt_rows_permissive(spark, tmp_path):
         assert "not_a_number" in bad.collect()[0]["_corrupt_record"]
     finally:
         df.unpersist()
+
+
+def test_ingest_retry_replaces_orphaned_data(spark, tmp_path):
+    """If the data write lands but the COMPLETED marker write fails, retrying
+    the same batch_id must not duplicate rows once the marker finally lands
+    (the reference's single-transaction rollback analog)."""
+    table = str(tmp_path / "orders_r")
+    ctl = str(tmp_path / "ctl_r")
+
+    b0 = generate_orders(spark, 40, batch_id=0)
+    # simulate the half-committed state: data written, no control marker
+    from pyspark.sql import functions as F
+
+    (
+        b0.withColumn("_ingest_batch", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_ingest_batch")
+        .parquet(table)
+    )
+    # orphaned data is invisible (no marker)
+    # note: control path absent → read_committed returns empty
+    assert read_committed(spark, table, ctl, "public", "orders").count() == 0
+
+    # retry the full ingest of the same batch
+    r = ingest_batch(spark, b0, table, ctl, "public", "orders", 0)
+    assert r["status"] == "COMPLETED" and r["row_count"] == 40
+    committed = read_committed(spark, table, ctl, "public", "orders")
+    assert committed.count() == 40  # replaced, not appended
+    # batch_id column keeps its declared LONG type (no partition-inference drift)
+    assert dict(committed.dtypes)["batch_id"] == "bigint"

@@ -11,7 +11,10 @@ from postgres_cdc_reconciliation_spark.operators.graph import (
     connected_components,
     dedup_clusters,
 )
-from postgres_cdc_reconciliation_spark.streaming.rollup import rollup_stream
+from postgres_cdc_reconciliation_spark.streaming.rollup import (
+    current_rollup,
+    rollup_stream,
+)
 
 
 def test_incremental_rollup_across_batches(spark, tmp_path):
@@ -43,16 +46,29 @@ def test_incremental_rollup_across_batches(spark, tmp_path):
     ).trigger(availableNow=True).start()
     q.awaitTermination(120)
 
-    got = {
-        (r["bucket_start"].hour, r["k"]): (r["n_events"], float(r["total"]))
-        for r in spark.read.parquet(rollup).collect()
-    }
-    # bucket (10,'a') merged across both micro-batches: 3 events, 8.00 total
-    assert got == {
+    expected = {
         (10, "a"): (3, 8.0),
         (11, "b"): (1, 3.0),
         (12, "b"): (1, 5.0),
     }
+    got = {
+        (r["bucket_start"].hour, r["k"]): (r["n_events"], float(r["total"]))
+        for r in current_rollup(spark, rollup).collect()
+    }
+    # bucket (10,'a') merged across both micro-batches: 3 events, 8.00 total
+    assert got == expected
+
+    # replay safety: a fresh checkpoint re-delivers every micro-batch with
+    # batch_ids <= the committed high-water mark — none may re-merge
+    q2 = rollup_stream(
+        events, rollup, str(tmp_path / "ckpt_replay"), key_cols=["k"], bucket="hour"
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    got2 = {
+        (r["bucket_start"].hour, r["k"]): (r["n_events"], float(r["total"]))
+        for r in current_rollup(spark, rollup).collect()
+    }
+    assert got2 == expected  # no double-counting
 
 
 def test_connected_components_chain_and_islands(spark):

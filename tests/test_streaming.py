@@ -101,7 +101,7 @@ def test_stream_apply_and_frontier(spark, tmp_path):
 
 
 def test_snapshot_then_stream(spark, tmp_path):
-    """T4: snapshot backfill, then the incremental stream applies on top."""
+    """T4: snapshot backfill (bucketed layout), then the stream applies on top."""
     from postgres_cdc_reconciliation_spark.engine import Engine
 
     eng = Engine(spark)
@@ -110,7 +110,7 @@ def test_snapshot_then_stream(spark, tmp_path):
         [(i, i % 10, f"{i * 10.0:.2f}", None, 0) for i in range(1, 4)],
         "order_id long, customer_id int, amount string, ts timestamp_ntz, batch_id long",
     )
-    eng.snapshot_backfill(snapshot, target)
+    eng.snapshot_backfill(snapshot, target, key_cols=["order_id"])
     assert spark.read.parquet(target).count() == 3
 
     src = tmp_path / "inc_in"
@@ -134,3 +134,114 @@ def test_snapshot_then_stream(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert final == {1: 99.0, 3: 30.0}  # 1 updated over snapshot, 2 deleted
+
+
+def _bucket_files(target: str) -> dict[str, set[tuple[str, float]]]:
+    """Map _bucket=N dir → {(filename, mtime)} for parquet part files."""
+    import os
+
+    out = {}
+    for d in os.listdir(target):
+        if not d.startswith("_bucket="):
+            continue
+        full = os.path.join(target, d)
+        out[d] = {
+            (f, os.path.getmtime(os.path.join(full, f)))
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_apply_rewrites_only_touched_buckets(spark, tmp_path):
+    """Scale invariant: a micro-batch touching keys in k buckets must leave
+    every other bucket's files byte-for-byte untouched (dynamic partition
+    overwrite — per-batch IO is O(delta), not O(target))."""
+    import time
+
+    from postgres_cdc_reconciliation_spark.operators.apply import (
+        bucket_expr,
+        write_bucketed_target,
+    )
+
+    target = str(tmp_path / "btarget")
+    base = spark.createDataFrame(
+        [(i, i % 10, f"{i * 10.0:.2f}", None, 0) for i in range(1, 101)],
+        "order_id long, customer_id int, amount string, ts timestamp_ntz, batch_id long",
+    )
+    n_buckets = 8
+    write_bucketed_target(base, target, ["order_id"], n_buckets, dynamic=False)
+    before = _bucket_files(target)
+    assert len(before) == 8  # 100 keys over 8 buckets: all present
+
+    # one update event for a single key → exactly one touched bucket
+    src = tmp_path / "bsrc"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        f.write(
+            json.dumps({"key": "7", "value": json.dumps(_env("u", _row(7, 70.0), _row(7, 777.0), "0/30"))})
+            + "\n"
+        )
+    time.sleep(1.1)  # ensure rewritten files get a distinguishable mtime
+    q = apply_stream(
+        unwrap(parse_stream(read_cdc_stream(spark, file_path=str(src)))),
+        target,
+        ["order_id"],
+        str(tmp_path / "bckpt"),
+        n_buckets=n_buckets,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    after = _bucket_files(target)
+    [(bucket_of_7,)] = (
+        spark.createDataFrame([(7,)], "order_id long")
+        .select(bucket_expr(["order_id"], n_buckets))
+        .collect()
+    )
+    touched_dir = f"_bucket={bucket_of_7}"
+    assert after[touched_dir] != before[touched_dir]  # rewritten
+    for d, files in before.items():
+        if d != touched_dir:
+            assert after[d] == files, f"untouched bucket {d} was rewritten"
+
+    # and the merge itself is correct
+    final = {
+        r["order_id"]: float(r["amount"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert final[7] == 777.0 and len(final) == 100
+
+
+def test_stream_apply_migrates_legacy_unpartitioned_target(spark, tmp_path):
+    """An existing plain-parquet target (no _bucket dirs) is migrated into
+    the bucketed layout by the first micro-batch, with no row loss."""
+    import os
+
+    target = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(i, i % 10, f"{i * 10.0:.2f}", None, 0) for i in range(1, 6)],
+        "order_id long, customer_id int, amount string, ts timestamp_ntz, batch_id long",
+    ).write.mode("overwrite").parquet(target)
+
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    with open(src / "l.json", "w") as f:
+        f.write(
+            json.dumps({"key": "1", "value": json.dumps(_env("u", _row(1, 10.0), _row(1, 111.0), "0/40"))})
+            + "\n"
+        )
+    q = apply_stream(
+        unwrap(parse_stream(read_cdc_stream(spark, file_path=str(src)))),
+        target,
+        ["order_id"],
+        str(tmp_path / "lckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert any(d.startswith("_bucket=") for d in os.listdir(target))
+    assert not any(f.endswith(".parquet") for f in os.listdir(target))
+    final = {
+        r["order_id"]: float(r["amount"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert final == {1: 111.0, 2: 20.0, 3: 30.0, 4: 40.0, 5: 50.0}
