@@ -6,12 +6,17 @@ Each query is materialized through the noop sink (full column
 materialization, no driver collect — measures the distributed plan, not
 toPandas serialization). One warm-up scan first so JVM/codegen startup isn't
 attributed to the first query.
+
+Per-query time is the MEDIAN of $SPARK_GRAFT_BENCH_REPS (default 3)
+back-to-back runs — single-run timings in this container swing ±30%, which
+would drown round-over-round comparisons against BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def main() -> None:
@@ -33,11 +39,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(all_queries().items()):
-        t0 = time.perf_counter()
+        runs: list[float] = []
         try:
-            df = spec.fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 3)
         except Exception as e:  # a failing query must not kill the bench
             timings[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)

@@ -39,6 +39,11 @@ SLOTS = [
     ("lineitem_slot", "logical", True, "0/100000", "0/150000"),  # arms 2+3
     ("analytics_slot", "logical", True, "2/10000", "2/20000"),  # arm 3 (stripped)
     ("stray_slot", "logical", True, "0/5000", "0/6000"),  # matches nothing
+    # NULL confirmed_flush_lsn: a just-created slot that never confirmed —
+    # exercises the reference's ELSE false arm (replication_complete must be
+    # false, not NULL). Wins 'customer' via arm 2 (table-name match beats
+    # analytics_slot's arm-3 stripped-pubname match).
+    ("customer_slot", "logical", True, "0/9000", None),
     ("physical_decoy", "physical", True, "0/1000", "0/2000"),  # filtered: type
     ("inactive_slot", "logical", False, "0/1000", "0/2000"),  # filtered: active
 ]
@@ -49,6 +54,24 @@ PUBS = [
     ("orders_pub", "public", "batch_control"),
     ("lineitem_pub", "public", "lineitem"),
     ("analytics_pub", "public", "customer"),
+]
+
+# pg_roles stand-in for ::regrole resolution (F18,
+# docs/replication_troubleshooting.md:50): oid → rolname.
+ROLES = [
+    (10, "postgres"),
+    (16384, "repl_user"),
+    (16385, "analytics_owner"),
+]
+
+# pg_publication stand-in: pubname, pubowner OID, puballtables.
+# orphan_pub's owner OID has no pg_roles row — ::regrole then renders the
+# numeric OID text, which the lookup must reproduce.
+PUB_OWNERS = [
+    ("orders_pub", 16384, False),
+    ("lineitem_pub", 10, False),
+    ("analytics_pub", 16385, False),
+    ("orphan_pub", 99999, True),
 ]
 
 
@@ -174,6 +197,16 @@ def pubs_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(PUBS, schemas.PUBLICATION_TABLES)
 
 
+def roles_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ROLES, "oid bigint, rolname string")
+
+
+def pub_owners_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        PUB_OWNERS, "pubname string, pubowner bigint, puballtables boolean"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle CTEs — the same derivations in ANSI-ish SQL. Each returns a
 # "name AS (...)" fragment to splice into a WITH clause.
@@ -237,11 +270,26 @@ def oracle_pubs_cte() -> str:
     )
 
 
+def oracle_roles_cte() -> str:
+    return f"roles(oid, rolname) AS (VALUES {_values_sql(ROLES)})"
+
+
+def oracle_pub_owners_cte() -> str:
+    return (
+        "pub_meta(pubname, pubowner, puballtables) AS "
+        f"(VALUES {_values_sql(PUB_OWNERS)})"
+    )
+
+
 # DuckDB expression: parse 'H/L' LSN text to BIGINT (matches functions.lsn).
+# NULL-guarded: DuckDB split_part(NULL, ...) yields '' (not NULL), so the
+# naive '0x' || ... would fail to cast instead of propagating NULL the way
+# Spark's split_part/conv do.
 def oracle_lsn_to_long(expr: str) -> str:
     return (
-        f"(CAST('0x' || split_part({expr}, '/', 1) AS BIGINT) * 4294967296"
-        f" + CAST('0x' || split_part({expr}, '/', 2) AS BIGINT))"
+        f"(CASE WHEN {expr} IS NULL THEN NULL ELSE"
+        f" CAST('0x' || split_part({expr}, '/', 1) AS BIGINT) * 4294967296"
+        f" + CAST('0x' || split_part({expr}, '/', 2) AS BIGINT) END)"
     )
 
 

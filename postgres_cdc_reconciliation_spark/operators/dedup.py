@@ -100,13 +100,35 @@ def lsh_candidates(
 
 
 def ngram_jaccard_pairs(
-    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over k-shingle sets for pairs sharing ≥1 shingle.
 
     Inverted-index join on shingle (keyed shuffle); |A|,|B| precomputed.
     common/(|A|+|B|-common) — integer inputs, double division (bit-stable
-    across engines)."""
+    across engines).
+
+    ``max_doc_freq``: drop shingles appearing in more than this many docs
+    before the self-join (standard document-frequency cap). A ubiquitous
+    "stopword shingle" otherwise creates one join bucket of size df whose
+    pair blow-up is df² — the skew bottleneck at corpus scale. Sizes AND
+    intersections are both computed over the capped shingle universe, so
+    the Jaccard stays self-consistent (it ranks similarity over
+    *discriminative* shingles; near-dup docs still share most of them)."""
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        # no broadcast hint: the hot set is usually tiny (AQE will broadcast
+        # it at runtime) but can be corpus-scale in degenerate inputs, where
+        # a forced broadcast would OOM the driver
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

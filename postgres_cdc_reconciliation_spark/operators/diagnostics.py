@@ -27,7 +27,9 @@ def slot_lag_report(slots: DataFrame, current_wal_lsn: str) -> DataFrame:
             pretty_bytes(lag).alias("lag"),
             F.lit(current_wal_lsn).alias("current_wal_lsn"),
         )
-        .orderBy(F.desc("lag_bytes"))
+        # a never-confirmed slot (NULL flush LSN) has unknown lag → NULL,
+        # sorted after the known-worst offenders, deterministically
+        .orderBy(F.desc_nulls_last("lag_bytes"), "slot_name")
     )
 
 
@@ -81,12 +83,32 @@ def all_tables_status(
             "slot_name",
             "confirmed_flush_lsn",
             "batch_lsn",
-            (flush >= batch).alias("replication_complete"),
+            F.coalesce(flush >= batch, F.lit(False)).alias("replication_complete"),
             F.when(flush < batch, batch - flush).otherwise(F.lit(0)).cast("long").alias(
                 "lag_bytes"
             ),
         )
         .orderBy(F.desc("lag_bytes"), "slot_name")
+    )
+
+
+def publication_owners(pub_meta: DataFrame, roles: DataFrame) -> DataFrame:
+    """§2-extension (F18): ``pubowner::regrole`` — OID → role-name lookup.
+
+    Reference docs/replication_troubleshooting.md:50 renders the publication
+    owner via the regrole cast; Postgres resolves the OID against pg_roles
+    and falls back to the numeric OID text when no role exists. Catalog-sized
+    inputs → broadcast hash join, no shuffle.
+    """
+    r = roles.select("oid", "rolname")
+    return (
+        pub_meta.join(F.broadcast(r), pub_meta.pubowner == r.oid, "left")
+        .select(
+            "pubname",
+            F.coalesce("rolname", F.col("pubowner").cast("string")).alias("owner"),
+            "puballtables",
+        )
+        .orderBy("pubname")
     )
 
 

@@ -135,6 +135,57 @@ def cosine_topk_fast(
     )
 
 
+def rp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random-hyperplane constants for sign-LSH.
+
+    Component j of plane p derives from md5(f"rp_{p}_{j}") — reproducible in
+    any engine from the same literals, no RNG state. Values uniform in
+    [-1, 1] with 1e-3 granularity."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"rp_{p}_{j}".encode()).hexdigest()[:8], 16) % 2001
+             - 1000)
+            / 1000.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def assign_rp_buckets(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    bucket_col: str = "rp_bucket",
+) -> DataFrame:
+    """Sign-LSH bucket assignment: bit p of the bucket id = sign of
+    ⟨v, plane_p⟩. The 100 TB answer to "where do blocking buckets come
+    from": a narrow map-only projection (no shuffle, no training step),
+    after which near-dup pair generation is an equality join on the bucket.
+
+    Single-table sign-LSH is a candidate-generation scheme: two vectors at
+    angle θ share a bucket with probability (1 − θ/π)^n_planes, so
+    production recall comes from running L independent tables (L plane
+    sets) and unioning candidates. The math stays a native SQL fold —
+    sequential double accumulation, deterministic, oracle-checkable.
+    """
+    planes = rp_planes(n_planes, dim)
+    vec_d = f"transform({vec_col}, x -> cast(x as double))"
+    bucket = None
+    for p, plane in enumerate(planes):
+        lit = "array(" + ",".join(repr(x) + "d" for x in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_d}, {lit}, (x, y) -> x * y),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bit = F.when(F.expr(dot) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return vectors.withColumn(bucket_col, bucket.cast("int"))
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.8,

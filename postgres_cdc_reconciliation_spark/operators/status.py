@@ -153,11 +153,14 @@ def latest_status_multi(
     rs = _relevant_slots(slots, _table_publication(pubs, specs))
     flush_long = lsn_to_long("confirmed_flush_lsn")
     batch_long = lsn_to_long("batch_lsn")
+    # fractional minutes, EXTRACT(EPOCH)-faithful (reference
+    # check_latest_batch_replication_status.sql:79 keeps sub-second precision;
+    # timestampdiff(SECOND) would truncate before the divide)
     minutes_since = F.round(
         F.expr(
-            f"timestampdiff(SECOND, completion_timestamp, {_as_of_sql(as_of)})"
+            f"timestampdiff(MICROSECOND, completion_timestamp, {_as_of_sql(as_of)})"
         )
-        / 60.0,
+        / 60000000.0,
         2,
     )
     return lb.join(rs, ["schema_name", "table_name"]).select(
@@ -168,7 +171,12 @@ def latest_status_multi(
         F.coalesce(F.col("pubname"), F.lit("unknown")).alias("publication_name"),
         F.col("confirmed_flush_lsn").alias("slot_current_lsn"),
         F.col("batch_lsn").alias("batch_completion_lsn"),
-        (flush_long >= batch_long).alias("replication_complete"),
+        # NULL confirmed_flush_lsn → false, matching the reference's
+        # CASE WHEN ... THEN true ELSE false (NULL must not propagate into
+        # lag/health branching)
+        F.coalesce(flush_long >= batch_long, F.lit(False)).alias(
+            "replication_complete"
+        ),
         minutes_since.alias("minutes_since_completion"),
     )
 
@@ -269,7 +277,9 @@ def batch_replication_status(
             ),
             F.col("confirmed_flush_lsn").alias("slot_current_lsn"),
             F.col("batch_lsn").alias("batch_completion_lsn"),
-            (flush_long >= batch_long).alias("replication_complete"),
+            F.coalesce(flush_long >= batch_long, F.lit(False)).alias(
+                "replication_complete"
+            ),
             F.when(flush_long < batch_long, batch_long - flush_long)
             .otherwise(F.lit(0))
             .cast("long")

@@ -69,8 +69,8 @@ joined AS (
          COALESCE(rs.pubname, 'unknown') AS publication_name,
          rs.confirmed_flush_lsn AS slot_current_lsn,
          lb.batch_lsn AS batch_completion_lsn,
-         {_lsn('rs.confirmed_flush_lsn')} >= {_lsn('lb.batch_lsn')} AS replication_complete,
-         round(date_diff('second', lb.completion_timestamp, TIMESTAMP '{fx.AS_OF}') / 60.0, 2)
+         COALESCE({_lsn('rs.confirmed_flush_lsn')} >= {_lsn('lb.batch_lsn')}, FALSE) AS replication_complete,
+         round(date_diff('microsecond', lb.completion_timestamp, TIMESTAMP '{fx.AS_OF}') / 60000000.0, 2)
            AS minutes_since_completion
   FROM latest lb
   JOIN rel_slot rs ON lb.schema_name = rs.schema_name AND lb.table_name = rs.table_name
@@ -154,7 +154,7 @@ SELECT bi.schema_name, bi.table_name, bi.batch_id, k.slot_name,
        COALESCE(k.matched_publication, 'unknown') AS publication_name,
        k.confirmed_flush_lsn AS slot_current_lsn,
        bi.batch_lsn AS batch_completion_lsn,
-       {_lsn('k.confirmed_flush_lsn')} >= {_lsn('bi.batch_lsn')} AS replication_complete,
+       COALESCE({_lsn('k.confirmed_flush_lsn')} >= {_lsn('bi.batch_lsn')}, FALSE) AS replication_complete,
        CAST(CASE WHEN {_lsn('k.confirmed_flush_lsn')} < {_lsn('bi.batch_lsn')}
                  THEN {_lsn('bi.batch_lsn')} - {_lsn('k.confirmed_flush_lsn')}
                  ELSE 0 END AS BIGINT) AS lag_bytes
@@ -239,10 +239,10 @@ def q_lsn_ops(spark, sf_dir):
     "q_minutes_since",
     f"""WITH {fx.oracle_batch_control_cte()}
 SELECT id, table_name, batch_id,
-       round(date_diff('second', completion_timestamp, TIMESTAMP '{fx.AS_OF}') / 60.0, 2)
+       round(date_diff('microsecond', completion_timestamp, TIMESTAMP '{fx.AS_OF}') / 60000000.0, 2)
          AS minutes_since
 FROM batch_control WHERE completion_timestamp IS NOT NULL""",
-    doc="F9 EXTRACT(EPOCH)/60 + ROUND(2) — check_latest_batch_replication_status.sql:79",
+    doc="F9 EXTRACT(EPOCH)/60 + ROUND(2), sub-second-faithful — check_latest_batch_replication_status.sql:79",
 )
 def q_minutes_since(spark, sf_dir):
     bc = fx.batch_control_df(spark, sf_dir).filter(
@@ -254,9 +254,9 @@ def q_minutes_since(spark, sf_dir):
         "batch_id",
         F.round(
             F.expr(
-                f"timestampdiff(SECOND, completion_timestamp, cast('{fx.AS_OF}' as timestamp_ntz))"
+                f"timestampdiff(MICROSECOND, completion_timestamp, cast('{fx.AS_OF}' as timestamp_ntz))"
             )
-            / 60.0,
+            / 60000000.0,
             2,
         ).alias("minutes_since"),
     )
@@ -527,6 +527,22 @@ def q_slot_lag_report(spark, sf_dir):
     from ..operators.diagnostics import slot_lag_report
 
     return slot_lag_report(fx.slots_df(spark), "2/100000")
+
+
+@register(
+    "q_publication_owners",
+    f"""WITH {fx.oracle_roles_cte()},
+{fx.oracle_pub_owners_cte()}
+SELECT pubname,
+       COALESCE(rolname, CAST(pubowner AS VARCHAR)) AS owner,
+       puballtables
+FROM pub_meta LEFT JOIN roles ON pubowner = oid""",
+    doc="F18 ::regrole owner lookup (OID → role name, numeric-text fallback) — docs/replication_troubleshooting.md:50",
+)
+def q_publication_owners(spark, sf_dir):
+    from ..operators.diagnostics import publication_owners
+
+    return publication_owners(fx.pub_owners_df(spark), fx.roles_df(spark))
 
 
 @register(

@@ -22,7 +22,7 @@ def _t(spark, sf_dir, name):
 @register(
     "q_session_window",
     """WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -31,7 +31,11 @@ def _t(spark, sf_dir, name):
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         -- ORDER BY must match the lag window's (ts, event_id) exactly:
+         -- with ts-only ordering, equal-ts rows at a session boundary could
+         -- be framed before the boundary row and land in the prior session,
+         -- which Spark session_window (gap-merged) can never produce
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM ordered
 )

@@ -26,21 +26,54 @@ media AS (
 
 @register(
     "q_multimodal_features",
-    f"""WITH {_MEDIA_CTE}
-SELECT media_id, kind,
-       CAST(octet_length(unhex(hex64)) AS BIGINT) AS n_bytes,
-       md5(hex64) AS content_hash,
-       CAST('0x' || substr(hex64, 1, 2) AS INTEGER) / 255.0 AS f0,
-       CAST('0x' || substr(hex64, 3, 2) AS INTEGER) / 255.0 AS f1,
-       CAST('0x' || substr(hex64, 5, 2) AS INTEGER) / 255.0 AS f2,
-       CAST('0x' || substr(hex64, 7, 2) AS INTEGER) / 255.0 AS f3
-FROM media""",
-    doc="[EXT] binary media columns → Arrow-batched mapInPandas feature extraction (decode stubbed; plumbing real)",
+    """WITH media AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS media_id,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'image' ELSE 'audio' END AS kind
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 != 2
+),
+img AS (SELECT media_id, 8 + media_id % 8 AS w, 4 + media_id % 4 AS h
+        FROM media WHERE kind = 'image'),
+img_ex AS (SELECT media_id, w, h, unnest(range(0, w*h*3)) AS k FROM img),
+img_stats AS (
+  SELECT media_id, w, h,
+         CAST(SUM(CASE WHEN k % 3 = 0 THEN (media_id*7 + k) % 256 END) AS BIGINT) AS sb,
+         CAST(SUM(CASE WHEN k % 3 = 1 THEN (media_id*7 + k) % 256 END) AS BIGINT) AS sg,
+         CAST(SUM(CASE WHEN k % 3 = 2 THEN (media_id*7 + k) % 256 END) AS BIGINT) AS sr
+  FROM img_ex GROUP BY media_id, w, h
+),
+aud AS (SELECT media_id, 64 + media_id % 64 AS n FROM media WHERE kind = 'audio'),
+aud_ex AS (SELECT media_id, n, unnest(range(0, n)) AS k FROM aud),
+aud_stats AS (
+  SELECT media_id, n,
+         CAST(SUM(((media_id*31 + k*17) % 65536) - 32768) AS BIGINT) AS s,
+         CAST(SUM((((media_id*31 + k*17) % 65536) - 32768)
+                * (((media_id*31 + k*17) % 65536) - 32768)) AS BIGINT) AS sq
+  FROM aud_ex GROUP BY media_id, n
+)
+SELECT media_id, 'image' AS kind,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(w*h AS BIGINT) AS n_units,
+       CAST(sb AS DOUBLE) / (w*h) AS mean_a,
+       CAST(sg AS DOUBLE) / (w*h) AS mean_b,
+       CAST(sr AS DOUBLE) / (w*h) AS mean_c
+FROM img_stats
+UNION ALL
+SELECT media_id, 'audio',
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(n AS BIGINT),
+       CAST(s AS DOUBLE) / n,
+       sqrt(CAST(sq AS DOUBLE) / n),
+       CAST(n*1000 // 8000 AS DOUBLE)
+FROM aud_stats""",
+    doc="[EXT] REAL media decode: spec-compliant BMP/WAV payloads parsed by "
+    "pure-stdlib struct codecs inside mapInPandas; the oracle recomputes "
+    "pixel/sample statistics from the generative formula, so header-offset, "
+    "row-padding, or chunk-walk bugs in the decoder fail the hash",
 )
 def q_multimodal_features(spark, sf_dir):
-    from ..sources.multimodal import extract_features, synth_media
+    from ..sources.multimodal import decode_features, synth_media_real
 
-    return extract_features(synth_media(spark, sf_dir))
+    return decode_features(synth_media_real(spark, sf_dir, every=10))
 
 
 @register(

@@ -83,6 +83,7 @@ _CHECK_PRIORITY: list[str] = [
     "q_frame_sample",
     # -- new this round --
     "q_publication_owners",
+    "q_dedup_embed_rp",
     # -- changed this round: re-verify --
     "q_pivot",
     "q_dedup_embed",

@@ -184,10 +184,12 @@ def q_dedup_minhash(spark, sf_dir):
 @register(
     "q_dedup_ngram",
     f"""WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100),
+capped AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b, c.common,
@@ -196,13 +198,15 @@ FROM common c
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common) >= 0.5""",
-    doc="[EXT] exact 3-gram Jaccard near-dup via inverted-index join (keyed shuffle on shingle)",
+    doc="[EXT] exact 3-gram Jaccard near-dup via inverted-index join (keyed "
+    "shuffle on shingle) with a document-frequency cap of 100 bounding "
+    "hot-shingle bucket skew",
 )
 def q_dedup_ngram(spark, sf_dir):
     from ..operators.dedup import ngram_jaccard_pairs, shingles
 
     d = _docs(spark, sf_dir)
-    return ngram_jaccard_pairs(shingles(d, k=3), threshold=0.5)
+    return ngram_jaccard_pairs(shingles(d, k=3), threshold=0.5, max_doc_freq=100)
 
 
 _SIMHASH_SUMS = ",\n    ".join(
@@ -324,6 +328,44 @@ def q_dedup_embed(spark, sf_dir):
 
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_dup_pairs(v, threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+
+
+def _rp_bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB expression for the sign-LSH bucket — the SAME plane literals
+    the Spark operator embeds (generated from one Python source of truth)."""
+    from ..operators.similarity import rp_planes
+
+    planes = rp_planes(n_planes, dim)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(e, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "q_dedup_embed_rp",
+    f"""WITH {_VEC_CTE},
+b AS (SELECT vec_id, e, n, {_rp_bucket_sql()} AS bk FROM v)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_dot_product(a.e, b2.e) / (a.n * b2.n), 4) AS cos_r
+FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id
+WHERE list_dot_product(a.e, b2.e) / (a.n * b2.n) >= 0.3""",
+    doc="[EXT] embedding near-dup pairs blocked by random-hyperplane sign-LSH "
+    "buckets computed IN the plan (no precomputed labels — the 100 TB "
+    "blocking path; single table here, production unions L plane sets for "
+    "recall). Sign margins in the testdata are ≥4e-5 per plane, far above "
+    "fold-order float noise, so bucket ids are engine-stable.",
+)
+def q_dedup_embed_rp(spark, sf_dir):
+    from ..operators.similarity import assign_rp_buckets, embedding_near_dup_pairs
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bucketed = assign_rp_buckets(v, dim=64, n_planes=4)
+    pairs = embedding_near_dup_pairs(bucketed, threshold=0.3, bucket_col="rp_bucket")
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 

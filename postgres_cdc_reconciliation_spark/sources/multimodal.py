@@ -82,8 +82,9 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real image decode needs PIL/libvips, absent in this container."""
+def decode_image(payload: bytes):  # pragma: no cover - optional fast path
+    """Compressed-format decode needs PIL/libvips (absent here) — see
+    decode_bmp for the real pure-stdlib path used by the pipeline."""
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -91,8 +92,198 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
         return Image.open(io.BytesIO(payload))
     except ImportError as e:
         raise NotImplementedError(
-            "image decode requires PIL; container ships without media libs"
+            "compressed image decode requires PIL; use BMP + decode_bmp here"
         ) from e
+
+
+# ---------------------------------------------------------------------------
+# Real pure-stdlib codecs: uncompressed 24bpp BMP and PCM16 WAV.
+#
+# These make the decode step REAL in this container (no PIL/ffmpeg needed):
+# builders emit genuine spec-compliant files, decoders parse them back by
+# struct layout — file header offsets, row padding, RIFF chunk walk — and
+# the oracle recomputes the expected statistics from the generative formula,
+# so a decoder that misreads the pixel offset, forgets the 4-byte row pad,
+# or grabs the wrong chunk fails the correctness gate.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def build_bmp(media_id: int) -> bytes:
+    """Deterministic 24bpp bottom-up BMP. Pixel byte k (counting storage
+    order, padding excluded) = (media_id*7 + k) % 256."""
+    w = 8 + media_id % 8
+    h = 4 + media_id % 4
+    row_len = w * 3
+    pad = (4 - row_len % 4) % 4
+    stride = row_len + pad
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    k = 0
+    for _row in range(h):
+        for _i in range(row_len):
+            body.append((media_id * 7 + k) % 256)
+            k += 1
+        body.extend(b"\x00" * pad)
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24bpp BMP: returns (width, height, pixel bytes sans padding).
+
+    Reads the declared pixel-array offset from the file header and the
+    dimensions from the DIB header; strips per-row padding."""
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsize, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    row_len = w * 3
+    stride = (row_len + 3) & ~3
+    rows = []
+    for r in range(abs(h)):
+        start = offset + r * stride
+        rows.append(payload[start : start + row_len])
+    return w, abs(h), b"".join(rows)
+
+
+def build_wav(media_id: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic mono PCM16 WAV. Sample k = ((media_id*31 + k*17) %
+    65536) - 32768."""
+    n = 64 + media_id % 64
+    samples = [
+        ((media_id * 31 + k * 17) % 65536) - 32768 for k in range(n)
+    ]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Parse a PCM16 WAV by walking RIFF chunks (any chunk order).
+
+    Returns (sample_rate, samples)."""
+    riff, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise ValueError("only mono PCM16 supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
+def synth_media_real(spark, sf_dir: str, every: int = 10) -> DataFrame:
+    """Media table whose image/audio payloads are REAL files (BMP/WAV built
+    by the codecs above), sampled every `every`-th order key. Video stays an
+    opaque payload (no stdlib container format) and is excluded here."""
+    ids = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("media_id"))
+        .filter((F.col("media_id") % every == 0) & (F.col("media_id") % 3 != 2))
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf["media_id"]
+            kinds = ["image" if m % 3 == 0 else "audio" for m in mids]
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": kinds,
+                    "payload": [
+                        build_bmp(int(m)) if k == "image" else build_wav(int(m))
+                        for m, k in zip(mids, kinds)
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(gen, "media_id long, kind string, payload binary")
+
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_units long, "
+    "mean_a double, mean_b double, mean_c double"
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """REAL decode + feature extraction over binary media (mapInPandas).
+
+    Per kind:
+    - image (BMP): width, height, n_units = pixel count, mean_a/b/c = mean
+      B/G/R channel values (storage is BGR triples);
+    - audio (WAV): n_units = sample count, mean_a = mean amplitude,
+      mean_b = RMS, mean_c = duration in ms (floor, from the PARSED header
+      sample rate).
+
+    All statistics accumulate in exact integer arithmetic and divide once at
+    the end — deterministic IEEE doubles, safe for the cross-engine hash.
+    """
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "kind", "width", "height", "n_units",
+                    "mean_a", "mean_b", "mean_c",
+                )
+            }
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                if kind == "image":
+                    w, h, px = decode_bmp(bytes(payload))
+                    sums = [0, 0, 0]
+                    for i, b in enumerate(px):
+                        sums[i % 3] += b
+                    n = w * h
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_units"].append(n)
+                    out["mean_a"].append(sums[0] / n)
+                    out["mean_b"].append(sums[1] / n)
+                    out["mean_c"].append(sums[2] / n)
+                else:
+                    rate, samples = decode_wav(bytes(payload))
+                    n = len(samples)
+                    s = sum(samples)
+                    sq = sum(v * v for v in samples)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_units"].append(n)
+                    out["mean_a"].append(s / n)
+                    out["mean_b"].append(math.sqrt(sq / n))
+                    out["mean_c"].append(float(n * 1000 // rate))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, DECODED_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

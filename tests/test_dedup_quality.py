@@ -69,3 +69,41 @@ def test_cosine_topk_finds_perturbed_vector(spark):
     top = cosine_topk(df.filter(F.col("vec_id") == 1), df, k=1)
     r = top.collect()[0]
     assert r["neighbor_id"] == 2 and r["cos"] > 0.999
+
+
+def test_ngram_df_cap_bounds_hot_shingle_skew(spark):
+    """A shingle present in EVERY doc (stopword shingle) must not generate
+    all-pairs candidates once the document-frequency cap is on; genuinely
+    similar docs still pair through their discriminative shingles."""
+    hot = "the quick fox"
+    rows = (
+        # two near-identical docs sharing discriminative shingles
+        [(1, hot + " jumped over lazy dogs daily"),
+         (2, hot + " jumped over lazy dogs nightly")]
+        # many unrelated docs that share ONLY the hot shingle
+        + [(i, hot + f" unrelated tail number {i} content") for i in range(3, 23)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(df, k=3)
+
+    capped = ngram_jaccard_pairs(sh, threshold=0.3, max_doc_freq=5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (1, 2) in pairs  # near-dups survive the cap
+    # unrelated docs shared only capped shingles → no pair at all
+    assert all(p == (1, 2) for p in pairs)
+
+    # sanity: without the cap the hot shingle still can't push unrelated
+    # docs over the threshold, but it DOES create the candidate blow-up —
+    # every doc pair shares >= 1 shingle
+    uncapped_candidates = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert uncapped_candidates == 22 * 21 // 2  # all-pairs without the cap

@@ -15,9 +15,14 @@ from postgres_cdc_reconciliation_spark.operators.diagnostics import (
 def test_slot_lag_ordering_and_pretty(spark):
     out = slot_lag_report(fx.slots_df(spark), "2/100000").collect()
     lags = [r["lag_bytes"] for r in out]
-    assert lags == sorted(lags, reverse=True)  # worst first
+    known = [x for x in lags if x is not None]
+    assert known == sorted(known, reverse=True)  # worst first
+    # never-confirmed slot (NULL flush): unknown lag sorts last
+    assert lags[len(known):] == [None] * (len(lags) - len(known))
     assert all(
-        r["lag"].endswith((" bytes", " KB", " MB", " GB")) for r in out
+        r["lag"].endswith((" bytes", " KB", " MB", " GB"))
+        for r in out
+        if r["lag_bytes"] is not None
     )
 
 
@@ -31,7 +36,7 @@ def test_all_tables_status(spark, sf_dir):
     bc = fx.batch_control_df(spark, sf_dir)
     out = all_tables_status(bc, fx.slots_df(spark), fx.AS_OF)
     rows = out.collect()
-    n_live_slots = 5  # logical+active fixtures
+    n_live_slots = 6  # logical+active fixtures (incl. NULL-flush customer_slot)
     tables = {r["table_name"] for r in rows}
     assert tables == {"orders", "lineitem", "customer"}
     assert len(rows) == 3 * n_live_slots  # latest per table × live slots
@@ -56,3 +61,22 @@ def test_lag_trend_history(spark, sf_dir):
     assert all(r["completion_timestamp"] is not None for r in rows)
     # lag sign can be either way (ahead/behind); values must be finite ints
     assert all(isinstance(r["historical_lag_bytes"], int) for r in rows)
+
+
+def test_publication_owners_regrole(spark):
+    from postgres_cdc_reconciliation_spark.operators.diagnostics import (
+        publication_owners,
+    )
+
+    out = {
+        r["pubname"]: r["owner"]
+        for r in publication_owners(
+            fx.pub_owners_df(spark), fx.roles_df(spark)
+        ).collect()
+    }
+    assert out == {
+        "orders_pub": "repl_user",
+        "lineitem_pub": "postgres",
+        "analytics_pub": "analytics_owner",
+        "orphan_pub": "99999",  # no pg_roles row → numeric OID text
+    }

@@ -46,11 +46,13 @@ def test_wait_replication_complete(spark, sf_dir):
 
     def status_fn():
         return st.latest_batch_replication_status(
-            spark, bc, slots, pubs, "public", "customer", as_of=fx.AS_OF
+            spark, bc, slots, pubs, "public", "lineitem", as_of=fx.AS_OF
         )
 
     row = status_fn().collect()[0]
-    assert row["replication_complete"]  # fixture: customer's latest is READY
+    # fixture: lineitem's slot frontier is past its latest batch (READY);
+    # customer now resolves to the never-confirmed NULL-flush slot → False
+    assert row["replication_complete"]
     done = wait_replication_complete(
         spark, status_fn, row["latest_batch_id"],
         timeout_s=1, interval_s=1, clock=lambda: 0.0, sleep=lambda s: None,

@@ -35,3 +35,21 @@ def test_fast_cosine_bucketed_smoke(spark, sf_dir):
     q = v.filter(F.col("vec_id") < 8)
     out = cosine_topk_fast(q, v, k=3, bucket_col="label").collect()
     assert len(out) > 0 and all(r["rank"] <= 3 for r in out)
+
+
+def test_rp_bucket_assignment_properties(spark):
+    """Identical vectors share a bucket; a vector and its negation differ in
+    every plane bit (bucket XOR = all-ones)."""
+    import math
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        assign_rp_buckets,
+    )
+
+    v = [math.sin(i * 0.37) + 0.1 for i in range(64)]
+    rows = [(1, v), (2, list(v)), (3, [-x for x in v])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["rp_bucket"] for r in assign_rp_buckets(df, dim=64).collect()}
+    assert out[1] == out[2]
+    assert out[1] ^ out[3] == 0b1111  # negation flips every sign bit
+    assert 0 <= out[1] < 16
