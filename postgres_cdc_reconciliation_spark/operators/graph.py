@@ -45,7 +45,12 @@ def connected_components(
     """
     spark = edges.sparkSession
     n_edges = edges.count()
-    if n_edges <= local_threshold:
+    dtypes = dict(edges.dtypes)
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    # driver fast path only for integral ids: the long cast would silently
+    # NULL non-numeric string ids, and 100k long pairs are a bounded ~1.6 MB
+    # collect. String-id graphs (unbounded key width) always go distributed.
+    if n_edges <= local_threshold and {dtypes[src], dtypes[dst]} <= integral:
         pairs = edges.select(
             F.col(src).cast("long"), F.col(dst).cast("long")
         ).collect()

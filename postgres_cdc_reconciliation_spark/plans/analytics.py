@@ -362,3 +362,346 @@ def q_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# --- round-2 widening: the remaining classic TPC-H shapes, adapted to the
+# partsupp-free synthetic schema (VERDICT r1 #10). Money math stays DECIMAL
+# until the final DOUBLE surface; threshold comparisons run in exact decimal
+# (v*1000 > total, never double*0.001) so float summation order can't flip
+# boundary rows between engines.
+
+
+@register(
+    "q_shipping_priority",
+    """SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer c JOIN orders o ON c_custkey = o_custkey
+JOIN lineitem l ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+    doc="TPC-H Q3-shaped shipping priority: segment filter → 3-way join → agg "
+    "→ deterministic top-10 (full tie-break so the LIMIT set is engine-stable)",
+)
+def q_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("cast('1995-03-15' as timestamp_ntz)")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("cast('1995-03-15' as timestamp_ntz)")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_volume_shipping",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM supplier s JOIN lineitem l ON s_suppkey = l_suppkey
+JOIN orders o ON o_orderkey = l_orderkey
+JOIN customer c ON c_custkey = o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+  AND n1.n_nationkey <> n2.n_nationkey
+  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY 1, 2, 3""",
+    doc="TPC-H Q7-shaped volume shipping: two broadcast nation dims with an "
+    "inequality filter between them, fact-fact shuffle joins, year rollup",
+)
+def q_volume_shipping(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.expr("cast('1995-01-01' as timestamp_ntz)"),
+            F.expr("cast('1996-12-31' as timestamp_ntz)"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    n1 = n.select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .filter(F.col("k1") != F.col("k2"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_market_share",
+    """WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p JOIN lineitem l ON p_partkey = l_partkey
+  JOIN supplier s ON s_suppkey = l_suppkey
+  JOIN orders o ON o_orderkey = l_orderkey
+  JOIN customer c ON c_custkey = o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO')
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM vol GROUP BY o_year""",
+    doc="TPC-H Q8-shaped market share: snowflake join through region on the "
+    "customer side, supplier-nation share per year — exact decimal sums, one "
+    "double division at the surface",
+)
+def q_market_share(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    base = (
+        F.broadcast(p)
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(r), F.col("crk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+@register(
+    "q_large_orders",
+    """SELECT c_name, c_custkey, o.o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer c JOIN orders o ON c_custkey = o_custkey
+JOIN lineitem l ON o.o_orderkey = l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+GROUP BY c_name, c_custkey, o.o_orderkey, o_orderdate, o_totalprice""",
+    doc="TPC-H Q18-shaped large-volume orders: IN over a grouped HAVING "
+    "(semi join against an aggregate), then re-aggregation over the kept keys",
+)
+def q_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("_tp"),
+        )
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("_tp").cast("double").alias("o_totalprice"), "total_qty",
+        )
+    )
+
+
+@register(
+    "q_sales_opportunity",
+    """WITH avg_bal AS (SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) AS a
+                        FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) > a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-06-01')
+GROUP BY c_nationkey""",
+    doc="TPC-H Q22-shaped sales opportunity: scalar global-average subquery "
+    "(broadcast scalar join) + NOT EXISTS anti join on a filtered fact",
+)
+def q_sales_opportunity(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg(bal).alias("a"))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.expr("cast('2001-06-01' as timestamp_ntz)")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(bal > F.col("a"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q_min_cost_supplier",
+    """WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit
+  FROM lineitem GROUP BY 1, 2),
+best AS (SELECT l_partkey, MIN(unit) AS best_unit FROM cost GROUP BY 1)
+SELECT p_partkey, s_name, n_name, CAST(c.unit AS DOUBLE) AS unit
+FROM cost c JOIN best b ON c.l_partkey = b.l_partkey AND c.unit = b.best_unit
+JOIN part p ON p_partkey = c.l_partkey
+JOIN supplier s ON s_suppkey = c.l_suppkey
+JOIN nation n ON s_nationkey = n_nationkey
+JOIN region r ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_size = 15""",
+    doc="TPC-H Q2-shaped min-cost supplier (partsupp-free: unit price from "
+    "observed sales): per-part min over a grouped aggregate joined back — "
+    "the correlated-MIN-subquery shape without a correlated rescan",
+)
+def q_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit").alias("best_unit"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        cost.join(best, "l_partkey")
+        .filter(F.col("unit") == F.col("best_unit"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "s_name", "n_name", F.col("unit").cast("double").alias("unit"))
+    )
+
+
+@register(
+    "q_part_value_share",
+    """WITH top_nation AS (
+  SELECT s_nationkey FROM supplier GROUP BY 1
+  ORDER BY count(*) DESC, s_nationkey LIMIT 1),
+val AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS v
+  FROM lineitem l JOIN supplier s ON l_suppkey = s_suppkey
+  WHERE s_nationkey = (SELECT s_nationkey FROM top_nation)
+  GROUP BY 1)
+SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+FROM val WHERE v * 1000 > (SELECT SUM(v) FROM val)""",
+    doc="TPC-H Q11-shaped important stock: per-part value vs a scalar global "
+    "total — the HAVING-over-global-aggregate shape; compare in exact "
+    "decimal (v*1000 > total), never double*fraction",
+)
+def q_part_value_share(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    top_nation = (
+        s.groupBy("s_nationkey")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), "s_nationkey")
+        .limit(1)
+        .select("s_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    val = (
+        li.join(
+            F.broadcast(s.join(F.broadcast(top_nation), "s_nationkey", "left_semi")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("v"))
+    )
+    total = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * 1000 > F.col("t"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q_excess_suppliers",
+    """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%' GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100)""",
+    doc="TPC-H Q20-shaped excess suppliers (partsupp-free: shipped volume "
+    "stands in for availability): semi join against a filtered grouped HAVING",
+)
+def q_excess_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_q"))
+        .filter(F.col("_q") > 100)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )

@@ -84,6 +84,14 @@ _CHECK_PRIORITY: list[str] = [
     # -- new this round --
     "q_publication_owners",
     "q_dedup_embed_rp",
+    "q_shipping_priority",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_large_orders",
+    "q_sales_opportunity",
+    "q_min_cost_supplier",
+    "q_part_value_share",
+    "q_excess_suppliers",
     # -- changed this round: re-verify --
     "q_pivot",
     "q_dedup_embed",

@@ -107,3 +107,20 @@ def test_components_distributed_matches_local(spark):
         for r in connected_components(df, local_threshold=0).collect()
     }
     assert local == dist
+
+
+def test_connected_components_string_ids_use_distributed_path(spark):
+    """Non-numeric ids must not hit the driver fast path (its long cast
+    would NULL them); the distributed labeling handles any orderable type."""
+    edges = spark.createDataFrame(
+        [("doc_a1", "doc_b2"), ("doc_b2", "doc_c3"), ("doc_x9", "doc_y8")],
+        "doc_a string, doc_b string",
+    )
+    comp = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {
+        "doc_a1": "doc_a1",
+        "doc_b2": "doc_a1",
+        "doc_c3": "doc_a1",
+        "doc_x9": "doc_x9",
+        "doc_y8": "doc_x9",
+    }
