@@ -1,0 +1,148 @@
+"""[EXT] Training-data curation operators: deterministic corpus splits,
+train/eval decontamination, and concat-and-chunk sequence packing.
+
+These are the corpus-preparation steps a pretraining pipeline runs between
+raw documents and the tokenizer, expressed as narrow Spark plans:
+
+- ``hash_split``: map-only projection (no shuffle) — every executor can
+  assign split membership independently, and the assignment is stable
+  across reruns/backfills because it derives from md5(salt || id), not RNG
+  state. md5 keeps it reproducible in any engine (registry convention).
+- ``contamination_report``: the eval-set shingle index is dedup'd and
+  broadcast (benchmark suites are tiny next to a 100 TB corpus), so the
+  scan stays a map-side hash-join + one keyed agg on doc_id.
+- ``pack_chunks``: GPT-style concat-and-chunk packing (documents are
+  concatenated in id order and cut at every ``budget`` tokens) via a
+  running-sum window partitioned by a group column. Windows distribute by
+  group, so packing 100 TB means choosing groups (source, shard) small
+  enough that one group's docs fit an executor's window sort — the group
+  column is the parallelism knob, and chunk ids are (group, chunk_seq) so
+  no cross-group coordination exists.
+
+Reference parity: the reference engine has no curation surface; these
+extend SURVEY.md §2's [EXT] D3 row (LLM-data operators) alongside
+dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col, salt: str, n_buckets: int = 100):
+    """Deterministic [0, n_buckets) bucket from md5(salt || value) — the
+    first 8 hex chars parsed base-16 (engine-portable: DuckDB spells it
+    CAST('0x' || substr(md5(..),1,8) AS BIGINT))."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets).alias(
+        "bucket"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Stable train/val/test assignment by id hash.
+
+    Adds ``split_bucket`` (0-99) and ``split``. Changing the salt reshuffles
+    the split; adding new documents never moves existing ones between
+    splits (the property RNG-based sampling lacks).
+    """
+    bucket = hash_bucket(F.col(id_col), salt + ":")
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_pct, "train")
+        .when(F.col("split_bucket") < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def contamination_report(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-train-doc overlap with the eval set's k-gram shingles.
+
+    Returns (doc_id, n_shared_shingles, n_shingles, overlap_share,
+    contaminated) for every train doc that has at least one shingle.
+    ``contaminated`` flags docs whose distinct-shingle overlap share with
+    the eval set reaches ``threshold`` — the standard n-gram-overlap
+    decontamination test run before training on a scraped corpus.
+
+    Scale shape: the eval shingle set (distinct, one column) is broadcast —
+    benchmark suites are MBs against a corpus of TBs — so no corpus-wide
+    shuffle happens until the final doc_id agg, which is map-side
+    combinable. overlap_share is a ratio of two exact ints (engine-stable).
+    """
+    from .dedup import shingles
+
+    tr = shingles(train_docs, id_col=id_col, text_col=text_col, k=k)
+    ev = shingles(eval_docs, id_col=id_col, text_col=text_col, k=k).select(
+        "shingle"
+    ).distinct()
+    sizes = tr.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_hits", F.lit(0)).cast("long").alias("n_shared_shingles"),
+            F.col("n_shingles").cast("long"),
+            (
+                F.coalesce("_hits", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("overlap_share"),
+        )
+        .withColumn("contaminated", F.col("overlap_share") >= threshold)
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int = 512,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each group, documents are
+    laid out in id order and cut into fixed ``budget``-token chunks; each
+    doc learns which chunk its first token lands in and at what offset.
+
+    chunk_id = floor(tokens_before / budget) — the exact layout a
+    concatenate-then-chunk pretraining tokenizer produces (documents may
+    straddle chunk boundaries; the boundary doc belongs to the chunk where
+    it starts). One window (running sum) per group; groups are independent,
+    so parallelism = number of groups — pick group granularity (source,
+    date, shard) so a group's docs fit one executor.
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tokens_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        docs.select(F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens"))
+        .withColumn("tokens_before", tokens_before)
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            F.floor(F.col("tokens_before") / budget).cast("long").alias("chunk_id"),
+            (F.col("tokens_before") % budget).cast("long").alias("chunk_offset"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""[EXT] Driver-facing queries for the training-data curation operators
+(`operators/curation.py`): deterministic hash splits, train/eval
+decontamination, and concat-and-chunk sequence packing.
+
+No reference citation by definition (SURVEY.md §0 extension mandate). All
+logic is native Spark SQL expressions; md5 is the cross-engine hash so each
+query is DuckDB-oracle-checkable bit-for-bit.
+
+Determinism notes (registry conventions):
+- split assignment is md5-derived, never RNG — identical in both engines;
+- contamination threshold 0.5 was margin-checked against testdata: the
+  nearest overlap_share is >0.13 from the cut at sf0.001 AND sf0.01, and
+  the flag is non-vacuous (docs on both sides) at both sfs;
+- overlap_share is a ratio of two exact BIGINTs surfaced as DOUBLE — one
+  IEEE division, no summation-order nondeterminism;
+- pack_chunks orders by the globally-unique doc_id within each group, so
+  the running sum is fully tie-broken.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from ..operators.curation import contamination_report, hash_split, pack_chunks
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# DuckDB equivalent of operators.curation.hash_bucket (salt "split-v1:").
+_SPLIT_BUCKET_SQL = (
+    "CAST(CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 100 AS BIGINT)"
+)
+
+_SPLIT_CTE = f"""
+split_assign AS (
+  SELECT *, {_SPLIT_BUCKET_SQL} AS split_bucket FROM documents
+)"""
+
+
+@register(
+    "q_hash_split",
+    f"""WITH {_SPLIT_CTE}
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 80 THEN 'train'
+            WHEN split_bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM split_assign""",
+    doc="[EXT] deterministic md5 train/val/test split — map-only, no shuffle, "
+    "stable under corpus growth (new docs never move existing ones)",
+)
+def q_hash_split(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return hash_split(d).select("doc_id", "split_bucket", "split")
+
+
+_SHINGLE_BODY = """(
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM {tok_src})"""
+
+
+@register(
+    "q_contamination",
+    f"""WITH {_SPLIT_CTE},
+train AS (SELECT * FROM split_assign WHERE split_bucket < 80),
+eval AS (SELECT * FROM split_assign WHERE split_bucket >= 90),
+tok_tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+tok_ev AS (SELECT doc_id, string_split(text, ' ') AS w FROM eval),
+sh_tr AS {_SHINGLE_BODY.format(tok_src="tok_tr")},
+sh_ev AS (SELECT DISTINCT shingle FROM {_SHINGLE_BODY.format(tok_src="tok_ev")} s),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM sh_tr GROUP BY doc_id),
+hits AS (SELECT sh_tr.doc_id, CAST(count(*) AS BIGINT) AS _hits
+         FROM sh_tr JOIN sh_ev USING (shingle) GROUP BY sh_tr.doc_id)
+SELECT sizes.doc_id,
+       CAST(COALESCE(_hits, 0) AS BIGINT) AS n_shared_shingles,
+       n_shingles,
+       CAST(COALESCE(_hits, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         AS overlap_share,
+       (CAST(COALESCE(_hits, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)) >= 0.5
+         AS contaminated
+FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id""",
+    doc="[EXT] train/eval decontamination: per-train-doc k-gram overlap with "
+    "the broadcast eval shingle set; threshold 0.5 margin-checked (>0.13 at "
+    "sf0.001/sf0.01, non-vacuous both sides)",
+)
+def q_contamination(spark, sf_dir):
+    d = hash_split(_docs(spark, sf_dir))
+    train = d.filter(F.col("split") == "train")
+    ev = d.filter(F.col("split") == "test")
+    return contamination_report(train, ev, k=3, threshold=0.5)
+
+
+@register(
+    "q_pack_chunks",
+    """WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+w AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       CAST(tokens_before // 512 AS BIGINT) AS chunk_id,
+       CAST(tokens_before % 512 AS BIGINT) AS chunk_offset
+FROM w""",
+    doc="[EXT] concat-and-chunk sequence packing: running-sum window per "
+    "source group, cut every 512 tokens; parallelism = group count",
+)
+def q_pack_chunks(spark, sf_dir):
+    return pack_chunks(_docs(spark, sf_dir), budget=512, group_col="source")

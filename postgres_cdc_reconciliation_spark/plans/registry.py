@@ -92,15 +92,19 @@ _CHECK_PRIORITY: list[str] = [
     "q_min_cost_supplier",
     "q_part_value_share",
     "q_excess_suppliers",
-    # -- changed this round: re-verify --
+    "q_hash_split",
+    "q_contamination",
+    "q_pack_chunks",
+    # -- changed this round: re-verify (ranked by risk; the 50-query window
+    # cuts at position 50, so the most-changed queries come first) --
     "q_pivot",
     "q_dedup_embed",
-    "q_dedup_ngram",
+    "q_cdc_apply",
     "q_health_report",
     "q_slot_lag_report",
     "q_minutes_since",
+    "q_dedup_ngram",
     "q_batch_status",
-    "q_cdc_apply",
     "q_latest_per_group",
     "q_priority_pick",
     "q_dedup_minhash",
@@ -122,6 +126,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import coverage  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import analytics  # noqa: F401
+    from . import curation  # noqa: F401
 
     ordered: dict[str, QuerySpec] = {}
     for name in _CHECK_PRIORITY:

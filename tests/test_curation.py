@@ -1,0 +1,80 @@
+"""Semantic tests for the curation operators (hash split, decontamination,
+sequence packing) — oracle parity proves engine agreement; these prove the
+operators do their job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.curation import (
+    contamination_report,
+    hash_split,
+    pack_chunks,
+)
+
+
+def _docs(spark, n=400):
+    rows = [(i, f"doc number {i} body word{i % 7} tail", "src%d" % (i % 4)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_hash_split_fractions_and_labels(spark):
+    out = hash_split(_docs(spark)).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    # md5 is uniform; with n=400 the 80/10/10 split stays within wide bounds
+    assert counts["train"] > 250
+    assert counts["val"] + counts["test"] < 150
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    small = hash_split(_docs(spark, n=100)).select("doc_id", "split")
+    big = hash_split(_docs(spark, n=400)).select(
+        "doc_id", F.col("split").alias("split_big")
+    )
+    joined = small.join(big, "doc_id")
+    assert joined.filter(F.col("split") != F.col("split_big")).count() == 0
+    assert joined.count() == 100
+
+
+def test_hash_split_salt_reshuffles(spark):
+    a = hash_split(_docs(spark), salt="v1").select("doc_id", "split")
+    b = hash_split(_docs(spark), salt="v2").select(
+        "doc_id", F.col("split").alias("split_b")
+    )
+    moved = a.join(b, "doc_id").filter(F.col("split") != F.col("split_b")).count()
+    assert moved > 0
+
+
+def test_contamination_flags_planted_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(1, base), (2, "totally disjoint words here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    rep = {r["doc_id"]: r.asDict() for r in contamination_report(train, ev).collect()}
+    assert rep[1]["contaminated"] and rep[1]["overlap_share"] == 1.0
+    assert not rep[2]["contaminated"] and rep[2]["n_shared_shingles"] == 0
+
+
+def test_pack_chunks_invariants(spark):
+    out = pack_chunks(_docs(spark), budget=16, group_col="source").collect()
+    by_group = {}
+    for r in out:
+        assert 0 <= r["chunk_offset"] < 16
+        assert r["chunk_id"] >= 0
+        by_group.setdefault(r["source"], []).append(r)
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        # first doc in each group starts at chunk 0, offset 0
+        assert rows[0]["chunk_id"] == 0 and rows[0]["chunk_offset"] == 0
+        # chunk layout is exactly the running token sum
+        running = 0
+        for r in rows:
+            assert r["chunk_id"] == running // 16
+            assert r["chunk_offset"] == running % 16
+            running += r["n_tokens"]
+        # chunk ids never decrease in doc order
+        ids = [r["chunk_id"] for r in rows]
+        assert ids == sorted(ids)
