@@ -95,6 +95,8 @@ _CHECK_PRIORITY: list[str] = [
     "q_hash_split",
     "q_contamination",
     "q_pack_chunks",
+    "q_repetition",
+    "q_vocab_coverage",
     # -- changed this round: re-verify (ranked by risk; the 50-query window
     # cuts at position 50, so the most-changed queries come first) --
     "q_pivot",

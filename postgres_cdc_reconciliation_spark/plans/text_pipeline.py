@@ -528,3 +528,127 @@ def q_corpus_curation(spark, sf_dir):
             "docs_kept"
         ),
     )
+
+
+# --- repetition-based quality rules + vocabulary statistics ----------------
+
+
+@register(
+    "q_repetition",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         CAST(list_max(list_transform(list_distinct(w),
+              tk -> len(list_filter(w, x -> x = tk)))) AS BIGINT) AS mode_freq,
+         CAST(len(w) - 1 AS BIGINT) AS n_2grams,
+         CAST(len(list_distinct([array_to_string(w[i:i+1], ' ')
+              for i in range(1, len(w))])) AS BIGINT) AS n_distinct_2grams
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+       CAST(mode_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mode_token_share,
+       1.0 - CAST(n_distinct_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE)
+         AS dup_2gram_share,
+       (n_distinct * 100 >= n_tokens * 32
+        AND mode_freq * 100 <= n_tokens * 15
+        AND (n_2grams - n_distinct_2grams) * 10 <= n_2grams) AS keep
+FROM m""",
+    doc="[EXT] Gopher-style repetition quality rules adapted to token stats: "
+    "type-token ratio, mode-token share, duplicate-2-gram share. The keep "
+    "flag is pure integer arithmetic (nd*100 >= n*32 etc.) so no float "
+    "boundary can diverge between engines; ratios are single int/int IEEE "
+    "divisions. Map-only plan: every metric is partition-local array math "
+    "(no explode, no shuffle) — at 100 TB this runs at scan speed.",
+)
+def q_repetition(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+    ).withColumn(
+        "mode_freq",
+        F.array_max(
+            F.expr("transform(array_distinct(w), tk -> size(filter(w, x -> x = tk)))")
+        ).cast("long"),
+    ).withColumn(
+        "n_2grams", (F.col("n_tokens") - 1).cast("long")
+    ).withColumn(
+        "n_distinct_2grams",
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat_ws(' ', slice(w, i + 1, 2)))"
+                )
+            )
+        ).cast("long"),
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "type_token_ratio"
+        ),
+        (F.col("mode_freq").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "mode_token_share"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_2grams").cast("double")
+            / F.col("n_2grams").cast("double")
+        ).alias("dup_2gram_share"),
+        (
+            (F.col("n_distinct") * 100 >= F.col("n_tokens") * 32)
+            & (F.col("mode_freq") * 100 <= F.col("n_tokens") * 15)
+            & ((F.col("n_2grams") - F.col("n_distinct_2grams")) * 10 <= F.col("n_2grams"))
+        ).alias("keep"),
+    )
+
+
+@register(
+    "q_vocab_coverage",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+         CAST(sum(freq) OVER (ORDER BY freq DESC, token
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+         CAST(sum(freq) OVER () AS BIGINT) AS total_tokens
+  FROM freq)
+SELECT token, freq, rank,
+       CAST(cum_freq AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS cum_share
+FROM ranked""",
+    doc="[EXT] corpus vocabulary statistics: global token frequencies, "
+    "frequency rank (ties broken by token), cumulative coverage share — the "
+    "table a tokenizer-training step reads. Scale shape: explode is "
+    "partition-local, the groupBy is map-side combinable, and the single "
+    "global window runs over the *vocabulary* (tiny vs corpus — Zipf), not "
+    "the corpus; cum_share is a ratio of exact BIGINTs.",
+)
+def q_vocab_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    w_rank = Window.orderBy(F.desc("freq"), F.asc("token"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return freq.select(
+        "token",
+        "freq",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        (
+            F.sum("freq").over(w_cum).cast("double")
+            / F.sum("freq").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )

@@ -28,8 +28,13 @@ def norm(p):
     p = p.reindex(sorted(p.columns), axis=1)
     return p.sort_values(by=list(p.columns), ignore_index=True, na_position="last")
 
+only = set(sys.argv[1:])  # optional subset: script.py q_a q_b (default: all)
+if only:
+    unknown = only - set(qs)
+    assert not unknown, f"unknown queries: {unknown}"
+
 fails=[]
-for name in sorted(qs):
+for name in sorted(only or qs):
     t0=time.time()
     try:
         sp = qs[name](spark, SF).toPandas()
