@@ -213,3 +213,235 @@ def embedding_near_dup_pairs(
         (_dot("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+# --- centroid-based multi-probe IVF (real coarse quantizer) -----------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cent: int = 16,
+    seed_lo: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer centroids: the ``n_cent`` corpus
+    vectors with ids in [seed_lo, seed_lo + n_cent), as (cent_id, cent).
+
+    seed_lo defaults past the conventional query range (ids < 16) so the
+    quantizer is disjoint from the query set — measuring recall with
+    query-derived centroids is leakage. Same dataflow note as pq_codebooks:
+    production k-means refinement keeps this exact shape (broadcast
+    centroids → keyed re-assign → mean-agg), and the table stays
+    broadcast-sized at any corpus scale."""
+    return corpus.filter(
+        (F.col(id_col) >= seed_lo) & (F.col(id_col) < seed_lo + n_cent)
+    ).select(
+        (F.col(id_col) - seed_lo).cast("int").alias("cent_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cent"),
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list assignment: each vector → nearest centroid by squared
+    L2 (ties to the smallest cent_id). Broadcast-join against the tiny
+    centroid table + min_by hash aggregate: map-side combinable, one keyed
+    shuffle on ``id_col``, no window sort. At 100 TB this runs once at
+    ingest and persists as a partition/bucket column."""
+    scored = vectors.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+    ).join(F.broadcast(centroids)).withColumn("dist", _sqdist("_v", "cent"))
+    return scored.groupBy(id_col).agg(
+        F.min(F.struct("dist", "cent_id")).alias("_m")
+    ).select(id_col, F.col("_m.cent_id").alias("cent_id"))
+
+
+def ivf_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF top-k: rank centroids per query, take the ``nprobe``
+    nearest inverted lists, exact-cosine rank only those candidates.
+
+    Scale shape: the probe table is |queries| × nprobe rows (broadcast);
+    candidate generation is an equality join on cent_id, so each query
+    scans nprobe/n_cent of the corpus instead of all of it — the knob that
+    trades recall for scan fraction. All math native SQL folds."""
+    assigned = corpus.join(
+        ivf_assign(corpus, centroids, id_col, vec_col), id_col
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_q"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy("dist", "cent_id")
+    probes = (
+        qs.join(F.broadcast(centroids))
+        .withColumn("dist", _sqdist("_q", "cent"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "cent_id")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    ).join(probes, "query_id")
+    c = with_norm(assigned, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+        "cent_id",
+    )
+    scored = c.join(F.broadcast(q), "cent_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cos", _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+# --- product quantization (third ANN tier) ---------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    d_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: (sub, cent_id, cent) — the subvectors of
+    the ``k_codes`` smallest-id corpus vectors.
+
+    A production system would run a few k-means refinement sweeps per
+    subspace; the centroid *selection* step is the part that must be
+    deterministic and engine-reproducible (the refinement is an optional
+    quality knob with the same dataflow shape: broadcast centroids, keyed
+    re-assignment, mean-agg update). Codebooks are tiny (n_sub × k_codes
+    rows) — always broadcast-joined, never shuffled."""
+    seeds = corpus.filter(F.col(id_col) < k_codes).select(
+        F.col(id_col).cast("int").alias("cent_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+    )
+    subs = seeds.select(
+        "cent_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}),"
+                f" m -> struct(m as sub, slice(_v, m * {d_sub} + 1, {d_sub}) as cent))"
+            )
+        ).alias("s"),
+    )
+    return subs.select(F.col("s.sub").alias("sub"), "cent_id", F.col("s.cent").alias("cent"))
+
+
+def _sqdist(a: str, b: str):
+    """Squared L2 distance between two double arrays — sequential fold,
+    deterministic across engines."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes per corpus vector: (vec_id, sub, code) with
+    code = argmin over centroids of subvector squared distance
+    (ties broken by smallest cent_id).
+
+    Scale shape: the corpus explodes to n_sub rows per vector
+    (partition-local), broadcast-joins the tiny codebook, and the argmin is
+    a min_by hash aggregate — map-side combinable, one keyed shuffle on
+    (vec_id, sub), no window sort."""
+    subs = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}),"
+                f" m -> struct(m as sub,"
+                f" slice(transform({vec_col}, x -> cast(x as double)),"
+                f" m * {d_sub} + 1, {d_sub}) as subv))"
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.sub").alias("sub"), F.col("s.subv").alias("subv"))
+    scored = subs.join(F.broadcast(codebooks), "sub").withColumn(
+        "dist", _sqdist("subv", "cent")
+    )
+    return scored.groupBy(id_col, "sub").agg(
+        F.min(F.struct("dist", "cent_id")).alias("_m")
+    ).select(id_col, "sub", F.col("_m.cent_id").alias("code"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: approx dist(q, x) = Σ_sub
+    ||q_sub − centroid[code_sub(x)]||², computed from the codes alone —
+    the corpus vectors are never touched at query time.
+
+    Dataflow: build the per-query distance table (queries × n_sub × k_codes
+    — tiny, broadcast), hash-join it to the code table on (sub, code), and
+    sum per (query, vec) — the join input is |codes| = corpus × n_sub narrow
+    int rows, which is the entire point of PQ at 100 TB: the scan reads
+    8 ints per vector instead of 64 floats, and memory holds codebooks only."""
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}),"
+                f" m -> struct(m as sub,"
+                f" slice(transform({vec_col}, x -> cast(x as double)),"
+                f" m * {d_sub} + 1, {d_sub}) as subv))"
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.sub").alias("sub"), F.col("s.subv").alias("subv"))
+    dtable = qsubs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cent_id").alias("code"),
+        _sqdist("subv", "cent").alias("part_dist"),
+    )
+    joined = codes.withColumnRenamed(id_col, "neighbor_id").join(
+        F.broadcast(dtable), ["sub", "code"]
+    )
+    adist = (
+        joined.groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part_dist").alias("approx_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist")
+    )

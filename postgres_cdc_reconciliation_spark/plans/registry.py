@@ -97,6 +97,8 @@ _CHECK_PRIORITY: list[str] = [
     "q_pack_chunks",
     "q_repetition",
     "q_vocab_coverage",
+    "q_ann_pq",
+    "q_ann_ivf_probe",
     # -- changed this round: re-verify (ranked by risk; the 50-query window
     # cuts at position 50, so the most-changed queries come first) --
     "q_pivot",

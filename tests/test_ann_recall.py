@@ -1,0 +1,104 @@
+"""Recall quality gates for the approximate ANN tiers (IVF multi-probe, PQ).
+
+Approximate indexes earn their keep only if they find most of what exact
+search finds — a bucketing scheme with chance-level recall is a shuffle
+optimization of a wrong answer. Floors below are set well under measured
+values on the gaussian testdata (IVF/PQ's worst case — no cluster
+structure): PQ recall@5 measured 0.66-0.70, shortlist@20 0.975-0.988;
+IVF nprobe=4 measured 0.31-0.45, nprobe=8 measured 0.68-0.73. The chance
+floor (5 of ~500 at random) is 0.01.
+
+Hard correctness property: IVF with nprobe = n_cent scans every inverted
+list, so it must reproduce brute force EXACTLY (ids and ranks) — any
+divergence is a bug in assignment/probe plumbing, not an approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.similarity import (
+    cosine_topk,
+    ivf_centroids,
+    ivf_topk_multiprobe,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
+
+
+def _exact_pairs(spark, sf_dir, k=5):
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = v.filter(F.col("vec_id") < 16)
+    return v, q, {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, v, k=k).collect()
+    }
+
+
+def _recall(found, exact):
+    return len(found & exact) / len(exact)
+
+
+def test_ivf_multiprobe_recall_monotone(spark, sf_dir):
+    v, q, exact = _exact_pairs(spark, sf_dir)
+    cents = ivf_centroids(v, n_cent=16, seed_lo=16)
+    rec = {}
+    for nprobe in (4, 8):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk_multiprobe(q, v, cents, k=5, nprobe=nprobe).collect()
+        }
+        rec[nprobe] = _recall(got, exact)
+    assert rec[4] >= 0.25, rec
+    assert rec[8] >= 0.55, rec
+    assert rec[8] >= rec[4], rec
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = v.filter(F.col("vec_id") < 16)
+    cents = ivf_centroids(v, n_cent=16, seed_lo=16)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(q, v, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk_multiprobe(q, v, cents, k=5, nprobe=16).collect()
+    }
+    assert full == exact
+
+
+def test_pq_recall_and_shortlist(spark, sf_dir):
+    v, q, exact = _exact_pairs(spark, sf_dir)
+    books = pq_codebooks(v, n_sub=32, d_sub=2, k_codes=64)
+    codes = pq_encode(v, books, n_sub=32, d_sub=2)
+    top5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(q, codes, books, k=5, n_sub=32, d_sub=2).collect()
+    }
+    short20 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(q, codes, books, k=20, n_sub=32, d_sub=2).collect()
+    }
+    assert _recall(top5, exact) >= 0.5
+    # rerank path: a 20-candidate shortlist from codes alone retains nearly
+    # all of the exact top-5 — the production pattern is PQ-shortlist then
+    # exact-rerank on the shortlist only.
+    assert _recall(short20, exact) >= 0.9
+
+
+def test_pq_codes_complete_and_bounded(spark, sf_dir):
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(v, n_sub=32, d_sub=2, k_codes=64)
+    codes = pq_encode(v, books, n_sub=32, d_sub=2)
+    n = v.count()
+    agg = codes.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("vec_id").alias("vecs"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+    ).first()
+    assert agg["rows"] == n * 32  # every vector fully encoded
+    assert agg["vecs"] == n
+    assert 0 <= agg["lo"] and agg["hi"] < 64
