@@ -135,18 +135,19 @@ def cosine_topk_fast(
     )
 
 
-def rp_planes(n_planes: int, dim: int) -> list[list[float]]:
+def rp_planes(n_planes: int, dim: int, offset: int = 0) -> list[list[float]]:
     """Deterministic random-hyperplane constants for sign-LSH.
 
-    Component j of plane p derives from md5(f"rp_{p}_{j}") — reproducible in
-    any engine from the same literals, no RNG state. Values uniform in
-    [-1, 1] with 1e-3 granularity."""
+    Component j of plane p derives from md5(f"rp_{offset + p}_{j}") —
+    reproducible in any engine from the same literals, no RNG state. Values
+    uniform in [-1, 1] with 1e-3 granularity. ``offset`` selects disjoint
+    plane sets for independent LSH tables."""
     import hashlib
 
     return [
         [
-            (int(hashlib.md5(f"rp_{p}_{j}".encode()).hexdigest()[:8], 16) % 2001
-             - 1000)
+            (int(hashlib.md5(f"rp_{offset + p}_{j}".encode()).hexdigest()[:8], 16)
+             % 2001 - 1000)
             / 1000.0
             for j in range(dim)
         ]
@@ -160,6 +161,7 @@ def assign_rp_buckets(
     n_planes: int = 4,
     vec_col: str = "embedding",
     bucket_col: str = "rp_bucket",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Sign-LSH bucket assignment: bit p of the bucket id = sign of
     ⟨v, plane_p⟩. The 100 TB answer to "where do blocking buckets come
@@ -172,7 +174,7 @@ def assign_rp_buckets(
     sets) and unioning candidates. The math stays a native SQL fold —
     sequential double accumulation, deterministic, oracle-checkable.
     """
-    planes = rp_planes(n_planes, dim)
+    planes = rp_planes(n_planes, dim, plane_offset)
     vec_d = f"transform({vec_col}, x -> cast(x as double))"
     bucket = None
     for p, plane in enumerate(planes):
@@ -213,6 +215,58 @@ def embedding_near_dup_pairs(
         (_dot("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def rp_near_dup_pairs_multi(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via L independent sign-LSH tables, candidates unioned.
+
+    One 4-plane table finds a pair at angle θ with probability (1 − θ/π)^4;
+    L tables lift that to 1 − (1 − p)^L — the standard recall knob. Dataflow:
+    each table's bucket is one more map-only int column on the SAME pass over
+    the vectors (no extra scans); candidate generation is L equality
+    self-joins unioned + a distinct on (id_a, id_b) — one keyed shuffle —
+    and the exact cosine runs once per distinct candidate. At 100 TB the
+    scan cost is unchanged from single-table; only the candidate volume
+    (and its dedup shuffle) grows, which is the point of the knob."""
+    v = with_norm(vectors, vec_col)
+    for t in range(n_tables):
+        v = assign_rp_buckets(
+            v, dim, n_planes, vec_col, f"_bk{t}", plane_offset=t * n_planes
+        )
+    v = v.select(
+        F.col(id_col), F.col(vec_col).alias("v"), F.col("_norm").alias("n"),
+        *[f"_bk{t}" for t in range(n_tables)],
+    )
+    cands = None
+    for t in range(n_tables):
+        a, b = v.alias("a"), v.alias("b")
+        ct = a.join(
+            b,
+            (F.col(f"a._bk{t}") == F.col(f"b._bk{t}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        cands = ct if cands is None else cands.unionAll(ct)
+    cands = cands.distinct()
+    left = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    right = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    scored = cands.join(left, "id_a").join(right, "id_b").select(
+        "id_a", "id_b", (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= threshold)
 
 
 # --- centroid-based multi-probe IVF (real coarse quantizer) -----------------

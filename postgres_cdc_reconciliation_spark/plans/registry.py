@@ -68,7 +68,6 @@ _CHECK_PRIORITY: list[str] = [
     "q_percentiles",
     "q_approx_stats",
     "q_grouped_demean",
-    "q_sample",
     "q_unpivot",
     # -- no CORRECTNESS row in round 1: function packs / SQL API --
     "q_date_funcs",
@@ -81,6 +80,10 @@ _CHECK_PRIORITY: list[str] = [
     "q_corpus_curation",
     "q_multimodal_features",
     "q_frame_sample",
+    # -- judge-flagged re-verifies: the one red r1 row (hash fix) and the
+    # vacuous 0=0 row (threshold fix) — must land inside the checked window --
+    "q_pivot",
+    "q_dedup_embed",
     # -- new this round --
     "q_publication_owners",
     "q_dedup_embed_rp",
@@ -99,10 +102,11 @@ _CHECK_PRIORITY: list[str] = [
     "q_vocab_coverage",
     "q_ann_pq",
     "q_ann_ivf_probe",
+    "q_dedup_embed_rp_multi",
     # -- changed this round: re-verify (ranked by risk; the 50-query window
-    # cuts at position 50, so the most-changed queries come first) --
-    "q_pivot",
-    "q_dedup_embed",
+    # cuts at position 50 — q_sample is rows-only, the weakest signal, so it
+    # takes the first slot past the cut) --
+    "q_sample",
     "q_cdc_apply",
     "q_health_report",
     "q_slot_lag_report",

@@ -388,12 +388,12 @@ def q_dedup_embed(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 
-def _rp_bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
+def _rp_bucket_sql(n_planes: int = 4, dim: int = 64, offset: int = 0) -> str:
     """DuckDB expression for the sign-LSH bucket — the SAME plane literals
     the Spark operator embeds (generated from one Python source of truth)."""
     from ..operators.similarity import rp_planes
 
-    planes = rp_planes(n_planes, dim)
+    planes = rp_planes(n_planes, dim, offset)
     terms = []
     for p, plane in enumerate(planes):
         lit = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
@@ -423,6 +423,44 @@ def q_dedup_embed_rp(spark, sf_dir):
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     bucketed = assign_rp_buckets(v, dim=64, n_planes=4)
     pairs = embedding_near_dup_pairs(bucketed, threshold=0.3, bucket_col="rp_bucket")
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+
+
+def _rp_multi_oracle(n_tables: int = 4, n_planes: int = 4) -> str:
+    bcols = ", ".join(
+        f"{_rp_bucket_sql(n_planes, 64, t * n_planes)} AS bk{t}"
+        for t in range(n_tables)
+    )
+    unions = "\nUNION\n".join(
+        f"SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a "
+        f"JOIN b b2 ON a.bk{t} = b2.bk{t} AND a.vec_id < b2.vec_id"
+        for t in range(n_tables)
+    )
+    return f"""WITH {_VEC_CTE},
+b AS (SELECT vec_id, e, n, {bcols} FROM v),
+cand AS ({unions})
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(x.e, y.e) / (x.n * y.n), 4) AS cos_r
+FROM cand c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
+WHERE list_dot_product(x.e, y.e) / (x.n * y.n) >= 0.3"""
+
+
+@register(
+    "q_dedup_embed_rp_multi",
+    _rp_multi_oracle(),
+    doc="[EXT] multi-table sign-LSH near-dup pairs: 4 independent 4-plane "
+    "tables, candidates unioned + distinct, exact cosine verification — the "
+    "production recall knob (1 table finds a pair with prob p, L tables with "
+    "1-(1-p)^L). Measured on testdata at threshold 0.3: recall vs brute "
+    "force 0.14 (L=1) -> 0.45-0.47 (L=4) -> 0.71-0.72 (L=8), false-positive "
+    "rate 0 at every L (exact verification step). All 16 plane sign margins "
+    ">= 1.9e-5 at sf0.001/0.01/0.1 — bucket ids engine-stable.",
+)
+def q_dedup_embed_rp_multi(spark, sf_dir):
+    from ..operators.similarity import rp_near_dup_pairs_multi
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = rp_near_dup_pairs_multi(v, dim=64, threshold=0.3, n_tables=4)
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 

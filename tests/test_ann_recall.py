@@ -18,12 +18,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from postgres_cdc_reconciliation_spark.operators.similarity import (
+    _dot,
     cosine_topk,
     ivf_centroids,
     ivf_topk_multiprobe,
     pq_codebooks,
     pq_encode,
     pq_topk,
+    rp_near_dup_pairs_multi,
+    with_norm,
 )
 
 
@@ -86,6 +89,42 @@ def test_pq_recall_and_shortlist(spark, sf_dir):
     # all of the exact top-5 — the production pattern is PQ-shortlist then
     # exact-rerank on the shortlist only.
     assert _recall(short20, exact) >= 0.9
+
+
+def test_rp_multitable_recall_monotone_no_false_positives(spark, sf_dir):
+    """L independent LSH tables lift recall (1-(1-p)^L); the exact-cosine
+    verification step means precision is ALWAYS 1.0 — any pair reported must
+    also appear in the brute-force set. Measured recall at threshold 0.3:
+    0.14-0.16 (L=1), 0.45-0.47 (L=4), 0.71-0.72 (L=8)."""
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vn = with_norm(v)
+    a, b = vn.alias("a"), vn.alias("b")
+    brute = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (
+                _dot("a.embedding", "b.embedding")
+                / (F.col("a._norm") * F.col("b._norm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    rec = {}
+    for n_tables in (1, 4):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in rp_near_dup_pairs_multi(
+                v, dim=64, threshold=0.3, n_tables=n_tables
+            ).collect()
+        }
+        assert got <= exact  # verification step: zero false positives
+        rec[n_tables] = len(got & exact) / len(exact)
+    assert rec[1] >= 0.05, rec
+    assert rec[4] >= 0.3, rec
+    assert rec[4] > rec[1], rec
 
 
 def test_pq_codes_complete_and_bounded(spark, sf_dir):
