@@ -145,6 +145,7 @@ def apply_stream(
     checkpoint_dir: str,
     frontier_path: str | None = None,
     n_buckets: int = DEFAULT_TARGET_BUCKETS,
+    protocol: str = "overwrite",
 ):
     """Continuous apply: foreachBatch merge + frontier advance (T2+T5).
 
@@ -171,10 +172,41 @@ def apply_stream(
       masquerade as 'first batch' and truncate the target — ADVICE r1).
     - The control write happens after the data write (commit-marker
       ordering, data_generator.py:96-121 analog).
+    - ``protocol="manifest"`` swaps the in-place dynamic overwrite for the
+      versioned-manifest commit (``manifest_target.py``): immutable stage
+      dirs + atomic manifest rename, so concurrent readers get snapshot
+      isolation and a mid-write crash leaves the previous snapshot fully
+      visible. Read such targets with ``manifest_target.read_snapshot``.
     """
     from ..streaming.frontier import append_frontier
 
     spark = parsed_unwrapped.sparkSession
+
+    def _merge_manifest(batch_df: DataFrame, batch_id: int) -> None:
+        from .manifest_target import commit_delta, read_buckets
+
+        if batch_df.isEmpty():
+            return
+        delta_buckets = [
+            r[0]
+            for r in batch_df.select(
+                bucket_expr(key_cols, n_buckets).alias("_bucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        target = read_buckets(spark, target_path, delta_buckets)
+        if target is None:  # first commit, or all touched buckets empty:
+            # empty target with the delta's payload schema
+            target = batch_df.limit(0).drop(
+                "op", "source_lsn", "ts_ms", "__deleted"
+            )
+        merged = apply_batch(target, batch_df, key_cols).localCheckpoint(
+            eager=True
+        )
+        commit_delta(merged, target_path, key_cols, delta_buckets, n_buckets)
+        if frontier_path is not None:
+            append_frontier(batch_df, frontier_path, batch_id)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -234,8 +266,9 @@ def apply_stream(
         if frontier_path is not None:
             append_frontier(batch_df, frontier_path, batch_id)
 
+    fn = _merge_manifest if protocol == "manifest" else _merge
     return (
-        parsed_unwrapped.writeStream.foreachBatch(_merge)
+        parsed_unwrapped.writeStream.foreachBatch(fn)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

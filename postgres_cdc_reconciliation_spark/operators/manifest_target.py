@@ -1,0 +1,200 @@
+"""Versioned-manifest commit protocol for bucketed parquet apply targets.
+
+The dynamic-partition-overwrite path in ``apply.py`` is *replay-convergent*
+(a crashed batch re-merges to the same state) but not *snapshot-isolated*: a
+reader that lists a bucket dir mid-overwrite can see partial files. The
+reference's sink inherits Postgres MVCC for free (the Debezium JDBC sink
+writes in transactions, jdbc-sink-connector-config.json:10-17); on plain
+parquet the lakehouse answer is a transaction log — this module is that
+protocol, in the shape Delta Lake's ``_delta_log`` and Iceberg's metadata
+pointer standardized:
+
+- Data files are IMMUTABLE once written: micro-batch ``v`` writes its merged
+  buckets under ``{root}/stage/v=<v>/_bucket=<b>/`` and never touches any
+  earlier version's files.
+- A manifest ``{root}/_manifests/v<v>.json`` maps every live bucket to the
+  version whose stage dir holds its current rows. The manifest is written to
+  a temp name and atomically renamed into place — the rename IS the commit.
+- Readers resolve the highest complete manifest and read exactly the dirs it
+  lists. A writer crash before the rename leaves only an orphan stage dir;
+  the previous snapshot stays fully intact and visible.
+- Replay safety: the stream checkpoint re-runs the batch, which re-reads the
+  OLD manifest (the crashed commit never happened), rewrites the same stage
+  dir (overwrite), and renames the manifest — converging to the same state.
+
+Per-batch cost is O(touched buckets) in data IO plus one tiny JSON write —
+the same scale shape as dynamic overwrite, with atomic visibility on top.
+``vacuum`` bounds storage by deleting stage dirs no referenced manifest
+needs.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .apply import bucket_expr
+
+MANIFEST_DIR = "_manifests"
+STAGE_DIR = "stage"
+
+
+def _fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _manifest_versions(spark: SparkSession, root: str) -> list[int]:
+    fs, mdir = _fs(spark, f"{root}/{MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for status in fs.listStatus(mdir):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def read_manifest(spark: SparkSession, root: str) -> tuple[int, dict[int, int]]:
+    """Resolve the current snapshot: (version, {bucket: data_version}).
+
+    Returns ``(-1, {})`` for a target with no committed snapshot yet."""
+    versions = _manifest_versions(spark, root)
+    if not versions:
+        return -1, {}
+    v = versions[-1]
+    fs, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
+    stream = fs.open(mpath)
+    try:
+        raw = bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+    doc = json.loads(raw)
+    return v, {int(b): int(dv) for b, dv in doc["buckets"].items()}
+
+
+def _bucket_path(root: str, bucket: int, data_version: int) -> str:
+    return f"{root}/{STAGE_DIR}/v={data_version}/_bucket={bucket}"
+
+
+def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
+    """Read the committed snapshot — exactly the dirs the manifest lists.
+
+    In-flight or crashed writers are invisible: their stage dirs are not in
+    any committed manifest."""
+    _, buckets = read_manifest(spark, root)
+    if not buckets:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    paths = [_bucket_path(root, b, dv) for b, dv in sorted(buckets.items())]
+    return spark.read.parquet(*paths)
+
+
+def read_buckets(
+    spark: SparkSession, root: str, buckets: list[int]
+) -> DataFrame | None:
+    """Read only the listed buckets' current dirs (partition pruning by
+    path — per-batch merge IO stays O(touched buckets), never O(target)).
+    Returns None when none of the buckets has live data."""
+    _, mapping = read_manifest(spark, root)
+    paths = [_bucket_path(root, b, mapping[b]) for b in buckets if b in mapping]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def commit_delta(
+    merged: DataFrame,
+    root: str,
+    key_cols: list[str],
+    touched_buckets: list[int],
+    n_buckets: int,
+) -> int:
+    """Commit one micro-batch's merged bucket content atomically.
+
+    ``merged`` must hold the COMPLETE new content of every bucket in
+    ``touched_buckets`` (and only those). Steps: stage-write → manifest
+    tmp-write → atomic rename. Returns the committed version."""
+    spark = merged.sparkSession
+    current_v, mapping = read_manifest(spark, root)
+    new_v = current_v + 1
+    (
+        merged.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
+        .write.mode("overwrite")  # replay of a crashed commit rewrites in place
+        .partitionBy("_bucket")
+        .parquet(f"{root}/{STAGE_DIR}/v={new_v}")
+    )
+    # buckets that actually produced rows keep/gain an entry; a touched
+    # bucket with no surviving rows (all keys deleted) drops out entirely
+    fs, _ = _fs(spark, root)
+    surviving = set()
+    for b in touched_buckets:
+        _, bpath = _fs(spark, _bucket_path(root, b, new_v))
+        if fs.exists(bpath):
+            surviving.add(b)
+    for b in touched_buckets:
+        mapping.pop(b, None)
+    mapping.update({b: new_v for b in surviving})
+
+    doc = json.dumps(
+        {"version": new_v, "buckets": {str(b): dv for b, dv in mapping.items()}}
+    )
+    fs, mdir = _fs(spark, f"{root}/{MANIFEST_DIR}")
+    fs.mkdirs(mdir)
+    _, tmp = _fs(spark, f"{root}/{MANIFEST_DIR}/.v{new_v}.json.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(doc.encode("utf-8")))
+    finally:
+        out.close()
+    _, final = _fs(spark, f"{root}/{MANIFEST_DIR}/v{new_v}.json")
+    if not fs.rename(tmp, final):  # the commit point
+        raise IOError(f"manifest commit failed for v{new_v} at {root}")
+    return new_v
+
+
+def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]:
+    """Delete stage dirs referenced by no retained manifest.
+
+    Keeps the newest ``keep_manifests`` manifests (time travel / in-flight
+    readers), drops older manifest files, then removes every
+    ``stage/v=*/_bucket=*`` dir that none of the retained manifests lists.
+    Returns the deleted paths (for tests/audit)."""
+    versions = _manifest_versions(spark, root)
+    if not versions:
+        return []
+    retained = versions[-keep_manifests:]
+    fs, _ = _fs(spark, root)
+    live: set[tuple[int, int]] = set()
+    for v in retained:
+        # read each retained manifest's mapping directly
+        _, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
+        stream = fs.open(mpath)
+        try:
+            doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+        finally:
+            stream.close()
+        live |= {(int(b), int(dv)) for b, dv in doc["buckets"].items()}
+    deleted: list[str] = []
+    for v in versions[:-keep_manifests] if keep_manifests else versions:
+        _, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
+        fs.delete(mpath, False)
+    _, sdir = _fs(spark, f"{root}/{STAGE_DIR}")
+    if fs.exists(sdir):
+        for vstat in fs.listStatus(sdir):
+            vname = vstat.getPath().getName()  # "v=<n>"
+            if not vname.startswith("v="):
+                continue
+            dv = int(vname[2:])
+            for bstat in fs.listStatus(vstat.getPath()):
+                bname = bstat.getPath().getName()  # "_bucket=<b>"
+                if not bname.startswith("_bucket="):
+                    continue
+                if (int(bname[8:]), dv) not in live:
+                    fs.delete(bstat.getPath(), True)
+                    deleted.append(str(bstat.getPath()))
+            if not fs.listStatus(vstat.getPath()):
+                fs.delete(vstat.getPath(), True)
+    return deleted

@@ -1,0 +1,168 @@
+"""Versioned-manifest commit protocol: atomic visibility, replay
+convergence, delete handling, vacuum GC."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.apply import (
+    apply_stream,
+    bucket_expr,
+)
+from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+    commit_delta,
+    read_manifest,
+    read_snapshot,
+    vacuum,
+)
+from postgres_cdc_reconciliation_spark.sources.cdc import (
+    parse_stream,
+    read_cdc_stream,
+    unwrap,
+)
+
+
+def _env(op, before, after, lsn):
+    return {
+        "op": op,
+        "before": before,
+        "after": after,
+        "source": {
+            "lsn": lsn,
+            "txId": 1,
+            "ts_ms": 1700000000000,
+            "schema": "public",
+            "table": "orders",
+        },
+    }
+
+
+def _row(oid, amount):
+    return {
+        "order_id": oid,
+        "customer_id": oid % 10,
+        "amount": f"{amount:.2f}",
+        "ts": "2026-01-01 00:00:00",
+        "batch_id": 0,
+    }
+
+
+def _write_events(path, events):
+    with open(path, "w") as f:
+        for key, env in events:
+            f.write(json.dumps({"key": key, "value": json.dumps(env)}) + "\n")
+
+
+def _run_stream(spark, src, target, ckpt, n_buckets=8):
+    raw = read_cdc_stream(spark, file_path=str(src))
+    flat = unwrap(parse_stream(raw))
+    q = (
+        apply_stream(
+            flat,
+            target,
+            ["order_id"],
+            ckpt,
+            n_buckets=n_buckets,
+            protocol="manifest",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_manifest_stream_upsert_delete_e2e(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [(str(i), _env("r", None, _row(i, i * 10.0), f"0/{i:X}")) for i in range(1, 6)],
+    )
+    _write_events(
+        src / "b2.json",
+        [
+            ("2", _env("u", _row(2, 20.0), _row(2, 22.0), "0/10")),
+            ("3", _env("d", _row(3, 30.0), None, "0/11")),
+        ],
+    )
+    target = str(tmp_path / "target")
+    _run_stream(spark, src, target, str(tmp_path / "ckpt"))
+
+    final = {
+        r["order_id"]: float(r["amount"])
+        for r in read_snapshot(spark, target).collect()
+    }
+    assert final == {1: 10.0, 2: 22.0, 4: 40.0, 5: 50.0}
+
+
+def test_crashed_commit_is_invisible(spark, tmp_path):
+    """Stage data written but manifest never renamed → readers still see the
+    previous snapshot untouched (the atomicity property the in-place
+    overwrite path lacks)."""
+    target = str(tmp_path / "target")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    commit_delta(df, target, ["id"], list(range(8)), 8)
+    before = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
+
+    # simulate a writer that crashed after its stage write, before commit:
+    # stage dir for v=1 exists, manifest v1.json does not
+    crashed = spark.createDataFrame([(1, "CRASH")], "id long, v string")
+    (
+        crashed.withColumn("_bucket", bucket_expr(["id"], 8))
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(f"{target}/stage/v=1")
+    )
+    v, _ = read_manifest(spark, target)
+    assert v == 0
+    after = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
+    assert after == before
+
+
+def test_replay_converges(spark, tmp_path):
+    """Re-committing the same merged content (at-least-once replay after a
+    checkpoint crash) yields the same snapshot rows, just a newer version."""
+    target = str(tmp_path / "target")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    v1 = commit_delta(df, target, ["id"], list(range(8)), 8)
+    v2 = commit_delta(df, target, ["id"], list(range(8)), 8)
+    assert v2 == v1 + 1
+    rows = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+
+def test_delete_empties_bucket_drops_manifest_entry(spark, tmp_path):
+    target = str(tmp_path / "target")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    commit_delta(df, target, ["id"], list(range(8)), 8)
+    _, mapping1 = read_manifest(spark, target)
+    b1 = {r[0] for r in df.select(bucket_expr(["id"], 8)).collect()}
+    assert set(mapping1) == b1
+
+    # bucket of id=2 now has zero rows: commit only id=1's content for both
+    # touched buckets
+    survivor = spark.createDataFrame([(1, "a")], "id long, v string")
+    commit_delta(survivor, target, ["id"], sorted(b1), 8)
+    _, mapping2 = read_manifest(spark, target)
+    b2 = {r[0] for r in survivor.select(bucket_expr(["id"], 8)).collect()}
+    assert set(mapping2) == b2
+    rows = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
+    assert rows == {(1, "a")}
+
+
+def test_vacuum_keeps_referenced_dirs(spark, tmp_path):
+    target = str(tmp_path / "target")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    commit_delta(a, target, ["id"], list(range(8)), 8)
+    # touch only id=1's bucket twice more; id=2's bucket stays at v0
+    for val in ("x", "y"):
+        upd = spark.createDataFrame([(1, val)], "id long, v string")
+        b = [r[0] for r in upd.select(bucket_expr(["id"], 8)).collect()]
+        commit_delta(upd, target, ["id"], b, 8)
+
+    deleted = vacuum(spark, target, keep_manifests=1)
+    assert deleted  # v=1's superseded bucket dir must go
+    rows = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
+    assert rows == {(1, "y"), (2, "b")}  # v0 dir still referenced, kept
