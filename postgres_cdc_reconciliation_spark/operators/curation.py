@@ -146,3 +146,78 @@ def pack_chunks(
             (F.col("tokens_before") % budget).cast("long").alias("chunk_offset"),
         )
     )
+
+
+def hot_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated n-grams: (ngram, doc_freq) for every
+    whitespace n-gram appearing in at least ``min_df`` distinct documents.
+
+    The memorization-risk scan a pretraining pipeline runs before training
+    (highly duplicated passages get memorized verbatim): per-doc DISTINCT
+    n-grams (so a doc's internal repetition counts once), explode, one
+    keyed count agg. Map-side combine collapses each partition's copies
+    before the shuffle, and the ``min_df`` filter drops the long tail right
+    after the agg — the surviving hot set is tiny by construction. At
+    100 TB, shingle-hash the n-gram text (xxhash64) so the shuffle carries
+    8-byte keys, then join the survivors back for display."""
+    grams = F.array_distinct(
+        F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+            f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) "
+            f"ELSE array() END"
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+    )
+
+
+def quality_budget_select(
+    docs: DataFrame,
+    budget: int = 2000,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus selection: within each group, rank documents by
+    quality (stopword ratio desc — natural text first) and keep documents
+    while the running token total stays within ``budget``.
+
+    The "fill the mixture" step of data curation: each group (language,
+    domain) gets a token quota and the best documents up to that quota.
+    One window (rank + running sum) per group; the ratio is one IEEE
+    division of two exact ints (identical in any engine) and ties break on
+    the globally-unique id, so selection is fully deterministic."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: w.isin("the", "a", "of", "to", "and")))
+        .cast("double")
+        / F.size(toks)
+    )
+    scored = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("stop_ratio"), id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, group_col, "n_tokens", "stop_ratio", "cum_tokens")
+    )

@@ -119,3 +119,54 @@ FROM w""",
 )
 def q_pack_chunks(spark, sf_dir):
     return pack_chunks(_docs(spark, sf_dir), budget=512, group_col="source")
+
+
+@register(
+    "q_hot_ngrams",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 5
+         THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]
+         ELSE []::VARCHAR[] END)) AS ngram
+  FROM t)
+SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
+FROM sh GROUP BY ngram HAVING count(*) >= 3""",
+    doc="[EXT] cross-document repeated 5-grams (memorization-risk scan): "
+    "per-doc distinct shingles -> one keyed count agg (map-side combine), "
+    "min_df filter right after the agg. Non-vacuous: 74-91 hot 5-grams in "
+    "testdata at sf0.001/sf0.01.",
+)
+def q_hot_ngrams(spark, sf_dir):
+    from ..operators.curation import hot_ngrams
+
+    return hot_ngrams(_docs(spark, sf_dir), n=5, min_df=3)
+
+
+@register(
+    "q_quality_budget",
+    """WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                  w -> w IN ('the','a','of','to','and'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents),
+ranked AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY stop_ratio DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_tokens
+  FROM scored)
+SELECT doc_id, lang, n_tokens, stop_ratio, cum_tokens
+FROM ranked WHERE cum_tokens <= 2000""",
+    doc="[EXT] token-budget corpus selection: per-language quality ranking "
+    "(stopword ratio = one IEEE division of exact ints, ties on unique id) "
+    "+ running token sum, keep while within the 2000-token quota — the "
+    "'fill the mixture' curation step. Non-vacuity checked: every lang "
+    "keeps some docs and drops some at both sfs.",
+)
+def q_quality_budget(spark, sf_dir):
+    from ..operators.curation import quality_budget_select
+
+    return quality_budget_select(_docs(spark, sf_dir), budget=2000)

@@ -78,3 +78,44 @@ def test_pack_chunks_invariants(spark):
         # chunk ids never decrease in doc order
         ids = [r["chunk_id"] for r in rows]
         assert ids == sorted(ids)
+
+
+def test_hot_ngrams_counts_docs_not_occurrences(spark):
+    from postgres_cdc_reconciliation_spark.operators.curation import hot_ngrams
+
+    rows = [
+        (1, "a b c d e a b c d e"),   # internal repeat: counts ONCE
+        (2, "a b c d e x y z w v"),
+        (3, "a b c d e q r s t u"),
+        (4, "p q r s t u v w x y"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["ngram"]: r["doc_freq"] for r in hot_ngrams(d, n=5, min_df=3).collect()}
+    assert out == {"a b c d e": 3}  # doc 1's repetition doesn't inflate df
+    # min_df=2 admits the 2-doc n-grams too
+    out2 = {r["ngram"]: r["doc_freq"] for r in hot_ngrams(d, n=5, min_df=2).collect()}
+    assert out2["a b c d e"] == 3
+    assert all(v >= 2 for v in out2.values())
+
+
+def test_quality_budget_respects_quota_and_ranking(spark):
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        quality_budget_select,
+    )
+
+    rows = [
+        # lang g1: doc 1 is high quality (all stopwords), doc 2 junk
+        (1, "the a of to and the a of to and", "g1"),
+        (2, "xx yy zz ww vv uu tt ss rr qq", "g1"),
+        (3, "the a of mid tail pad pad pad pad pad", "g1"),
+        (4, "the the the the the", "g2"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quality_budget_select(d, budget=20).collect()
+    kept = {r["doc_id"]: r for r in out}
+    # g1 quota 20: doc1 (ratio 1.0, 10 toks) then doc3 (0.3, 10) fill it;
+    # doc2 (0.0) is over budget and dropped
+    assert set(kept) == {1, 3, 4}
+    assert kept[1]["cum_tokens"] == 10 and kept[3]["cum_tokens"] == 20
+    # per-group accounting: g2 starts its own budget
+    assert kept[4]["cum_tokens"] == 5
