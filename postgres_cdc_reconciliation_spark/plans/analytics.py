@@ -705,3 +705,161 @@ def q_excess_suppliers(spark, sf_dir):
     return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+@register(
+    "q_priority_line_count",
+    """SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_linestatus""",
+    doc="TPC-H Q12-shaped conditional line count (shipmode column absent in "
+    "testdata; linestatus carries the group role): fact-fact shuffle join + "
+    "two-way CASE conditional agg — partial agg collapses to 3 groups "
+    "map-side, so the shuffle is rows-per-partition, not rows-per-event",
+)
+def q_priority_line_count(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("cast('1995-01-01' as timestamp_ntz)"))
+        & (F.col("l_shipdate") < F.expr("cast('1996-01-01' as timestamp_ntz)"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_top_supplier",
+    """WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""",
+    doc="TPC-H Q15-shaped top supplier: quarterly revenue agg reused twice "
+    "(the reference's CREATE VIEW) — scalar-subquery MAX against the same "
+    "agg; Spark computes the agg once per branch and AQE dedups the "
+    "exchange. Equality is on exact DECIMAL revenue (ties deterministic), "
+    "DOUBLE only at the output surface.",
+)
+def q_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("cast('1995-01-01' as timestamp_ntz)"))
+        & (F.col("l_shipdate") < F.expr("cast('1995-04-01' as timestamp_ntz)"))
+    )
+    rev_expr = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev_expr).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top), F.col("total_rev") == F.col("_mx"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q_disjunctive_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)""",
+    doc="TPC-H Q19-shaped disjunctive predicate revenue (container/shipmode "
+    "columns absent; brand+size+quantity OR-of-ANDs preserved): the "
+    "optimizer test is that the common l_partkey = p_partkey conjunct "
+    "stays a hash-join key while the OR-of-ANDs evaluates post-join, and "
+    "part-side brand/size conjuncts still push to the parquet scan",
+)
+def q_disjunctive_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    arm = lambda b, s_lo, s_hi, q_lo, q_hi: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s_lo, s_hi)
+        & (q >= q_lo)
+        & (q <= q_hi)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            arm("Brand#1", 1, 15, 5, 20)
+            | arm("Brand#2", 10, 30, 10, 30)
+            | arm("Brand#3", 20, 50, 20, 40)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_return_fault_suppliers",
+    """SELECT s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders o ON o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name""",
+    doc="TPC-H Q21-shaped sole-fault suppliers (receipt/commit dates absent; "
+    "l_returnflag='R' is the fault marker): the double-correlated "
+    "EXISTS + NOT-EXISTS on the same fact table — Spark plans them as "
+    "left-semi and left-anti shuffle joins on l_orderkey",
+)
+def q_return_fault_suppliers(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    base = (
+        l1.join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
