@@ -863,3 +863,44 @@ def q_return_fault_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
     )
+
+
+@register(
+    "q_product_profit",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem l
+JOIN supplier s ON s_suppkey = l_suppkey
+JOIN part p ON p_partkey = l_partkey
+JOIN orders o ON o_orderkey = l_orderkey
+JOIN nation n ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2""",
+    doc="TPC-H Q9-shaped product profit (ps_supplycost absent; retailprice/10 "
+    "is the unit-cost proxy): LIKE-filtered part dim broadcast into the "
+    "4-way fact join chain, nation×year rollup in exact DECIMAL",
+)
+def q_product_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    ) * F.lit("0.1").cast("decimal(2,1)")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )

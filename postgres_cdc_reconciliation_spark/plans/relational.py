@@ -464,3 +464,34 @@ def q_having(spark, sf_dir):
         )
         .filter(F.col("n_orders") >= 12)
     )
+
+
+@register(
+    "q_hopping_window",
+    """WITH e2 AS (
+  SELECT event_type, value,
+         unnest([
+           make_timestamp(CAST(floor(epoch(ts) / 900) * 900 * 1000000 AS BIGINT)),
+           make_timestamp(CAST((floor(epoch(ts) / 900) - 1) * 900 * 1000000 AS BIGINT))
+         ]) AS ws
+  FROM events)
+SELECT ws, event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM e2 GROUP BY 1, 2""",
+    doc="T12 [EXT] hopping/sliding event-time window (30 min wide, 15 min "
+    "slide): each event lands in exactly width/slide = 2 windows — the "
+    "batch form of streaming window(ts, '30 minutes', '15 minutes'); "
+    "oracle materializes both candidate window starts per event",
+)
+def q_hopping_window(spark, sf_dir):
+    e = events_df(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt", "total")
+    )

