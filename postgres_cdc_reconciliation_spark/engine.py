@@ -164,3 +164,62 @@ class Engine:
         from .operators.similarity import cosine_topk
 
         return cosine_topk(queries, corpus, k=k, bucket_col=bucket_col)
+
+    def similarity_topk_approx(
+        self, queries, corpus, k=10, method="ivf", nprobe=4, n_cent=16,
+        n_sub=8, d_sub=8, rerank=0,
+    ) -> DataFrame:
+        """Approximate top-k: method='ivf' (centroid multi-probe) or 'pq'
+        (ADC from codes; rerank>0 adds the exact-rerank-of-shortlist step)."""
+        from .operators.similarity import (
+            cosine_topk, ivf_centroids, ivf_topk_multiprobe,
+            pq_codebooks, pq_encode, pq_topk,
+        )
+
+        if method == "ivf":
+            cents = ivf_centroids(corpus, n_cent=n_cent)
+            return ivf_topk_multiprobe(queries, corpus, cents, k=k, nprobe=nprobe)
+        if method != "pq":
+            raise ValueError(f"unknown ANN method: {method!r}")
+        books = pq_codebooks(corpus, n_sub=n_sub, d_sub=d_sub)
+        codes = pq_encode(corpus, books, n_sub=n_sub, d_sub=d_sub)
+        short = pq_topk(queries, codes, books, k=rerank or k, n_sub=n_sub, d_sub=d_sub)
+        if not rerank:
+            return short
+        from pyspark.sql import Window, functions as F
+        from .operators.similarity import _dot, with_norm
+
+        vn = with_norm(corpus)
+        qn = with_norm(queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"), F.col("_norm").alias("q_norm"))
+        cn = vn.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"), F.col("_norm").alias("c_norm"))
+        rr = (short.select("query_id", "neighbor_id")
+              .join(F.broadcast(qn), "query_id").join(cn, "neighbor_id")
+              .withColumn("cos", _dot("q_vec", "c_vec")
+                          / (F.col("q_norm") * F.col("c_norm"))))
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+        return (rr.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "rank", "cos"))
+
+    def near_dup_pairs(
+        self, vectors, dim, threshold=0.3, n_tables=4, n_planes=4,
+    ) -> DataFrame:
+        """Embedding near-duplicate pairs via multi-table sign-LSH blocking
+        with exact-cosine verification (precision 1.0; recall grows with
+        n_tables)."""
+        from .operators.similarity import rp_near_dup_pairs_multi
+
+        return rp_near_dup_pairs_multi(
+            vectors, dim, threshold=threshold, n_planes=n_planes,
+            n_tables=n_tables,
+        )
+
+    def curate(self, docs, budget=2000, group_col="lang") -> DataFrame:
+        """Token-budget corpus selection (quality-ranked within each group)."""
+        from .operators.curation import quality_budget_select
+
+        return quality_budget_select(docs, budget=budget, group_col=group_col)

@@ -38,3 +38,27 @@ def test_dedup_and_similarity_facade(spark, sf_dir):
 
     top = eng.similarity_topk(v.filter(F.col("vec_id") < 4), v, k=3)
     assert top.count() == 4 * 3
+
+
+def test_ann_and_curation_facade(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark)
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = v.filter(F.col("vec_id") < 4)
+    ivf = eng.similarity_topk_approx(q, v, k=3, method="ivf", nprobe=16)
+    exact = eng.similarity_topk(q, v, k=3)
+    # full probe == exact, through the facade too
+    assert {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ivf.collect()} == {
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect()
+    }
+    pq = eng.similarity_topk_approx(q, v, k=3, method="pq", n_sub=32, d_sub=2, rerank=20)
+    assert pq.count() == 4 * 3
+
+    pairs = eng.near_dup_pairs(v, dim=64, threshold=0.3, n_tables=2)
+    assert pairs.filter(F.col("cos") < 0.3).count() == 0
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = eng.curate(docs, budget=1000)
+    assert 0 < kept.count() < docs.count()
+    assert kept.filter(F.col("cum_tokens") > 1000).count() == 0
