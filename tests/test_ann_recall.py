@@ -141,3 +141,57 @@ def test_pq_codes_complete_and_bounded(spark, sf_dir):
     assert agg["rows"] == n * 32  # every vector fully encoded
     assert agg["vecs"] == n
     assert 0 <= agg["lo"] and agg["hi"] < 64
+
+
+def test_pq_encode_fast_agrees_exactly(spark, sf_dir):
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(v, n_sub=32, d_sub=2, k_codes=64)
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        pq_encode_fast,
+    )
+
+    slow = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(v, books, n_sub=32, d_sub=2).collect()
+    }
+    fast = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode_fast(v, books, n_sub=32, d_sub=2).collect()
+    }
+    assert fast == slow
+
+
+def test_rp_numpy_scorer_agrees(spark, sf_dir):
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sql_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in rp_near_dup_pairs_multi(
+            v, dim=64, threshold=0.3, n_tables=2
+        ).collect()
+    }
+    np_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in rp_near_dup_pairs_multi(
+            v, dim=64, threshold=0.3, n_tables=2, scorer="numpy"
+        ).collect()
+    }
+    # identical pair sets (testdata margin to the threshold is >>  the
+    # last-ulp summation difference between fold and einsum)
+    assert np_pairs == sql_pairs
+
+
+def test_rp_matrix_scorer_agrees(spark, sf_dir):
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sql_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in rp_near_dup_pairs_multi(
+            v, dim=64, threshold=0.3, n_tables=2
+        ).collect()
+    }
+    mx_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in rp_near_dup_pairs_multi(
+            v, dim=64, threshold=0.3, n_tables=2, scorer="matrix"
+        ).collect()
+    }
+    assert mx_pairs == sql_pairs
