@@ -173,7 +173,7 @@ class Engine:
         (ADC from codes; rerank>0 adds the exact-rerank-of-shortlist step)."""
         from .operators.similarity import (
             cosine_topk, ivf_centroids, ivf_topk_multiprobe,
-            pq_codebooks, pq_encode, pq_topk,
+            pq_codebooks, pq_encode_fast, pq_topk,
         )
 
         if method == "ivf":
@@ -182,7 +182,9 @@ class Engine:
         if method != "pq":
             raise ValueError(f"unknown ANN method: {method!r}")
         books = pq_codebooks(corpus, n_sub=n_sub, d_sub=d_sub)
-        codes = pq_encode(corpus, books, n_sub=n_sub, d_sub=d_sub)
+        # production path: map-only numpy encoder (agreement-tested vs the
+        # oracle-checkable fold encoder the registered queries use)
+        codes = pq_encode_fast(corpus, books, n_sub=n_sub, d_sub=d_sub)
         short = pq_topk(queries, codes, books, k=rerank or k, n_sub=n_sub, d_sub=d_sub)
         if not rerank:
             return short

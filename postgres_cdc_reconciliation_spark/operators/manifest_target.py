@@ -80,12 +80,29 @@ def _bucket_path(root: str, bucket: int, data_version: int) -> str:
     return f"{root}/{STAGE_DIR}/v={data_version}/_bucket={bucket}"
 
 
-def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
-    """Read the committed snapshot — exactly the dirs the manifest lists.
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot — exactly the dirs its manifest lists.
 
     In-flight or crashed writers are invisible: their stage dirs are not in
-    any committed manifest."""
-    _, buckets = read_manifest(spark, root)
+    any committed manifest. ``version`` pins a specific committed manifest
+    (time travel — valid as long as ``vacuum`` retains it); default is the
+    latest."""
+    if version is None:
+        _, buckets = read_manifest(spark, root)
+    else:
+        if version not in _manifest_versions(spark, root):
+            raise FileNotFoundError(
+                f"no committed (or retained) manifest v{version} at {root}"
+            )
+        fs, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{version}.json")
+        stream = fs.open(mpath)
+        try:
+            doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+        finally:
+            stream.close()
+        buckets = {int(b): int(dv) for b, dv in doc["buckets"].items()}
     if not buckets:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     paths = [_bucket_path(root, b, dv) for b, dv in sorted(buckets.items())]

@@ -166,3 +166,27 @@ def test_vacuum_keeps_referenced_dirs(spark, tmp_path):
     assert deleted  # v=1's superseded bucket dir must go
     rows = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
     assert rows == {(1, "y"), (2, "b")}  # v0 dir still referenced, kept
+
+
+def test_time_travel_read(spark, tmp_path):
+    target = str(tmp_path / "target")
+    v0 = commit_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        target, ["id"], list(range(8)), 8,
+    )
+    b = [
+        r[0]
+        for r in spark.createDataFrame([(1, "b")], "id long, v string")
+        .select(bucket_expr(["id"], 8)).collect()
+    ]
+    v1 = commit_delta(
+        spark.createDataFrame([(1, "b")], "id long, v string"),
+        target, ["id"], b, 8,
+    )
+    assert [r["v"] for r in read_snapshot(spark, target, version=v0).collect()] == ["a"]
+    assert [r["v"] for r in read_snapshot(spark, target, version=v1).collect()] == ["b"]
+    assert [r["v"] for r in read_snapshot(spark, target).collect()] == ["b"]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, target, version=99)
