@@ -128,6 +128,91 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(vertex, component) via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the algorithm of record for VERY large graphs.
+
+    Why a second distributed algorithm: min-label propagation (above) does
+    two keyed shuffles per round over a STATIC edge set — fine while the
+    edge list fits comfortably, but a high-degree hub re-sends its whole
+    neighborhood every round, and the edge volume never shrinks. Star
+    contraction instead REWRITES the graph each round:
+
+    - large-star: every node u points its larger neighbors at
+      m = min(N(u) ∪ {u}) — long chains collapse by halving;
+    - small-star: every node u points its not-larger neighbors (and
+      itself) at m — stars flatten to depth one.
+
+    Each round is one groupBy per phase (map-side combinable min), emitted
+    edges stay bounded by the current edge count, and hub neighborhoods
+    shrink geometrically — O(log²) rounds with decreasing per-round cost.
+    Converges when the edge set is a fixed point (every component one star
+    rooted at its min id); the star roots then ARE the component labels.
+    Deterministic: identical labeling to connected_components (min id).
+    """
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("u") != F.col("v")).select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+
+    # orient canonically: u < v on every stored edge
+    e = _canon(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # large-star: group by u over BOTH directions; larger neighbors of u
+        # attach to min(N(u) ∪ {u})
+        bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = bidir.groupBy("u").agg(F.min("v").alias("nmin"))
+        lmin = lmin.select(
+            "u", F.least("nmin", F.col("u")).alias("m")
+        )
+        large = (
+            bidir.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = _canon(large).localCheckpoint()
+
+        # small-star: edges oriented big→small (u > v after canon swap);
+        # group the small side under each big node, attach all to the min
+        oriented = e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        # now u > v on every row: group by u
+        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = oriented.join(smin, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(
+            smin.select(F.col("u"), F.col("m").alias("v"))
+        )
+        e2 = _canon(small).localCheckpoint()
+
+        converged = (
+            e2.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e2).limit(1).count() == 0
+        )
+        e = e2
+        if converged:
+            break
+
+    # fixed point: every edge (root, member) with root = component min.
+    # members label themselves with root; roots label themselves.
+    members = e.select(F.col("v").alias("vertex"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("vertex")).distinct().withColumn(
+        "component", F.col("vertex")
+    )
+    return members.unionByName(roots).groupBy("vertex").agg(
+        F.min("component").alias("component")
+    )
+
+
 def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
     """Cluster assignment for every document: canonical = min id in its
     near-dup component; singletons map to themselves."""

@@ -124,3 +124,48 @@ def test_connected_components_string_ids_use_distributed_path(spark):
         "doc_x9": "doc_x9",
         "doc_y8": "doc_x9",
     }
+
+
+def test_star_contraction_agrees_with_union_find(spark):
+    """large-star/small-star must produce the identical (vertex, component)
+    labeling as the driver union-find across adversarial shapes: a long
+    path (diameter test), a hub star (skew test), disjoint cliques, and a
+    seeded random graph."""
+    import random
+
+    from postgres_cdc_reconciliation_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    cases = {
+        "path": [(i, i + 1) for i in range(0, 60)],
+        "star": [(0, i) for i in range(1, 40)],
+        "cliques": [
+            (a + off, b + off)
+            for off in (0, 100, 200)
+            for a in range(5)
+            for b in range(a + 1, 5)
+        ],
+        "random": list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(80), rng.randrange(80)) for _ in range(120)
+                )
+                if a != b
+            }
+        ),
+    }
+    for name, pairs in cases.items():
+        e = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        want = {
+            (r["vertex"], r["component"])
+            for r in connected_components(e).collect()
+        }
+        got = {
+            (r["vertex"], r["component"])
+            for r in connected_components_star(e).collect()
+        }
+        assert got == want, name
