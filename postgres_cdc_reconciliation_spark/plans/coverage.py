@@ -417,3 +417,75 @@ def q_sample(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("sampled_rows"))
     )
+
+
+@register(
+    "q_window_frames",
+    """SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS sliding_sum3,
+              CAST(COUNT(*) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderkey
+                  RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT)
+                AS range_neighbors,
+              percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                AS pct_rank,
+              cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                AS cdist
+       FROM orders""",
+    doc="W4 [EXT] window frame pack: sliding ROWS frame (exact DECIMAL sum), "
+    "numeric RANGE frame on the BIGINT key (value-based, not row-based), "
+    "percent_rank + cume_dist (rank ratios — exact int division). Order key "
+    "is globally unique so every frame is fully deterministic.",
+)
+def q_window_frames(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey").cast("long"))
+        .rangeBetween(-5, 5)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w3)
+        .cast("double")
+        .alias("sliding_sum3"),
+        F.count("*").over(wr).cast("long").alias("range_neighbors"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+              CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+              CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderstatus), ())""",
+    doc="A6 [EXT] explicit GROUPING SETS with GROUPING() indicators — the "
+    "general form behind rollup/cube; one shuffle, each set partial-agg "
+    "friendly; GROUPING() disambiguates real NULLs from subtotal rows",
+)
+def q_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+                  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+                  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+           FROM _gs_orders
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                   (o_orderstatus), ())"""
+    )

@@ -910,3 +910,89 @@ def q_ann_pq(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         F.round("approx_dist", 4).alias("adist_r"),
     )
+
+
+@register(
+    "q_edit_distance",
+    f"""WITH {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS band FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+       CAST(levenshtein(x.text, y.text) AS DOUBLE)
+         / greatest(length(x.text), length(y.text)) AS edit_ratio
+FROM cand c
+JOIN documents x ON x.doc_id = c.doc_a
+JOIN documents y ON y.doc_id = c.doc_b""",
+    doc="[EXT] edit-distance verification of LSH candidates: MinHash bands "
+    "generate candidates (never O(n^2)), levenshtein scores ONLY those "
+    "pairs — the standard verify step when near-dup needs character-level "
+    "confirmation. Integer DP distance, identical in both engines; ratio "
+    "is one IEEE division.",
+)
+def q_edit_distance(spark, sf_dir):
+    from ..operators.dedup import lsh_candidates, minhash_signatures, shingles
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signatures(shingles(d, k=3), n_hashes=8)
+    cand = lsh_candidates(sig, n_hashes=8, band_size=2).select("doc_a", "doc_b")
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    dist = F.levenshtein("_ta", "_tb")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            (
+                dist.cast("double")
+                / F.greatest(F.length("_ta"), F.length("_tb"))
+            ).alias("edit_ratio"),
+        )
+    )
+
+
+@register(
+    "q_token_rarity",
+    """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(v.freq) AS BIGINT) AS freq_sum,
+       CAST(sum(v.freq) AS DOUBLE) / count(*) AS mean_token_freq,
+       CAST(min(v.freq) AS BIGINT) AS rarest_freq
+FROM tok t JOIN vocab v USING (token)
+GROUP BY t.doc_id""",
+    doc="[EXT] token-rarity scoring (unigram-LM stand-in with exact math): "
+    "corpus token frequencies (one keyed agg, broadcast-sized vocab) joined "
+    "back to each doc's tokens — mean corpus frequency and rarest token per "
+    "doc. All sums are exact BIGINTs; DOUBLE appears only as one final "
+    "division, so the hash check is engine-stable.",
+)
+def q_token_rarity(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("freq"))
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("freq").cast("long").alias("freq_sum"),
+            (F.sum("freq").cast("double") / F.count("*")).alias("mean_token_freq"),
+            F.min("freq").cast("long").alias("rarest_freq"),
+        )
+    )
