@@ -66,3 +66,75 @@ def salted_join(
     )
     out = s.join(o, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def zorder_value(cols: list[str], bits: int = 16):
+    """Z-order (Morton) interleave of N columns' rank-space positions.
+
+    Each column value must already be a non-negative int in [0, 2^bits)
+    (rank/bucketize first — `F.ntile` or min-max scaling); the returned
+    column interleaves their bits so that sorting by it clusters rows that
+    are close in EVERY dimension. Built from shifts/masks only — pure
+    codegen'd JVM expressions, no UDF."""
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftrightunsigned(F.col(c).cast("long"), b).bitwiseAND(
+                F.lit(1).cast("long")
+            )
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i).cast("long"))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 12,
+    n_files: int = 32,
+) -> None:
+    """Write parquet clustered by Z-order over ``zorder_cols``.
+
+    The multi-dimensional analog of sorting by one column: each output
+    file covers a small hyper-rectangle of the key space, so parquet
+    row-group min/max stats prune scans for range predicates on ANY of the
+    z-ordered columns (a single-column sort only helps its leading column).
+    This is what Delta's OPTIMIZE ZORDER BY does; on plain parquet it's a
+    scale + interleave + repartitionByRange write:
+
+    - cell assignment is min/max value-space binning — ONE tiny agg for the
+      bounds, then a pure map-side expression per row (a global rank window
+      would serialize the whole table through one task; heavy value skew is
+      the tradeoff — pre-transform such a column or drop it from the key);
+    - repartitionByRange on the z-value gives each file a contiguous
+      z-range (range exchange + sample pass, one shuffle);
+    - sortWithinPartitions tightens per-row-group stats inside each file.
+    """
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in zorder_cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in zorder_cols],
+    ).first()
+    scaled = df
+    tmp_cols = []
+    for c in zorder_cols:
+        lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+        width = (hi - lo) or 1.0
+        cell_col = f"_zc_{c}"
+        scaled = scaled.withColumn(
+            cell_col,
+            F.least(
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(width)
+                 * (1 << bits)).cast("long"),
+                F.lit((1 << bits) - 1),
+            ),
+        )
+        tmp_cols.append(cell_col)
+    z = scaled.withColumn("_z", zorder_value(tmp_cols, bits))
+    (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *tmp_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
