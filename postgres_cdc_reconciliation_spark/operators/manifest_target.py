@@ -172,6 +172,35 @@ def commit_delta(
     return new_v
 
 
+def compact(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    n_buckets: int,
+) -> int:
+    """Rewrite every live bucket's accumulated small files into ONE file
+    per bucket at one new version (the OPTIMIZE/compaction step every
+    streaming parquet sink eventually needs — each micro-batch commit
+    leaves a file per touched bucket, and scan cost grows with file count,
+    not data size).
+
+    Repartitioning on the bucket expression puts each bucket's rows in
+    exactly one task, so the partitioned stage write emits exactly one
+    file per bucket dir. Runs as a normal commit: stage-write, atomic
+    manifest rename — readers never see a half-compacted table, in-flight
+    readers of old versions are untouched, and ``vacuum`` reclaims the
+    superseded dirs. Returns the committed version."""
+    from .apply import bucket_expr
+
+    _, mapping = read_manifest(spark, root)
+    if not mapping:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    snap = read_snapshot(spark, root).repartition(
+        len(mapping), bucket_expr(key_cols, n_buckets)
+    )
+    return commit_delta(snap, root, key_cols, sorted(mapping), n_buckets)
+
+
 def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]:
     """Delete stage dirs referenced by no retained manifest.
 

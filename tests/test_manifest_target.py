@@ -190,3 +190,37 @@ def test_time_travel_read(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, target, version=99)
+
+
+def test_compact_one_file_per_bucket_same_rows(spark, tmp_path):
+    import glob
+
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        compact,
+    )
+
+    target = str(tmp_path / "target")
+    # five commits touching the same keys -> each live bucket accumulates
+    # one file per commit
+    for i in range(5):
+        df = spark.createDataFrame(
+            [(k, f"v{i}") for k in range(10)], "id long, v string"
+        )
+        bs = [
+            r[0]
+            for r in df.select(bucket_expr(["id"], 4)).distinct().collect()
+        ]
+        commit_delta(df, target, ["id"], bs, 4)
+    before = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
+
+    v = compact(spark, target, ["id"], 4)
+    after = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
+    assert after == before  # compaction never changes content
+    _, mapping = read_manifest(spark, target)
+    assert set(mapping.values()) == {v}  # every bucket now at the new version
+    for b in mapping:
+        files = glob.glob(f"{target}/stage/v={v}/_bucket={b}/*.parquet")
+        assert len(files) == 1, (b, files)
+    # reclaim: superseded stage dirs disappear, snapshot still reads
+    vacuum(spark, target, keep_manifests=1)
+    assert {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()} == before
