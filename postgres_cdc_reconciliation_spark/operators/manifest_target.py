@@ -208,6 +208,8 @@ def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]
     readers), drops older manifest files, then removes every
     ``stage/v=*/_bucket=*`` dir that none of the retained manifests lists.
     Returns the deleted paths (for tests/audit)."""
+    if keep_manifests < 1:
+        raise ValueError("keep_manifests must be >= 1 (0 would wipe the table)")
     versions = _manifest_versions(spark, root)
     if not versions:
         return []
@@ -224,7 +226,7 @@ def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]
             stream.close()
         live |= {(int(b), int(dv)) for b, dv in doc["buckets"].items()}
     deleted: list[str] = []
-    for v in versions[:-keep_manifests] if keep_manifests else versions:
+    for v in versions[:-keep_manifests]:
         _, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
         fs.delete(mpath, False)
     _, sdir = _fs(spark, f"{root}/{STAGE_DIR}")

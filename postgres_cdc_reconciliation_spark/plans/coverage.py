@@ -489,3 +489,48 @@ def q_grouping_sets(spark, sf_dir):
            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                    (o_orderstatus), ())"""
     )
+
+
+@register(
+    "q_hash_sample",
+    """SELECT l_returnflag,
+              CAST(COUNT(*) AS BIGINT) AS sampled_rows,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sampled_qty
+       FROM lineitem
+       WHERE CAST(CAST('0x' || substr(md5('sample-v1:' || CAST(l_orderkey AS VARCHAR)
+                  || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS BIGINT) < 10
+       GROUP BY l_returnflag""",
+    doc="[EXT] deterministic hash sampling (the reproducible counterpart of "
+    "TABLESAMPLE): md5(salt || row key) % 100 < rate — identical sample in "
+    "any engine, stable under reruns/backfills, per-row decision is "
+    "map-only. The sampling pattern every lineage-auditable pipeline "
+    "uses instead of seeded RNG.",
+)
+def q_hash_sample(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("sample-v1:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        li.filter((h % 100) < 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("sampled_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sampled_qty"),
+        )
+    )
