@@ -426,13 +426,15 @@ def q_ann_pq_rerank(spark, sf_dir):
     from ..operators.similarity import (
         cosine_topk,
         pq_codebooks,
-        pq_encode,
+        pq_encode_fast,
         pq_topk,
     )
 
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = pq_codebooks(v, n_sub=32, d_sub=2, k_codes=64)
-    codes = pq_encode(v, books, n_sub=32, d_sub=2)
+    # map-only numpy encoder — exact agreement with the fold encoder is
+    # pytest-gated, so the oracle comparison is unaffected
+    codes = pq_encode_fast(v, books, n_sub=32, d_sub=2)
     q = v.filter(F.col("vec_id") < 16)
     short = pq_topk(q, codes, books, k=20, n_sub=32, d_sub=2)
     # exact rerank restricted to shortlist pairs: join back the vectors,
@@ -897,11 +899,13 @@ SELECT query_id, neighbor_id, rank, adist_r FROM (
     "distance units — all >= 3500x double reorder noise (~2e-12)."
 )
 def q_ann_pq(spark, sf_dir):
-    from ..operators.similarity import pq_codebooks, pq_encode, pq_topk
+    from ..operators.similarity import pq_codebooks, pq_encode_fast, pq_topk
 
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = pq_codebooks(v, n_sub=32, d_sub=2, k_codes=64)
-    codes = pq_encode(v, books, n_sub=32, d_sub=2)
+    # map-only numpy encoder — exact agreement with the fold encoder is
+    # pytest-gated, so the oracle comparison is unaffected
+    codes = pq_encode_fast(v, books, n_sub=32, d_sub=2)
     q = v.filter(F.col("vec_id") < 16)
     top = pq_topk(q, codes, books, k=5, n_sub=32, d_sub=2)
     return top.select(
