@@ -74,3 +74,71 @@ def running_counter(grouped_keys, key_col: str, out_schema: str):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_tws(grouped_keys, key_col: str, value_col: str):
+    """Per-key running count+sum via transformWithStateInPandas — the
+    Spark 4 stateful API (typed ValueState handles, explicit init/close
+    lifecycle, timer support) that supersedes applyInPandasWithState for
+    new operators. Functionally mirrors ``running_counter`` so both API
+    generations stay covered; state is key-partitioned and checkpointed
+    with the query either way.
+
+    Environment requirements (gated like the Kafka/JDBC paths): the
+    RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) and ``google.protobuf``
+    in the Python env (the state-server wire protocol) — the test
+    importorskips when absent."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("total_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("s", DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "total_events": [n], "total_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return grouped_keys.transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -75,3 +75,59 @@ def test_running_counter_accumulates(spark, tmp_path):
     t1 = [r["total_events"] for r in rows if r["k"] == "t1"]
     assert sorted(t1) == [2, 3]  # 2 after batch1, 3 after batch2 (state carried)
     assert [r["total_events"] for r in rows if r["k"] == "t2"] == [1]
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    # transformWithState's state-server protocol is protobuf-based; the
+    # operator is env-gated exactly like the Kafka/JDBC paths when the
+    # runtime lacks google.protobuf.
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from postgres_cdc_reconciliation_spark.streaming.stateful import (
+        running_totals_tws,
+    )
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "tws_in"
+    src.mkdir()
+    _write_batch(src / "b1.json", [
+        {"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "a", "v": 3},
+    ])
+    _write_batch(src / "b2.json", [
+        {"k": "a", "v": 10}, {"k": "c", "v": 5},
+    ])
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = running_totals_tws(stream.groupBy("k"), "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM tws_totals"
+    ).collect()
+    # last emission per key reflects cross-batch state
+    latest = {}
+    for r in rows:
+        latest[r["k"]] = (r["total_events"], r["total_value"])
+    assert latest["a"] == (3, 14.0)   # 2 events batch1 + 1 event batch2
+    assert latest["b"] == (1, 2.0)
+    assert latest["c"] == (1, 5.0)
+    if prev is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
