@@ -96,3 +96,72 @@ def test_latest_per_key_picks_global_max(spark):
     latest = latest_per_key(_events_df(spark, seq), ["order_id"], lsn_col="source_lsn")
     got = {r["order_id"]: float(r["amount"]) for r in latest.collect()}
     assert got == {0: 3.00, 1: 4.00}
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.lists(EVENT, min_size=1, max_size=8), min_size=1, max_size=4
+    )
+)
+def test_manifest_commit_matches_dict_replay(spark, tmp_path_factory, batches):
+    """Any sequence of upsert/delete micro-batches committed through the
+    manifest protocol must end at exactly the state a per-key dict replay
+    produces — across commits, bucket drops, and version chains."""
+    from postgres_cdc_reconciliation_spark.operators.apply import bucket_expr
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        commit_delta,
+        read_buckets,
+        read_snapshot,
+    )
+
+    root = str(tmp_path_factory.mktemp("mt"))
+    n_buckets = 4
+    expected: dict[int, int] = {}
+    lsn = 0
+    for batch in batches:
+        rows = []
+        for key, op_i, amount in batch:
+            lsn += 1
+            rows.append((key, "d" if op_i == 2 else "u", amount, lsn))
+        df = spark.createDataFrame(
+            rows, "id long, op string, amount long, lsn long"
+        )
+        # dict replay of this batch: last-writer-wins per key by lsn
+        last = {}
+        for key, op, amount, l in rows:
+            last[key] = (op, amount)
+        touched_buckets = [
+            r[0]
+            for r in df.select(bucket_expr(["id"], n_buckets))
+            .distinct()
+            .collect()
+        ]
+        # merged content: previous rows of touched buckets + this delta
+        prev = read_buckets(spark, root, touched_buckets)
+        merged_rows = {}
+        if prev is not None:
+            for r in prev.collect():
+                merged_rows[r["id"]] = r["amount"]
+        for key, (op, amount) in last.items():
+            if op == "d":
+                merged_rows.pop(key, None)
+            else:
+                merged_rows[key] = amount
+        merged = spark.createDataFrame(
+            [(k, v) for k, v in merged_rows.items()] or [],
+            "id long, amount long",
+        )
+        commit_delta(merged, root, ["id"], touched_buckets, n_buckets)
+        for key, (op, amount) in last.items():
+            if op == "d":
+                expected.pop(key, None)
+            else:
+                expected[key] = amount
+    try:
+        got = {
+            r["id"]: r["amount"] for r in read_snapshot(spark, root).collect()
+        }
+    except FileNotFoundError:
+        got = {}
+    assert got == expected
