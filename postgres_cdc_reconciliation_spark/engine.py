@@ -225,3 +225,32 @@ class Engine:
         from .operators.curation import quality_budget_select
 
         return quality_budget_select(docs, budget=budget, group_col=group_col)
+
+    # --- physical layout / table maintenance ---
+
+    def zorder_write(self, df, path, cols, n_files=32) -> None:
+        """Write parquet clustered by Z-order over `cols` (multi-dim
+        data skipping via row-group min/max stats)."""
+        from .operators.layout import write_zordered
+
+        write_zordered(df, path, cols, n_files=n_files)
+
+    def compact_target(self, root, key_cols, n_buckets) -> int:
+        """Compact a manifest apply target to one file per bucket
+        (snapshot-isolated OPTIMIZE); returns the committed version."""
+        from .operators.manifest_target import compact
+
+        return compact(self.spark, root, key_cols, n_buckets)
+
+    def dedup_components(self, pairs, algorithm="auto"):
+        """Connected components over a candidate-pair graph: 'auto' =
+        hybrid union-find/label-propagation; 'star' = large-star/small-star
+        contraction for very large graphs."""
+        from .operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        if algorithm == "star":
+            return connected_components_star(pairs)
+        return connected_components(pairs)
