@@ -148,6 +148,96 @@ def pack_chunks(
     )
 
 
+# PII patterns shared by the operator and the registry oracle SQL. Kept to
+# constructs with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+# character classes, bounded repetition, non-capturing groups, \b word
+# boundaries — no backreferences or lookaround (RE2 has neither).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"(?:\+?1[ -])?555-[0-9]{4}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII scrubbing pass: mask emails, phone numbers, and IPv4 addresses,
+    and report per-document match counts (audit trail for the redaction).
+
+    Map-only projection — three chained regexp_replace calls and three
+    regexp_count calls, all whole-stage-codegen JVM expressions, zero
+    shuffle: at 100 TB this runs at scan speed and the filter/projection
+    pushdown is unaffected. Counts are taken on the pre-redaction text so
+    they record what was actually removed; replacements are ordered
+    email -> phone -> ip (the patterns are mutually non-overlapping, so
+    order only matters defensively).
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+    )
+
+
+def chunk_with_overlap(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: cut each document into ``chunk_tokens``-token
+    chunks starting every ``stride`` tokens (overlap = chunk_tokens - stride),
+    keeping the short tail chunk — the RAG/embedding-ingest layout, vs
+    ``pack_chunks``'s cross-document concat-and-chunk.
+
+    Per-row generate-and-explode (sequence + posexplode + slice), no shuffle
+    and no window: each document expands independently, so at 100 TB the
+    operator is embarrassingly parallel and output size is the only cost
+    (a stride of 3/4 chunk size inflates the corpus ~4/3x). Token slicing
+    is array-native (split once, slice per chunk) — the text is not
+    re-scanned per chunk.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("stride must be in (0, chunk_tokens]")
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_w"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    starts = toks.select(
+        id_col,
+        "_w",
+        "n_tokens",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(stride))
+        ).alias("chunk_id", "chunk_start"),
+    )
+    return starts.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.least(F.lit(chunk_tokens), F.col("n_tokens") - F.col("chunk_start"))
+        .cast("long")
+        .alias("chunk_len"),
+        F.array_join(
+            F.slice("_w", F.col("chunk_start") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+        "n_tokens",
+    )
+
+
 def hot_ngrams(
     docs: DataFrame,
     n: int = 5,

@@ -170,3 +170,88 @@ def q_quality_budget(spark, sf_dir):
     from ..operators.curation import quality_budget_select
 
     return quality_budget_select(_docs(spark, sf_dir), budget=2000)
+
+
+# Testdata documents are synthetic word-salad with no PII, so the query
+# plants deterministic PII (email/phone/IP derived from doc_id) in-plan in
+# BOTH engines before redacting — the redaction regexes must genuinely find
+# and mask 3 items per row for the hash to match (non-vacuity by design:
+# every row has n_emails = n_phones = n_ips = 1).
+_PII_PLANT_SQL = """SELECT doc_id,
+         substr(text, 1, 80) || ' reach me at user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com or +1 555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           AS text
+  FROM documents"""
+
+
+@register(
+    "q_pii_redact",
+    """WITH planted AS (
+  {plant})
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '(?:\\+?1[ -])?555-[0-9]{{4}}', '<PHONE>', 'g'),
+           '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g')
+         AS redacted,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text,
+           '(?:\\+?1[ -])?555-[0-9]{{4}}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text,
+           '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ips
+FROM planted""".format(plant=_PII_PLANT_SQL),
+    doc="[EXT] PII redaction (email/phone/IPv4 masking + audit counts) over "
+    "deterministically planted PII. Map-only chained regexp_replace — scan-"
+    "speed at 100 TB, zero shuffle. Regexes restricted to the Java-regex ∩ "
+    "RE2 common subset (no lookaround/backreferences).",
+)
+def q_pii_redact(spark, sf_dir):
+    from ..operators.curation import redact_pii
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(planted)
+
+
+@register(
+    "q_chunk_overlap",
+    """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, w, n_tokens,
+         unnest(range(0, n_tokens, 24)) AS st
+  FROM t)
+SELECT doc_id,
+       CAST(st // 24 AS BIGINT) AS chunk_id,
+       CAST(st AS BIGINT) AS chunk_start,
+       CAST(least(32, n_tokens - st) AS BIGINT) AS chunk_len,
+       array_to_string(w[st + 1 : st + 32], ' ') AS chunk_text,
+       n_tokens
+FROM s""",
+    doc="[EXT] sliding-window chunking (32-token chunks, stride 24, tail "
+    "kept) — the RAG/embedding-ingest layout. Per-row sequence+posexplode+"
+    "slice: no shuffle, embarrassingly parallel; DuckDB range() is end-"
+    "exclusive and Spark sequence() end-inclusive, so the Spark bound is "
+    "n_tokens-1. Non-vacuous: docs span 1-4 chunks at every sf.",
+)
+def q_chunk_overlap(spark, sf_dir):
+    from ..operators.curation import chunk_with_overlap
+
+    return chunk_with_overlap(_docs(spark, sf_dir), chunk_tokens=32, stride=24)

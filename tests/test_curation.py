@@ -119,3 +119,56 @@ def test_quality_budget_respects_quota_and_ranking(spark):
     assert kept[1]["cum_tokens"] == 10 and kept[3]["cum_tokens"] == 20
     # per-group accounting: g2 starts its own budget
     assert kept[4]["cum_tokens"] == 5
+
+
+def test_chunk_overlap_layout(spark):
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        chunk_with_overlap,
+    )
+
+    # 10 tokens, chunks of 4, stride 3 -> starts 0,3,6,9
+    d = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    out = {r["chunk_id"]: r for r in chunk_with_overlap(d, 4, 3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert out[3]["chunk_text"] == "t9" and out[3]["chunk_len"] == 1  # tail kept
+    assert all(r["n_tokens"] == 10 for r in out.values())
+
+
+def test_chunk_overlap_short_doc_single_chunk(spark):
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        chunk_with_overlap,
+    )
+
+    d = spark.createDataFrame([(7, "only three tokens")], "doc_id long, text string")
+    out = chunk_with_overlap(d, 32, 24).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_text"] == "only three tokens"
+    assert out[0]["chunk_len"] == 3 and out[0]["chunk_start"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_with_overlap(d, 8, 9)  # stride > chunk would skip tokens
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from postgres_cdc_reconciliation_spark.operators.curation import redact_pii
+
+    rows = [
+        (1, "mail alice.smith+x@corp.example.org now"),
+        (2, "call +1 555-0199 or 555-1234 today"),
+        (3, "host 192.168.0.1 clean 1.2.3.4"),
+        (4, "no pii here at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(d).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> now" and out[1]["n_emails"] == 1
+    assert out[2]["redacted"] == "call <PHONE> or <PHONE> today"
+    assert out[2]["n_phones"] == 2
+    assert out[3]["redacted"] == "host <IP> clean <IP>" and out[3]["n_ips"] == 2
+    assert out[4]["redacted"] == "no pii here at all"
+    assert out[4]["n_emails"] == out[4]["n_phones"] == out[4]["n_ips"] == 0
