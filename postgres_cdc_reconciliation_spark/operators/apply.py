@@ -117,6 +117,7 @@ def apply_batch(
     lsn_col: str = "source_lsn",
     op_col: str = "op",
     drop_cols: tuple[str, ...] = ("op", "source_lsn", "ts_ms", "__deleted"),
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Apply unwrapped change events to a target snapshot.
 
@@ -124,10 +125,25 @@ def apply_batch(
     newest event; 'd' removes the row, anything else upserts the after-image.
     Returns the new target snapshot (anti-join out touched keys, union in
     survivors).
+
+    ``evolve_schema=True`` enables ADDITIVE evolution, the Debezium
+    ``schema.evolution: basic`` subset (jdbc-sink-connector-config.json:14):
+    event columns absent from the target are appended (existing rows get
+    NULL), and old-schema events missing target columns upsert NULL there.
+    Column drops/renames/retypes stay errors — basic mode doesn't do them.
     """
     latest = latest_per_key(events, key_cols, lsn_col=lsn_col)
     touched_keys = latest.select(*key_cols)
     upserts = latest.filter(F.col(op_col) != "d").drop(*drop_cols)
+    if evolve_schema:
+        have = set(target.columns)
+        for f in upserts.schema.fields:  # new event columns → append to target
+            if f.name not in have:
+                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+        have_ev = set(upserts.columns)
+        for f in target.schema.fields:  # old-schema events → NULL-fill
+            if f.name not in have_ev:
+                upserts = upserts.withColumn(f.name, F.lit(None).cast(f.dataType))
     untouched = target.join(touched_keys, key_cols, "left_anti")
     # the target's declared column types win (JDBC-sink semantics: rows are
     # cast into the existing table) — otherwise union coercion would silently
@@ -146,6 +162,7 @@ def apply_stream(
     frontier_path: str | None = None,
     n_buckets: int = DEFAULT_TARGET_BUCKETS,
     protocol: str = "overwrite",
+    evolve_schema: bool = False,
 ):
     """Continuous apply: foreachBatch merge + frontier advance (T2+T5).
 
@@ -172,6 +189,14 @@ def apply_stream(
       masquerade as 'first batch' and truncate the target — ADVICE r1).
     - The control write happens after the data write (commit-marker
       ordering, data_generator.py:96-121 analog).
+    - ``evolve_schema=True`` (additive evolution, see ``apply_batch``): a
+      micro-batch that introduces a NEW column forces a one-time full
+      rewrite of the target (``dynamic=False``) instead of the touched-
+      buckets overwrite. Touched-only would leave new-schema files in some
+      ``_bucket=`` dirs and old-schema files in the rest, and a plain
+      parquet read resolves one footer — the column would silently vanish.
+      Schema change is DDL-rare, so paying O(target) once per change keeps
+      every steady-state batch at O(delta).
     - ``protocol="manifest"`` swaps the in-place dynamic overwrite for the
       versioned-manifest commit (``manifest_target.py``): immutable stage
       dirs + atomic manifest rename, so concurrent readers get snapshot
@@ -183,10 +208,20 @@ def apply_stream(
     spark = parsed_unwrapped.sparkSession
 
     def _merge_manifest(batch_df: DataFrame, batch_id: int) -> None:
-        from .manifest_target import commit_delta, read_buckets
+        from .manifest_target import (
+            commit_delta,
+            read_buckets,
+            read_manifest,
+            read_snapshot,
+        )
 
         if batch_df.isEmpty():
             return
+        payload_cols = [
+            c
+            for c in batch_df.columns
+            if c not in ("op", "source_lsn", "ts_ms", "__deleted")
+        ]
         delta_buckets = [
             r[0]
             for r in batch_df.select(
@@ -195,16 +230,37 @@ def apply_stream(
             .distinct()
             .collect()
         ]
-        target = read_buckets(spark, target_path, delta_buckets)
+        touched = delta_buckets
+        _, mapping = read_manifest(spark, target_path)
+        target = None
+        if mapping:
+            # bucket schemas are uniform within a snapshot (the evolution
+            # path below preserves the invariant), so one bucket's footer
+            # answers the new-column check without touching the rest
+            probe = read_buckets(spark, target_path, [sorted(mapping)[0]])
+            new_cols = [c for c in payload_cols if c not in probe.columns]
+            if new_cols and not evolve_schema:
+                raise ValueError(
+                    f"events carry columns {new_cols} absent from the target; "
+                    "pass evolve_schema=True (additive evolution) or fix the feed"
+                )
+            if new_cols:
+                # schema change: merge + commit EVERY live bucket in this one
+                # snapshot so the uniform-schema invariant holds (a touched-
+                # only commit would mix footers across bucket dirs)
+                target = read_snapshot(spark, target_path)
+                touched = sorted(set(mapping) | set(delta_buckets))
+            else:
+                target = read_buckets(spark, target_path, delta_buckets)
         if target is None:  # first commit, or all touched buckets empty:
             # empty target with the delta's payload schema
             target = batch_df.limit(0).drop(
                 "op", "source_lsn", "ts_ms", "__deleted"
             )
-        merged = apply_batch(target, batch_df, key_cols).localCheckpoint(
-            eager=True
-        )
-        commit_delta(merged, target_path, key_cols, delta_buckets, n_buckets)
+        merged = apply_batch(
+            target, batch_df, key_cols, evolve_schema=evolve_schema
+        ).localCheckpoint(eager=True)
+        commit_delta(merged, target_path, key_cols, touched, n_buckets)
         if frontier_path is not None:
             append_frontier(batch_df, frontier_path, batch_id)
 
@@ -213,9 +269,27 @@ def apply_stream(
             return
         dynamic = True
         delta_buckets: list[int] = []
+        payload_cols = [
+            c
+            for c in batch_df.columns
+            if c not in ("op", "source_lsn", "ts_ms", "__deleted")
+        ]
         if _path_exists(spark, target_path):
             raw = spark.read.parquet(target_path)
-            if "_bucket" in raw.columns:
+            new_cols = [
+                c for c in payload_cols if c not in raw.columns
+            ]
+            if new_cols and not evolve_schema:
+                raise ValueError(
+                    f"events carry columns {new_cols} absent from the target; "
+                    "pass evolve_schema=True (additive evolution) or fix the feed"
+                )
+            if new_cols:
+                # schema change: full rewrite so every bucket file carries the
+                # evolved schema (see docstring) — one O(target) batch, then
+                # steady state returns to touched-buckets-only
+                target, dynamic = raw.drop("_bucket"), False
+            elif "_bucket" in raw.columns:
                 delta_buckets = [
                     r[0]
                     for r in batch_df.select(
@@ -231,7 +305,9 @@ def apply_stream(
                 # legacy unpartitioned target (e.g. external snapshot):
                 # one-time O(target) migration into the bucketed layout
                 target, dynamic = raw, False
-            new_target = apply_batch(target, batch_df, key_cols)
+            new_target = apply_batch(
+                target, batch_df, key_cols, evolve_schema=evolve_schema
+            )
         else:  # first batch: empty target with the delta's payload schema
             new_target = apply_batch(
                 batch_df.limit(0).drop("op", "source_lsn", "ts_ms", "__deleted"),

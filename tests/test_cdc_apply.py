@@ -103,3 +103,37 @@ def test_apply_batch_upsert_delete_idempotent(spark):
     t3 = apply_batch(t2, batch2, ["order_id"])
     rows3 = {r["order_id"]: float(r["amount"]) for r in t3.collect()}
     assert rows3 == {3: 33.00, 4: 40.00}
+
+
+def test_apply_batch_schema_evolution_additive(spark):
+    """Debezium schema.evolution=basic parity: new event columns append to
+    the target (existing rows NULL there); old-schema events NULL-fill."""
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    )
+    evolved_events = spark.createDataFrame(
+        [(2, "b2", "eu", "u", "0/10", 1, "false"),
+         (3, "c", "us", "c", "0/20", 2, "false")],
+        "id long, val string, region string, op string, source_lsn string, "
+        "ts_ms long, __deleted string",
+    )
+    # without the flag: the target's declared schema wins — the new column
+    # is projected away (JDBC-sink "cast into the existing table" semantics;
+    # the streaming wrapper raises instead, see test_streaming)
+    t0 = apply_batch(target, evolved_events, ["id"])
+    assert "region" not in t0.columns
+    assert {r["id"]: r["val"] for r in t0.collect()} == {1: "a", 2: "b2", 3: "c"}
+
+    t1 = apply_batch(target, evolved_events, ["id"], evolve_schema=True)
+    rows = {r["id"]: (r["val"], r["region"]) for r in t1.collect()}
+    assert rows == {1: ("a", None), 2: ("b2", "eu"), 3: ("c", "us")}
+
+    # an old-schema event (no region) upserting into the evolved target
+    old_events = spark.createDataFrame(
+        [(1, "a9", "u", "0/30", 3, "false")],
+        "id long, val string, op string, source_lsn string, ts_ms long, "
+        "__deleted string",
+    )
+    t2 = apply_batch(t1, old_events, ["id"], evolve_schema=True)
+    rows2 = {r["id"]: (r["val"], r["region"]) for r in t2.collect()}
+    assert rows2[1] == ("a9", None) and rows2[2] == ("b2", "eu")

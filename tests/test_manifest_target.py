@@ -224,3 +224,60 @@ def test_compact_one_file_per_bucket_same_rows(spark, tmp_path):
     # reclaim: superseded stage dirs disappear, snapshot still reads
     vacuum(spark, target, keep_manifests=1)
     assert {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()} == before
+
+
+def test_manifest_schema_evolution_commits_all_buckets(spark, tmp_path):
+    """Additive evolution under the manifest protocol: the evolving commit
+    covers EVERY live bucket (uniform-schema invariant for read_snapshot's
+    multi-dir read), and old rows surface NULL in the new column."""
+    target = str(tmp_path / "mtarget")
+
+    src1 = tmp_path / "m1"
+    src1.mkdir()
+    _write_events(
+        src1 / "a.json",
+        [
+            (str(i), _env("r", None, _row(i, i * 10.0), f"0/{i:X}"))
+            for i in range(1, 21)
+        ],
+    )
+    _run_stream(spark, src1, target, str(tmp_path / "mck1"))
+    v0, mapping0 = read_manifest(spark, target)
+    assert len(mapping0) > 1  # needs several live buckets to be a real test
+
+    # evolved feed: new column only deliverable via a schema-explicit stream
+    src2 = tmp_path / "m2"
+    src2.mkdir()
+    with open(src2 / "b.json", "w") as f:
+        f.write(
+            json.dumps(
+                {"order_id": 3, "customer_id": 3, "amount": "33.00",
+                 "ts": None, "batch_id": 1, "region": "eu", "op": "u",
+                 "source_lsn": "0/100", "ts_ms": 2, "__deleted": "false"}
+            )
+            + "\n"
+        )
+    stream = spark.readStream.schema(
+        "order_id long, customer_id int, amount string, ts timestamp_ntz, "
+        "batch_id long, region string, op string, source_lsn string, "
+        "ts_ms long, __deleted string"
+    ).json(str(src2))
+    q = apply_stream(
+        stream,
+        target,
+        ["order_id"],
+        str(tmp_path / "mck2"),
+        n_buckets=8,
+        protocol="manifest",
+        evolve_schema=True,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    v1, mapping1 = read_manifest(spark, target)
+    assert v1 == v0 + 1
+    # every live bucket advanced to the evolving commit's data version
+    assert set(mapping1.values()) == {v1}
+    snap = read_snapshot(spark, target)
+    rows = {r["order_id"]: r for r in snap.collect()}
+    assert len(rows) == 20 and "region" in snap.columns
+    assert rows[3]["region"] == "eu" and rows[1]["region"] is None

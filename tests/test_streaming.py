@@ -245,3 +245,65 @@ def test_stream_apply_migrates_legacy_unpartitioned_target(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert final == {1: 111.0, 2: 20.0, 3: 30.0, 4: 40.0, 5: 50.0}
+
+
+def test_stream_apply_schema_evolution_full_rewrite(spark, tmp_path):
+    """Additive evolution in the bucketed streaming apply: a new event
+    column forces one full rewrite so EVERY bucket's files carry the
+    evolved schema (mixed footers would silently drop the column on read);
+    without the flag the stream fails instead of silently dropping."""
+    import glob
+
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.apply import (
+        read_target,
+        write_bucketed_target,
+    )
+
+    target = str(tmp_path / "etarget")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 21)], "id long, val string"
+    )
+    write_bucketed_target(base, target, ["id"], 8, dynamic=False)
+
+    src = tmp_path / "esrc"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        f.write(
+            json.dumps(
+                {"id": 3, "val": "v3b", "region": "eu", "op": "u",
+                 "source_lsn": "0/10", "ts_ms": 1, "__deleted": "false"}
+            )
+            + "\n"
+        )
+    evolved_schema = (
+        "id long, val string, region string, op string, source_lsn string, "
+        "ts_ms long, __deleted string"
+    )
+
+    stream = spark.readStream.schema(evolved_schema).json(str(src))
+    q = apply_stream(
+        stream, target, ["id"], str(tmp_path / "eckpt0"), n_buckets=8
+    ).trigger(availableNow=True).start()
+    with pytest.raises(Exception, match="evolve_schema"):
+        q.awaitTermination(120)
+
+    stream2 = spark.readStream.schema(evolved_schema).json(str(src))
+    q2 = apply_stream(
+        stream2,
+        target,
+        ["id"],
+        str(tmp_path / "eckpt1"),
+        n_buckets=8,
+        evolve_schema=True,
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+
+    out = read_target(spark, target)
+    rows = {r["id"]: (r["val"], r["region"]) for r in out.collect()}
+    assert len(rows) == 20
+    assert rows[3] == ("v3b", "eu") and rows[1] == ("v1", None)
+    # uniform-schema invariant: every bucket dir readable with the new column
+    for d in sorted(glob.glob(f"{target}/_bucket=*")):
+        assert "region" in spark.read.parquet(d).columns, d
