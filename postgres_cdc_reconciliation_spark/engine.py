@@ -242,6 +242,14 @@ class Engine:
 
         return compact(self.spark, root, key_cols, n_buckets)
 
+    def target_changes(self, root, key_cols, v_from, v_to=None) -> DataFrame:
+        """Change-data-feed between two committed versions of a manifest
+        apply target (insert/update/delete rows with ``_change_type``);
+        manifest pruning reads only buckets whose data version moved."""
+        from .operators.manifest_target import snapshot_changes
+
+        return snapshot_changes(self.spark, root, key_cols, v_from, v_to)
+
     def dedup_components(self, pairs, algorithm="auto"):
         """Connected components over a candidate-pair graph: 'auto' =
         hybrid union-find/label-propagation; 'star' = large-star/small-star

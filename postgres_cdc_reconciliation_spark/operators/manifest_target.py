@@ -80,6 +80,26 @@ def _bucket_path(root: str, bucket: int, data_version: int) -> str:
     return f"{root}/{STAGE_DIR}/v={data_version}/_bucket={bucket}"
 
 
+def _mapping_at(
+    spark: SparkSession, root: str, version: int | None
+) -> dict[int, int]:
+    """{bucket: data_version} for a pinned manifest (None → latest)."""
+    if version is None:
+        _, buckets = read_manifest(spark, root)
+        return buckets
+    if version not in _manifest_versions(spark, root):
+        raise FileNotFoundError(
+            f"no committed (or retained) manifest v{version} at {root}"
+        )
+    fs, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{version}.json")
+    stream = fs.open(mpath)
+    try:
+        doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+    return {int(b): int(dv) for b, dv in doc["buckets"].items()}
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
@@ -89,20 +109,7 @@ def read_snapshot(
     any committed manifest. ``version`` pins a specific committed manifest
     (time travel — valid as long as ``vacuum`` retains it); default is the
     latest."""
-    if version is None:
-        _, buckets = read_manifest(spark, root)
-    else:
-        if version not in _manifest_versions(spark, root):
-            raise FileNotFoundError(
-                f"no committed (or retained) manifest v{version} at {root}"
-            )
-        fs, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{version}.json")
-        stream = fs.open(mpath)
-        try:
-            doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
-        finally:
-            stream.close()
-        buckets = {int(b): int(dv) for b, dv in doc["buckets"].items()}
+    buckets = _mapping_at(spark, root, version)
     if not buckets:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     paths = [_bucket_path(root, b, dv) for b, dv in sorted(buckets.items())]
@@ -199,6 +206,92 @@ def compact(
         len(mapping), bucket_expr(key_cols, n_buckets)
     )
     return commit_delta(snap, root, key_cols, sorted(mapping), n_buckets)
+
+
+def changed_buckets(
+    map_from: dict[int, int], map_to: dict[int, int]
+) -> list[int]:
+    """Buckets whose data_version differs between two manifests (including
+    buckets present in only one). Buckets with EQUAL data versions point at
+    the same immutable stage dir — byte-identical by construction — so a
+    snapshot diff can skip them without reading a row."""
+    return sorted(
+        b
+        for b in set(map_from) | set(map_to)
+        if map_from.get(b) != map_to.get(b)
+    )
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change-data-feed between two committed versions: one row per key
+    whose content differs, with ``_change_type`` ∈ insert/update/delete.
+    Insert/update rows carry the v_to image; delete rows carry the v_from
+    image (the tombstone's before-image, mirroring the CDC unwrap contract).
+
+    Scale shape: the manifests prune first — only buckets whose data
+    version changed between the two snapshots are read AT ALL (stage dirs
+    are immutable, so an unchanged version is proof of byte-equality), and
+    both sides of the diff join arrive bucket-aligned. A steady-state
+    micro-batch touches a handful of buckets, so diffing two adjacent
+    versions of a 100 TB target reads GBs, not TBs. Within the changed
+    buckets the diff is one full-outer PK join + null-safe column compare
+    (the recon J7 idiom).
+    """
+    map_from = _mapping_at(spark, root, v_from)
+    map_to = _mapping_at(spark, root, v_to)
+    delta = changed_buckets(map_from, map_to)
+    empty_type = F.lit(None).cast("string").alias("_change_type")
+    if not delta:
+        probe = read_snapshot(spark, root, v_to)
+        return probe.limit(0).select("*", empty_type)
+
+    def _side(mapping: dict[int, int]) -> DataFrame | None:
+        paths = [
+            _bucket_path(root, b, mapping[b]) for b in delta if b in mapping
+        ]
+        return spark.read.parquet(*paths) if paths else None
+
+    old, new = _side(map_from), _side(map_to)
+    if new is None and old is None:  # unreachable given delta nonempty
+        raise AssertionError("changed buckets with no data on either side")
+    if new is None:
+        return old.select("*", F.lit("delete").alias("_change_type"))
+    if old is None:
+        return new.select("*", F.lit("insert").alias("_change_type"))
+    # additive evolution may have widened the schema between versions
+    for f in new.schema.fields:
+        if f.name not in old.columns:
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"_from_{c}") for c in val_cols],
+        F.lit(True).alias("_in_from"),
+    )
+    n = new.select(*key_cols, *val_cols, F.lit(True).alias("_in_to"))
+    j = o.join(n, key_cols, "full_outer")
+    differs = F.lit(False)
+    for c in val_cols:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"_from_{c}"))
+    return j.select(
+        *key_cols,
+        *[
+            F.when(F.col("_in_to").isNotNull(), F.col(c))
+            .otherwise(F.col(f"_from_{c}"))
+            .alias(c)
+            for c in val_cols
+        ],
+        F.when(F.col("_in_from").isNull(), "insert")
+        .when(F.col("_in_to").isNull(), "delete")
+        .when(differs, "update")
+        .alias("_change_type"),
+    ).filter(F.col("_change_type").isNotNull())
 
 
 def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]:

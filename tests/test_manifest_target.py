@@ -281,3 +281,61 @@ def test_manifest_schema_evolution_commits_all_buckets(spark, tmp_path):
     rows = {r["order_id"]: r for r in snap.collect()}
     assert len(rows) == 20 and "region" in snap.columns
     assert rows[3]["region"] == "eu" and rows[1]["region"] is None
+
+
+def test_changed_buckets_pruning_logic():
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        changed_buckets,
+    )
+
+    assert changed_buckets({1: 0, 2: 0, 3: 0}, {1: 0, 2: 1, 4: 1}) == [2, 3, 4]
+    assert changed_buckets({}, {5: 0}) == [5]
+    assert changed_buckets({1: 3}, {1: 3}) == []
+
+
+def test_snapshot_changes_cdf(spark, tmp_path):
+    """CDF between manifest versions: insert/update/delete detected, with
+    manifest-level pruning (identical data_versions are never read)."""
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        snapshot_changes,
+    )
+
+    target = str(tmp_path / "cdf")
+    # v0: keys 1..20
+    src1 = tmp_path / "c1"
+    src1.mkdir()
+    _write_events(
+        src1 / "a.json",
+        [
+            (str(i), _env("r", None, _row(i, i * 10.0), f"0/{i:X}"))
+            for i in range(1, 21)
+        ],
+    )
+    _run_stream(spark, src1, target, str(tmp_path / "cck1"))
+    # v1: update 3, delete 5, insert 21
+    src2 = tmp_path / "c2"
+    src2.mkdir()
+    _write_events(
+        src2 / "b.json",
+        [
+            ("3", _env("u", _row(3, 30.0), _row(3, 33.0), "0/100")),
+            ("5", _env("d", _row(5, 50.0), None, "0/101")),
+            ("21", _env("c", None, _row(21, 210.0), "0/102")),
+        ],
+    )
+    _run_stream(spark, src2, target, str(tmp_path / "cck2"))
+
+    v1, _ = read_manifest(spark, target)
+    ch = snapshot_changes(spark, target, ["order_id"], v1 - 1, v1)
+    by_key = {r["order_id"]: r for r in ch.collect()}
+    assert {k: r["_change_type"] for k, r in by_key.items()} == {
+        3: "update",
+        5: "delete",
+        21: "insert",
+    }
+    assert by_key[3]["amount"] == by_key[3]["amount"].__class__("33.00")
+    assert by_key[5]["amount"] == by_key[5]["amount"].__class__("50.00")
+    # self-diff: no changed buckets -> empty, schema intact
+    self_diff = snapshot_changes(spark, target, ["order_id"], v1, v1)
+    assert self_diff.count() == 0
+    assert "_change_type" in self_diff.columns
