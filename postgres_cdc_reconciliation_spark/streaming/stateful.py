@@ -76,6 +76,88 @@ def running_counter(grouped_keys, key_col: str, out_schema: str):
     )
 
 
+def session_aggregate(
+    grouped_keys,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    gap_seconds: int = 60,
+):
+    """Gap-based sessionization with custom per-session aggregates — the
+    applyInPandasWithState formulation of what ``session_window`` computes
+    for built-in aggs, needed once the per-session logic outgrows SQL
+    (bespoke payloads, emit-on-close side effects).
+
+    A session is a maximal run of a key's events with inter-event gaps
+    ≤ ``gap_seconds``. Sessions close two ways:
+    - a later event arrives past the gap (closed session emitted, new one
+      opened), or
+    - the event-time watermark passes last_event + gap with nothing new
+      (EventTimeTimeout fires; the idle session is emitted and state
+      cleared — bounded state, no leak from dead keys).
+
+    Emits one row per CLOSED session: (key, session_start, session_end,
+    n_events, total_value). The input must carry ``withWatermark(ts_col,
+    ...)`` — the timeout clock IS the watermark. State per key is one open
+    session (4 scalars), partitioned by key across executors and
+    checkpointed with the query.
+    """
+    gap_ms = gap_seconds * 1000
+
+    def _emit(key, start_ms, last_ms, n, total):
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                "n_events": [n],
+                "total_value": [float(total)],
+            }
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_ms, last_ms, n, total = state.get
+            state.remove()
+            yield _emit(key[0], start_ms, last_ms, n, total)
+            return
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        batch = pd.concat(parts, ignore_index=True).sort_values(ts_col)
+        ts_ms = (batch[ts_col].astype("int64") // 10**6).tolist()
+        vals = batch[value_col].astype(float).tolist()
+        open_s = list(state.get) if state.exists else None
+        for t, v in zip(ts_ms, vals):
+            if open_s is None:
+                open_s = [t, t, 1, v]
+            elif t - open_s[1] > gap_ms:
+                yield _emit(key[0], *open_s)
+                open_s = [t, t, 1, v]
+            else:
+                # watermark-bounded disorder: an in-gap event may predate the
+                # open session's start (it extends the session backwards)
+                open_s[0] = min(open_s[0], t)
+                open_s[1] = max(open_s[1], t)
+                open_s[2] += 1
+                open_s[3] += v
+        state.update(tuple(open_s))
+        state.setTimeoutTimestamp(open_s[1] + gap_ms)
+
+    return grouped_keys.applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_col} string, session_start timestamp, "
+            "session_end timestamp, n_events long, total_value double"
+        ),
+        stateStructType="start_ms long, last_ms long, n long, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_totals_tws(grouped_keys, key_col: str, value_col: str):
     """Per-key running count+sum via transformWithStateInPandas — the
     Spark 4 stateful API (typed ValueState handles, explicit init/close

@@ -131,3 +131,63 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     else:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_session_aggregate_gap_and_timeout(spark, tmp_path):
+    """Sessions close on in-data gaps AND on watermark timeout; still-open
+    sessions are not emitted."""
+    from postgres_cdc_reconciliation_spark.streaming.stateful import (
+        session_aggregate,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # gap = 60s. A: two events 30s apart (one session), then one at +120s
+    # (gap 90s -> closes the first). B appears late; its lone session stays
+    # open except A's second session times out as B advances the watermark.
+    import os as _os
+
+    _write_batch(src / "b1.json", [
+        {"k": "A", "ts": "2026-01-01 00:00:00", "v": 1.0},
+        {"k": "A", "ts": "2026-01-01 00:00:30", "v": 2.0},
+    ])
+    _write_batch(src / "b2.json", [{"k": "A", "ts": "2026-01-01 00:02:00", "v": 4.0}])
+    _write_batch(src / "b3.json", [{"k": "B", "ts": "2026-01-01 00:10:00", "v": 8.0}])
+    _write_batch(src / "b4.json", [{"k": "B", "ts": "2026-01-01 00:20:00", "v": 16.0}])
+    # the file source orders micro-batches by modification time — same-second
+    # mtimes would arrive in arbitrary order, so pin them explicitly
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json", "b4.json"]):
+        t = 1700000000 + i * 10
+        _os.utime(src / name, (t, t))
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = session_aggregate(stream.groupBy("k"), "k", "ts", "v", gap_seconds=60)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        (
+            (r["k"], r["n_events"], r["total_value"],
+             r["session_end"].second - r["session_start"].second)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+    )
+    # A's first session: 2 events, 30s span, closed by the in-data gap.
+    # A's second: 1 event, closed by watermark timeout (B pushed the clock).
+    a_sessions = [r for r in rows if r[0] == "A"]
+    assert a_sessions == [("A", 1, 4.0, 0), ("A", 2, 3.0, 30)]
+    # B's 00:10 session closes via the in-data gap when 00:20 arrives; the
+    # 00:20 session is still open at shutdown and must NOT be emitted
+    b_sessions = [r for r in rows if r[0] == "B"]
+    assert b_sessions == [("B", 1, 8.0, 0)]
