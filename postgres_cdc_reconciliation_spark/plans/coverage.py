@@ -241,6 +241,61 @@ def q_approx_stats(spark, sf_dir):
 
 
 @register(
+    "q_sketch_pack",
+    None,  # DataSketches estimates are library-specific → rows-only check
+    doc="A6 [EXT] mergeable DataSketches pack: per-priority HLL distinct "
+    "customers + global rollup from the group sketches alone (merge, no "
+    "re-scan), theta set algebra of two segments' customer sets, KLL "
+    "order-total quantiles. Error bounds asserted vs exact in "
+    "tests/test_sketches.py; the driver records the rows-only check.",
+)
+def q_sketch_pack(spark, sf_dir):
+    from ..operators.sketches import (
+        hll_group_distinct,
+        hll_rollup,
+        theta_segment_algebra,
+        kll_group_quantiles,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    per_group = hll_group_distinct(o, "o_orderpriority", "o_custkey")
+    total = hll_rollup(per_group)
+    algebra = theta_segment_algebra(
+        o, "o_orderpriority", "o_custkey", "1-URGENT", "2-HIGH"
+    )
+    quant = kll_group_quantiles(
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    # one row per priority + one summary row, single result shape
+    return (
+        per_group.select(
+            F.col("o_orderpriority").alias("label"),
+            F.col("approx_distinct").cast("double").alias("metric1"),
+            F.lit(None).cast("double").alias("metric2"),
+            F.lit(None).cast("double").alias("metric3"),
+        )
+        .unionByName(
+            total.crossJoin(algebra).select(
+                F.lit("_total").alias("label"),
+                F.col("approx_distinct_total").cast("double").alias("metric1"),
+                F.col("n_union").cast("double").alias("metric2"),
+                F.col("n_intersect").cast("double").alias("metric3"),
+            )
+        )
+        .unionByName(
+            quant.select(
+                F.concat(F.lit("kll:"), "o_orderpriority").alias("label"),
+                F.col("q_50").alias("metric1"),
+                F.col("q_90").alias("metric2"),
+                F.col("q_99").alias("metric3"),
+            )
+        )
+    )
+
+
+@register(
     "q_grouped_demean",
     """WITH m AS (
   SELECT user_id,
