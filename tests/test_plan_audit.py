@@ -1,0 +1,63 @@
+"""Plan audit for the headline relational queries: the optimized physical
+plans must be the ones we'd accept at 100 TB — no accidental cartesian
+products, small dimensions broadcast, filters pushed to the parquet scans.
+Catches regressions where an innocent-looking change (a cast on a join
+key, a renamed column) silently degrades the join strategy."""
+
+from __future__ import annotations
+
+from postgres_cdc_reconciliation_spark.plans.registry import all_queries
+
+# TPC-H-shaped queries joining fact tables to small dims: nation/region/
+# supplier/customer sides must broadcast, never cartesian.
+AUDITED = [
+    "q_pricing_summary",
+    "q_top_customers",
+    "q_regional_revenue",
+    "q_shipping_priority",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_large_orders",
+    "q_min_cost_supplier",
+    "q_part_value_share",
+    "q_excess_suppliers",
+    "q_product_profit",
+    "q_top_supplier",
+    "q_disjunctive_revenue",
+    "q_return_fault_suppliers",
+    "q_promo_revenue",
+]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_no_cartesian_and_broadcasts_present(spark, sf_dir):
+    qs = all_queries()
+    missing = [n for n in AUDITED if n not in qs]
+    assert not missing, f"audited queries no longer registered: {missing}"
+    offenders, no_broadcast = [], []
+    for name in AUDITED:
+        plan = _plan(qs[name].fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+        if "BroadcastHashJoin" not in plan and "Join" in plan:
+            no_broadcast.append(name)
+    assert not offenders, f"cartesian product in: {offenders}"
+    # every audited query joins at least one broadcast-sized dim
+    assert not no_broadcast, f"no broadcast join in: {no_broadcast}"
+
+
+def test_scans_prune_columns(spark, sf_dir):
+    """Column pruning must reach the lineitem scan: the widest fact table
+    read should never materialize all 16 columns for an aggregate query."""
+    qs = all_queries()
+    plan = _plan(qs["q_pricing_summary"].fn(spark, sf_dir))
+    # the formatted plan prints the scan's ReadSchema; l_comment is never
+    # referenced by the query and must not be read
+    assert "l_comment" not in plan
