@@ -708,6 +708,46 @@ def q_excess_suppliers(spark, sf_dir):
 
 
 @register(
+    "q_supplier_variety",
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'ECONOMY'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 3000)
+GROUP BY p_brand, p_type, p_size""",
+    doc="TPC-H Q16-shaped supplier variety (partsupp-free: lineitem supplies "
+    "the supplier-part relation; low-acctbal suppliers stand in for the "
+    "complaint exclusion — threshold 3000 excludes 3/10 suppliers at "
+    "sf0.001, 38/100 at sf0.01, non-vacuous both). Broadcast the filtered "
+    "part dim and the tiny exclusion list; count(DISTINCT) shuffles only "
+    "(group, suppkey) pairs after map-side dedup.",
+)
+def q_supplier_variety(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 3000)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
     "q_priority_line_count",
     """SELECT l_linestatus,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
