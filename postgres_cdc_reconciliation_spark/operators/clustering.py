@@ -1,0 +1,234 @@
+"""[EXT] Distributed k-means (Lloyd's) for embedding columns.
+
+The coarse quantizers in ``operators/similarity.py`` (IVF inverted lists,
+RP-LSH blocking for near-dup detection) need cluster assignments. Sampled
+corpus vectors work as centroids (``ivf_centroids``) but recall is bounded
+by how well a hash-ordered sample covers the density; trained centroids
+move to the density modes. This module provides the training step with the
+dataflow that survives 100 TB:
+
+  broadcast centroids  →  per-row nearest-centroid (min_by over k dists,
+  map-only)  →  ONE keyed shuffle of (cent_id, partial sums)  →  k×dim
+  driver-side centroid refresh  →  rebroadcast.
+
+Per iteration the shuffle volume is |clusters| × dim doubles (map-side
+combine collapses each partition to ≤k rows before the exchange), never
+|rows|; the only driver-side state is the k×dim centroid matrix itself,
+which must be broadcast-sized regardless of algorithm. Assignment cost is
+the unavoidable O(rows × k × dim) multiply, all inside native SQL
+aggregates (one ``avg(vec[i])`` column per dimension — whole-stage
+codegen, no Python in the loop).
+
+Everything is deterministic: init picks the k corpus vectors with the
+smallest ``xxhash64(id)`` (a seeded, reproducible "random" sample), ties
+in assignment break to the smallest cent_id, and convergence is tested on
+the max centroid displacement. Floating-point summation order inside
+``avg`` varies with partitioning (as in any distributed mean), so exact
+centroid bits are not reproducible across cluster layouts — tests assert
+inertia monotonicity and agreement with a numpy reference within fp
+tolerance, not bit equality. Hence the driver-facing query for this module
+is registered rows-only.
+
+Reference parity: the reference engine has no clustering operator; this is
+part of the [EXT] LLM-data-pipeline surface (SURVEY.md §2 D3) — the
+"real k-means assignment step" that replaces shipped labels when blocking
+embeddings for near-dup detection at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer dimensionality of {vec_col!r}: empty input")
+    return int(row["d"])
+
+
+def kmeans_init(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic seeding: the k vectors with the smallest
+    ``xxhash64(id)``. Equivalent to a uniform random sample under a fixed
+    seed (hash order is uncorrelated with insertion or value order), but
+    reproducible across runs and engines. One scan, top-k by hash —
+    ``sortWithinPartitions`` + per-partition head would also work, but at
+    k ≪ rows a global ``orderBy ... limit k`` is optimized to a
+    TakeOrdered (no full sort materialization)."""
+    rows = (
+        corpus.select(
+            F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"corpus has only {len(rows)} rows < k={k}")
+    return [list(r["_v"]) for r in rows]
+
+
+def kmeans_init_farthest(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic farthest-first (Gonzalez) seeding: seed 1 is the
+    smallest-hash vector; each next seed is the vector maximizing the
+    distance to its nearest existing seed (ties to the smallest hash).
+    This is the deterministic stand-in for k-means++ — it provably spreads
+    seeds across well-separated clusters, avoiding the two-seeds-in-one-
+    blob local minimum plain random/hash seeding can fall into.
+
+    Cost: k scans, each map-only (centroid literals folded into the plan)
+    + a TakeOrdered(1). k is the coarse-quantizer size (≤ a few hundred),
+    so this is k cheap passes — the classic trade against one-pass random
+    seeding, worth it because the quantizer is trained once and reused for
+    every query after."""
+    base = corpus.select(
+        F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+    )
+    first = base.orderBy("_h").limit(1).collect()
+    if not first:
+        raise ValueError("empty corpus")
+    cents = [list(first[0]["_v"])]
+    while len(cents) < k:
+        far = (
+            base.withColumn("_m", _nearest_expr(cents))
+            .orderBy(F.desc(F.col("_m.dist")), "_h")
+            .limit(1)
+            .collect()[0]
+        )
+        if far["_m"]["dist"] == 0.0:
+            raise ValueError(
+                f"corpus has fewer than k={k} distinct vectors "
+                f"({len(cents)} found)"
+            )
+        cents.append(list(far["_v"]))
+    return cents
+
+
+def _nearest_expr(centroids: list[list[float]]):
+    """min_by over the k squared distances, computed as literal-folded SQL:
+    for each centroid c, sum_i (v[i]-c[i])^2 via an aggregate HOF over the
+    zipped literal. Ties break to the smallest cent_id (array_min over
+    (dist, id) structs)."""
+    structs = []
+    for cid, cent in enumerate(centroids):
+        lit = "array({})".format(",".join(f"{x!r}D" for x in cent))
+        d = (
+            f"aggregate(zip_with(_v, {lit}, (a, b) -> (a - b) * (a - b)), "
+            f"0D, (acc, x) -> acc + x)"
+        )
+        structs.append(f"struct({d} as dist, {cid} as cent_id)")
+    return F.expr(f"array_min(array({','.join(structs)}))")
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cent_id, dist): nearest centroid per vector. Map-only — the
+    centroid list rides into the plan as folded literals (k×dim doubles,
+    same scale bound as any broadcast), so there is no join and no shuffle;
+    downstream grouping is the caller's choice."""
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+        )
+        .withColumn("_m", _nearest_expr(centroids))
+        .select(
+            id_col,
+            F.col("_m.cent_id").alias("cent_id"),
+            F.col("_m.dist").alias("dist"),
+        )
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "farthest",
+) -> tuple[list[list[float]], int]:
+    """Lloyd's iterations until the max centroid displacement² < tol or
+    max_iter. Returns (centroids, iterations_run). ``init``: "farthest"
+    (Gonzalez, default — spreads seeds across modes) or "hash" (one-pass
+    seeded-uniform sample).
+
+    Each iteration: one scan + one keyed shuffle whose volume is ≤
+    k × partitions partial rows (map-side combine on the dim avg() columns)
+    — the per-iteration cost model that holds at 100 TB. Empty clusters
+    keep their previous centroid (standard Lloyd's fallback; with hash
+    seeding they are rare)."""
+    dim = _dim_of(corpus, vec_col)
+    seeder = kmeans_init_farthest if init == "farthest" else kmeans_init
+    cents = seeder(corpus, k, id_col, vec_col)
+    vecs = corpus.select(
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v")
+    )
+    it = 0
+    for it in range(1, max_iter + 1):
+        assigned = vecs.withColumn("_m", _nearest_expr(cents)).select(
+            F.col("_m.cent_id").alias("cent_id"), "_v"
+        )
+        means = (
+            assigned.groupBy("cent_id")
+            .agg(*[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for row in means:
+            new_cents[row["cent_id"]] = [row[f"m{i}"] for i in range(dim)]
+        shift = max(
+            sum((a - b) * (a - b) for a, b in zip(nc, oc))
+            for nc, oc in zip(new_cents, cents)
+        )
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents, it
+
+
+def kmeans_inertia(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Σ min-dist² — the Lloyd's objective; monotone non-increasing across
+    iterations (the property the tests assert)."""
+    row = (
+        corpus.select(
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v")
+        )
+        .withColumn("_m", _nearest_expr(centroids))
+        .agg(F.sum("_m.dist").alias("s"))
+        .first()
+    )
+    return float(row["s"])
+
+
+def kmeans_centroids_df(
+    spark, centroids: list[list[float]]
+) -> DataFrame:
+    """Centroid list → (cent_id int, cent array<double>) DataFrame in the
+    shape ``similarity.ivf_assign`` / ``ivf_topk_multiprobe`` expect — the
+    bridge that upgrades IVF from sampled to trained centroids."""
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cent_id int, cent array<double>"
+    )

@@ -1000,3 +1000,33 @@ def q_token_rarity(spark, sf_dir):
             F.min("freq").cast("long").alias("rarest_freq"),
         )
     )
+
+
+@register(
+    "q_kmeans",
+    None,  # iterative algorithm (driver loop over distributed steps) → rows-only
+    doc="[EXT] distributed Lloyd's k-means over the embedding corpus: "
+    "deterministic farthest-first seeding, 3 refinement iterations, then "
+    "cluster cardinalities + mean within-cluster distance. Each iteration "
+    "is one scan + one keyed shuffle of <= k x partitions partial rows "
+    "(map-side combined dim-wise avg), the cost model that holds at "
+    "100 TB. Numpy-agreement, inertia-monotonicity and planted-cluster "
+    "recovery tested in tests/test_clustering.py; this is the trained "
+    "upgrade path for the IVF coarse quantizer (q_ann_ivf_probe) and "
+    "label-free embedding blocking (replaces q_dedup_embed's shipped "
+    "labels at scale).",
+)
+def q_kmeans(spark, sf_dir):
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, _iters = kmeans_fit(emb, k=4, max_iter=3)
+    return (
+        kmeans_assign(emb, cents)
+        .groupBy("cent_id")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sqrt(F.avg("dist")).alias("rms_dist"),
+        )
+        .orderBy("cent_id")
+    )

@@ -1,0 +1,118 @@
+"""Distributed Lloyd's k-means: numpy agreement, objective monotonicity,
+planted-cluster recovery, and the trained-centroid IVF bridge."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators import clustering as C
+from postgres_cdc_reconciliation_spark.operators import similarity as S
+
+
+def _planted(spark, n_per=40, k=3, dim=8, spread=0.05):
+    """k well-separated gaussian-ish blobs, deterministic (hash-derived
+    offsets, no RNG)."""
+    rows = []
+    for c in range(k):
+        center = [(3.0 * c if i == 0 else float(c)) for i in range(dim)]
+        for j in range(n_per):
+            # deterministic pseudo-noise from (c, j, i)
+            vec = [
+                center[i]
+                + spread * (((c * 1_000_003 + j * 101 + i * 17) % 97) / 97.0 - 0.5)
+                for i in range(dim)
+            ]
+            rows.append((c * n_per + j, vec, c))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, true_label int"
+    )
+
+
+def _np_assign(X, cents):
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), d.min(axis=1)
+
+
+def test_assign_matches_numpy(spark):
+    df = _planted(spark)
+    X = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()])
+    cents = C.kmeans_init(df, 3)
+    got = {
+        r["vec_id"]: (r["cent_id"], r["dist"])
+        for r in C.kmeans_assign(df, cents).collect()
+    }
+    want_lbl, want_dist = _np_assign(X, np.array(cents))
+    for vid in range(len(X)):
+        assert got[vid][0] == want_lbl[vid]
+        assert got[vid][1] == pytest.approx(want_dist[vid], rel=1e-9)
+
+
+def test_inertia_monotone_and_convergence(spark):
+    df = _planted(spark)
+    cents0 = C.kmeans_init_farthest(df, 3)
+    inertia0 = C.kmeans_inertia(df, cents0)
+    cents, iters = C.kmeans_fit(df, 3, max_iter=6)
+    inertia1 = C.kmeans_inertia(df, cents)
+    # trained inertia never exceeds the seed inertia (same seeding)
+    assert inertia1 <= inertia0 + 1e-9
+    assert 1 <= iters <= 6
+
+
+def test_farthest_init_spreads_across_blobs(spark):
+    df = _planted(spark)
+    seeds = np.array(C.kmeans_init_farthest(df, 3))
+    # one seed per planted blob: first coordinate identifies the blob
+    assert sorted(round(s[0] / 3.0) for s in seeds) == [0, 1, 2]
+
+
+def test_recovers_planted_clusters(spark):
+    df = _planted(spark)
+    cents, _ = C.kmeans_fit(df, 3, max_iter=10)
+    assigned = C.kmeans_assign(df, cents).join(
+        df.select("vec_id", "true_label"), "vec_id"
+    )
+    # each learned cluster maps to exactly one planted label and vice versa
+    purity = (
+        assigned.groupBy("cent_id")
+        .agg(F.count_distinct("true_label").alias("n_lbl"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(purity) == 3
+    for r in purity:
+        assert r["n_lbl"] == 1
+        assert r["n"] == 40
+
+
+def test_fit_agrees_with_numpy_lloyds(spark):
+    """Same seeding, same iteration count → same centroids within fp noise."""
+    df = _planted(spark, n_per=25, k=2, dim=4)
+    X = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()])
+    seed = np.array(C.kmeans_init(df, 2))
+    cents, iters = C.kmeans_fit(df, 2, max_iter=3, tol=0.0, init="hash")
+
+    np_c = seed.copy()
+    for _ in range(iters):
+        lbl, _d = _np_assign(X, np_c)
+        for c in range(2):
+            if (lbl == c).any():
+                np_c[c] = X[lbl == c].mean(axis=0)
+    assert np.allclose(np.array(cents), np_c, atol=1e-9)
+
+
+def test_trained_centroids_drive_ivf(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, _ = C.kmeans_fit(emb, 4, max_iter=3)
+    cdf = C.kmeans_centroids_df(spark, cents)
+    assigned = S.ivf_assign(emb, cdf)
+    n = emb.count()
+    assert assigned.count() == n
+    # every vector lands in a valid cluster and >1 cluster is populated
+    stats = assigned.groupBy("cent_id").count().collect()
+    assert {r["cent_id"] for r in stats} <= {0, 1, 2, 3}
+    assert len(stats) >= 2
+    # multiprobe top-k over trained lists returns k rows per query
+    queries = emb.filter(F.col("vec_id") < 4)
+    topk = S.ivf_topk_multiprobe(queries, emb, cdf, k=5, nprobe=4)
+    per_q = topk.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
