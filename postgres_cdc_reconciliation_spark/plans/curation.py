@@ -255,3 +255,60 @@ def q_chunk_overlap(spark, sf_dir):
     from ..operators.curation import chunk_with_overlap
 
     return chunk_with_overlap(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
+
+
+@register(
+    "q_corpus_mix",
+    """WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM per),
+w AS (
+  SELECT lang, cnt, sqrt(CAST(cnt AS DOUBLE)) AS sq,
+         sum(sqrt(CAST(cnt AS DOUBLE))) OVER (
+           ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM per),
+t AS (SELECT lang, cnt, sq, max(cum) OVER () AS stot FROM w)
+SELECT lang, cnt,
+       round(CAST(cnt AS DOUBLE) / n, 6) AS nat_share,
+       round(sq / stot, 6) AS mix_weight,
+       CAST(floor(sq / stot * 100000) AS BIGINT) AS target_per_100k
+FROM t CROSS JOIN tot
+ORDER BY lang""",
+    doc="[EXT] temperature-resampled corpus mixing (alpha=0.5 a la "
+    "multilingual-LM sampling): per-language counts -> weight_i = "
+    "sqrt(c_i) / sum_j sqrt(c_j), flattening the natural distribution "
+    "toward low-resource languages. One keyed agg (|languages| groups) + "
+    "window math on the broadcast-sized result — at 100 TB only the "
+    "group-by scans data. Cross-engine determinism: sqrt is IEEE "
+    "correctly-rounded; the sqrt-sum uses an ORDER BY lang running frame "
+    "(sequential accumulation, identical order in both engines) and the "
+    "total is max(cum) (order-free); margins to the 6dp rounding / floor "
+    "boundaries are >= 7e-8 at sf0.001/0.01/0.1 (vs ~1e-15 fp noise).",
+)
+def q_corpus_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang").agg(F.count("*").cast("long").alias("cnt"))
+    w_run = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    sq = F.sqrt(F.col("cnt").cast("double"))
+    t = per.select(
+        "lang",
+        "cnt",
+        sq.alias("sq"),
+        F.sum(sq).over(w_run).alias("cum"),
+    ).select(
+        "lang", "cnt", "sq", F.max("cum").over(w_all).alias("stot"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return t.select(
+        "lang",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias("nat_share"),
+        F.round(F.col("sq") / F.col("stot"), 6).alias("mix_weight"),
+        F.floor(F.col("sq") / F.col("stot") * 100000)
+        .cast("long")
+        .alias("target_per_100k"),
+    ).orderBy("lang")

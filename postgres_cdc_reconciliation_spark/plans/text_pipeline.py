@@ -1030,3 +1030,55 @@ def q_kmeans(spark, sf_dir):
         )
         .orderBy("cent_id")
     )
+
+
+@register(
+    "q_tfidf",
+    """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token),
+df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf_r
+FROM tf JOIN df USING (token) CROSS JOIN n
+WHERE tf.tf >= 2""",
+    doc="[EXT] TF-IDF term weighting (repeated terms, tf >= 2): corpus "
+    "document frequencies (one keyed agg, broadcast-sized vocab) joined "
+    "back to per-doc term frequencies; score = tf * ln(N/df). tf/df/N are "
+    "exact BIGINTs, the score is one ln + one multiply (no summation "
+    "order), rounded to 6dp with a boundary margin >= 3e-10 at "
+    "sf0.001/0.01/0.1 — >= 1e4 x the 1-ulp cross-engine ln() tolerance. "
+    "Scale shape: tf filter applies before the df join, the df table is "
+    "broadcast, N rides in as a 1-row cross join — map-side after two "
+    "keyed aggs, no window sort.",
+)
+def q_tfidf(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .filter(F.col("tf") >= 2)
+    )
+    df = tok.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    n = d.agg(F.count("*").cast("long").alias("n"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf_r"),
+        )
+    )
