@@ -184,3 +184,85 @@ def simhash16(
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+# --- incremental LSH dedup (O(delta) ingest-time near-dup detection) --------
+
+
+def lsh_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(band, id) LSH index rows for a corpus — the persisted side of
+    incremental dedup. Built once per corpus (shingle → minhash → band
+    explode, all keyed aggs), then written bucketed/partitioned BY band so
+    later batch probes are partition-pruned equality joins. At 100 TB the
+    index is ~n_bands rows per doc (8/2 = 4 here) of (string, id) — far
+    smaller than the corpus text it replaces at query time."""
+    sig = minhash_signatures(shingles(docs, id_col, text_col, k), id_col, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col(f"h{b * band_size + j}") for j in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("band"))
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Near-dup candidates for an ingest batch WITHOUT rescanning the
+    corpus: the batch's band rows probe the persisted (band, id) index —
+    cost O(|batch| + matched buckets), never O(corpus). Also self-joins the
+    batch against itself (intra-batch dups arrive together). Output
+    (new_id, match_id, n_shared_bands, match_src ∈ corpus|batch).
+
+    This is the dedup shape a continuously-ingesting training-data
+    pipeline needs: the corpus index grows append-only (union the batch's
+    band rows after admission), and each micro-batch pays only for its own
+    bands. The batch side is typically broadcast-sized — Spark's planner
+    (AQE) picks broadcast automatically; at cluster scale the index join
+    is an equality shuffle on `band`, partition-pruned when the index is
+    written partitioned by band prefix."""
+    probe = lsh_band_index(new_docs, id_col, text_col, k, n_hashes, band_size)
+    corpus_hits = (
+        probe.alias("p")
+        .join(index.alias("i"), "band")
+        .filter(F.col(f"p.{id_col}") != F.col(f"i.{id_col}"))
+        .select(
+            F.col(f"p.{id_col}").alias("new_id"),
+            F.col(f"i.{id_col}").alias("match_id"),
+            F.lit("corpus").alias("match_src"),
+        )
+    )
+    batch_hits = (
+        probe.alias("a")
+        .join(probe.alias("b"), "band")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("match_id"),
+            F.lit("batch").alias("match_src"),
+        )
+    )
+    return (
+        corpus_hits.unionByName(batch_hits)
+        .groupBy("new_id", "match_id", "match_src")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
