@@ -223,3 +223,81 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFra
         id_col,
         F.coalesce("component", F.col(id_col)).alias("canonical_id"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank by power iteration — (vertex, rank) with Σ rank = 1.
+
+    The second iterative algorithm in the engine (after connected
+    components): a driver loop over distributed steps, each iteration one
+    edges⋈ranks join + one keyed sum — the Pregel dataflow without a
+    vertex-program framework. Dangling vertices (no out-edges) donate
+    their mass uniformly; the dangling sum is the single driver-side
+    scalar per iteration (an O(1) agg, not a collect of rows).
+
+    Scale shape: ranks is |V| rows, edges |E| rows; the join shuffles on
+    the vertex key both ways, so pre-partitioning both by vertex (or
+    bucketing the edge table at write time) makes every iteration
+    shuffle-free on the big side. localCheckpoint every iteration
+    truncates the lineage (same pattern as connected_components — without
+    it the plan doubles per iteration). Convergence = L1 rank delta < tol.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    verts = (
+        e.select(F.col("u").alias("vertex"))
+        .unionByName(e.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    # edge weight = 1/outdeg(src), fixed across iterations
+    w = e.join(deg, "u").select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
+    w = w.localCheckpoint()
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    has_out = deg.select(F.col("u").alias("vertex"))
+    for _ in range(max_iter):
+        dangling = (
+            ranks.join(has_out, "vertex", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            w.join(ranks.withColumnRenamed("vertex", "u"), "u")
+            .select(F.col("v").alias("vertex"), (F.col("w") * F.col("rank")).alias("c"))
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_ranks = (
+            verts.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.join(
+                ranks.withColumnRenamed("rank", "old"), "vertex"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

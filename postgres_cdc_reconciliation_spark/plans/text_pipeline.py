@@ -1126,3 +1126,30 @@ def q_dedup_incremental(spark, sf_dir):
         "match_src",
         F.col("n_shared_bands").cast("long").alias("n_shared_bands"),
     )
+
+
+@register(
+    "q_pagerank",
+    None,  # iterative power method (driver loop over distributed steps) → rows-only
+    doc="[EXT] PageRank over the supplier->part supply graph (distinct "
+    "(l_suppkey -> l_partkey) edges from lineitem; parts are sinks whose "
+    "mass redistributes through the dangling term). Power iteration, 8 "
+    "rounds: each is one edges-by-ranks join + keyed sum, lineage "
+    "truncated per round via localCheckpoint. Numpy-agreement, mass "
+    "conservation and dangling handling tested in tests/test_pagerank.py. "
+    "Returns the top-20 vertices (rank DESC, vertex id tie-break).",
+)
+def q_pagerank(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + F.lit(1_000_000)).alias("dst"),
+    )
+    return (
+        pagerank(edges, max_iter=8)
+        .orderBy(F.desc("rank"), "vertex")
+        .limit(20)
+        .select("vertex", F.round("rank", 8).alias("rank_r"))
+    )
