@@ -262,3 +262,46 @@ class Engine:
         if algorithm == "star":
             return connected_components_star(pairs)
         return connected_components(pairs)
+
+    def kmeans(self, vectors, k, max_iter=10, id_col="vec_id",
+               vec_col="embedding"):
+        """Train + assign: distributed Lloyd's with deterministic
+        farthest-first seeding; returns (assignments_df, centroids_df).
+        Centroids feed similarity_topk_approx(method='ivf') via the same
+        (cent_id, cent) shape."""
+        from .operators.clustering import (
+            kmeans_assign,
+            kmeans_centroids_df,
+            kmeans_fit,
+        )
+
+        cents, _ = kmeans_fit(vectors, k, max_iter=max_iter,
+                              id_col=id_col, vec_col=vec_col)
+        return (
+            kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col),
+            kmeans_centroids_df(self.spark, cents),
+        )
+
+    def pagerank(self, edges, src="src", dst="dst", damping=0.85,
+                 max_iter=10):
+        """Link-graph authority scores (Σ rank = 1, dangling-safe)."""
+        from .operators.graph import pagerank
+
+        return pagerank(edges, src=src, dst=dst, damping=damping,
+                        max_iter=max_iter)
+
+    def dedup_index_build(self, docs, id_col="doc_id", text_col="text"):
+        """(band, id) LSH index rows for a corpus — persist (partitioned/
+        bucketed by band) and probe each ingest batch against it."""
+        from .operators.dedup import lsh_band_index
+
+        return lsh_band_index(docs, id_col=id_col, text_col=text_col)
+
+    def dedup_incremental(self, batch, index, id_col="doc_id",
+                          text_col="text"):
+        """Near-dups of an ingest batch vs the persisted index and itself —
+        O(|batch| + matched buckets), never a corpus rescan."""
+        from .operators.dedup import incremental_near_dups
+
+        return incremental_near_dups(batch, index, id_col=id_col,
+                                     text_col=text_col)

@@ -62,3 +62,28 @@ def test_ann_and_curation_facade(spark, sf_dir):
     kept = eng.curate(docs, budget=1000)
     assert 0 < kept.count() < docs.count()
     assert kept.filter(F.col("cum_tokens") > 1000).count() == 0
+
+
+def test_clustering_graph_incremental_facade(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = eng.kmeans(emb, k=3, max_iter=2)
+    assert assigned.count() == emb.count()
+    assert cents.count() == 3
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    ranks = eng.pagerank(edges, max_iter=5)
+    assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 1)
+    batch = docs.filter(F.col("doc_id") % 4 == 1)
+    idx = eng.dedup_index_build(corpus)
+    hits = eng.dedup_incremental(batch, idx)
+    assert {"new_id", "match_id", "match_src", "n_shared_bands"} <= set(
+        hits.columns
+    )
