@@ -312,3 +312,38 @@ def q_corpus_mix(spark, sf_dir):
         .cast("long")
         .alias("target_per_100k"),
     ).orderBy("lang")
+
+
+@register(
+    "q_stratified_sample",
+    """SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 20
+ORDER BY lang, sample_rank""",
+    doc="[EXT] stratified sampling: exactly 20 docs per language, chosen "
+    "by deterministic pseudo-random order (md5 of the id — seeded-uniform "
+    "and engine-identical, vs RNG which the oracle could never replay). "
+    "One keyed shuffle on lang + per-group local sort (the standard "
+    "distributed top-n-per-group); the md5 order is computed on the fly, "
+    "so no stored random column is needed. Complements q_hash_sample "
+    "(bernoulli-style rate sampling) with exact per-stratum counts — the "
+    "shape used for eval-set carving and per-language budget fills.",
+)
+def q_stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    )
