@@ -1153,3 +1153,79 @@ def q_pagerank(spark, sf_dir):
         .limit(20)
         .select("vertex", F.round("rank", 8).alias("rank_r"))
     )
+
+
+@register(
+    "q_unigram_logprob",
+    """WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, u.pos, u.token FROM tokd,
+  unnest([{'pos': i, 'token': w[i]} for i in range(1, len(w)+1)]) AS t(u)),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+lp AS (
+  SELECT tok.doc_id, tok.pos,
+         ln(CAST(vocab.freq AS DOUBLE) / tot.t) AS logp
+  FROM tok JOIN vocab USING (token) CROSS JOIN tot),
+cum AS (
+  SELECT doc_id, pos,
+         sum(logp) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM lp),
+fin AS (
+  SELECT doc_id, max_by(c, pos) AS total, CAST(count(*) AS BIGINT) AS n
+  FROM cum GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens,
+       round(total, 4) AS logprob_r,
+       round(total / n, 6) AS mean_logprob_r
+FROM fin""",
+    doc="[EXT] unigram-LM document scoring (the CCNet-style LM quality "
+    "filter with an exactly-reproducible model): corpus unigram "
+    "frequencies as the LM, per-doc sum/mean of ln p(token). Cross-engine "
+    "determinism: each ln has exact BIGINT inputs; the per-doc sum runs "
+    "in a position-ordered running frame (sequential accumulation, "
+    "identical order both engines) with the doc total read via "
+    "max_by(cum, pos); rounding margins measured >= 5.6e-11 at "
+    "sf0.001/0.01/0.1 — ~4e3 x the accumulated fp noise of a ~40-term "
+    "sum. Scale shape: vocab agg + broadcast-back join + one keyed window "
+    "per doc; no driver state.",
+)
+def q_unigram_logprob(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("freq"))
+    tot = tok.agg(F.count("*").cast("long").alias("t"))
+    lp = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(F.col("freq").cast("double") / F.col("t")).alias("logp"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = lp.select("doc_id", "pos", F.sum("logp").over(w_run).alias("c"))
+    return (
+        cum.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.max_by("c", "pos").alias("total"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("total", 4).alias("logprob_r"),
+            F.round(F.col("total") / F.col("n_tokens"), 6).alias("mean_logprob_r"),
+        )
+    )
