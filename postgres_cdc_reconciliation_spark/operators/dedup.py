@@ -241,6 +241,15 @@ def incremental_near_dups(
     is an equality shuffle on `band`, partition-pruned when the index is
     written partitioned by band prefix."""
     probe = lsh_band_index(new_docs, id_col, text_col, k, n_hashes, band_size)
+    return near_dups_from_bands(probe, index, id_col)
+
+
+def near_dups_from_bands(
+    probe: DataFrame, index: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Probe half of ``incremental_near_dups`` for callers that already
+    hold the batch's (band, id) rows — the streaming path computes bands
+    once and reuses them for both the probe and the index admission."""
     corpus_hits = (
         probe.alias("p")
         .join(index.alias("i"), "band")

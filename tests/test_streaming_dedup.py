@@ -1,0 +1,119 @@
+"""Streaming incremental dedup: per-micro-batch index probe + admission,
+replay idempotence via per-batch overwrite dirs."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.streaming.dedup import (
+    dedup_stream,
+    read_index,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+
+
+def _write_batch(src, name, rows, mtime):
+    p = src / name
+    with open(p, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    os.utime(p, (mtime, mtime))  # pin micro-batch order (file source = mtime)
+
+
+def test_stream_dedup_probe_and_admit(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1.json",
+        [(1, BASE), (2, "unrelated text about catalyst plan pruning here")],
+        1_000,
+    )
+    _write_batch(
+        src,
+        "b2.json",
+        [(10, BASE + " tonight"), (11, "novel content with no twin at all")],
+        2_000,
+    )
+
+    index_path = str(tmp_path / "index")
+    hits_path = str(tmp_path / "hits")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        dedup_stream(stream, index_path, hits_path, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    hits = spark.read.parquet(hits_path)
+    pairs = {
+        (r["new_id"], r["match_id"], r["match_src"]) for r in hits.collect()
+    }
+    # batch 2's doc 10 matched corpus doc 1 admitted by batch 1
+    assert (10, 1, "corpus") in pairs
+    # nothing matched the unrelated docs
+    assert all(m != 2 for _, m, _ in pairs)
+
+    # both batches admitted into the index
+    idx = read_index(spark, index_path)
+    assert set(
+        r["batch"] for r in idx.select("batch").distinct().collect()
+    ) == {0, 1}
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {
+        1,
+        2,
+        10,
+        11,
+    }
+
+
+def test_stream_dedup_replay_idempotent(spark, tmp_path):
+    """Re-running the same batch (fresh checkpoint, same input) rewrites the
+    same batch dirs — no duplicate hits, no duplicate index rows."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b1.json", [(1, BASE), (2, BASE + " tonight")], 1_000)
+
+    index_path = str(tmp_path / "index")
+    hits_path = str(tmp_path / "hits")
+
+    def run(ckpt):
+        stream = spark.readStream.schema("doc_id bigint, text string").json(
+            str(src)
+        )
+        q = (
+            dedup_stream(stream, index_path, hits_path, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    first_hits = sorted(
+        (r["new_id"], r["match_id"])
+        for r in spark.read.parquet(hits_path).collect()
+    )
+    first_idx = spark.read.parquet(index_path).count()
+    # simulate at-least-once replay of batch 0: fresh checkpoint, same data
+    run(str(tmp_path / "ckpt2"))
+    assert (
+        sorted(
+            (r["new_id"], r["match_id"])
+            for r in spark.read.parquet(hits_path).collect()
+        )
+        == first_hits
+    )
+    assert spark.read.parquet(index_path).count() == first_idx
+    assert first_hits == [(1, 2)]
