@@ -61,3 +61,17 @@ def test_scans_prune_columns(spark, sf_dir):
     # the formatted plan prints the scan's ReadSchema; l_comment is never
     # referenced by the query and must not be read
     assert "l_comment" not in plan
+
+
+def test_text_pipeline_plans(spark, sf_dir):
+    """The new text/curation queries must keep their intended shapes:
+    no cartesian products anywhere; the vocab-join queries broadcast the
+    frequency table back to the token stream."""
+    qs = all_queries()
+    for name in ("q_tfidf", "q_unigram_logprob", "q_dedup_incremental",
+                 "q_stratified_sample", "q_corpus_mix"):
+        plan = _plan(qs[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+    for name in ("q_tfidf", "q_unigram_logprob"):
+        plan = _plan(qs[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name} lost its vocab broadcast"
