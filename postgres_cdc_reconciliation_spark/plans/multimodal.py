@@ -96,3 +96,58 @@ def q_frame_sample(spark, sf_dir):
     return sample_frames(synth_media(spark, sf_dir), every_ms=10000).select(
         "media_id", "kind", F.col("frame_offset_ms").cast("long")
     )
+
+
+@register(
+    "q_image_resize",
+    """WITH img AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS media_id,
+         8 + o_orderkey % 8 AS w, 4 + o_orderkey % 4 AS h
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 = 0
+),
+ex AS (SELECT media_id, w, h, unnest(range(0, 4*3*3)) AS kp FROM img),
+mapped AS (
+  SELECT media_id,
+         ((kp // 12) * h // 3) * (w*3) + (((kp // 3) % 4) * w // 4) * 3
+           + kp % 3 AS k
+  FROM ex
+)
+SELECT media_id,
+       CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+       CAST(SUM((media_id*7 + k) % 256) AS BIGINT) AS px_sum
+FROM mapped GROUP BY media_id""",
+    doc="[EXT] REAL nearest-neighbor image resize (mapInPandas + numpy "
+    "index sampling, re-encoded as valid BMPs): the oracle recomputes the "
+    "resized pixel sum from the generative formula through the SAME "
+    "floor-index resample map (src = dst*src_dim//out_dim), so a wrong "
+    "rounding mode, transposed axis, channel swap, or padding slip in the "
+    "decode-resize-encode chain fails the hash. Map-only: zero shuffle.",
+)
+def q_image_resize(spark, sf_dir):
+    from ..sources.multimodal import resize_images, synth_media_real
+
+    return resize_images(
+        synth_media_real(spark, sf_dir, every=10), out_w=4, out_h=3
+    ).select("media_id", "width", "height", "px_sum")
+
+
+@register(
+    "q_audio_spectral",
+    None,  # FFT is not SQL-expressible → rows-only; Parseval + closed-form
+    # tone agreement are pytest-verified (test_multimodal_resize_spectral)
+    doc="[EXT] audio spectral band energies (mapInPandas + numpy rfft over "
+    "decoded PCM16): 4 equal frequency bands of |rfft|^2/n^2 with "
+    "conjugate-symmetry doubling, DC excluded. Parseval (sum bands = "
+    "time-domain variance, rel err < 1e-9) and pure-tone band placement "
+    "tested; the driver records the rows-only check.",
+)
+def q_audio_spectral(spark, sf_dir):
+    from ..sources.multimodal import audio_spectral, synth_media_real
+
+    return audio_spectral(synth_media_real(spark, sf_dir, every=10)).select(
+        "media_id",
+        "n_samples",
+        F.round("total_power", 4).alias("total_power_r"),
+        F.round("band0", 4).alias("band0_r"),
+        F.round("band3", 4).alias("band3_r"),
+    )

