@@ -226,6 +226,7 @@ def incremental_near_dups(
     k: int = 3,
     n_hashes: int = 8,
     band_size: int = 2,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates for an ingest batch WITHOUT rescanning the
     corpus: the batch's band rows probe the persisted (band, id) index —
@@ -241,15 +242,37 @@ def incremental_near_dups(
     is an equality shuffle on `band`, partition-pruned when the index is
     written partitioned by band prefix."""
     probe = lsh_band_index(new_docs, id_col, text_col, k, n_hashes, band_size)
-    return near_dups_from_bands(probe, index, id_col)
+    return near_dups_from_bands(probe, index, id_col, max_band_freq)
 
 
 def near_dups_from_bands(
-    probe: DataFrame, index: DataFrame, id_col: str = "doc_id"
+    probe: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Probe half of ``incremental_near_dups`` for callers that already
     hold the batch's (band, id) rows — the streaming path computes bands
-    once and reuses them for both the probe and the index admission."""
+    once and reuses them for both the probe and the index admission.
+
+    ``max_band_freq``: drop index bands held by more than this many corpus
+    docs before the join (same df-cap rationale as ``ngram_jaccard_pairs``):
+    a degenerate band shared by a large fraction of the corpus — boilerplate
+    shingles hashing alike — creates one join bucket whose output is
+    |batch∩band| × band_df rows, the skew bottleneck at corpus scale. Docs
+    agreeing on a capped band almost always agree on another (that is the
+    LSH amplification), so recall cost is marginal while the worst-case
+    bucket is bounded."""
+    if max_band_freq is not None:
+        hot = (
+            index.groupBy("band")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_band_freq)
+            .select("band")
+        )
+        # no broadcast hint: usually tiny, but degenerate corpora could
+        # make it large — AQE broadcasts small results at runtime
+        index = index.join(hot, "band", "left_anti")
     corpus_hits = (
         probe.alias("p")
         .join(index.alias("i"), "band")

@@ -386,8 +386,11 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             ):
                 if kind != "image" or payload is None:
                     continue
-                w, h, px = decode_bmp(bytes(payload))
-                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                try:
+                    w, h, px = decode_bmp(bytes(payload))
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                except (ValueError, struct.error):
+                    continue  # corrupt payload: skip, don't fail the task
                 rows = (np.arange(out_h) * h) // out_h
                 cols = (np.arange(out_w) * w) // out_w
                 resized = np.ascontiguousarray(arr[rows][:, cols])
@@ -435,9 +438,14 @@ def audio_spectral(media: DataFrame, n_bands: int = 4) -> DataFrame:
             ):
                 if kind != "audio" or payload is None:
                     continue
-                _rate, samples = decode_wav(bytes(payload))
+                try:
+                    _rate, samples = decode_wav(bytes(payload))
+                except (ValueError, struct.error):
+                    continue  # corrupt payload: skip, don't fail the task
                 x = np.asarray(samples, dtype=np.float64)
                 n = len(x)
+                if n == 0:
+                    continue
                 spec = np.abs(np.fft.rfft(x)) ** 2 / (n * n)
                 # double the positive-frequency bins (conjugate symmetry),
                 # except DC and (for even n) Nyquist
