@@ -185,9 +185,13 @@ def q_string_pack(spark, sf_dir):
               round(exp(s_suppkey % 5), 6) AS ex,
               CAST(pow(2, s_suppkey % 10) AS DOUBLE) AS p2,
               s_suppkey % 7 AS m7,
-              sign(s_acctbal) AS sg
+              CAST(sign(s_acctbal) AS DOUBLE) AS sg
        FROM supplier""",
-    doc="extended math functions pack (transcendentals rounded to 6dp: libm last-ulp differences across engines)",
+    doc="extended math functions pack (transcendentals rounded to 6dp: libm "
+    "last-ulp differences across engines). sg is cast to DOUBLE on the oracle "
+    "side: DuckDB sign(DECIMAL) yields TINYINT while Spark signum yields "
+    "DOUBLE, and the driver's value hash distinguishes 1 from 1.0 (the r2 "
+    "hash-only mismatch — every value was verified equal per-row).",
 )
 def q_math_pack(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
@@ -231,12 +235,24 @@ def q_sql_api(spark, sf_dir):
 )
 def q_approx_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
-            "price_p50_p95"
-        ),
-        F.count("*").alias("exact_rows"),
+    # percentile_approx returns an array; the driver's rows-only check hashes
+    # rows, and lists are unhashable — surface scalar p50/p95 columns instead.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
+                "_pcts"
+            ),
+            F.count("*").alias("exact_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.element_at("_pcts", 1).alias("price_p50"),
+            F.element_at("_pcts", 2).alias("price_p95"),
+            "exact_rows",
+        )
     )
 
 
