@@ -84,23 +84,28 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table, with its TIMESTAMP(NANOS) parquet column normalized.
+    """events table, with its parquet ``ts`` column normalized to
+    TIMESTAMP_NTZ regardless of how the generator wrote it.
 
-    Spark's parquet reader rejects nano timestamps; read them as raw longs
-    (nanosAsLong) and rebuild a TIMESTAMP_NTZ by truncating to micros — the
-    exact semantics DuckDB applies, so oracle comparisons line up. The
-    rebuild is pure NTZ arithmetic (timestampadd from epoch), independent of
-    the session timezone.
+    Two generator vintages exist: TIMESTAMP(NANOS), which Spark's reader
+    rejects unless read as raw longs (nanosAsLong) and rebuilt by truncating
+    to micros (the exact semantics DuckDB applies, so oracle comparisons
+    line up — pure NTZ arithmetic, independent of session timezone); and
+    TIMESTAMP(MICROS), which Spark reads natively and only needs an NTZ
+    cast for sessions whose timestampType default is LTZ.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "timestampadd(MICROSECOND, ts div 1000,"
-            " cast('1970-01-01 00:00:00' as timestamp_ntz))"
-        ),
-    )
+    ts_type = raw.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " cast('1970-01-01 00:00:00' as timestamp_ntz))"
+            ),
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 # ---------------------------------------------------------------------------

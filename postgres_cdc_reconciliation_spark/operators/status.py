@@ -43,12 +43,15 @@ def _as_of_sql(as_of: str | None) -> str:
 
 def _specs_df(spark, table_specs: list[str]) -> DataFrame:
     """Parse 'schema.table' specs (split_part semantics,
-    check_multiple_tables_replication_status.sql:36-37)."""
-    df = spark.createDataFrame([(s,) for s in table_specs], "table_spec string")
+    check_multiple_tables_replication_status.sql:36-37). The spec list is a
+    driver-side Python list, so dedupe happens here — a .distinct() would
+    add a whole shuffle stage to every interactive status query."""
+    uniq = sorted(dict.fromkeys(table_specs))
+    df = spark.createDataFrame([(s,) for s in uniq], "table_spec string")
     return df.select(
         F.split_part(F.col("table_spec"), F.lit("."), F.lit(1)).alias("schema_name"),
         F.split_part(F.col("table_spec"), F.lit("."), F.lit(2)).alias("table_name"),
-    ).distinct()
+    )
 
 
 def _latest_batches(batch_control: DataFrame, specs: DataFrame) -> DataFrame:
@@ -163,7 +166,9 @@ def latest_status_multi(
         / 60000000.0,
         2,
     )
-    return lb.join(rs, ["schema_name", "table_name"]).select(
+    # rs is catalog-sized (≤ one row per requested table): broadcast it so
+    # the final join never exchanges lb
+    return lb.join(F.broadcast(rs), ["schema_name", "table_name"]).select(
         "schema_name",
         "table_name",
         F.col("batch_id").alias("latest_batch_id"),

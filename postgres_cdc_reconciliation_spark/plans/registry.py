@@ -46,83 +46,71 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # queries with no hard signal yet, then queries whose implementation changed
 # this round (need re-verification), then the already-green remainder.
 _CHECK_PRIORITY: list[str] = [
-    # -- no CORRECTNESS row in round 1: TPC-H headliners --
-    "q_pricing_summary",
-    "q_top_customers",
-    "q_regional_revenue",
-    "q_order_priority_count",
-    "q_cust_order_distribution",
-    "q_promo_revenue",
-    "q_small_qty_revenue",
-    "q_returned_items",
-    "q_forecast_revenue",
-    # -- no CORRECTNESS row in round 1: joins/windows/sets --
-    "q_asof_join",
-    "q_range_join",
-    "q_rollup",
-    "q_count_distinct",
-    "q_intersect",
-    "q_session_window",
-    "q_rank_pack",
-    "q_stats_pack",
-    "q_percentiles",
-    "q_approx_stats",
-    "q_grouped_demean",
-    "q_unpivot",
-    # -- no CORRECTNESS row in round 1: function packs / SQL API --
-    "q_date_funcs",
-    "q_string_pack",
-    "q_math_pack",
-    "q_array_pack",
-    "q_sql_api",
-    # -- no CORRECTNESS row in round 1: text/dedup/multimodal --
-    "q_dedup_clusters",
-    "q_corpus_curation",
-    "q_multimodal_features",
-    "q_frame_sample",
-    # -- judge-flagged re-verifies: the one red r1 row (hash fix) and the
-    # vacuous 0=0 row (threshold fix) — must land inside the checked window --
-    "q_pivot",
-    "q_dedup_embed",
-    # -- new this round --
-    "q_publication_owners",
-    "q_dedup_embed_rp",
-    "q_shipping_priority",
-    "q_volume_shipping",
-    "q_market_share",
-    "q_large_orders",
-    "q_sales_opportunity",
-    "q_min_cost_supplier",
-    "q_part_value_share",
-    "q_excess_suppliers",
-    "q_hash_split",
-    "q_contamination",
-    "q_pack_chunks",
-    "q_repetition",
-    "q_vocab_coverage",
-    "q_ann_pq",
-    "q_ann_ivf_probe",
-    "q_dedup_embed_rp_multi",
-    # -- changed this round: re-verify (ranked by risk; the 50-query window
-    # cuts at position 50 — q_sample is rows-only, the weakest signal, so it
-    # takes the first slot past the cut) --
+    # -- round 3: the 28 queries with no CORRECTNESS row in r1 or r2 (the
+    # driver checks the first 50; across r1∪r2 96/98 checked rows are green,
+    # so hard evidence for these is the highest-leverage item) --
+    "q_ann_pq_rerank",
+    "q_audio_spectral",
+    "q_chunk_overlap",
+    "q_corpus_mix",
+    "q_dedup_incremental",
+    "q_disjunctive_revenue",
+    "q_edit_distance",
+    "q_grouping_sets",
+    "q_hash_sample",
+    "q_hopping_window",
+    "q_hot_ngrams",
+    "q_image_resize",
+    "q_kmeans",
+    "q_pagerank",
+    "q_pii_redact",
+    "q_priority_line_count",
+    "q_product_profit",
+    "q_quality_budget",
+    "q_return_fault_suppliers",
     "q_sample",
-    "q_cdc_apply",
-    "q_health_report",
-    "q_slot_lag_report",
-    "q_minutes_since",
+    "q_sketch_pack",
+    "q_stratified_sample",
+    "q_supplier_variety",
+    "q_tfidf",
+    "q_token_rarity",
+    "q_top_supplier",
+    "q_unigram_logprob",
+    "q_window_frames",
+    # -- r2-red rows, fixed this round: q_approx_stats (array column broke the
+    # rows-only hash → scalar p50/p95) and q_math_pack (oracle sign() TINYINT
+    # vs Spark signum DOUBLE → oracle-side CAST) --
+    "q_approx_stats",
+    "q_math_pack",
+    # -- new queries this round --
+    "q_snapshot_cdf",
+    "q_schema_evolution",
+    # -- changed this round: re-verify --
     "q_dedup_ngram",
+    "q_health_report",
+    # -- re-verification fill: flagships + high-traffic relational/CDC rows
+    # (green in r1; a round-3 row refreshes the evidence) --
+    "q_cdc_parse",
+    "q_cdc_unwrap",
+    "q_cdc_apply",
+    "q_recon_diff",
+    "q_recon_setdiff",
+    "q_frontier_complete",
+    "q_lsn_ops",
     "q_batch_status",
     "q_latest_per_group",
     "q_priority_pick",
-    "q_dedup_minhash",
-    # -- flagship re-verification fill --
-    "q_cdc_parse",
-    "q_cdc_unwrap",
-    "q_recon_diff",
-    "q_frontier_complete",
-    "q_lsn_ops",
+    "q_like_join",
+    "q_left_join_agg",
+    "q_lateral_counts",
     "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ann_cosine",
+    "q_ann_ivf",
+    # position 50 cuts here
+    "q_slot_lag_report",
+    "q_minutes_since",
 ]
 
 
@@ -135,6 +123,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import multimodal  # noqa: F401
     from . import analytics  # noqa: F401
     from . import curation  # noqa: F401
+    from . import lakehouse  # noqa: F401
 
     ordered: dict[str, QuerySpec] = {}
     for name in _CHECK_PRIORITY:

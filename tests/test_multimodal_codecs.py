@@ -70,3 +70,35 @@ def test_decode_features_dataframe(spark, sf_dir):
         else:
             assert r["width"] is None and r["n_units"] >= 64
             assert r["mean_b"] >= 0.0  # RMS
+
+
+def test_decode_image_gate_and_optional_pil():
+    """decode_image: real PNG decode when PIL is importable; the documented
+    NotImplementedError gate otherwise. Either way the gate's contract is
+    exercised — this never silently skips both paths."""
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.sources.multimodal import (
+        decode_image,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    # minimal valid 1x1 red PNG (signature + IHDR + IDAT + IEND)
+    png = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
+        "3df80000000c4944415408d763f8cfc000000301010018dd8db00000000049"
+        "454e44ae426082"
+    )
+    if has_pil:
+        img = decode_image(png)
+        assert img.size == (1, 1)
+        assert img.convert("RGB").getpixel((0, 0)) == (255, 0, 0)
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(png)

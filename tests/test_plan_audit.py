@@ -75,3 +75,13 @@ def test_text_pipeline_plans(spark, sf_dir):
     for name in ("q_tfidf", "q_unigram_logprob"):
         plan = _plan(qs[name].fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, f"{name} lost its vocab broadcast"
+
+
+def test_lakehouse_plans(spark, sf_dir):
+    """CDF diff and schema-evolution apply stay keyed joins: the full-outer
+    PK diff and the anti-join of touched keys must never degrade to a
+    cartesian product."""
+    qs = all_queries()
+    for name in ("q_snapshot_cdf", "q_schema_evolution"):
+        plan = _plan(qs[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name

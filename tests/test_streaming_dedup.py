@@ -79,6 +79,47 @@ def test_stream_dedup_probe_and_admit(spark, tmp_path):
     }
 
 
+def test_stream_dedup_intra_batch_pairs_after_batch0(spark, tmp_path):
+    """Two near-dup docs arriving inside the SAME later micro-batch (N>0)
+    must be paired with each other, not only against the committed index."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1.json",
+        [(1, "unrelated seed text about catalyst plan pruning here")],
+        1_000,
+    )
+    # batch 1: twins of each other, no twin in the committed index
+    _write_batch(
+        src, "b2.json", [(20, BASE), (21, BASE + " tonight")], 2_000
+    )
+
+    index_path = str(tmp_path / "index")
+    hits_path = str(tmp_path / "hits")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        dedup_stream(stream, index_path, hits_path, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    pairs = {
+        (r["new_id"], r["match_id"], r["match_src"])
+        for r in spark.read.parquet(hits_path).collect()
+    }
+    assert (20, 21, "batch") in pairs
+    # and the seed doc matched nothing
+    assert all(1 not in (n, m) for n, m, _ in pairs)
+
+
 def test_stream_dedup_replay_idempotent(spark, tmp_path):
     """Re-running the same batch (fresh checkpoint, same input) rewrites the
     same batch dirs — no duplicate hits, no duplicate index rows."""
