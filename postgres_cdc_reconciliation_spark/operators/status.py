@@ -41,28 +41,40 @@ def _as_of_sql(as_of: str | None) -> str:
     return f"cast('{as_of}' as timestamp_ntz)"
 
 
-def _specs_df(spark, table_specs: list[str]) -> DataFrame:
-    """Parse 'schema.table' specs (split_part semantics,
-    check_multiple_tables_replication_status.sql:36-37). The spec list is a
-    driver-side Python list, so dedupe happens here — a .distinct() would
-    add a whole shuffle stage to every interactive status query."""
-    uniq = sorted(dict.fromkeys(table_specs))
-    df = spark.createDataFrame([(s,) for s in uniq], "table_spec string")
-    return df.select(
-        F.split_part(F.col("table_spec"), F.lit("."), F.lit(1)).alias("schema_name"),
-        F.split_part(F.col("table_spec"), F.lit("."), F.lit(2)).alias("table_name"),
-    )
+def _parse_specs(table_specs: list[str]) -> list[tuple[str, str]]:
+    """Parse 'schema.table' specs driver-side (split_part semantics,
+    check_multiple_tables_replication_status.sql:36-37: part 1 = schema,
+    part 2 = table, '' when absent). The spec list is a Python literal, so
+    parsing and dedupe belong here — shipping it through a createDataFrame
+    + broadcast join would add a local-relation build and a broadcast
+    exchange to every interactive status query for data the driver already
+    holds. The predicates below fold it into the scans as an IN filter
+    instead (constant-folded, pushdown-eligible, zero extra stages)."""
+    out: list[tuple[str, str]] = []
+    for s in dict.fromkeys(table_specs):
+        parts = s.split(".")
+        out.append((parts[0], parts[1] if len(parts) > 1 else ""))
+    return sorted(out)
 
 
-def _latest_batches(batch_control: DataFrame, specs: DataFrame) -> DataFrame:
+def _spec_filter(pairs: list[tuple[str, str]], schema_col: str, table_col: str):
+    """IN-list predicate over (schema, table) as a folded literal — \\x01 is
+    an invalid identifier byte, so the concat key is collision-free."""
+    keys = [f"{s}\x01{t}" for s, t in pairs]
+    return F.concat_ws("\x01", F.col(schema_col), F.col(table_col)).isin(keys)
+
+
+def _latest_batches(
+    batch_control: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
     """Latest COMPLETED batch per (schema, table) — W1/W2 idiom.
 
     Reference: check_latest_batch_replication_status.sql:20-33 (ROW_NUMBER
     OVER (ORDER BY batch_id DESC) ... rn=1), generalized to all tables at
     once via partitionBy.
     """
-    filtered = batch_control.join(
-        F.broadcast(specs), ["schema_name", "table_name"]
+    filtered = batch_control.filter(
+        _spec_filter(pairs, "schema_name", "table_name")
     ).filter((F.col("status") == "COMPLETED") & F.col("completion_lsn").isNotNull())
     # top-1-per-group via max_by hash agg, not a window sort: map-side
     # partial agg collapses each table to one row before the shuffle
@@ -81,15 +93,16 @@ def _latest_batches(batch_control: DataFrame, specs: DataFrame) -> DataFrame:
     )
 
 
-def _table_publication(pubs: DataFrame, specs: DataFrame) -> DataFrame:
+def _table_publication(pubs: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     """First publication containing each table (LIMIT 1 → deterministic
     min(pubname)). Reference: check_latest_batch_replication_status.sql:35-44.
     """
     return (
-        pubs.join(
-            F.broadcast(specs),
-            (pubs.schemaname == specs.schema_name)
-            & (pubs.tablename == specs.table_name),
+        pubs.filter(_spec_filter(pairs, "schemaname", "tablename"))
+        .select(
+            F.col("schemaname").alias("schema_name"),
+            F.col("tablename").alias("table_name"),
+            "pubname",
         )
         .groupBy("schema_name", "table_name")
         .agg(F.min("pubname").alias("pubname"))
@@ -151,9 +164,9 @@ def latest_status_multi(
     latest_batch_id, slot_name, publication_name, slot_current_lsn,
     batch_completion_lsn, replication_complete, minutes_since_completion.
     """
-    specs = _specs_df(spark, table_specs)
-    lb = _latest_batches(batch_control, specs)
-    rs = _relevant_slots(slots, _table_publication(pubs, specs))
+    pairs = _parse_specs(table_specs)
+    lb = _latest_batches(batch_control, pairs)
+    rs = _relevant_slots(slots, _table_publication(pubs, pairs))
     flush_long = lsn_to_long("confirmed_flush_lsn")
     batch_long = lsn_to_long("batch_lsn")
     # fractional minutes, EXTRACT(EPOCH)-faithful (reference
@@ -220,11 +233,11 @@ def batch_replication_status(
     (:85-90): matched publication OR slot name containing the table name.
     Output: one row per (batch × slot), batch_id DESC.
     """
-    specs = _specs_df(spark, [f"{schema_name}.{table_name}"])
+    pairs = _parse_specs([f"{schema_name}.{table_name}"])
     window_start = F.expr(f"timestampadd(HOUR, -24, {_as_of_sql(as_of)})")
 
     batch_info = (
-        batch_control.join(F.broadcast(specs), ["schema_name", "table_name"])
+        batch_control.filter(_spec_filter(pairs, "schema_name", "table_name"))
         .filter(
             (F.col("status") == "COMPLETED")
             & F.col("completion_lsn").isNotNull()
@@ -240,11 +253,7 @@ def batch_replication_status(
     )
 
     table_pubs = (
-        pubs.join(
-            F.broadcast(specs),
-            (pubs.schemaname == specs.schema_name)
-            & (pubs.tablename == specs.table_name),
-        )
+        pubs.filter(_spec_filter(pairs, "schemaname", "tablename"))
         .select("pubname")
         .distinct()
     )

@@ -12,6 +12,7 @@ multi-executor cluster unchanged:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -45,3 +46,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@contextmanager
+def interactive_profile(spark: SparkSession, shuffle_partitions: int = 8):
+    """Session profile for catalog-scale point queries (replication status,
+    health reports): metadata inputs are KBs, so AQE's per-stage re-planning
+    jobs and wide shuffle fan-out contribute only scheduler latency — no
+    runtime re-optimization ever pays for itself at this size. Turning AQE
+    off and pinning a small shuffle width cuts the interactive path's
+    per-query job count; both confs are restored on exit so analytical
+    queries in the same session keep the scale defaults."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
