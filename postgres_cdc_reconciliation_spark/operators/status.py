@@ -58,8 +58,11 @@ def _parse_specs(table_specs: list[str]) -> list[tuple[str, str]]:
 
 
 def _spec_filter(pairs: list[tuple[str, str]], schema_col: str, table_col: str):
-    """IN-list predicate over (schema, table) as a folded literal — \\x01 is
-    an invalid identifier byte, so the concat key is collision-free."""
+    """IN-list predicate over (schema, table) as a folded literal. \\x01 as
+    the separator never occurs in practical identifiers (Postgres QUOTED
+    identifiers may technically carry any byte except NUL, but catalog/config
+    specs here come from dotted 'schema.table' strings, which can't), so the
+    concat key is collision-free for every input this API accepts."""
     keys = [f"{s}\x01{t}" for s, t in pairs]
     return F.concat_ws("\x01", F.col(schema_col), F.col(table_col)).isin(keys)
 

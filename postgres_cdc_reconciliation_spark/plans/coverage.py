@@ -321,27 +321,25 @@ def q_sketch_pack(spark, sf_dir):
 SELECT e.event_id, e.user_id,
        e.value - m.mean_v AS demeaned
 FROM events e JOIN m USING (user_id)""",
-    doc="[EXT] grouped-map applyInPandas (per-user demean): real Arrow grouped-pandas path, decimal-exact mean, raw IEEE subtraction (no rounding: round() half-rules differ between pandas and DuckDB)",
+    doc="[EXT] grouped demean as a native unbounded-frame window agg: "
+    "decimal-exact per-user mean (SUM(DECIMAL)/COUNT over an unordered "
+    "partition — one keyed shuffle, NO per-partition sort, no Python/Arrow "
+    "round-trip), raw IEEE subtraction (no rounding: round() half-rules "
+    "differ between pandas and DuckDB). The equivalent grouped-map "
+    "applyInPandas path is exercised in tests/test_pandas_surface.py — at "
+    "scale the Python worker fan-out is pure overhead for arithmetic "
+    "Catalyst can run in codegen.",
 )
 def q_grouped_demean(spark, sf_dir):
-    import pandas as pd
+    from pyspark.sql import Window
 
-    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
-        # decimal-exact mean: integer cents, one float division (matches the
-        # oracle's CAST(SUM(DECIMAL) AS DOUBLE)/COUNT bit for bit)
-        cents = (pdf["value"] * 100).round().astype("int64")
-        mean_v = (float(cents.sum()) / 100.0) / len(pdf)
-        return pd.DataFrame(
-            {
-                "event_id": pdf["event_id"],
-                "user_id": pdf["user_id"],
-                "demeaned": pdf["value"] - mean_v,
-            }
-        )
-
-    e = events_df(spark, sf_dir).select("event_id", "user_id", "value")
-    return e.groupBy("user_id").applyInPandas(
-        demean, "event_id long, user_id long, demeaned double"
+    w = Window.partitionBy("user_id")
+    mean_v = (
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return events_df(spark, sf_dir).select(
+        "event_id", "user_id", (F.col("value") - mean_v).alias("demeaned")
     )
 
 
@@ -478,15 +476,39 @@ def q_unpivot(spark, sf_dir):
 
 @register(
     "q_sample",
-    None,  # sampler implementations differ per engine → rows-only by design
-    doc="seeded Bernoulli sampling (TABLESAMPLE): deterministic within Spark, engine-specific sampler → rows-only check",
+    """SELECT o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS sampled_rows,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sampled_total
+       FROM orders
+       WHERE CAST(CAST('0x' || substr(md5('sample-v2:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 20 AS BIGINT) < 1
+       GROUP BY o_orderstatus""",
+    doc="[EXT] deterministic 5% Bernoulli sample of orders via md5 row hash — "
+    "engine-portable replacement for seeded TABLESAMPLE (whose sampler is "
+    "engine-specific and thus unverifiable cross-engine). Same pattern as "
+    "q_hash_sample but a different salt/rate/table: identical sample under "
+    "reruns and backfills, map-only per-row decision, oracle-checkable.",
 )
 def q_sample(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sample-v2:"), F.col("o_orderkey").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
     return (
-        li.sample(fraction=0.1, seed=42)
-        .groupBy("l_returnflag")
-        .agg(F.count("*").alias("sampled_rows"))
+        o.filter((h % 20) < 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("sampled_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sampled_total"),
+        )
     )
 
 

@@ -46,71 +46,84 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # queries with no hard signal yet, then queries whose implementation changed
 # this round (need re-verification), then the already-green remainder.
 _CHECK_PRIORITY: list[str] = [
-    # -- round 3: the 28 queries with no CORRECTNESS row in r1 or r2 (the
-    # driver checks the first 50; across r1∪r2 96/98 checked rows are green,
-    # so hard evidence for these is the highest-leverage item) --
-    "q_ann_pq_rerank",
-    "q_audio_spectral",
-    "q_chunk_overlap",
-    "q_corpus_mix",
-    "q_dedup_incremental",
-    "q_disjunctive_revenue",
-    "q_edit_distance",
-    "q_grouping_sets",
-    "q_hash_sample",
-    "q_hopping_window",
-    "q_hot_ngrams",
-    "q_image_resize",
-    "q_kmeans",
-    "q_pagerank",
-    "q_pii_redact",
-    "q_priority_line_count",
-    "q_product_profit",
-    "q_quality_budget",
-    "q_return_fault_suppliers",
-    "q_sample",
-    "q_sketch_pack",
-    "q_stratified_sample",
-    "q_supplier_variety",
-    "q_tfidf",
-    "q_token_rarity",
-    "q_top_supplier",
-    "q_unigram_logprob",
-    "q_window_frames",
-    # -- r2-red rows, fixed this round: q_approx_stats (array column broke the
-    # rows-only hash → scalar p50/p95) and q_math_pack (oracle sign() TINYINT
-    # vs Spark signum DOUBLE → oracle-side CAST) --
-    "q_approx_stats",
-    "q_math_pack",
-    # -- new queries this round --
-    "q_snapshot_cdf",
-    "q_schema_evolution",
-    # -- changed this round: re-verify --
-    "q_dedup_ngram",
-    "q_health_report",
-    # -- re-verification fill: flagships + high-traffic relational/CDC rows
-    # (green in r1; a round-3 row refreshes the evidence) --
-    "q_cdc_parse",
-    "q_cdc_unwrap",
-    "q_cdc_apply",
-    "q_recon_diff",
-    "q_recon_setdiff",
-    "q_frontier_complete",
-    "q_lsn_ops",
-    "q_batch_status",
-    "q_latest_per_group",
-    "q_priority_pick",
-    "q_like_join",
-    "q_left_join_agg",
-    "q_lateral_counts",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
+    # -- round 4, window goal: rotate the 78 rows whose latest CORRECTNESS
+    # evidence is r1/r2 through the driver's 50-query window (VERDICT r3 #1).
+    # Changed-this-round queries first (riskiest), then the 30 queries whose
+    # only row is r1, then 15 r2-stale picks (event-time/timestamp-sensitive
+    # and perf-flagged shapes fronted). ~28 r2-stale rows remain for round 5.
+    #
+    # -- changed this round: re-verify (5) --
+    "q_priority_pick",  # min_by struct agg replaced the window sort
+    "q_sample",  # TABLESAMPLE → deterministic md5 hash sample (now oracled)
+    "q_pagerank",  # fixed-iteration + 8dp pre-round (now oracled, CTE unroll)
+    "q_grouped_demean",  # applyInPandas → native unbounded-frame window
+    "q_snapshot_cdf",  # commit root now cached per (session, sf_dir)
+    # -- stale: newest row is round 1 (30) --
     "q_ann_cosine",
     "q_ann_ivf",
-    # position 50 cuts here
     "q_slot_lag_report",
     "q_minutes_since",
+    "q_count",
+    "q_minmax",
+    "q_ext_cube",
+    "q_filter_eq",
+    "q_filter_timewindow",
+    "q_distinct",
+    "q_semi_range",
+    "q_semi_exists",
+    "q_cross_join",
+    "q_sort",
+    "q_scalar_pack",
+    "q_lag_trend",
+    "q_ext_tumble",
+    "q_anti_join",
+    "q_regex_pack",
+    "q_null_funcs",
+    "q_having",
+    "q_csv_roundtrip",
+    "q_orc_roundtrip",
+    "q_json_roundtrip",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_text_normalize",
+    "q_tokenize",
+    # -- stale: newest row is round 2 — event-time/timestamp-sensitive
+    # (TIMESTAMP-vintage fixture path), perf-flagged, and r1+r2-only
+    # multimodal/curation shapes (15) --
+    "q_forecast_revenue",
+    "q_session_window",
+    "q_asof_join",
+    "q_range_join",
+    "q_percentiles",  # perf-weak r3: row refresh alongside solo re-measure
+    "q_stats_pack",  # perf-weak r3
+    "q_rank_pack",  # perf-watch r3
+    "q_date_funcs",
+    "q_pivot",
+    "q_dedup_embed",
+    "q_hash_split",
+    "q_contamination",
+    "q_pack_chunks",
+    "q_multimodal_features",
+    "q_frame_sample",
+    # -- position 50 cuts here: rows below carry r1-r3 green evidence and
+    # rotate back in next round --
+    "q_publication_owners",
+    "q_ann_ivf_probe",
+    "q_dedup_embed_rp",
+    "q_dedup_embed_rp_multi",
+    "q_dedup_clusters",
+    "q_repetition",
+    "q_vocab_coverage",
+    "q_ann_pq",
+    "q_rollup",
+    "q_count_distinct",
+    "q_intersect",
+    "q_string_pack",
+    "q_sql_api",
+    "q_array_pack",
+    "q_unpivot",
 ]
 
 

@@ -335,18 +335,25 @@ def q_ext_tumble(spark, sf_dir):
     doc="W3/O3 priority-CASE ordered top-1 pick per group — check_latest_batch_replication_status.sql:59-65",
 )
 def q_priority_pick(spark, sf_dir):
-    from pyspark.sql import Window
-
     prio = F.expr(
         "CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 "
         "WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END"
     )
-    w = Window.partitionBy("o_custkey").orderBy(prio, F.col("o_orderkey"))
+    # top-1-per-group as a min_by hash agg over the lexicographic
+    # (priority, o_orderkey) struct — map-side partial agg collapses each
+    # group before the shuffle; no per-partition window sort. o_orderkey is
+    # unique, so the pick is deterministic and identical to the ROW_NUMBER
+    # oracle. Same idiom as operators/status.py:_latest_batches.
+    payload = F.struct("o_orderkey", "o_totalprice")
     return (
         _t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(F.min_by(payload, F.struct(prio.alias("p"), F.col("o_orderkey"))).alias("_top"))
+        .select(
+            "o_custkey",
+            F.col("_top.o_orderkey").alias("o_orderkey"),
+            F.col("_top.o_totalprice").alias("o_totalprice"),
+        )
     )
 
 

@@ -1128,16 +1128,62 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Fixed-iteration power method unrolled as chained CTEs (the SQL
+    reproduction of operators/graph.py::pagerank with tol=0, byte-for-byte
+    semantics: uniform init, dangling mass redistributed uniformly each
+    round). Rounding to 8dp happens BEFORE the top-20 ordering on both
+    sides, so cross-engine fp noise (~1e-13 from different summation
+    order) cannot flip the rank ordering or the LIMIT cut."""
+    # AS MATERIALIZED on every chained CTE: each r{i} is referenced three
+    # times by round i+1 (dangling sum, contribution join, carry-forward);
+    # without materialization the inlined expansion re-evaluates the whole
+    # prefix per reference (~3^iters blowup — measured minutes vs <1s).
+    ctes = [
+        """e AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+                        CAST(l_partkey AS BIGINT) + 1000000 AS v FROM lineitem),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n
+       FROM (SELECT u AS vertex FROM e UNION SELECT v FROM e)),
+verts AS MATERIALIZED (SELECT u AS vertex FROM e UNION SELECT v FROM e),
+deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY u),
+w AS MATERIALIZED (SELECT e.u, e.v, 1.0 / deg.deg AS w FROM e JOIN deg USING (u)),
+r0 AS MATERIALIZED (SELECT vertex, 1.0 / nn.n AS pr FROM verts CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (SELECT COALESCE(SUM(pr), 0) AS dang FROM r{p}
+        WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.u = r{p}.vertex)),
+c{i} AS MATERIALIZED (SELECT w.v AS vertex, SUM(w.w * r{p}.pr) AS c
+        FROM w JOIN r{p} ON w.u = r{p}.vertex GROUP BY w.v),
+r{i} AS MATERIALIZED (SELECT verts.vertex,
+               (1 - {damping}) / nn.n
+               + {damping} * (COALESCE(c{i}.c, 0) + d{i}.dang / nn.n) AS pr
+        FROM verts CROSS JOIN nn CROSS JOIN d{i}
+        LEFT JOIN c{i} USING (vertex))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vertex, round(pr, 8) AS rank_r FROM r{iters}
+ORDER BY rank_r DESC, vertex LIMIT 20"""
+    )
+
+
 @register(
     "q_pagerank",
-    None,  # iterative power method (driver loop over distributed steps) → rows-only
+    _pagerank_oracle_sql(iters=8),
     doc="[EXT] PageRank over the supplier->part supply graph (distinct "
     "(l_suppkey -> l_partkey) edges from lineitem; parts are sinks whose "
-    "mass redistributes through the dangling term). Power iteration, 8 "
-    "rounds: each is one edges-by-ranks join + keyed sum, lineage "
-    "truncated per round via localCheckpoint. Numpy-agreement, mass "
-    "conservation and dangling handling tested in tests/test_pagerank.py. "
-    "Returns the top-20 vertices (rank DESC, vertex id tie-break).",
+    "mass redistributes through the dangling term). Power iteration, "
+    "exactly 8 rounds (tol=0 so the driver loop never early-exits and the "
+    "unrolled-CTE DuckDB oracle sees the identical computation): each "
+    "round is one edges-by-ranks join + keyed sum, lineage truncated via "
+    "localCheckpoint. Ranks are rounded to 8dp BEFORE the top-20 ordering "
+    "so fp summation-order noise can't flip the cut. Numpy-agreement, "
+    "mass conservation and dangling handling tested in "
+    "tests/test_pagerank.py.",
 )
 def q_pagerank(spark, sf_dir):
     from ..operators.graph import pagerank
@@ -1148,10 +1194,10 @@ def q_pagerank(spark, sf_dir):
         (F.col("l_partkey").cast("long") + F.lit(1_000_000)).alias("dst"),
     )
     return (
-        pagerank(edges, max_iter=8)
-        .orderBy(F.desc("rank"), "vertex")
-        .limit(20)
+        pagerank(edges, max_iter=8, tol=0.0)
         .select("vertex", F.round("rank", 8).alias("rank_r"))
+        .orderBy(F.desc("rank_r"), "vertex")
+        .limit(20)
     )
 
 

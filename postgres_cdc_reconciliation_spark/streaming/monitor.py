@@ -8,10 +8,13 @@ Debezium heartbeats advance the frontier on idle tables
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Callable
 
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def poll_until(
@@ -117,10 +120,19 @@ def heartbeat(spark, frontier_path: str) -> None:
     freshness checks see progress even with zero new events (T9).
 
     Append-only + max() read semantics make this a no-op for the frontier
-    VALUE while refreshing its recency."""
+    VALUE while refreshing its recency.
+
+    A missing frontier (no batch applied yet) is a normal no-op; any OTHER
+    read failure is logged before continuing — a silently-swallowed
+    misconfigured path would look exactly like a healthy idle pipeline to
+    every downstream freshness check (ADVICE r3)."""
     try:
         f = spark.read.parquet(frontier_path)
-    except Exception:
+    except Exception as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            logger.warning(
+                "heartbeat: frontier read failed at %s: %s", frontier_path, e
+            )
         return
     f.agg(
         F.max("applied_lsn_long").alias("applied_lsn_long"),

@@ -79,6 +79,29 @@ def test_heartbeat_keeps_frontier_value(spark, tmp_path):
     assert after == before and after_rows == 2
 
 
+def test_heartbeat_missing_path_is_silent_noop(spark, tmp_path, caplog):
+    """Pre-first-batch: no frontier dir yet → no-op, no warning."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="postgres_cdc_reconciliation_spark.streaming.monitor"):
+        heartbeat(spark, str(tmp_path / "nonexistent-frontier"))
+    assert not caplog.records
+
+
+def test_heartbeat_logs_non_missing_read_failure(spark, tmp_path, caplog):
+    """A frontier path that exists but is unreadable (not-a-parquet garbage)
+    must WARN, not vanish — a swallowed misconfiguration reads as a healthy
+    idle pipeline downstream (ADVICE r3)."""
+    import logging
+
+    bad = tmp_path / "frontier"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with caplog.at_level(logging.WARNING, logger="postgres_cdc_reconciliation_spark.streaming.monitor"):
+        heartbeat(spark, str(bad))
+    assert any("heartbeat: frontier read failed" in r.message for r in caplog.records)
+
+
 def test_observed_apply_metrics_reach_listener(spark, tmp_path):
     """observe() metrics ride the micro-batch (no extra scan) and surface
     through the listener: per-batch event counts and max applied LSN."""
