@@ -267,10 +267,14 @@ def pagerank(
     base = (1.0 - damping) / n
     has_out = deg.select(F.col("u").alias("vertex"))
     for _ in range(max_iter):
-        dangling = (
+        # dangling mass as a broadcast 1-row aggregate, folded into the
+        # update plan — one Spark job per iteration instead of a separate
+        # driver-side collect of the scalar (halves the scheduler round
+        # trips of the loop; the localCheckpoint materializes everything
+        # anyway)
+        dang_df = (
             ranks.join(has_out, "vertex", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contrib = (
             w.join(ranks.withColumnRenamed("vertex", "u"), "u")
@@ -280,16 +284,27 @@ def pagerank(
         )
         new_ranks = (
             verts.join(contrib, "vertex", "left")
+            .crossJoin(F.broadcast(dang_df))
             .select(
                 "vertex",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
+        if tol <= 0.0:
+            # fixed-iteration mode (tol=0): the caller wants exactly
+            # max_iter rounds (deterministic, oracle-reproducible) — skip
+            # the L1-delta convergence check, a whole driver action per
+            # round that could never fire
+            ranks = new_ranks
+            continue
         delta = (
             new_ranks.join(
                 ranks.withColumnRenamed("rank", "old"), "vertex"

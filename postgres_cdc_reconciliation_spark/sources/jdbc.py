@@ -8,8 +8,11 @@ over catalog relations).
 
 Scale: partitioned reads (partitionColumn/numPartitions) parallelize the
 scan across executors; catalog tables are tiny single-partition reads.
-No Postgres is available in the test container, so this module is exercised
-by construction only (driver-path tested via parquet stand-ins).
+No Postgres is available in the test container; the read paths (partitioned
+bounds, query pushdown, option plumbing) are exercised end-to-end against
+embedded Apache Derby — the JDBC database already on Spark's classpath —
+in tests/test_jdbc.py, with the Postgres driver/catalog SQL kept as the
+production default.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ def read_table(
     num_partitions: int = 8,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    driver: str = PG_DRIVER,
 ) -> DataFrame:
     """Batch JDBC scan; partitioned when a numeric split column is given."""
     reader = (
@@ -47,7 +51,7 @@ def read_table(
         .option("dbtable", table)
         .option("user", user)
         .option("password", password)
-        .option("driver", PG_DRIVER)
+        .option("driver", driver)
     )
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
@@ -62,7 +66,12 @@ def read_table(
 
 
 def read_query(
-    spark: SparkSession, url: str, query: str, user: str, password: str
+    spark: SparkSession,
+    url: str,
+    query: str,
+    user: str,
+    password: str,
+    driver: str = PG_DRIVER,
 ) -> DataFrame:
     """Single-partition pushdown query (catalog scans, scalar probes)."""
     return (
@@ -71,7 +80,7 @@ def read_query(
         .option("query", query)
         .option("user", user)
         .option("password", password)
-        .option("driver", PG_DRIVER)
+        .option("driver", driver)
         .load()
     )
 

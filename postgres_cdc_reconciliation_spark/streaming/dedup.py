@@ -17,6 +17,13 @@ batch dir that the replay overwrites. The index reader discovers
 
 The probe reads the index as committed *before* this batch (its own
 batch= dir is excluded), so hit sets are stable under replay too.
+
+Bootstrapping (snapshot-then-stream, T4): an index seeded from an existing
+corpus BEFORE attaching the stream must live in a ``batch=<negative>``
+partition (e.g. ``batch=-1``). Stream micro-batch ids start at 0, and the
+replay-exclusion filter drops the partition matching the CURRENT batch id —
+a seed written at ``batch=0`` would be silently invisible to the stream's
+first micro-batch (found by the round-4 scaling probe).
 """
 
 from __future__ import annotations

@@ -97,6 +97,65 @@ def test_manifest_stream_upsert_delete_e2e(spark, tmp_path):
     assert final == {1: 10.0, 2: 22.0, 4: 40.0, 5: 50.0}
 
 
+def test_incremental_commit_writes_only_touched_bucket_dirs(spark, tmp_path):
+    """The O(touched buckets) IO claim, asserted at the filesystem: an
+    incremental commit's stage dir contains ONLY the touched buckets'
+    subdirs, and every v0 data file survives byte-untouched (immutability —
+    the commit never rewrites or appends to earlier versions)."""
+    import os
+
+    root = str(tmp_path / "target")
+    n_buckets = 8
+    base = spark.range(1000).select(
+        F.col("id").alias("order_id"), (F.col("id") * 2).alias("amount")
+    )
+    commit_delta(base, root, ["order_id"], list(range(n_buckets)), n_buckets)
+
+    def files_under(p):
+        out = {}
+        for dirpath, _, names in os.walk(p):
+            for n in names:
+                fp = os.path.join(dirpath, n)
+                out[fp] = (os.path.getsize(fp), os.path.getmtime(fp))
+        return out
+
+    v0_files = files_under(f"{root}/stage/v=0")
+
+    # delta: 3 keys → their buckets only
+    delta = spark.range(3).select(
+        (F.col("id") * 7 + 1).alias("order_id"), F.lit(-1).cast("long").alias("amount")
+    )
+    touched = [
+        r["_b"]
+        for r in delta.select(bucket_expr(["order_id"], n_buckets).alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        read_buckets,
+    )
+    from postgres_cdc_reconciliation_spark.operators.apply import apply_batch
+
+    prev = read_buckets(spark, root, touched)
+    events = delta.select(
+        "order_id", "amount", F.lit("u").alias("op"), F.lit("0/FF").alias("source_lsn")
+    )
+    merged = apply_batch(prev, events, ["order_id"])
+    commit_delta(merged, root, ["order_id"], touched, n_buckets)
+
+    # v1 stage holds exactly the touched buckets
+    v1_buckets = {
+        d for d in os.listdir(f"{root}/stage/v=1") if d.startswith("_bucket=")
+    }
+    assert v1_buckets == {f"_bucket={b}" for b in touched}
+    # v0 files immutable: same set, same sizes, same mtimes
+    assert files_under(f"{root}/stage/v=0") == v0_files
+    # and the snapshot is still complete/correct
+    snap = {r["order_id"]: r["amount"] for r in read_snapshot(spark, root).collect()}
+    assert len(snap) == 1000
+    assert all(snap[k] == -1 for k in (1, 8, 15))
+
+
 def test_crashed_commit_is_invisible(spark, tmp_path):
     """Stage data written but manifest never renamed → readers still see the
     previous snapshot untouched (the atomicity property the in-place

@@ -120,6 +120,42 @@ def test_stream_dedup_intra_batch_pairs_after_batch0(spark, tmp_path):
     assert all(1 not in (n, m) for n, m, _ in pairs)
 
 
+def test_stream_dedup_bootstrap_seed_index_visible_to_batch0(spark, tmp_path):
+    """Snapshot-then-stream (T4) bootstrap: an index seeded from an existing
+    corpus at batch=-1 must be probed by the stream's FIRST micro-batch.
+    (A seed at batch=0 would collide with micro-batch id 0 and be silently
+    excluded by the replay filter — the documented reserved-id convention.)"""
+    from postgres_cdc_reconciliation_spark.operators.dedup import lsh_band_index
+
+    corpus = spark.createDataFrame(
+        [(100, BASE), (101, "unrelated corpus text about shuffle planning")],
+        "doc_id bigint, text string",
+    )
+    index_path = str(tmp_path / "index")
+    lsh_band_index(corpus).write.mode("overwrite").parquet(
+        f"{index_path}/batch=-1"
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b1.json", [(1, BASE + " tonight")], 1_000)
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    q = (
+        dedup_stream(
+            stream, index_path, str(tmp_path / "hits"), str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    pairs = {
+        (r["new_id"], r["match_id"], r["match_src"])
+        for r in spark.read.parquet(str(tmp_path / "hits")).collect()
+    }
+    assert (1, 100, "corpus") in pairs
+
+
 def test_stream_dedup_replay_idempotent(spark, tmp_path):
     """Re-running the same batch (fresh checkpoint, same input) rewrites the
     same batch dirs — no duplicate hits, no duplicate index rows."""
