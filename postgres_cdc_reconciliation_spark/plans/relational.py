@@ -339,20 +339,31 @@ def q_priority_pick(spark, sf_dir):
         "CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 "
         "WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END"
     )
-    # top-1-per-group as a min_by hash agg over the lexicographic
-    # (priority, o_orderkey) struct — map-side partial agg collapses each
-    # group before the shuffle; no per-partition window sort. o_orderkey is
-    # unique, so the pick is deterministic and identical to the ROW_NUMBER
-    # oracle. Same idiom as operators/status.py:_latest_batches.
-    payload = F.struct("o_orderkey", "o_totalprice")
+    # top-1-per-group as hash aggregation — map-side partial agg collapses
+    # each group before the shuffle (volume O(groups), not O(rows)); no
+    # window sort anywhere. Two deliberate encodings keep the whole plan in
+    # codegen HashAggregate (struct-valued min_by buffers demote to
+    # SortAggregate and the per-partition sorts return):
+    # 1. the composite ordering (priority, o_orderkey) packs into ONE long
+    #    (collision-free while o_orderkey < 10^13: TPC-H orderkeys reach
+    #    ~6e9 at SF=1000, long max admits prio*10^13 + key with headroom);
+    #    o_orderkey decodes back out of the group minimum;
+    # 2. the payload column rides a primitive-typed min_by(double, long) —
+    #    both aggregates pick the same row because ord_key is unique.
+    # Deterministic and identical to the ROW_NUMBER oracle. Same idiom as
+    # operators/status.py:_latest_batches.
+    ord_key = prio.cast("long") * F.lit(10_000_000_000_000) + F.col("o_orderkey")
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.min_by(payload, F.struct(prio.alias("p"), F.col("o_orderkey"))).alias("_top"))
+        .agg(
+            F.min(ord_key).alias("_ord"),
+            F.min_by("o_totalprice", ord_key).alias("o_totalprice"),
+        )
         .select(
             "o_custkey",
-            F.col("_top.o_orderkey").alias("o_orderkey"),
-            F.col("_top.o_totalprice").alias("o_totalprice"),
+            (F.col("_ord") % 10_000_000_000_000).alias("o_orderkey"),
+            "o_totalprice",
         )
     )
 
