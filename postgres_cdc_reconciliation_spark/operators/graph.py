@@ -250,31 +250,36 @@ def pagerank(
     it the plan doubles per iteration). Convergence = L1 rank delta < tol.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    has_out = deg.select(F.col("u").alias("vertex"))
+    # the dangling set (no out-edges) is FIXED across iterations: tag each
+    # vertex once and carry the flag through the loop, so the per-iteration
+    # dangling-mass aggregate is a filter+sum over ranks — no repeated
+    # anti-join against the degree table
     verts = (
         e.select(F.col("u").alias("vertex"))
         .unionByName(e.select(F.col("v").alias("vertex")))
         .distinct()
+        .join(has_out.withColumn("_has_out", F.lit(True)), "vertex", "left")
+        .select("vertex", F.col("_has_out").isNull().alias("_dangling"))
         .localCheckpoint()
     )
     n = verts.count()
     if n == 0:
-        return verts.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+        return verts.select("vertex").withColumn("rank", F.lit(0.0))
     # edge weight = 1/outdeg(src), fixed across iterations
     w = e.join(deg, "u").select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
     w = w.localCheckpoint()
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    has_out = deg.select(F.col("u").alias("vertex"))
     for _ in range(max_iter):
         # dangling mass as a broadcast 1-row aggregate, folded into the
         # update plan — one Spark job per iteration instead of a separate
         # driver-side collect of the scalar (halves the scheduler round
         # trips of the loop; the localCheckpoint materializes everything
         # anyway)
-        dang_df = (
-            ranks.join(has_out, "vertex", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        dang_df = ranks.filter("_dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
         )
         contrib = (
             w.join(ranks.withColumnRenamed("vertex", "u"), "u")
@@ -287,6 +292,7 @@ def pagerank(
             .crossJoin(F.broadcast(dang_df))
             .select(
                 "vertex",
+                "_dangling",  # carried so the next round's filter is free
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -306,13 +312,12 @@ def pagerank(
             ranks = new_ranks
             continue
         delta = (
-            new_ranks.join(
-                ranks.withColumnRenamed("rank", "old"), "vertex"
-            )
+            new_ranks.select("vertex", "rank")
+            .join(ranks.select("vertex", F.col("rank").alias("old")), "vertex")
             .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
             .first()[0]
         )
         ranks = new_ranks
         if delta is not None and delta < tol:
             break
-    return ranks
+    return ranks.select("vertex", "rank")
