@@ -107,24 +107,40 @@ _CHECK_PRIORITY: list[str] = [
     "q_pack_chunks",
     "q_multimodal_features",
     "q_frame_sample",
-    # -- position 50 cuts here: rows below carry r1-r3 green evidence and
-    # rotate back in next round --
-    "q_publication_owners",
-    "q_ann_ivf_probe",
-    "q_dedup_embed_rp",
-    "q_dedup_embed_rp_multi",
-    "q_dedup_clusters",
-    "q_repetition",
-    "q_vocab_coverage",
-    "q_ann_pq",
-    "q_rollup",
-    "q_count_distinct",
-    "q_intersect",
-    "q_string_pack",
-    "q_sql_api",
-    "q_array_pack",
-    "q_unpivot",
+    # -- position 50 cuts here. Everything beyond the manual window is
+    # ordered AUTOMATICALLY by staleness (see _last_checked): never-checked
+    # first, then ascending newest-CORRECTNESS-round. Next round: prune this
+    # list down to just the changed-this-round queries — the automatic tier
+    # fronts the remaining r2-stale rows (~32) by itself. --
 ]
+
+
+def _last_checked() -> dict[str, int]:
+    """Per-query newest round with a recorded CORRECTNESS row, read from the
+    committed CORRECTNESS_r*.json files. Lets future rounds rotate the
+    check window automatically: the stalest evidence re-verifies first
+    without hand-curating the priority list each round. Missing/unreadable
+    files degrade to {} (manual order only)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name in rows:
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -138,11 +154,16 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import curation  # noqa: F401
     from . import lakehouse  # noqa: F401
 
+    # manual priority first (changed-this-round queries that need
+    # re-verification regardless of row age), then automatic staleness
+    # rotation: never-checked queries, then ascending last-checked round,
+    # stable by registration order within a tier
     ordered: dict[str, QuerySpec] = {}
     for name in _CHECK_PRIORITY:
         if name in _REGISTRY:
             ordered[name] = _REGISTRY[name]
-    for name, spec in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = spec
+    seen = _last_checked()
+    rest = [n for n in _REGISTRY if n not in ordered]
+    for name in sorted(rest, key=lambda n: seen.get(n, -1)):
+        ordered[name] = _REGISTRY[name]
     return ordered

@@ -1,0 +1,51 @@
+"""Correctness-window rotation: the registry orders queries so the driver's
+bounded check window always lands on the least-recently-verified rows."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from postgres_cdc_reconciliation_spark.plans.registry import (
+    _CHECK_PRIORITY,
+    _last_checked,
+    all_queries,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_manual_window_is_exactly_driver_sized():
+    """The hand-curated tier must never exceed the driver's 50-query
+    correctness window — entries beyond it silently lose their slot."""
+    assert len(_CHECK_PRIORITY) <= 50
+    qs = all_queries()
+    missing = [n for n in _CHECK_PRIORITY if n not in qs]
+    assert not missing, f"priority names not registered: {missing}"
+
+
+def test_tail_orders_by_staleness():
+    """Beyond the manual tier, queries sort by newest recorded CORRECTNESS
+    round ascending (never-checked first) so rotation continues without
+    curation."""
+    if not glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        return  # fresh clone without driver artifacts: nothing to order by
+    seen = _last_checked()
+    names = list(all_queries())
+    tail = names[len(_CHECK_PRIORITY):]
+    rounds = [seen.get(n, -1) for n in tail]
+    assert rounds == sorted(rounds), "tail not ordered stalest-first"
+
+
+def test_every_registered_query_has_appeared_or_is_fronted():
+    """A query absent from every CORRECTNESS file must sit in the manual
+    tier or ahead of all already-verified rows — never buried behind
+    verified ones where the window can't reach it."""
+    seen = _last_checked()
+    names = list(all_queries())
+    never = [n for n in names if n not in seen]
+    for n in never:
+        idx = names.index(n)
+        behind = [m for m in names[:idx] if m in seen and m not in _CHECK_PRIORITY]
+        assert not behind, f"never-checked {n} buried behind verified {behind[:3]}"
