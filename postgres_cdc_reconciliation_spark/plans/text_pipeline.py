@@ -1084,6 +1084,187 @@ def q_tfidf(spark, sf_dir):
     )
 
 
+# Shared BM25 CTE chain (Okapi, k1=1.2 b=0.75, fixed 3-term query) — used by
+# q_bm25 and the q_hybrid_rrf fusion oracle.
+_BM25_CTES = """tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+lens AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ('spark', 'vector', 'query')
+  GROUP BY doc_id, token),
+df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok WHERE token IN ('spark', 'vector', 'query')
+  GROUP BY token),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM lens),
+bm_scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (lens.dl / stats.avgdl))),
+               6) AS s
+  FROM tf
+  JOIN df USING (token)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats),
+bm AS (
+  SELECT doc_id,
+         COALESCE(max(CASE WHEN token = 'spark' THEN s END), 0.0) AS s_spark,
+         COALESCE(max(CASE WHEN token = 'vector' THEN s END), 0.0) AS s_vector,
+         COALESCE(max(CASE WHEN token = 'query' THEN s END), 0.0) AS s_query,
+         round(COALESCE(max(CASE WHEN token = 'spark' THEN s END), 0.0)
+               + COALESCE(max(CASE WHEN token = 'vector' THEN s END), 0.0)
+               + COALESCE(max(CASE WHEN token = 'query' THEN s END), 0.0), 6)
+           AS bm25_r
+  FROM bm_scored GROUP BY doc_id)"""
+
+
+@register(
+    "q_bm25",
+    f"""WITH {_BM25_CTES}
+SELECT doc_id, s_spark, s_vector, s_query, bm25_r FROM bm""",
+    doc="[EXT] BM25 document scoring (Okapi, k1=1.2 b=0.75) for a fixed "
+    "3-term query — the classic retrieval scorer a training-data pipeline "
+    "uses for quality filtering and eval-set retrieval. Cross-engine "
+    "determinism: tf/df/N/dl are exact BIGINTs; avgdl is one exact-int "
+    "division; each per-term score is a fixed-order double expression "
+    "rounded to 6dp; the doc total sums the three ROUNDED per-term scores "
+    "in fixed written order via conditional-max pivot (never a "
+    "row-order-dependent SUM). Scale shape: the tiny per-term df table "
+    "broadcasts, doc lengths join keyed, the corpus-wide stats ride in as "
+    "a broadcast 1-row cross join — two keyed aggs + map-side math, no "
+    "window, no sort.",
+)
+def q_bm25(spark, sf_dir):
+    K1, B = 1.2, 0.75
+    terms = ["spark", "vector", "query"]
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    lens = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    qtok = tok.filter(F.col("token").isin(terms))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    df = qtok.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    stats = lens.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    s = F.round(
+        idf
+        * (F.col("tf") * (K1 + 1.0))
+        / (F.col("tf") + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", s.alias("s"))
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"s_{t}")
+        for t in terms
+    ]
+    return scored.groupBy("doc_id").agg(*per_term).select(
+        "doc_id",
+        "s_spark",
+        "s_vector",
+        "s_query",
+        F.round(
+            F.col("s_spark") + F.col("s_vector") + F.col("s_query"), 6
+        ).alias("bm25_r"),
+    )
+
+
+@register(
+    "q_hybrid_rrf",
+    f"""WITH {_BM25_CTES},
+{_VEC_CTE.strip()},
+bl AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_r DESC, doc_id) AS r_bm25
+  FROM bm QUALIFY r_bm25 <= 20),
+qv AS (SELECT e, n FROM v WHERE vec_id = 0),
+cs AS (
+  SELECT c.vec_id AS doc_id,
+         list_dot_product(qv.e, c.e) / (qv.n * c.n) AS cos
+  FROM v c CROSS JOIN qv WHERE c.vec_id <> 0),
+cl AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_cos
+  FROM cs QUALIFY r_cos <= 20),
+fused AS (
+  SELECT COALESCE(bl.doc_id, cl.doc_id) AS doc_id,
+         CAST(bl.r_bm25 AS BIGINT) AS r_bm25,
+         CAST(cl.r_cos AS BIGINT) AS r_cos,
+         round(COALESCE(1.0 / (60 + bl.r_bm25), 0.0)
+               + COALESCE(1.0 / (60 + cl.r_cos), 0.0), 6) AS rrf_r
+  FROM bl FULL JOIN cl USING (doc_id))
+SELECT doc_id, r_bm25, r_cos, rrf_r
+FROM fused ORDER BY rrf_r DESC, doc_id LIMIT 10""",
+    doc="[EXT] hybrid retrieval with reciprocal-rank fusion: the BM25 "
+    "top-20 (lexical) and the embedding-cosine top-20 for a fixed query "
+    "vector (vec_id 0, self excluded) fuse via RRF(60) — "
+    "1/(60+rank) summed over the two systems, the standard "
+    "training-data-pipeline recipe for eval-set retrieval and "
+    "contamination checks that neither pure-lexical nor pure-dense "
+    "search covers. Determinism: BM25 ranks order by the 6dp-rounded "
+    "score + doc_id; cosine ranks use the raw fold (bit-stable across "
+    "engines, same convention as q_ann_cosine since r1) + doc_id; RRF "
+    "adds two exact 1/(60+int) terms in fixed written order, rounds, "
+    "and the final top-10 cut orders by the ROUNDED score + doc_id. "
+    "Scale shape: each system produces a k-row shortlist (TakeOrdered, "
+    "no global sort materialization); fusion joins two 20-row frames — "
+    "cost is the two underlying retrievals, fusion is free.",
+)
+def q_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_topk
+
+    # lexical shortlist: top-20 by rounded BM25 (deterministic tie-break)
+    bm = q_bm25(spark, sf_dir).select("doc_id", "bm25_r")
+    wb = Window.orderBy(F.desc("bm25_r"), "doc_id")
+    bl = (
+        bm.orderBy(F.desc("bm25_r"), "doc_id")
+        .limit(20)  # TakeOrdered: the window below ranks only these 20 rows
+        .withColumn("r_bm25", F.row_number().over(wb))
+    )
+
+    # dense shortlist: cosine top-20 for the fixed query vector (self
+    # excluded inside cosine_topk)
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cl = (
+        cosine_topk(v.filter(F.col("vec_id") == 0), v, k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_cos"))
+    )
+
+    fused = (
+        bl.select("doc_id", "r_bm25")
+        .join(cl, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("r_bm25").cast("long").alias("r_bm25"),
+            F.col("r_cos").cast("long").alias("r_cos"),
+            F.round(
+                F.coalesce(1.0 / (F.lit(60) + F.col("r_bm25")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("r_cos")), F.lit(0.0)),
+                6,
+            ).alias("rrf_r"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_r"), "doc_id").limit(10)
+
+
 @register(
     "q_dedup_incremental",
     f"""WITH {_SHINGLE_CTE},

@@ -69,10 +69,10 @@ def test_text_pipeline_plans(spark, sf_dir):
     frequency table back to the token stream."""
     qs = all_queries()
     for name in ("q_tfidf", "q_unigram_logprob", "q_dedup_incremental",
-                 "q_stratified_sample", "q_corpus_mix"):
+                 "q_stratified_sample", "q_corpus_mix", "q_bm25"):
         plan = _plan(qs[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
-    for name in ("q_tfidf", "q_unigram_logprob"):
+    for name in ("q_tfidf", "q_unigram_logprob", "q_bm25"):
         plan = _plan(qs[name].fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, f"{name} lost its vocab broadcast"
 
