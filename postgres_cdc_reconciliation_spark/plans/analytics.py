@@ -944,3 +944,120 @@ def q_product_profit(spark, sf_dir):
         )
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
     )
+
+
+@register(
+    "q_cohort_retention",
+    """WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM f GROUP BY cohort_week)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.activity_week) / 7 AS BIGINT)
+         AS week_offset,
+       CAST(count(*) AS BIGINT) AS active_users,
+       round(CAST(count(*) AS DOUBLE) / c.cohort_size, 6) AS retention_r
+FROM a JOIN f USING (user_id) JOIN c USING (cohort_week)
+GROUP BY f.cohort_week, week_offset, c.cohort_size""",
+    doc="[EXT] weekly cohort retention over the purchase event stream: "
+    "cohort = ISO week of each user's first purchase; cell (cohort, "
+    "offset) = distinct users of that cohort active offset weeks later, "
+    "as count + share of cohort size. The canonical product-analytics "
+    "matrix. Determinism: week keys come from date_trunc (Monday ISO in "
+    "both engines, surfaced as TIMESTAMP, the registry convention), offsets are exact day-diffs/7 of "
+    "week-aligned dates, retention is one double division of exact ints "
+    "rounded at 6dp. Scale shape: two keyed aggs over the filtered "
+    "stream + a broadcast-sized cohort table joined back; no window, "
+    "no sort.",
+)
+def q_cohort_retention(spark, sf_dir):
+    from ..fixtures import events_df
+
+    purch = events_df(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    first = purch.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = purch.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    cohorts = first.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return (
+        active.join(first, "user_id")
+        .join(F.broadcast(cohorts), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (
+                F.expr("timestampdiff(DAY, cohort_week, activity_week)") / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "cohort_size",
+        )
+        .agg(F.count("*").cast("long").alias("active_users"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention_r"),
+        )
+    )
+
+
+@register(
+    "q_triangle_count",
+    """WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.v = e2.u
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""",
+    doc="[EXT] triangle counting on the part co-purchase graph (parts "
+    "sharing an order, 1-in-10 order sample): canonically oriented edges "
+    "(u < v), triangles = oriented 2-paths closed by a third edge — "
+    "every triangle counted exactly once, the standard distributed "
+    "formulation (orientation bounds the join fan-out by forward-degree; "
+    "at scale orient by degree instead of id to cap hub fan-out). Two "
+    "keyed equality self-joins, exact BIGINT output — bit-deterministic "
+    "in any engine.",
+)
+def q_triangle_count(spark, sf_dir):
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e = e.localCheckpoint()  # reused 4x: edge count + 3-way self-join
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return n_edges.crossJoin(tri)
