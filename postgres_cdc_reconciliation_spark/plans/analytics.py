@@ -1061,3 +1061,73 @@ def q_triangle_count(spark, sf_dir):
     )
     n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
     return n_edges.crossJoin(tri)
+
+
+@register(
+    "q_funnel_steps",
+    """WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS depth
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+    doc="[EXT] ordered funnel (signup -> click -> purchase, each step "
+    "within 24h of the previous): per-user first-completion timestamps "
+    "and reached depth — the event-sequence analysis every product/"
+    "training-telemetry pipeline runs. Each step is one keyed min-agg "
+    "joined back to the previous frontier (monotone chaining: step N's "
+    "min-ts is the earliest valid completion GIVEN the earliest step-N-1 "
+    "completion). Exact timestamp comparisons and integer depth — fully "
+    "deterministic. Scale shape: three filtered keyed aggs + keyed "
+    "left joins, no window, no sort; at 100 TB each stage shuffles "
+    "O(users in funnel), not O(events).",
+)
+def q_funnel_steps(spark, sf_dir):
+    from ..fixtures import events_df
+
+    ev = events_df(spark, sf_dir)
+
+    def first_after(prev, etype, tcol_prev, alias):
+        step = (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", tcol_prev), "user_id")
+            .filter(
+                (F.col("ts") > F.col(tcol_prev))
+                & (F.col("ts") <= F.col(tcol_prev) + F.expr("INTERVAL 24 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(alias))
+        )
+        return step
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "click", "t1", "t2")
+    s3 = first_after(s2, "purchase", "t2", "t3")
+    depth = (
+        F.lit(1)
+        + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3", depth.alias("depth"))
+    )
