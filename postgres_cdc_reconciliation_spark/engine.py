@@ -305,3 +305,21 @@ class Engine:
 
         return incremental_near_dups(batch, index, id_col=id_col,
                                      text_col=text_col)
+
+    def bm25(self, docs, terms, id_col="doc_id", text_col="text",
+             k1=1.2, b=0.75) -> DataFrame:
+        """Okapi BM25 per document for a fixed term list (per-term columns
+        + fixed-order total; deterministic, oracle-checkable)."""
+        from .operators.retrieval import bm25_scores
+
+        return bm25_scores(docs, terms, id_col=id_col, text_col=text_col,
+                           k1=k1, b=b)
+
+    def hybrid_topk(self, docs, embeddings, terms, query_vec_id,
+                    shortlist=20, k=10) -> DataFrame:
+        """Lexical+dense hybrid retrieval: BM25 shortlist fused with the
+        cosine shortlist via reciprocal-rank fusion (RRF, k=60)."""
+        from .operators.retrieval import hybrid_rrf_topk
+
+        return hybrid_rrf_topk(docs, embeddings, terms, query_vec_id,
+                               shortlist=shortlist, k=k)

@@ -1141,49 +1141,14 @@ SELECT doc_id, s_spark, s_vector, s_query, bm25_r FROM bm""",
     "window, no sort.",
 )
 def q_bm25(spark, sf_dir):
-    K1, B = 1.2, 0.75
-    terms = ["spark", "vector", "query"]
-    d = _docs(spark, sf_dir)
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    lens = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    qtok = tok.filter(F.col("token").isin(terms))
-    tf = qtok.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
-    df = qtok.groupBy("token").agg(
-        F.count_distinct("doc_id").cast("long").alias("df")
-    )
-    stats = lens.agg(
-        F.count("*").cast("long").alias("n"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    idf = F.log(
-        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    s = F.round(
-        idf
-        * (F.col("tf") * (K1 + 1.0))
-        / (F.col("tf") + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))),
-        6,
-    )
-    scored = (
-        tf.join(F.broadcast(df), "token")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "token", s.alias("s"))
-    )
-    per_term = [
-        F.coalesce(
-            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
-        ).alias(f"s_{t}")
-        for t in terms
-    ]
-    return scored.groupBy("doc_id").agg(*per_term).select(
+    from ..operators.retrieval import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), ["spark", "vector", "query"]).select(
         "doc_id",
         "s_spark",
         "s_vector",
         "s_query",
-        F.round(
-            F.col("s_spark") + F.col("s_vector") + F.col("s_query"), 6
-        ).alias("bm25_r"),
+        F.round("bm25", 6).alias("bm25_r"),
     )
 
 
@@ -1227,42 +1192,16 @@ FROM fused ORDER BY rrf_r DESC, doc_id LIMIT 10""",
     "cost is the two underlying retrievals, fusion is free.",
 )
 def q_hybrid_rrf(spark, sf_dir):
-    from pyspark.sql import Window
+    from ..operators.retrieval import hybrid_rrf_topk
 
-    from ..operators.similarity import cosine_topk
-
-    # lexical shortlist: top-20 by rounded BM25 (deterministic tie-break)
-    bm = q_bm25(spark, sf_dir).select("doc_id", "bm25_r")
-    wb = Window.orderBy(F.desc("bm25_r"), "doc_id")
-    bl = (
-        bm.orderBy(F.desc("bm25_r"), "doc_id")
-        .limit(20)  # TakeOrdered: the window below ranks only these 20 rows
-        .withColumn("r_bm25", F.row_number().over(wb))
+    return hybrid_rrf_topk(
+        _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        ["spark", "vector", "query"],
+        query_vec_id=0,
+        shortlist=20,
+        k=10,
     )
-
-    # dense shortlist: cosine top-20 for the fixed query vector (self
-    # excluded inside cosine_topk)
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cl = (
-        cosine_topk(v.filter(F.col("vec_id") == 0), v, k=20)
-        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_cos"))
-    )
-
-    fused = (
-        bl.select("doc_id", "r_bm25")
-        .join(cl, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            F.col("r_bm25").cast("long").alias("r_bm25"),
-            F.col("r_cos").cast("long").alias("r_cos"),
-            F.round(
-                F.coalesce(1.0 / (F.lit(60) + F.col("r_bm25")), F.lit(0.0))
-                + F.coalesce(1.0 / (F.lit(60) + F.col("r_cos")), F.lit(0.0)),
-                6,
-            ).alias("rrf_r"),
-        )
-    )
-    return fused.orderBy(F.desc("rrf_r"), "doc_id").limit(10)
 
 
 @register(

@@ -59,6 +59,12 @@ for name in sorted(only or qs):
         if not ok: fails.append(name)
     except Exception as ex:
         print(f"  {name}: ERROR {type(ex).__name__}: {str(ex)[:150]}"); fails.append(name)
+checked = sorted(only or qs)
+n_oracled = sum(1 for n in checked if n in os_)
+print(
+    f"SUMMARY: {len(checked)} checked, {n_oracled - len(fails)} MATCH, "
+    f"{len(checked) - n_oracled} rows-only, {len(fails)} fail"
+)
 print("FAILS:", fails if fails else "none")
 spark.stop()
 sys.exit(1 if fails else 0)
