@@ -113,3 +113,13 @@ def test_lakehouse_plans(spark, sf_dir):
     for name in ("q_snapshot_cdf", "q_schema_evolution"):
         plan = _plan(qs[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_behavioral_analytics_plans(spark, sf_dir):
+    """Cohort/funnel/triangle queries stay keyed: the funnel's chained
+    min-aggs, the cohort joins, and the triangle 2-path closure must all
+    plan as equality joins (a cartesian 3-way self-join would be O(E^3))."""
+    qs = all_queries()
+    for name in ("q_cohort_retention", "q_funnel_steps", "q_triangle_count"):
+        plan = _plan(qs[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
