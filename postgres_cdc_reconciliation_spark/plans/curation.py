@@ -347,3 +347,55 @@ def q_stratified_sample(spark, sf_dir):
         .select("doc_id", "lang", F.col("rk").cast("long").alias("sample_rank"))
         .orderBy("lang", "sample_rank")
     )
+
+
+@register(
+    "q_weighted_sample",
+    """WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         (CAST(CAST('0x' || substr(md5('wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 4294967296 AS DOUBLE) + 1)
+           / 4294967298 AS u
+  FROM documents),
+keyed AS (
+  SELECT doc_id, dl, round(ln(u) / dl, 9) AS key_r FROM base)
+SELECT doc_id, dl, key_r
+FROM keyed ORDER BY key_r DESC, doc_id LIMIT 100""",
+    doc="[EXT] deterministic weighted sampling (Efraimidis-Spirakis A-Res "
+    "order): weight = token count, u = md5-hash uniform in (0,1) (exact "
+    "integer arithmetic -> one exact double division), key = ln(u)/w — "
+    "the top-k by key IS a weighted sample without replacement, "
+    "reproducible under reruns/backfills in any engine (the weighted "
+    "counterpart of q_hash_sample; the sampling step every "
+    "quality-weighted corpus selection needs). Determinism: keys rounded "
+    "at 9dp before the ordering (1-ulp cross-engine ln noise ~1e-16 "
+    "cannot flip the cut), doc_id tie-break. Map-only per-row keys + one "
+    "TakeOrdered — no shuffle beyond the top-k merge.",
+)
+def q_weighted_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample-v1:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = ((h % F.lit(4294967296)).cast("double") + 1) / F.lit(4294967298)
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("dl"),
+            u.alias("u"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            F.round(F.log(F.col("u")) / F.col("dl"), 9).alias("key_r"),
+        )
+        .orderBy(F.desc("key_r"), "doc_id")
+        .limit(100)
+    )
