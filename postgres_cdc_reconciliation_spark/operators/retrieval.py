@@ -39,6 +39,17 @@ def bm25_scores(
     fixed-order total. Rows: documents matching ≥1 term."""
     if not terms:
         raise ValueError("bm25_scores needs at least one query term")
+    # de-dup preserving order (a repeated term would add a duplicate s_<term>
+    # column and double-count the total) and reject terms that can't serve as
+    # column-name fragments ('.' parses as a struct accessor in F.col, '`'
+    # breaks quoting) — ADVICE r4
+    terms = list(dict.fromkeys(terms))
+    bad = [t for t in terms if "." in t or "`" in t]
+    if bad:
+        raise ValueError(
+            f"bm25 terms must not contain '.' or '`' (unusable as column "
+            f"fragments): {bad!r}"
+        )
     tok = docs.select(
         F.col(id_col), F.explode(F.split(text_col, " ")).alias("token")
     )

@@ -46,81 +46,45 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # queries with no hard signal yet, then queries whose implementation changed
 # this round (need re-verification), then the already-green remainder.
 _CHECK_PRIORITY: list[str] = [
-    # -- round 4, window goal: rotate the 78 rows whose latest CORRECTNESS
-    # evidence is r1/r2 through the driver's 50-query window (VERDICT r3 #1).
-    # Changed-this-round queries first (riskiest), then the 30 queries whose
-    # only row is r1, then 15 r2-stale picks (event-time/timestamp-sensitive
-    # and perf-flagged shapes fronted). ~28 r2-stale rows remain for round 5.
+    # -- round 5 window: changed-this-round queries first (riskiest), then
+    # six high-risk r3-stale core-engine picks. The automatic staleness tier
+    # (_last_checked) fills the rest of the 50-slot window by itself: the 5
+    # never-driver-checked r4 additions (q_bm25, q_hybrid_rrf,
+    # q_cohort_retention, q_funnel_steps, q_weighted_sample), then the 32
+    # r2-stale rows. 13 manual + 5 never-checked + 32 r2-stale = exactly 50
+    # (pinned by tests/test_registry_rotation.py). --
     #
-    # -- changed this round: re-verify (5) --
-    "q_priority_pick",  # min_by struct agg replaced the window sort
-    "q_sample",  # TABLESAMPLE → deterministic md5 hash sample (now oracled)
-    "q_pagerank",  # fixed-iteration + 8dp pre-round (now oracled, CTE unroll)
-    "q_grouped_demean",  # applyInPandas → native unbounded-frame window
-    "q_snapshot_cdf",  # commit root now cached per (session, sf_dir)
-    # -- stale: newest row is round 1 (30) --
-    "q_ann_cosine",
-    "q_ann_ivf",
-    "q_slot_lag_report",
-    "q_minutes_since",
-    "q_count",
-    "q_minmax",
-    "q_ext_cube",
-    "q_filter_eq",
-    "q_filter_timewindow",
-    "q_distinct",
-    "q_semi_range",
-    "q_semi_exists",
-    "q_cross_join",
-    "q_sort",
-    "q_scalar_pack",
-    "q_lag_trend",
-    "q_ext_tumble",
-    "q_anti_join",
-    "q_regex_pack",
-    "q_null_funcs",
-    "q_having",
-    "q_csv_roundtrip",
-    "q_orc_roundtrip",
-    "q_json_roundtrip",
-    "q_token_count",
-    "q_lang_id",
-    "q_quality_score",
-    "q_fingerprint",
-    "q_text_normalize",
-    "q_tokenize",
-    # -- stale: newest row is round 2 — event-time/timestamp-sensitive
-    # (TIMESTAMP-vintage fixture path), perf-flagged, and r1+r2-only
-    # multimodal/curation shapes (15) --
-    "q_forecast_revenue",
-    "q_session_window",
-    "q_asof_join",
-    "q_range_join",
-    "q_percentiles",  # perf-weak r3: row refresh alongside solo re-measure
-    "q_stats_pack",  # perf-weak r3
-    "q_rank_pack",  # perf-watch r3
-    "q_date_funcs",
-    "q_pivot",
-    "q_dedup_embed",
-    "q_hash_split",
-    "q_contamination",
-    "q_pack_chunks",
-    "q_multimodal_features",
-    "q_frame_sample",
-    # -- position 50 cuts here. Everything beyond the manual window is
-    # ordered AUTOMATICALLY by staleness (see _last_checked): never-checked
-    # first, then ascending newest-CORRECTNESS-round. Next round: prune this
-    # list down to just the changed-this-round queries — the automatic tier
-    # fronts the remaining r2-stale rows (~32) by itself. --
+    # -- changed this round: re-verify (7) --
+    "q_triangle_count",  # edge orientation id-order → degree-order
+    "q_kmeans",  # rows-only → exact invariant oracle (VERDICT r4 #3)
+    "q_approx_stats",  # rows-only → exact-side + within-bound oracle
+    "q_sketch_pack",  # rows-only → exact-side + within-bound oracle
+    "q_audio_spectral",  # rows-only → closed-form sums + Parseval oracle
+    "q_funnel_conversion_window",  # new (VERDICT r4 #6)
+    "q_retention_curve",  # new (VERDICT r4 #6)
+    # -- high-risk r3-stale core-engine picks (6) --
+    "q_cdc_apply",
+    "q_recon_diff",
+    "q_latest_per_group",
+    "q_health_report",
+    "q_frontier_complete",
+    "q_dedup_minhash",
 ]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _last_checked() -> dict[str, int]:
-    """Per-query newest round with a recorded CORRECTNESS row, read from the
-    committed CORRECTNESS_r*.json files. Lets future rounds rotate the
-    check window automatically: the stalest evidence re-verifies first
-    without hand-curating the priority list each round. Missing/unreadable
-    files degrade to {} (manual order only)."""
+    """Per-query newest round with a VERIFIED CORRECTNESS row (err is null
+    and rows matched — a failed/errored row is NOT evidence and must sort
+    as never-checked so the query re-enters the window first; ADVICE r4),
+    read from the committed CORRECTNESS_r*.json files. Lets future rounds
+    rotate the check window automatically: the stalest evidence re-verifies
+    first without hand-curating the priority list each round. Memoized —
+    the artifact files never change within a process, and an installed
+    package without them degrades once to {} (manual order only)."""
     import glob
     import json
     import os
@@ -138,8 +102,11 @@ def _last_checked() -> dict[str, int]:
                 rows = json.load(f)
         except Exception:
             continue
-        for name in rows:
-            seen[name] = max(seen.get(name, 0), rnd)
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") is None and row.get("rows_match") is True:
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 

@@ -126,10 +126,21 @@ def heartbeat(spark, frontier_path: str) -> None:
     read failure is logged before continuing — a silently-swallowed
     misconfigured path would look exactly like a healthy idle pipeline to
     every downstream freshness check (ADVICE r3)."""
+    from pyspark.errors import AnalysisException
+
+    def _is_path_missing(e: Exception) -> bool:
+        # typed check first (stable across Spark versions), message substring
+        # only as a last resort for non-AnalysisException wrappers
+        if isinstance(e, AnalysisException):
+            cls = getattr(e, "getErrorClass", lambda: None)()
+            if cls is not None:
+                return cls == "PATH_NOT_FOUND"
+        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
     try:
         f = spark.read.parquet(frontier_path)
     except Exception as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+        if not _is_path_missing(e):
             logger.warning(
                 "heartbeat: frontier read failed at %s: %s", frontier_path, e
             )

@@ -38,6 +38,46 @@ def test_tail_orders_by_staleness():
     assert rounds == sorted(rounds), "tail not ordered stalest-first"
 
 
+def test_window_covers_all_stale_evidence():
+    """The staleness invariant (VERDICT r4 #8): after applying the priority
+    list to a 50-query window, no registered query's latest VERIFIED
+    evidence may be more than 2 rounds old — every never-checked or
+    >2-rounds-stale query must land inside the window the driver will
+    actually run this round."""
+    files = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    if not files:
+        return
+    this_round = 1 + max(
+        int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")]) for p in files
+    )
+    seen = _last_checked()
+    window = set(list(all_queries())[:50])
+    stale = [
+        n for n in all_queries() if seen.get(n, -(10**9)) < this_round - 2
+    ]
+    buried = [n for n in stale if n not in window]
+    assert not buried, (
+        f"{len(buried)} stale/never-checked queries outside the 50-window: "
+        f"{buried[:5]}"
+    )
+
+
+def test_failed_rows_are_not_verification_evidence():
+    """A CORRECTNESS row with err set or rows_match false must not stamp the
+    query as checked (ADVICE r4): it has to sort as never-checked so it
+    re-enters the window first. Recomputes the green-only map independently
+    and requires _last_checked to equal it exactly."""
+    expected: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if row.get("err") is None and row.get("rows_match") is True:
+                expected[name] = max(expected.get(name, 0), rnd)
+    assert _last_checked() == expected
+
+
 def test_every_registered_query_has_appeared_or_is_fronted():
     """A query absent from every CORRECTNESS file must sit in the manual
     tier or ahead of all already-verified rows — never buried behind
