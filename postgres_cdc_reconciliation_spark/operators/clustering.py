@@ -165,6 +165,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "farthest",
+    seeds: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], int]:
     """Lloyd's iterations until the max centroid displacement² < tol or
     max_iter. Returns (centroids, iterations_run). ``init``: "farthest"
@@ -177,8 +178,13 @@ def kmeans_fit(
     keep their previous centroid (standard Lloyd's fallback; with hash
     seeding they are rare)."""
     dim = _dim_of(corpus, vec_col)
-    seeder = kmeans_init_farthest if init == "farthest" else kmeans_init
-    cents = seeder(corpus, k, id_col, vec_col)
+    if seeds is not None:
+        if len(seeds) != k:
+            raise ValueError(f"got {len(seeds)} seeds for k={k}")
+        cents = [list(s) for s in seeds]
+    else:
+        seeder = kmeans_init_farthest if init == "farthest" else kmeans_init
+        cents = seeder(corpus, k, id_col, vec_col)
     vecs = corpus.select(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v")
     )

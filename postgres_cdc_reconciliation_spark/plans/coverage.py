@@ -230,40 +230,93 @@ def q_sql_api(spark, sf_dir):
 
 @register(
     "q_approx_stats",
-    None,  # sketches are estimator-specific → rows-only check by design
-    doc="A6 [EXT] sketch aggregates: approx_count_distinct (HLL) + approx percentiles; estimates differ per engine so the driver records the weaker rows-only check",
+    """SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS exact_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+FROM lineitem GROUP BY l_returnflag""",
+    doc="A6 [EXT] sketch aggregates, oracle-able by construction (VERDICT "
+    "r4 #3): the estimates themselves are estimator-specific, so the "
+    "result carries the EXACT side (count, count-distinct — DuckDB "
+    "verifies those bit-for-bit) plus in-plan within-bound booleans for "
+    "the approximate side: approx_count_distinct within 3x its 5%% "
+    "default rsd of the exact distinct, and percentile_approx(accuracy "
+    "10000, rank error 1e-4) p50/p95 inside the exact [p45,p55] / "
+    "[p94,p96] quantile brackets computed in the same plan. A sketch "
+    "returning garbage flips a boolean; an engine-specific-but-sane "
+    "estimate matches.",
 )
 def q_approx_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    # percentile_approx returns an array; the driver's rows-only check hashes
-    # rows, and lists are unhashable — surface scalar p50/p95 columns instead.
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.count("*").cast("long").alias("exact_rows"),
+            F.count_distinct("l_orderkey").cast("long").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey").alias("_approx_orders"),
             F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
-                "_pcts"
+                "_apcts"
             ),
-            F.count("*").alias("exact_rows"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.45, 0.55, 0.94, 0.96))"
+            ).alias("_epcts"),
         )
         .select(
             "l_returnflag",
-            "approx_orders",
-            F.element_at("_pcts", 1).alias("price_p50"),
-            F.element_at("_pcts", 2).alias("price_p95"),
             "exact_rows",
+            "exact_orders",
+            (
+                F.abs(
+                    F.col("_approx_orders").cast("double")
+                    - F.col("exact_orders")
+                )
+                <= F.lit(0.15) * F.col("exact_orders")
+            ).alias("hll_ok"),
+            (
+                (F.element_at("_apcts", 1) >= F.element_at("_epcts", 1))
+                & (F.element_at("_apcts", 1) <= F.element_at("_epcts", 2))
+            ).alias("p50_ok"),
+            (
+                (F.element_at("_apcts", 2) >= F.element_at("_epcts", 3))
+                & (F.element_at("_apcts", 2) <= F.element_at("_epcts", 4))
+            ).alias("p95_ok"),
         )
     )
 
 
 @register(
     "q_sketch_pack",
-    None,  # DataSketches estimates are library-specific → rows-only check
-    doc="A6 [EXT] mergeable DataSketches pack: per-priority HLL distinct "
-    "customers + global rollup from the group sketches alone (merge, no "
-    "re-scan), theta set algebra of two segments' customer sets, KLL "
-    "order-total quantiles. Error bounds asserted vs exact in "
-    "tests/test_sketches.py; the driver records the rows-only check.",
+    """WITH per AS (
+  SELECT o_orderpriority AS label,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_value,
+         TRUE AS within_bound
+  FROM orders GROUP BY o_orderpriority),
+roll AS (
+  SELECT '_rollup', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE
+  FROM orders),
+tu AS (
+  SELECT '_theta_union', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+ti AS (
+  SELECT '_theta_intersect', CAST(count(*) AS BIGINT), TRUE FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')),
+kll AS (
+  SELECT '_kll_p50_' || s, CAST(NULL AS BIGINT), TRUE
+  FROM (VALUES ('1-URGENT'), ('2-HIGH')) t(s))
+SELECT * FROM per UNION ALL SELECT * FROM roll UNION ALL
+SELECT * FROM tu UNION ALL SELECT * FROM ti UNION ALL SELECT * FROM kll""",
+    doc="A6 [EXT] mergeable DataSketches pack, oracle-able by construction "
+    "(VERDICT r4 #3): per-priority HLL distinct customers + global rollup "
+    "from the group sketches alone (merge, no re-scan), theta set algebra "
+    "of two segments' customer sets, KLL order-total medians. Each row "
+    "carries the EXACT side (distinct counts, set-algebra cardinalities — "
+    "DuckDB reproduces them bit-for-bit; NULL for quantile rows) plus an "
+    "in-plan within-bound boolean: HLL/rollup within 8%% of exact (lgK=12 "
+    "-> 1.6%% RSE, 3 sigma < 5%%), theta union 10%% / intersection 15%%+2 "
+    "absolute, KLL p50 inside the exact [p45, p55] bracket. Tight error "
+    "bands stay asserted in tests/test_sketches.py.",
 )
 def q_sketch_pack(spark, sf_dir):
     from ..operators.sketches import (
@@ -274,41 +327,94 @@ def q_sketch_pack(spark, sf_dir):
     )
 
     o = _t(spark, sf_dir, "orders")
-    per_group = hll_group_distinct(o, "o_orderpriority", "o_custkey")
-    total = hll_rollup(per_group)
+    seg_a, seg_b = "1-URGENT", "2-HIGH"
+    prio = F.col("o_orderpriority")
+
+    per_sk = hll_group_distinct(o, "o_orderpriority", "o_custkey")
+    per_exact = o.groupBy(prio.alias("label")).agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_value")
+    )
+    per = per_exact.join(
+        F.broadcast(
+            per_sk.select(prio.alias("label"), "approx_distinct")
+        ),
+        "label",
+    ).select(
+        "label",
+        "exact_value",
+        (
+            F.abs(F.col("approx_distinct").cast("double") - F.col("exact_value"))
+            <= F.lit(0.08) * F.col("exact_value")
+        ).alias("within_bound"),
+    )
+
+    roll = (
+        hll_rollup(per_sk)
+        .crossJoin(
+            o.agg(F.count_distinct("o_custkey").cast("long").alias("exact_value"))
+        )
+        .select(
+            F.lit("_rollup").alias("label"),
+            "exact_value",
+            (
+                F.abs(
+                    F.col("approx_distinct_total").cast("double")
+                    - F.col("exact_value")
+                )
+                <= F.lit(0.08) * F.col("exact_value")
+            ).alias("within_bound"),
+        )
+    )
+
+    seg = o.filter(prio.isin(seg_a, seg_b))
+    exact_union = seg.agg(
+        F.count_distinct("o_custkey").cast("long").alias("eu")
+    )
+    exact_int = (
+        seg.groupBy("o_custkey")
+        .agg(
+            F.max((prio == seg_a).cast("int")).alias("ia"),
+            F.max((prio == seg_b).cast("int")).alias("ib"),
+        )
+        .filter((F.col("ia") == 1) & (F.col("ib") == 1))
+        .agg(F.count("*").cast("long").alias("ei"))
+    )
     algebra = theta_segment_algebra(
-        o, "o_orderpriority", "o_custkey", "1-URGENT", "2-HIGH"
+        o, "o_orderpriority", "o_custkey", seg_a, seg_b
+    ).crossJoin(exact_union).crossJoin(exact_int)
+    theta_u = algebra.select(
+        F.lit("_theta_union").alias("label"),
+        F.col("eu").alias("exact_value"),
+        (
+            F.abs(F.col("n_union").cast("double") - F.col("eu"))
+            <= F.lit(0.10) * F.col("eu")
+        ).alias("within_bound"),
     )
-    quant = kll_group_quantiles(
-        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
-        "o_orderpriority",
-        "o_totalprice",
+    theta_i = algebra.select(
+        F.lit("_theta_intersect").alias("label"),
+        F.col("ei").alias("exact_value"),
+        (
+            F.abs(F.col("n_intersect").cast("double") - F.col("ei"))
+            <= F.lit(0.15) * F.col("ei") + F.lit(2.0)
+        ).alias("within_bound"),
     )
-    # one row per priority + one summary row, single result shape
-    return (
-        per_group.select(
-            F.col("o_orderpriority").alias("label"),
-            F.col("approx_distinct").cast("double").alias("metric1"),
-            F.lit(None).cast("double").alias("metric2"),
-            F.lit(None).cast("double").alias("metric3"),
-        )
-        .unionByName(
-            total.crossJoin(algebra).select(
-                F.lit("_total").alias("label"),
-                F.col("approx_distinct_total").cast("double").alias("metric1"),
-                F.col("n_union").cast("double").alias("metric2"),
-                F.col("n_intersect").cast("double").alias("metric3"),
-            )
-        )
-        .unionByName(
-            quant.select(
-                F.concat(F.lit("kll:"), "o_orderpriority").alias("label"),
-                F.col("q_50").alias("metric1"),
-                F.col("q_90").alias("metric2"),
-                F.col("q_99").alias("metric3"),
-            )
-        )
+
+    quant = kll_group_quantiles(seg, "o_orderpriority", "o_totalprice", (0.5,))
+    exact_pcts = seg.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, array(0.45, 0.55))").alias("_e")
     )
+    kll = quant.join(exact_pcts, "o_orderpriority").select(
+        F.concat(F.lit("_kll_p50_"), prio).alias("label"),
+        F.lit(None).cast("long").alias("exact_value"),
+        (
+            (F.col("q_50") >= F.element_at("_e", 1))
+            & (F.col("q_50") <= F.element_at("_e", 2))
+        ).alias("within_bound"),
+    )
+
+    return per.unionByName(roll).unionByName(theta_u).unionByName(
+        theta_i
+    ).unionByName(kll)
 
 
 @register(

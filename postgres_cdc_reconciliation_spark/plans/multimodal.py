@@ -133,21 +133,61 @@ def q_image_resize(spark, sf_dir):
 
 @register(
     "q_audio_spectral",
-    None,  # FFT is not SQL-expressible → rows-only; Parseval + closed-form
-    # tone agreement are pytest-verified (test_multimodal_resize_spectral)
+    """WITH ids AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS media_id,
+         CAST(64 + o_orderkey % 64 AS BIGINT) AS n
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 = 1),
+samp AS (
+  SELECT media_id, n,
+         ((media_id * 31 + unnest(range(0, n)) * 17) % 65536) - 32768 AS v
+  FROM ids)
+SELECT media_id, any_value(n) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(sum(v * v) AS BIGINT) AS energy_sum,
+       TRUE AS parseval_ok, TRUE AS bands_ok
+FROM samp GROUP BY media_id""",
     doc="[EXT] audio spectral band energies (mapInPandas + numpy rfft over "
-    "decoded PCM16): 4 equal frequency bands of |rfft|^2/n^2 with "
-    "conjugate-symmetry doubling, DC excluded. Parseval (sum bands = "
-    "time-domain variance, rel err < 1e-9) and pure-tone band placement "
-    "tested; the driver records the rows-only check.",
+    "decoded PCM16), oracle-able by construction (VERDICT r4 #3): the WAV "
+    "samples are generative (s_k = ((id*31+k*17) %% 65536) - 32768), so "
+    "the oracle recomputes the exact integer time-domain sums (Σs, Σs²) "
+    "the decoder must reproduce — a decoder misreading the data chunk "
+    "fails those BIGINTs — while the FFT side is pinned by in-plan "
+    "invariant booleans: parseval_ok (Σ band energies = time-domain "
+    "variance from those same exact sums, rel err ≤ 1e-9) and bands_ok "
+    "(all bands ≥ 0 and they sum to total_power). A wrong normalization, "
+    "dropped conjugate-symmetry doubling, or band-boundary slip flips "
+    "parseval_ok/bands_ok; pure-tone band placement stays "
+    "pytest-verified (test_multimodal_resize_spectral).",
 )
 def q_audio_spectral(spark, sf_dir):
     from ..sources.multimodal import audio_spectral, synth_media_real
 
-    return audio_spectral(synth_media_real(spark, sf_dir, every=10)).select(
+    sp = audio_spectral(synth_media_real(spark, sf_dir, every=10))
+    n = F.col("n_samples").cast("double")
+    # population variance from the exact integer sums: E[s²] - E[s]²
+    time_var = F.col("energy_sum") / n - (F.col("sample_sum") / n) * (
+        F.col("sample_sum") / n
+    )
+    band_sum = (
+        F.col("band0") + F.col("band1") + F.col("band2") + F.col("band3")
+    )
+    return sp.select(
         "media_id",
         "n_samples",
-        F.round("total_power", 4).alias("total_power_r"),
-        F.round("band0", 4).alias("band0_r"),
-        F.round("band3", 4).alias("band3_r"),
+        "sample_sum",
+        "energy_sum",
+        (
+            F.abs(F.col("total_power") - time_var)
+            <= F.lit(1e-9) * (time_var + F.lit(1.0))
+        ).alias("parseval_ok"),
+        (
+            (F.col("band0") >= 0)
+            & (F.col("band1") >= 0)
+            & (F.col("band2") >= 0)
+            & (F.col("band3") >= 0)
+            & (
+                F.abs(band_sum - F.col("total_power"))
+                <= F.lit(1e-9) * (F.col("total_power") + F.lit(1.0))
+            )
+        ).alias("bands_ok"),
     )

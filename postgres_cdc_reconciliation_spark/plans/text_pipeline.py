@@ -1004,31 +1004,71 @@ def q_token_rarity(spark, sf_dir):
 
 @register(
     "q_kmeans",
-    None,  # iterative algorithm (driver loop over distributed steps) → rows-only
-    doc="[EXT] distributed Lloyd's k-means over the embedding corpus: "
-    "deterministic farthest-first seeding, 3 refinement iterations, then "
-    "cluster cardinalities + mean within-cluster distance. Each iteration "
-    "is one scan + one keyed shuffle of <= k x partitions partial rows "
-    "(map-side combined dim-wise avg), the cost model that holds at "
-    "100 TB. Numpy-agreement, inertia-monotonicity and planted-cluster "
-    "recovery tested in tests/test_clustering.py; this is the trained "
-    "upgrade path for the IVF coarse quantizer (q_ann_ivf_probe) and "
-    "label-free embedding blocking (replaces q_dedup_embed's shipped "
-    "labels at scale).",
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(0 AS BIGINT) AS n_misassigned,
+       TRUE AS inertia_improved, TRUE AS inertia_nonneg
+FROM embeddings""",
+    doc="[EXT] distributed Lloyd's k-means over the embedding corpus "
+    "(deterministic farthest-first seeding, 3 refinement iterations), "
+    "oracle-able by construction (VERDICT r4 #3): exact centroid bits "
+    "aren't cross-engine-stable (distributed fp mean), so the result "
+    "surfaces invariants the oracle verifies exactly instead — "
+    "n_vectors (exact corpus count), n_misassigned = points whose "
+    "assigned centroid is NOT their nearest final centroid, recomputed "
+    "through an INDEPENDENT numeric path (expanded ||v||²-2v·c+||c||² "
+    "identity vs the assigner's Σ(a-b)² HOF; must be 0), and "
+    "inertia_improved/inertia_nonneg (Lloyd's objective at the final "
+    "centroids ≤ at the seeds, ≥ 0). A broken E-step, M-step, or "
+    "seeding flips one of them. Cluster cardinalities + numpy "
+    "agreement + planted-cluster recovery stay pytest-verified "
+    "(tests/test_clustering.py). Each iteration is one scan + one "
+    "keyed shuffle of <= k x partitions partial rows (map-side "
+    "combined dim-wise avg), the cost model that holds at 100 TB.",
 )
 def q_kmeans(spark, sf_dir):
-    from ..operators.clustering import kmeans_assign, kmeans_fit
+    from ..operators.clustering import (
+        kmeans_fit,
+        kmeans_inertia,
+        kmeans_init_farthest,
+        _nearest_expr,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents, _iters = kmeans_fit(emb, k=4, max_iter=3)
-    return (
-        kmeans_assign(emb, cents)
-        .groupBy("cent_id")
-        .agg(
-            F.count("*").cast("long").alias("n_vectors"),
-            F.sqrt(F.avg("dist")).alias("rms_dist"),
+    seeds = kmeans_init_farthest(emb, 4)
+    cents, _iters = kmeans_fit(emb, k=4, max_iter=3, seeds=seeds)
+
+    # assigner's path (Σ(a-b)² aggregate HOF, ties to smallest cent_id) and
+    # an independent expanded-identity path in ONE frame
+    v = emb.select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("_v")
+    ).withColumn("_m", _nearest_expr(cents))
+    vnorm = F.expr("aggregate(transform(_v, x -> x * x), 0D, (a, x) -> a + x)")
+    dists = []
+    for c in cents:
+        lit = "array({})".format(",".join(f"{x!r}D" for x in c))
+        dot = F.expr(
+            f"aggregate(zip_with(_v, {lit}, (a, b) -> a * b), "
+            f"0D, (acc, x) -> acc + x)"
         )
-        .orderBy("cent_id")
+        dists.append(vnorm - 2.0 * dot + F.lit(sum(x * x for x in c)))
+    mind = F.least(*dists)
+    # fp tolerance scaled to the cancellation magnitude of the expanded
+    # identity (norms), not the distance itself
+    bad = (
+        F.col("_m.dist") > mind + F.lit(1e-9) * (vnorm + F.lit(1.0))
+    ).cast("long")
+
+    inertia_final = kmeans_inertia(emb, cents)
+    inertia_seed = kmeans_inertia(emb, seeds)
+    improved = inertia_final <= inertia_seed * (1.0 + 1e-9)
+    return v.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum(bad).cast("long").alias("n_misassigned"),
+    ).select(
+        "n_vectors",
+        "n_misassigned",
+        F.lit(bool(improved)).alias("inertia_improved"),
+        F.lit(bool(inertia_final >= 0.0)).alias("inertia_nonneg"),
     )
 
 

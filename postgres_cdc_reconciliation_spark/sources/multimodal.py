@@ -405,7 +405,8 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 SPECTRAL_SCHEMA = (
-    "media_id long, n_samples long, total_power double, "
+    "media_id long, n_samples long, sample_sum long, energy_sum long, "
+    "total_power double, "
     "band0 double, band1 double, band2 double, band3 double"
 )
 
@@ -429,8 +430,8 @@ def audio_spectral(media: DataFrame, n_bands: int = 4) -> DataFrame:
             out = {
                 k: []
                 for k in (
-                    "media_id", "n_samples", "total_power",
-                    "band0", "band1", "band2", "band3",
+                    "media_id", "n_samples", "sample_sum", "energy_sum",
+                    "total_power", "band0", "band1", "band2", "band3",
                 )
             }
             for mid, kind, payload in zip(
@@ -460,6 +461,12 @@ def audio_spectral(media: DataFrame, n_bands: int = 4) -> DataFrame:
                 ]
                 out["media_id"].append(mid)
                 out["n_samples"].append(n)
+                # exact integer time-domain sums (PCM16 values, so the sums
+                # are exact BIGINTs any engine reproduces bit-for-bit from
+                # the generative formula) — the oracle-checkable side of the
+                # Parseval identity the FFT bands must satisfy
+                out["sample_sum"].append(int(sum(samples)))
+                out["energy_sum"].append(int(sum(v * v for v in samples)))
                 out["total_power"].append(float(ac.sum()))
                 for b in range(n_bands):
                     out[f"band{b}"].append(bands[b])
