@@ -398,3 +398,27 @@ def test_snapshot_changes_cdf(spark, tmp_path):
     self_diff = snapshot_changes(spark, target, ["order_id"], v1, v1)
     assert self_diff.count() == 0
     assert "_change_type" in self_diff.columns
+
+
+def test_snapshot_cdf_query_reuses_one_tempdir_per_session(spark):
+    """Repeated q_snapshot_cdf invocations (bench REPS x correctness rounds)
+    must reuse ONE cached commit root per (session, sf_dir) — no growing
+    /tmp residue (VERDICT r4 #4) — and the root is registered for atexit
+    cleanup."""
+    import glob
+
+    from postgres_cdc_reconciliation_spark.plans import lakehouse as lh
+
+    sf_dir = "/root/testdata/sf0.001"
+    before = set(glob.glob("/tmp/pcr_cdf_*"))
+    n0 = lh.q_snapshot_cdf(spark, sf_dir).count()
+    mid = set(glob.glob("/tmp/pcr_cdf_*"))
+    for _ in range(3):
+        assert lh.q_snapshot_cdf(spark, sf_dir).count() == n0
+    after = set(glob.glob("/tmp/pcr_cdf_*"))
+    assert len(mid - before) <= 1, "first invocation created more than one root"
+    assert after == mid, f"repeat invocations leaked roots: {after - mid}"
+    # the cached root is what atexit will remove
+    key = (id(spark), sf_dir)
+    assert key in lh._CDF_ROOTS
+    assert lh._CDF_ROOTS[key] in (mid - before) or (mid == before)
