@@ -733,3 +733,40 @@ def q_hash_sample(spark, sf_dir):
             .alias("sampled_qty"),
         )
     )
+
+
+@register(
+    "q_salted_join",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority""",
+    doc="[EXT] skew-resistant salted equi-join (operators/layout.py::"
+    "salted_join): the fact side gets a uniform salt in [0,8), the other "
+    "side replicates x8, the join runs on (key, salt) — a power-law hot "
+    "key fans across 8 reducers instead of stalling one (the manual "
+    "fallback when AQE's skew split can't help, e.g. a broadcast-"
+    "disabled big-big join; measured 90%%-hot-key case in SCALING.md). "
+    "Salting is pure plumbing — result multiplicity is unchanged — so "
+    "the oracle is the PLAIN join+agg: any salt leak, dropped row, or "
+    "duplicate from the explode side breaks the match.",
+)
+def q_salted_join(spark, sf_dir):
+    from ..operators.layout import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "k", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

@@ -47,12 +47,12 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # this round (need re-verification), then the already-green remainder.
 _CHECK_PRIORITY: list[str] = [
     # -- round 5 window: changed-this-round queries first (riskiest), then
-    # six high-risk r3-stale core-engine picks. The automatic staleness tier
-    # (_last_checked) fills the rest of the 50-slot window by itself: the 5
-    # never-driver-checked r4 additions (q_bm25, q_hybrid_rrf,
-    # q_cohort_retention, q_funnel_steps, q_weighted_sample), then the 32
-    # r2-stale rows. 13 manual + 5 never-checked + 32 r2-stale = exactly 50
-    # (pinned by tests/test_registry_rotation.py). --
+    # five high-risk r3-stale core-engine picks. The automatic staleness
+    # tier (_last_checked) fills the rest of the 50-slot window by itself:
+    # the 6 never-driver-checked queries (q_bm25, q_hybrid_rrf,
+    # q_cohort_retention, q_funnel_steps, q_weighted_sample, q_salted_join),
+    # then the 32 r2-stale rows. 12 manual + 6 never-checked + 32 r2-stale
+    # = exactly 50 (pinned by tests/test_registry_rotation.py). --
     #
     # -- changed this round: re-verify (7) --
     "q_triangle_count",  # edge orientation id-order → degree-order
@@ -62,13 +62,13 @@ _CHECK_PRIORITY: list[str] = [
     "q_audio_spectral",  # rows-only → closed-form sums + Parseval oracle
     "q_funnel_conversion_window",  # new (VERDICT r4 #6)
     "q_retention_curve",  # new (VERDICT r4 #6)
-    # -- high-risk r3-stale core-engine picks (6) --
+    # -- high-risk r3-stale core-engine picks (5; q_dedup_minhash yielded
+    # its slot to the new q_salted_join — r3-green, auto-fronted in r6) --
     "q_cdc_apply",
     "q_recon_diff",
     "q_latest_per_group",
     "q_health_report",
     "q_frontier_complete",
-    "q_dedup_minhash",
 ]
 
 
