@@ -321,3 +321,67 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks.select("vertex", "rank")
+
+
+def kcore_peel_rounds(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling, with a per-round trace.
+
+    Round i removes every vertex whose CURRENT degree is < k, then drops
+    edges touching a removed endpoint; the fixpoint (nothing left to peel)
+    is the k-core. The round count is FIXED (not convergence-tested) so the
+    computation is reproducible statement-for-statement in an unrolled-CTE
+    SQL oracle, the same discipline as pagerank's tol=0 (q_pagerank);
+    once the fixpoint is reached earlier, later rounds are identity, so a
+    generous `rounds` loses nothing but empty jobs.
+
+    Returns one row per round: (round, n_vertices, n_edges) — n_vertices =
+    vertices that SURVIVED the round's degree test, n_edges = edges with
+    both endpoints surviving. All BIGINT, bit-deterministic in any engine.
+
+    Scale shape (the third iterative graph op, after connected components
+    and pagerank): each round is one degree aggregation (map-side combined,
+    shuffle O(V)) + two semi-joins of edges against the survivor set
+    (shuffle O(E) on the vertex key — the same key every round, so
+    pre-partitioning/bucketing edges by vertex makes the loop shuffle-free
+    on the edge side). localCheckpoint per round keeps the plan
+    constant-size; per-round 1-row counts are unioned into the trace frame
+    rather than collect()ed, so the whole trace is one job at the end.
+    Peeling rounds needed in the worst case is O(V) (a path graph peels 2
+    vertices per round) but real degree distributions finish in a handful;
+    the per-round trace makes "did it converge" visible to the caller.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint()
+    trace = []
+    for i in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        keep = keep.localCheckpoint()
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "semi")
+            .select("u", "v")
+        )
+        e = e.localCheckpoint()
+        trace.append(
+            keep.agg(F.count("*").cast("long").alias("n_vertices"))
+            .crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
+            .select(
+                F.lit(i).cast("long").alias("round"), "n_vertices", "n_edges"
+            )
+        )
+    out = trace[0]
+    for t in trace[1:]:
+        out = out.unionByName(t)
+    return out

@@ -1,4 +1,5 @@
-"""[EXT] Temporal joins Spark lacks as built-ins: as-of join, range join.
+"""[EXT] Temporal operators Spark lacks as built-ins: as-of join, range
+join, SCD type-2 history build.
 
 As-of join (point-in-time lookup: for each left event, the newest right
 version with ts <= left.ts, per key) is composed from existing operators —
@@ -90,3 +91,52 @@ def range_join(
         & (left[point_col] <= right[range_end])
     )
     return left.join(right, cond, how)
+
+
+def scd2_build(
+    changelog: DataFrame,
+    key: str,
+    seq: str,
+    attrs: list[str],
+    op_col: str = "op",
+    delete_op: str = "d",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an ordered changelog.
+
+    Each non-delete event opens a version; the next event on the same key
+    (including a delete) closes it. Output per version:
+
+      key, attrs..., version      (1-based, in seq order over versions)
+      valid_from                  (the event's seq value)
+      valid_to                    (next event's seq, NULL while open)
+      is_current                  (open AND not terminated by a delete)
+
+    A delete emits no version of its own — it only bounds the prior one —
+    so a key whose history ends in a delete has no current row, matching
+    the reference sink's delete semantics (jdbc-sink-connector-config.json:
+    10-17, delete.enabled=true) replayed into a history table.
+
+    Scale shape: ONE keyed window (partitionBy key, orderBy seq) computes
+    the closing seq via lead(); version numbers come from a second
+    row_number over the already-partitioned versions — same shuffle, no
+    extra exchange. Shuffles O(events); no self-join of the changelog
+    against itself (the naive interval formulation), no Python in the
+    plan. seq must be unique per key (an LSN / commit sequence is)."""
+    w = Window.partitionBy(key).orderBy(seq)
+    bounded = changelog.select(
+        key,
+        op_col,
+        seq,
+        *attrs,
+        F.lead(seq).over(w).alias("valid_to"),
+    )
+    versions = bounded.filter(F.col(op_col) != delete_op)
+    wv = Window.partitionBy(key).orderBy(seq)
+    return versions.select(
+        key,
+        *attrs,
+        F.row_number().over(wv).cast("long").alias("version"),
+        F.col(seq).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -1099,6 +1099,78 @@ def q_triangle_count(spark, sf_dir):
     return n_edges.crossJoin(tri)
 
 
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Fixed-round synchronous k-core peeling unrolled as chained CTEs —
+    the SQL reproduction of operators/graph.py::kcore_peel_rounds on the
+    part co-purchase graph (same construction as q_triangle_count's
+    oracle). AS MATERIALIZED on every e{i}: each is referenced by the next
+    round's degree agg, edge filter AND its own count — without it the
+    inlined prefix re-evaluates per reference (the q_pagerank lesson)."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p})
+  GROUP BY node),
+k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{p} e
+  JOIN k{i} ku ON e.u = ku.node
+  JOIN k{i} kv ON e.v = kv.node),
+s{i} AS (
+  SELECT CAST({i} AS BIGINT) AS round,
+         (SELECT CAST(count(*) AS BIGINT) FROM k{i}) AS n_vertices,
+         (SELECT CAST(count(*) AS BIGINT) FROM e{i}) AS n_edges)"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, rounds + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@register(
+    "q_kcore",
+    _kcore_oracle_sql(k=3, rounds=6),
+    doc="[EXT] 3-core of the part co-purchase graph by synchronous "
+    "peeling, with the per-round (survivors, edges) trace — the standard "
+    "graph-cleanup pass (drop low-engagement periphery before community/"
+    "centrality work). Fixed 6 rounds, not convergence-tested, so the "
+    "unrolled-CTE DuckDB oracle sees the identical computation (the "
+    "q_pagerank tol=0 discipline); post-fixpoint rounds are identity. "
+    "Each round: one degree agg (map-side combined, shuffle O(V)) + two "
+    "semi-joins of edges vs survivors (keyed on the vertex — the SAME "
+    "key every round, so bucketing edges by vertex makes the loop "
+    "shuffle-free on the edge side at scale), lineage truncated per "
+    "round. All-BIGINT output — bit-deterministic in any engine. "
+    "operators/graph.py::kcore_peel_rounds.",
+)
+def q_kcore(spark, sf_dir):
+    from ..operators.graph import kcore_peel_rounds
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    raw = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return kcore_peel_rounds(raw, k=3, rounds=6)
+
+
 @register(
     "q_funnel_steps",
     """WITH s1 AS (

@@ -332,6 +332,108 @@ def q_cdc_apply(spark, sf_dir):
 
 
 @register(
+    "q_scd2_dim",
+    f"""WITH {fx.oracle_cdc_events_cte()},
+b AS (
+  SELECT order_id, op, amount, customer_id, lsn_long,
+         lead(lsn_long) OVER (PARTITION BY order_id ORDER BY lsn_long)
+           AS valid_to
+  FROM cdc_events)
+SELECT order_id, CAST(amount AS DOUBLE) AS amount, customer_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY order_id ORDER BY lsn_long)
+            AS BIGINT) AS version,
+       lsn_long AS valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM b WHERE op <> 'd'""",
+    doc="[EXT] SCD type-2 dimension build from the CDC changelog — the "
+    "history table a reconciliation pipeline keeps beside the live "
+    "target (reference applies only the latest image, jdbc-sink-"
+    "connector-config.json:10-17; this is the 'keep every version' "
+    "variant warehouse teams layer on the same Debezium feed). Each "
+    "non-delete event opens a version; the NEXT event on the key "
+    "(update or delete) closes it via lead(lsn); a trailing delete "
+    "leaves the key with no current row. One keyed window over the "
+    "changelog — shuffles O(events), no interval self-join. All-exact "
+    "columns (BIGINT lsn bounds, DECIMAL->DOUBLE amount, BOOLEAN flag). "
+    "operators/temporal.py::scd2_build.",
+)
+def q_scd2_dim(spark, sf_dir):
+    from ..operators.temporal import scd2_build
+
+    ev = fx.cdc_events_df(spark, sf_dir)
+    dim = scd2_build(
+        ev, key="order_id", seq="lsn_long", attrs=["amount", "customer_id"]
+    )
+    return dim.select(
+        "order_id",
+        F.col("amount").cast("double").alias("amount"),
+        "customer_id",
+        "version",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+@register(
+    "q_changelog_compaction",
+    f"""WITH {fx.oracle_cdc_events_cte()},
+win AS (
+  SELECT * FROM cdc_events WHERE NOT (op = 'c' AND order_id % 2 = 1)),
+agg AS (
+  SELECT order_id,
+         min_by(op, lsn_long) AS first_op,
+         max_by(struct_pack(op := op, amount := amount,
+                            customer_id := customer_id), lsn_long) AS last_ev,
+         min(lsn_long) AS first_seq,
+         max(lsn_long) AS last_seq,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM win GROUP BY order_id)
+SELECT order_id,
+       CASE WHEN last_ev.op = 'd' THEN 'd'
+            WHEN first_op = 'c' THEN 'c' ELSE 'u' END AS net_op,
+       CASE WHEN last_ev.op = 'd' THEN NULL
+            ELSE CAST(last_ev.amount AS DOUBLE) END AS amount,
+       CASE WHEN last_ev.op = 'd' THEN NULL
+            ELSE last_ev.customer_id END AS customer_id,
+       n_events, first_seq, last_seq
+FROM agg WHERE NOT (first_op = 'c' AND last_ev.op = 'd')""",
+    doc="[EXT] changelog compaction to net effect per key — what the "
+    "Kafka broker leg the reference rides on does with cleanup.policy="
+    "compact (docker-compose.yml Kafka service) plus sink-side tombstone "
+    "collapse: born-and-died-inside-the-window keys vanish, a surviving "
+    "key collapses to one event (c/u carrying the LAST after-image, or a "
+    "d tombstone with nulled attributes). Replaying the compacted log "
+    "equals replaying the full log. The window starts mid-stream for odd "
+    "keys (their creates predate it), so all four first/last rule "
+    "branches are exercised. ONE min_by/max_by hash agg (map-side "
+    "combine, shuffle O(keys) not O(events)) — no window sort, no "
+    "self-join. operators/apply.py::compact_changelog.",
+)
+def q_changelog_compaction(spark, sf_dir):
+    from ..operators.apply import compact_changelog
+
+    ev = fx.cdc_events_df(spark, sf_dir).filter(
+        ~((F.col("op") == "c") & (F.col("order_id") % 2 == 1))
+    )
+    out = compact_changelog(
+        ev,
+        key_cols=["order_id"],
+        attr_cols=["amount", "customer_id"],
+        seq_col="lsn_long",
+    )
+    return out.select(
+        "order_id",
+        "net_op",
+        F.col("amount").cast("double").alias("amount"),
+        "customer_id",
+        "n_events",
+        "first_seq",
+        "last_seq",
+    )
+
+
+@register(
     "q_frontier_complete",
     f"""WITH {fx.oracle_cdc_events_cte()},
 frontier AS (

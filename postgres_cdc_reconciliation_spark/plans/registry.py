@@ -46,13 +46,16 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # queries with no hard signal yet, then queries whose implementation changed
 # this round (need re-verification), then the already-green remainder.
 _CHECK_PRIORITY: list[str] = [
-    # -- round 5 window: changed-this-round queries first (riskiest), then
-    # five high-risk r3-stale core-engine picks. The automatic staleness
-    # tier (_last_checked) fills the rest of the 50-slot window by itself:
-    # the 6 never-driver-checked queries (q_bm25, q_hybrid_rrf,
+    # -- round 5 window: changed/new-this-round queries first (riskiest),
+    # then two high-risk r3-stale core-engine picks. The automatic
+    # staleness tier (_last_checked) fills the rest of the 50-slot window
+    # by itself: the 6 never-driver-checked queries (q_bm25, q_hybrid_rrf,
     # q_cohort_retention, q_funnel_steps, q_weighted_sample, q_salted_join),
     # then the 32 r2-stale rows. 12 manual + 6 never-checked + 32 r2-stale
-    # = exactly 50 (pinned by tests/test_registry_rotation.py). --
+    # = exactly 50 (pinned by tests/test_registry_rotation.py). The three
+    # r3-green picks that yielded their slots to the new queries
+    # (q_latest_per_group, q_health_report, q_frontier_complete) auto-front
+    # in r6 by staleness. --
     #
     # -- changed this round: re-verify (7) --
     "q_triangle_count",  # edge orientation id-order → degree-order
@@ -62,13 +65,13 @@ _CHECK_PRIORITY: list[str] = [
     "q_audio_spectral",  # rows-only → closed-form sums + Parseval oracle
     "q_funnel_conversion_window",  # new (VERDICT r4 #6)
     "q_retention_curve",  # new (VERDICT r4 #6)
-    # -- high-risk r3-stale core-engine picks (5; q_dedup_minhash yielded
-    # its slot to the new q_salted_join — r3-green, auto-fronted in r6) --
+    # -- new this round (3) --
+    "q_scd2_dim",  # SCD type-2 history build from the CDC changelog
+    "q_changelog_compaction",  # net-effect compaction, Kafka log semantics
+    "q_kcore",  # fixed-round k-core peeling, third iterative graph op
+    # -- high-risk r3-stale core-engine picks (2) --
     "q_cdc_apply",
     "q_recon_diff",
-    "q_latest_per_group",
-    "q_health_report",
-    "q_frontier_complete",
 ]
 
 
