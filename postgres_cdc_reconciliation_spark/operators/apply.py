@@ -7,7 +7,7 @@ LAST change event wins, and a delete removes the row.
 
 Spark-first design:
 
-- ``latest_per_key``: one hash aggregation with ``max_by(struct(*), lsn)`` —
+- ``latest_per_key``: one aggregation with ``max_by(struct(*), lsn)`` —
   map-side partial aggregation collapses each key to its newest event
   *before* the shuffle, so shuffle volume is O(distinct keys in the batch),
   not O(events). This beats the row_number()-window formulation (full
@@ -98,7 +98,11 @@ def latest_per_key(
 
     max_by over a struct of all columns keyed by the BIGINT LSN; ties are
     impossible (LSN strictly increases per key — Debezium per-key ordering,
-    SURVEY.md §7 delta 6).
+    SURVEY.md §7 delta 6). Plans as SortAggregate (struct buffer isn't
+    hash-agg mutable) but keeps the map-side partial/final split — shuffle
+    volume is O(distinct keys in the batch), not O(events), which is the
+    property the row_number()-window formulation lacks (full event shuffle
+    + sort, zero partial aggregation).
     """
     lsn_long = (
         lsn_to_long(lsn_col) if lsn_is_text else F.col(lsn_col).cast("long")
@@ -376,9 +380,13 @@ def compact_changelog(
     any downstream state the window started from yields the same state as
     replaying the full log.
 
-    Scale shape: ONE hash aggregation — min_by/max_by(struct, seq) with
-    map-side partial aggregation, shuffle O(distinct keys), never
-    O(events). No window function (no per-partition sort), no self-join.
+    Scale shape: ONE aggregation — min_by/max_by(struct, seq) with
+    map-side partial combine, shuffle O(distinct keys), never O(events).
+    (Spark plans struct-payload max_by as SortAggregate — its buffer
+    isn't hash-agg mutable — but the partial/final split still holds, the
+    same plan shape as latest_per_key; the q_priority_pick pack-into-one-
+    long trick doesn't apply because the after-image payload is multi-
+    column.) No whole-changelog window function, no self-join.
     Attr columns are nulled on tombstones so the output is a valid minimal
     changelog, not a peek at deleted data.
     """

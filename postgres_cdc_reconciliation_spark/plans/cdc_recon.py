@@ -406,8 +406,8 @@ FROM agg WHERE NOT (first_op = 'c' AND last_ev.op = 'd')""",
     "d tombstone with nulled attributes). Replaying the compacted log "
     "equals replaying the full log. The window starts mid-stream for odd "
     "keys (their creates predate it), so all four first/last rule "
-    "branches are exercised. ONE min_by/max_by hash agg (map-side "
-    "combine, shuffle O(keys) not O(events)) — no window sort, no "
+    "branches are exercised. ONE min_by/max_by agg (map-side partial "
+    "combine, shuffle O(keys) not O(events)) — no whole-log window sort, no "
     "self-join. operators/apply.py::compact_changelog.",
 )
 def q_changelog_compaction(spark, sf_dir):

@@ -123,3 +123,38 @@ def test_behavioral_analytics_plans(spark, sf_dir):
     for name in ("q_cohort_retention", "q_funnel_steps", "q_triangle_count"):
         plan = _plan(qs[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """q_scd2_dim's two windows (lead over all events, row_number over the
+    surviving versions) partition on the same key: Catalyst must plan ONE
+    Exchange and ONE Sort feeding both — a second per-window shuffle/sort
+    would double the cost of the history build at 100 TB."""
+    qs = all_queries()
+    df = qs["q_scd2_dim"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert p.count("Exchange") == 1, p
+    assert p.count("Window") == 2, p
+
+
+def test_compaction_is_single_partial_final_agg(spark, sf_dir):
+    """q_changelog_compaction must stay ONE aggregation with a map-side
+    partial/final split (shuffle O(keys)) and ZERO window functions — the
+    whole-changelog window-sort formulation has no partial aggregation and
+    shuffles O(events)."""
+    qs = all_queries()
+    df = qs["q_changelog_compaction"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert p.count("Exchange") == 1, p
+    assert "Window" not in p, p
+    # partial + final instances of the same aggregate (SortAggregate: the
+    # struct max_by buffer isn't hash-agg mutable; the split is what matters)
+    assert p.count("Aggregate") >= 2, p
