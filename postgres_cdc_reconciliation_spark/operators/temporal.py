@@ -140,3 +140,78 @@ def scd2_build(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def scd2_merge_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    key: str,
+    seq: str,
+    attrs: list[str],
+    op_col: str = "op",
+    delete_op: str = "d",
+) -> DataFrame:
+    """Merge one changelog batch into an existing SCD2 history (the
+    incremental counterpart of ``scd2_build``).
+
+    Contract: ``scd2_merge_batch(scd2_build(log<=t), log>t) ==
+    scd2_build(log)`` for ANY split point t — pinned by
+    tests/test_scd2_compaction_kcore.py across every split of the micro
+    fixture and an lsn-quantile split of the CDC fixture.
+
+    Steps (all keyed, no history rewrite outside touched keys):
+      1. replay guard: drop batch events whose seq is <= the key's newest
+         seq already recorded in history (max over valid_from/valid_to) —
+         an at-least-once redelivery of an applied batch becomes a no-op,
+         which plain re-merging is NOT (versions would double-append);
+      2. close each touched key's open version at the key's first new seq;
+      3. build versions from the batch alone (scd2_build) and renumber by
+         the key's prior version count — a key whose history ended in a
+         delete simply continues numbering (reopen);
+      4. untouched keys pass through by anti-join.
+
+    Scale shape: per batch O(|batch| + touched history rows) — with the
+    history laid out PK-hash-bucketed (operators/apply.py) the touched-key
+    join prunes to touched buckets; the full history is never re-sorted.
+    """
+    hist_key_stats = history.groupBy(key).agg(
+        F.max(F.greatest(F.col("valid_from"), F.coalesce("valid_to", "valid_from"))).alias(
+            "_max_seen"
+        ),
+        F.max("version").alias("_v0"),
+    )
+    guarded = batch.join(hist_key_stats, key, "left").filter(
+        F.col("_max_seen").isNull() | (F.col(seq) > F.col("_max_seen"))
+    )
+    bstats = guarded.groupBy(key).agg(F.min(seq).alias("_first_new"))
+    closed = (
+        history.join(bstats, key)
+        .select(
+            key,
+            *attrs,
+            "version",
+            "valid_from",
+            F.when(F.col("is_current"), F.col("_first_new"))
+            .otherwise(F.col("valid_to"))
+            .alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    untouched = history.join(bstats.select(key), key, "left_anti")
+    new_versions = scd2_build(
+        guarded.select(key, op_col, seq, *attrs),
+        key=key,
+        seq=seq,
+        attrs=attrs,
+        op_col=op_col,
+        delete_op=delete_op,
+    ).join(hist_key_stats.select(key, "_v0"), key, "left")
+    new_versions = new_versions.select(
+        key,
+        *attrs,
+        (F.col("version") + F.coalesce(F.col("_v0"), F.lit(0))).alias("version"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    return untouched.unionByName(closed).unionByName(new_versions)

@@ -127,3 +127,138 @@ def test_kcore_whole_graph_peels_to_empty(spark):
     out = {r.round: (r.n_vertices, r.n_edges) for r in
            kcore_peel_rounds(e, k=3, rounds=2).collect()}
     assert out == {1: (0, 0), 2: (0, 0)}
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+
+
+def test_scd2_merge_equals_full_build_at_every_split(spark):
+    """scd2_merge_batch(scd2_build(log<=t), log>t) == scd2_build(log) for
+    EVERY global seq split point of the micro fixture (the incremental-
+    maintenance contract)."""
+    from postgres_cdc_reconciliation_spark.operators.temporal import (
+        scd2_merge_batch,
+    )
+
+    log = _changelog(spark).cache()
+    full = _norm(scd2_build(log, key="id", seq="seq", attrs=["val"]))
+    seqs = sorted(r.seq for r in log.select("seq").collect())
+    for t in seqs[:-1]:  # split after each event (both sides non-empty)
+        hist = scd2_build(
+            log.filter(F.col("seq") <= t), key="id", seq="seq", attrs=["val"]
+        )
+        merged = scd2_merge_batch(
+            hist, log.filter(F.col("seq") > t), key="id", seq="seq",
+            attrs=["val"],
+        )
+        assert _norm(merged) == full, f"split at seq<={t} diverged"
+
+
+def test_scd2_merge_replay_is_noop(spark):
+    """Re-delivering an already-applied batch must not change the history
+    (the per-key seq guard): merge(merge(h, b), b) == merge(h, b)."""
+    from postgres_cdc_reconciliation_spark.operators.temporal import (
+        scd2_merge_batch,
+    )
+
+    log = _changelog(spark).cache()
+    hist = scd2_build(
+        log.filter(F.col("seq") <= 4), key="id", seq="seq", attrs=["val"]
+    )
+    batch = log.filter(F.col("seq") > 4)
+    once = scd2_merge_batch(hist, batch, key="id", seq="seq", attrs=["val"])
+    twice = scd2_merge_batch(
+        once.localCheckpoint(), batch, key="id", seq="seq", attrs=["val"]
+    )
+    assert _norm(twice) == _norm(once)
+
+
+def test_scd2_merge_on_cdc_fixture_quantile_splits(spark, sf_dir):
+    """Same contract on the real CDC fixture (sf0.001): three batches cut
+    at global lsn quantiles — every key's run is split mid-history."""
+    from postgres_cdc_reconciliation_spark import fixtures as fx
+    from postgres_cdc_reconciliation_spark.operators.temporal import (
+        scd2_merge_batch,
+    )
+
+    ev = fx.cdc_events_df(spark, sf_dir).select(
+        "order_id", "op", "lsn_long", "amount"
+    ).cache()
+    q1, q2 = [
+        int(x)
+        for x in ev.approxQuantile("lsn_long", [0.33, 0.66], 0.0)
+    ]
+    full = _norm(
+        scd2_build(ev, key="order_id", seq="lsn_long", attrs=["amount"])
+    )
+    hist = scd2_build(
+        ev.filter(F.col("lsn_long") <= q1),
+        key="order_id", seq="lsn_long", attrs=["amount"],
+    )
+    hist = scd2_merge_batch(
+        hist,
+        ev.filter((F.col("lsn_long") > q1) & (F.col("lsn_long") <= q2)),
+        key="order_id", seq="lsn_long", attrs=["amount"],
+    ).localCheckpoint()
+    hist = scd2_merge_batch(
+        hist,
+        ev.filter(F.col("lsn_long") > q2),
+        key="order_id", seq="lsn_long", attrs=["amount"],
+    )
+    assert _norm(hist) == full
+
+
+def test_scd2_stream_maintains_history(spark, tmp_path):
+    """End-to-end streaming maintenance: three micro-batches of changelog
+    files must leave the bucketed history equal to a one-shot scd2_build
+    over the full log."""
+    import json
+    import os
+
+    from postgres_cdc_reconciliation_spark.streaming.scd2 import (
+        read_history,
+        scd2_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batches = [
+        ("b1.json", [(1, "c", 10.0, 1), (2, "c", 20.0, 3), (1, "u", 11.0, 4)]),
+        ("b2.json", [(2, "d", None, 5), (1, "u", 12.0, 6), (3, "u", 30.0, 7)]),
+        ("b3.json", [(2, "c", 21.0, 8), (3, "d", None, 9)]),
+    ]
+    for i, (name, rows) in enumerate(batches):
+        p = src / name
+        with open(p, "w") as f:
+            for id_, op, val, seq in rows:
+                f.write(json.dumps(
+                    {"id": id_, "op": op, "val": val, "seq": seq}) + "\n")
+        os.utime(p, (1_000 + i, 1_000 + i))  # file source orders by mtime
+
+    stream = spark.readStream.schema(
+        "id bigint, op string, val double, seq long"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    q = scd2_stream(
+        stream,
+        history_path=str(tmp_path / "hist"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        key="id", seq="seq", attrs=["val"],
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    all_rows = [r for _, rows in batches for r in rows]
+    full = scd2_build(
+        spark.createDataFrame(
+            all_rows, "id bigint, op string, val double, seq long"
+        ),
+        key="id", seq="seq", attrs=["val"],
+    )
+    got = read_history(spark, str(tmp_path / "hist"))
+    assert _norm(got) == _norm(full)
+    # key 2 was deleted then re-created: versions 1 (closed) and 2 (current)
+    k2 = {r.version: r.is_current for r in got.filter("id = 2").collect()}
+    assert k2 == {1: False, 2: True}
