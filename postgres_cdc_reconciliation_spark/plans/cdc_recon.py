@@ -376,6 +376,65 @@ def q_scd2_dim(spark, sf_dir):
 
 
 @register(
+    "q_scd2_incremental",
+    f"""WITH {fx.oracle_cdc_events_cte()},
+b AS (
+  SELECT order_id, op, amount, customer_id, lsn_long,
+         lead(lsn_long) OVER (PARTITION BY order_id ORDER BY lsn_long)
+           AS valid_to
+  FROM cdc_events)
+SELECT order_id, CAST(amount AS DOUBLE) AS amount, customer_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY order_id ORDER BY lsn_long)
+            AS BIGINT) AS version,
+       lsn_long AS valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM b WHERE op <> 'd'""",
+    doc="[EXT] INCREMENTAL SCD2 maintenance, driver-certified: the "
+    "changelog is split deterministically (half the keyspace fully in "
+    "the base, the other half split right after its create event, so "
+    "merged keys genuinely continue an existing open version), the base "
+    "builds a history, the remainder merges into it via "
+    "operators/temporal.py::scd2_merge_batch (close open versions at the "
+    "key's first new seq, renumber, per-key replay guard). The oracle is "
+    "the ONE-SHOT full-log build — the merge contract is exact "
+    "equivalence (merge(build(log<=t), log>t) == build(log)), so any "
+    "drift in the incremental path (a version double-append, a "
+    "mis-closed interval, a guard leak) hash-mismatches here. Every "
+    "split point + streaming e2e are pytest-pinned in "
+    "tests/test_scd2_compaction_kcore.py; this row makes the driver "
+    "witness one of them. Scale: the merge touches O(batch + touched "
+    "keys), never re-sorting history (bucket-pruned under the "
+    "streaming/scd2.py layout).",
+)
+def q_scd2_incremental(spark, sf_dir):
+    from ..operators.temporal import scd2_build, scd2_merge_batch
+
+    ev = fx.cdc_events_df(spark, sf_dir)
+    # fixed, deterministic midpoint: lsn = key*16+off, so half the keyspace
+    # (not half of each key's run) lands per side — keys near the cut have
+    # their runs genuinely split across hist/batch
+    mid = (F.col("order_id") % 4) < 2
+    hist = scd2_build(
+        ev.filter(mid).union(ev.filter(~mid).filter(F.col("op") == "c")),
+        key="order_id", seq="lsn_long", attrs=["amount", "customer_id"],
+    )
+    batch = ev.filter(~mid).filter(F.col("op") != "c")
+    dim = scd2_merge_batch(
+        hist, batch, key="order_id", seq="lsn_long",
+        attrs=["amount", "customer_id"],
+    )
+    return dim.select(
+        "order_id",
+        F.col("amount").cast("double").alias("amount"),
+        "customer_id",
+        "version",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+@register(
     "q_changelog_compaction",
     f"""WITH {fx.oracle_cdc_events_cte()},
 win AS (
