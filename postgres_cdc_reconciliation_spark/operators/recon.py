@@ -174,3 +174,112 @@ def verify_batch(
         "consistent": n_diff == 0 and src_count == tgt_count,
         "sample": [r.asDict() for r in sample],
     }
+
+
+def fingerprint_diff(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 1024,
+    hash_cols: list[str] | None = None,
+    bucket_of=None,
+) -> DataFrame:
+    """Bucket-level checksum compare — the 100 TB FIRST pass of a recon.
+
+    Every keyed diff above (diff_rows / diff_by_hash) shuffles O(rows);
+    at 100 TB that is the whole table over the network just to learn that
+    almost everything matches. This pass reduces each side to ONE
+    (count, checksum) row per key-hash bucket:
+
+      row_fingerprint = first 8 md5 hex chars of the canonicalized row
+                        (cross-engine-exact: same md5 idiom as hash_split)
+      bucket checksum = SUM of row fingerprints — order-independent, so
+                        no sort anywhere; 32-bit terms keep the BIGINT
+                        sum overflow-free below 2^30 rows/bucket (size
+                        n_buckets so buckets stay under that)
+
+    With map-side partial aggregation the shuffle is O(n_buckets x
+    partitions) partial rows — network cost is independent of table
+    width and effectively independent of row count. Buckets whose
+    (count, checksum) match on both sides are PROVEN divergence-free
+    (up to checksum collision, ~2^-32 per bucket per divergence);
+    only mismatched buckets proceed to the row-level drill-down
+    (``fingerprint_drilldown``), so the expensive keyed diff runs on
+    O(divergent buckets), not O(table).
+
+    Output: one row per bucket present on either side — (bucket,
+    src_count, tgt_count, src_fp, tgt_fp, bucket_match).
+
+    ``bucket_of(df) -> Column`` overrides the bucket key (default
+    pmod(xxhash64(key), n)); pass the same expression the target layout
+    uses (operators/apply.py::bucket_expr) and the pass reads co-located.
+    """
+
+    def side(df: DataFrame, cnt: str, fp: str) -> DataFrame:
+        cols = hash_cols or df.columns
+        canon = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+                for c in cols
+            ],
+        )
+        rowh = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+        b = (
+            bucket_of(df)
+            if bucket_of is not None
+            else F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+        )
+        return (
+            df.select(b.cast("long").alias("bucket"), rowh.alias("_h"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("long").alias(cnt),
+                F.sum("_h").cast("long").alias(fp),
+            )
+        )
+
+    s = side(src, "src_count", "src_fp")
+    t = side(tgt, "tgt_count", "tgt_fp")
+    return (
+        s.join(t, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("src_count", F.lit(0)).cast("long").alias("src_count"),
+            F.coalesce("tgt_count", F.lit(0)).cast("long").alias("tgt_count"),
+            "src_fp",
+            "tgt_fp",
+            (
+                (
+                    F.coalesce("src_count", F.lit(0))
+                    == F.coalesce("tgt_count", F.lit(0))
+                )
+                & F.col("src_fp").eqNullSafe(F.col("tgt_fp"))
+            ).alias("bucket_match"),
+        )
+    )
+
+
+def fingerprint_drilldown(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    summary: DataFrame,
+    n_buckets: int = 1024,
+    bucket_of=None,
+) -> DataFrame:
+    """Row-level diff restricted to the buckets ``fingerprint_diff``
+    flagged — the second pass. The bucket predicate is pushed into BOTH
+    scans (on a bucket-partitioned target it prunes to the divergent
+    dirs), so the keyed full-outer diff joins O(divergent buckets) rows."""
+    bad = [r["bucket"] for r in summary.filter(~F.col("bucket_match")).collect()]
+
+    def restrict(df: DataFrame) -> DataFrame:
+        b = (
+            bucket_of(df)
+            if bucket_of is not None
+            else F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+        )
+        return df.filter(b.cast("long").isin(bad))
+
+    return diff_rows(restrict(src), restrict(tgt), key_cols)

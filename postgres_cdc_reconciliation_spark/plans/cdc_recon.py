@@ -585,6 +585,61 @@ def q_recon_diff(spark, sf_dir):
 
 
 @register(
+    "q_recon_fingerprint",
+    f"""WITH {fx.oracle_recon_cte()},
+s AS (
+  SELECT order_id % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS src_count,
+         CAST(SUM(CAST(CAST('0x' || substr(md5(
+              CAST(order_id AS VARCHAR) || '|' || CAST(amount AS VARCHAR)
+              || '|' || status), 1, 8) AS BIGINT) AS BIGINT)) AS BIGINT)
+           AS src_fp
+  FROM recon_src GROUP BY 1),
+t AS (
+  SELECT order_id % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS tgt_count,
+         CAST(SUM(CAST(CAST('0x' || substr(md5(
+              CAST(order_id AS VARCHAR) || '|' || CAST(amount AS VARCHAR)
+              || '|' || status), 1, 8) AS BIGINT) AS BIGINT)) AS BIGINT)
+           AS tgt_fp
+  FROM recon_tgt GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COALESCE(src_count, 0) AS src_count,
+       COALESCE(tgt_count, 0) AS tgt_count,
+       s.src_fp, t.tgt_fp,
+       COALESCE(src_count, 0) = COALESCE(tgt_count, 0)
+         AND src_fp IS NOT DISTINCT FROM tgt_fp AS bucket_match
+FROM s FULL OUTER JOIN t USING (bucket)""",
+    doc="[EXT] bucket-fingerprint reconciliation — the 100 TB FIRST pass "
+    "(operators/recon.py::fingerprint_diff): each side collapses to one "
+    "(count, checksum) row per key bucket (row fingerprint = 8 md5 hex "
+    "chars of the canonicalized row, same cross-engine idiom as "
+    "q_hash_split; bucket checksum = order-independent SUM), so the "
+    "shuffle is O(buckets x partitions) partial rows — network cost "
+    "independent of table width and row count, where diff_rows/"
+    "diff_by_hash (q_recon_diff) ship O(rows). Matching buckets are "
+    "proven divergence-free (mod 2^-32 collisions); only flagged ones "
+    "proceed to the row-level drill-down (fingerprint_drilldown, "
+    "pytest-pinned equal to diff_rows on the flagged subset). Key-mod "
+    "bucketing here so the oracle is engine-exact; production default "
+    "is xxhash64 aligned with the apply target's layout for co-located, "
+    "partition-pruned reads. Non-vacuous both ways at sf0.001/0.01 "
+    "(clean and divergent buckets both present).",
+)
+def q_recon_fingerprint(spark, sf_dir):
+    from ..operators.recon import fingerprint_diff
+
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    return fingerprint_diff(
+        src,
+        tgt,
+        key_cols=["order_id"],
+        n_buckets=256,
+        bucket_of=lambda df: F.col("order_id") % 256,
+    )
+
+
+@register(
     "q_recon_setdiff",
     f"""WITH {fx.oracle_recon_cte()}
 SELECT 'src_minus_tgt' AS direction, order_id, CAST(amount AS DOUBLE) AS amount, status

@@ -65,14 +65,15 @@ _CHECK_PRIORITY: list[str] = [
     "q_audio_spectral",  # rows-only → closed-form sums + Parseval oracle
     "q_funnel_conversion_window",  # new (VERDICT r4 #6)
     "q_retention_curve",  # new (VERDICT r4 #6)
-    # -- new this round (4) --
+    # -- new this round (5) --
     "q_scd2_dim",  # SCD type-2 history build from the CDC changelog
     "q_scd2_incremental",  # merge path certified vs the one-shot oracle
     "q_changelog_compaction",  # net-effect compaction, Kafka log semantics
     "q_kcore",  # fixed-round k-core peeling, third iterative graph op
-    # -- high-risk r3-stale core-engine pick (1; q_recon_diff yielded its
-    # slot to q_scd2_incremental — r3-green, auto-fronted in r6) --
-    "q_cdc_apply",
+    "q_recon_fingerprint",  # bucket-checksum recon first pass
+    # (the r3-green core picks q_cdc_apply/q_recon_diff/q_latest_per_group/
+    # q_health_report/q_frontier_complete all yielded their slots to the
+    # new queries — staleness auto-fronts them in r6)
 ]
 
 

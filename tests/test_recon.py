@@ -72,3 +72,44 @@ def test_compare_counts_multi_table(spark, sf_dir):
     by_t = {r["table_name"]: r for r in out}
     assert not by_t["orders"]["counts_match"]
     assert by_t["orders_self"]["counts_match"]
+
+
+def test_fingerprint_diff_flags_exactly_divergent_buckets(spark, sf_dir):
+    """Bucket summary truth: a bucket is flagged iff the keyed row diff
+    finds a divergence hashing into it; clean buckets are proven clean."""
+    from postgres_cdc_reconciliation_spark import fixtures as fx
+    from postgres_cdc_reconciliation_spark.operators.recon import (
+        diff_rows,
+        fingerprint_diff,
+        fingerprint_drilldown,
+    )
+    from pyspark.sql import functions as F
+
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    n = 64
+    bucket = lambda df: F.col("order_id") % n  # noqa: E731
+    summary = fingerprint_diff(
+        src, tgt, ["order_id"], n_buckets=n, bucket_of=bucket
+    ).cache()
+    # non-vacuous: both clean and divergent buckets exist
+    flags = {r.bucket: r.bucket_match for r in summary.collect()}
+    assert any(flags.values()) and not all(flags.values())
+
+    # ground truth from the full keyed diff (includes dup-cardinality and
+    # extra/missing rows: every diff type must surface in the bucket flags)
+    truth = diff_rows(src, tgt, ["order_id"])
+    bad_truth = {
+        r.b for r in truth.select((F.col("order_id") % n).alias("b")).collect()
+    }
+    bad_flagged = {b for b, ok in flags.items() if not ok}
+    assert bad_flagged == bad_truth
+
+    # drill-down on the flagged buckets == full diff (nothing outside them)
+    drill = fingerprint_drilldown(
+        src, tgt, ["order_id"], summary, n_buckets=n, bucket_of=bucket
+    )
+    cols = sorted(drill.columns)
+    norm = lambda df: sorted(  # noqa: E731
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+    assert norm(drill) == norm(truth)
