@@ -283,3 +283,73 @@ def fingerprint_drilldown(
         return df.filter(b.cast("long").isin(bad))
 
     return diff_rows(restrict(src), restrict(tgt), key_cols)
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-level profile in ONE scan: (column, n_rows, n_nulls,
+    n_distinct, min_str, max_str).
+
+    The column-granular sibling of compare_counts: where row counts say
+    "something is off", the profile says WHICH column drifted (a NULLed-out
+    field, a truncated string, a shifted range) without any keyed join.
+    All metrics per column are computed as parallel aggregate expressions
+    in a single agg (one pass, map-side combined), then unpivoted with
+    stack() — never one scan per column. min/max surface as strings so
+    heterogeneous column types fit one frame; n_distinct is exact
+    (count_distinct) — swap for approx_count_distinct at the 100 TB tier
+    where a 2% error is acceptable to avoid the per-column distinct maps.
+    """
+    cols = cols or df.columns
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column, n_nulls, n_distinct, min_str, max_str)",
+        "n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def profile_diff(
+    src: DataFrame, tgt: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Side-by-side column profiles with per-metric match flags — the
+    zero-join data-diff first look (which column diverged, in one scan
+    per side)."""
+    s = profile_columns(src, cols)
+    t = profile_columns(tgt, cols)
+    s = s.select(
+        "column",
+        *[F.col(c).alias(f"src_{c}") for c in s.columns if c != "column"],
+    )
+    t = t.select(
+        "column",
+        *[F.col(c).alias(f"tgt_{c}") for c in t.columns if c != "column"],
+    )
+    j = s.join(t, "column", "full_outer")
+    return j.select(
+        "column",
+        "src_n_rows", "tgt_n_rows",
+        "src_n_nulls", "tgt_n_nulls",
+        "src_n_distinct", "tgt_n_distinct",
+        "src_min_str", "tgt_min_str",
+        "src_max_str", "tgt_max_str",
+        (
+            F.col("src_n_rows").eqNullSafe(F.col("tgt_n_rows"))
+            & F.col("src_n_nulls").eqNullSafe(F.col("tgt_n_nulls"))
+            & F.col("src_n_distinct").eqNullSafe(F.col("tgt_n_distinct"))
+            & F.col("src_min_str").eqNullSafe(F.col("tgt_min_str"))
+            & F.col("src_max_str").eqNullSafe(F.col("tgt_max_str"))
+        ).alias("column_match"),
+    )

@@ -215,3 +215,75 @@ def scd2_merge_batch(
         "is_current",
     )
     return untouched.unionByName(closed).unionByName(new_versions)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    l_id: str,
+    l_start: str,
+    l_end: str,
+    r_id: str,
+    r_start: str,
+    r_end: str,
+    chunk_seconds: int = 3600,
+) -> DataFrame:
+    """Interval x interval overlap join, co-keyed on ``on`` — pairs whose
+    [start, end] ranges intersect (closed bounds: touching endpoints
+    overlap).
+
+    The direct formulation is an inequality-only theta join
+    (l_start <= r_end AND r_start <= l_end), which Spark plans as a
+    per-key nested loop — O(|L|·|R|) per key, the thing that falls over
+    when one key holds millions of intervals. This operator bins time
+    into fixed chunks instead: each interval explodes into the chunks it
+    spans, the join runs as an EQUALITY join on (key, chunk) — shuffle-
+    partitionable, AQE-skew-splittable — and two intersecting intervals
+    are guaranteed to share at least the chunk containing the later
+    start. The exact predicate then prunes same-chunk non-overlaps, and
+    a distinct on (l_id, r_id) collapses multi-chunk double-hits.
+
+    Cost: O(Σ interval_span/chunk) exploded rows + an equality join —
+    chunk_seconds trades explode factor against per-chunk fan-in; set it
+    near the median interval length. Long stragglers fatten the explode
+    linearly but never quadratically; the all-pairs blowup is gone.
+
+    Returns (on, l_id, r_id, l_start, l_end, r_start, r_end,
+    overlap_start, overlap_end).
+    """
+
+    def chunks(df, id_c, s, e, side):
+        lo = F.floor(F.unix_timestamp(F.col(s)) / chunk_seconds).cast("long")
+        hi = F.floor(F.unix_timestamp(F.col(e)) / chunk_seconds).cast("long")
+        return df.select(
+            F.col(on),
+            F.col(id_c),
+            F.col(s),
+            F.col(e),
+            F.explode(F.sequence(lo, hi)).alias("_chunk"),
+        ).toDF(on, f"{side}_id", f"{side}_start", f"{side}_end", "_chunk")
+
+    lc = chunks(left, l_id, l_start, l_end, "l")
+    rc = chunks(right, r_id, r_start, r_end, "r")
+    joined = lc.join(rc, [on, "_chunk"]).filter(
+        (F.col("l_start") <= F.col("r_end"))
+        & (F.col("r_start") <= F.col("l_end"))
+    )
+    return (
+        joined.select(
+            on, "l_id", "r_id", "l_start", "l_end", "r_start", "r_end"
+        )
+        .distinct()
+        .select(
+            on,
+            "l_id",
+            "r_id",
+            "l_start",
+            "l_end",
+            "r_start",
+            "r_end",
+            F.greatest("l_start", "r_start").alias("overlap_start"),
+            F.least("l_end", "r_end").alias("overlap_end"),
+        )
+    )

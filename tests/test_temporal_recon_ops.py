@@ -1,0 +1,140 @@
+"""Round-5 pytest-witnessed operators: interval overlap join, column
+profiling / profile diff. (Registry slots for the round-5 driver window
+are full — these register as driver queries next round; until then the
+witnesses are the equivalence tests below.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.recon import (
+    profile_columns,
+    profile_diff,
+)
+from postgres_cdc_reconciliation_spark.operators.temporal import (
+    interval_overlap_join,
+)
+
+
+def _intervals(spark, side, n, seed_shift, key_mod=3):
+    """Deterministic interval set: lengths from seconds to many hours so
+    chunk binning sees sub-chunk, exact-chunk and straddling spans."""
+    base = spark.range(n).select(
+        "id",
+        (F.col("id") % key_mod).cast("int").alias("k"),
+        F.concat(F.lit(side), F.col("id").cast("string")).alias("iid"),
+        (
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                ((F.col("id") * 7919 + seed_shift) % 86_400).cast("double"),
+            )
+        ).alias("start"),
+    )
+    return base.select(
+        "k", "iid", "start",
+        (
+            F.col("start")
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                ((F.col("id") * 104_729 + seed_shift) % 20_000 + 1).cast(
+                    "double"
+                ),
+            )
+        ).alias("end"),
+    )
+
+
+def test_interval_overlap_matches_theta_join(spark):
+    """Binned equality-join formulation == the naive theta join, for chunk
+    sizes below, near and above the interval lengths."""
+    left = _intervals(spark, "L", 120, 0)
+    right = _intervals(spark, "R", 150, 4321)
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.start") <= F.col("r.end"))
+            & (F.col("r.start") <= F.col("l.end")),
+        )
+        .select(
+            F.col("l.iid").alias("l_id"), F.col("r.iid").alias("r_id")
+        )
+    )
+    expected = sorted((r.l_id, r.r_id) for r in naive.collect())
+    assert expected, "fixture produced no overlaps — vacuous test"
+    assert len(expected) < 120 * 150 / 3, "fixture overlaps everything"
+    for chunk in (60, 3600, 100_000):
+        got = interval_overlap_join(
+            left, right, on="k",
+            l_id="iid", l_start="start", l_end="end",
+            r_id="iid", r_start="start", r_end="end",
+            chunk_seconds=chunk,
+        )
+        assert (
+            sorted((r.l_id, r.r_id) for r in got.collect()) == expected
+        ), f"chunk={chunk} diverged"
+
+
+def test_interval_overlap_bounds_and_touching_endpoints(spark):
+    rows = [
+        (1, "a", "2026-01-01 00:00:00", "2026-01-01 01:00:00"),
+        (1, "b", "2026-01-01 02:00:00", "2026-01-01 03:00:00"),
+    ]
+    mk = lambda r: spark.createDataFrame(  # noqa: E731
+        r, "k int, iid string, start string, end string"
+    ).select(
+        "k", "iid",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    left = mk(rows)
+    # touching endpoint (closed bounds): end == other start DOES overlap
+    right = mk([(1, "x", "2026-01-01 01:00:00", "2026-01-01 02:00:00")])
+    got = interval_overlap_join(
+        left, right, on="k",
+        l_id="iid", l_start="start", l_end="end",
+        r_id="iid", r_start="start", r_end="end",
+        chunk_seconds=600,
+    ).collect()
+    pairs = {(r.l_id, r.r_id) for r in got}
+    assert pairs == {("a", "x"), ("b", "x")}
+    by = {r.l_id: r for r in got}
+    assert str(by["a"].overlap_start) == "2026-01-01 01:00:00"
+    assert str(by["a"].overlap_end) == "2026-01-01 01:00:00"
+    assert str(by["b"].overlap_start) == "2026-01-01 02:00:00"
+
+
+def test_profile_columns_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (4, "b", 4.0)],
+        "id int, s string, v double",
+    )
+    got = {r.column: r for r in profile_columns(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 2)
+    assert (got["v"].n_nulls, got["v"].n_distinct) == (1, 3)
+    assert (got["id"].min_str, got["id"].max_str) == ("1", "4")
+    assert (got["v"].min_str, got["v"].max_str) == ("1.5", "4.0")
+
+
+def test_profile_diff_localizes_column_drift(spark, sf_dir):
+    """On the seeded recon pair, the profile diff must flag exactly the
+    drifted columns: order_id (counts + max: extras at +10M), amount
+    (perturbed values), while status survives with matching nulls (row
+    counts differ everywhere, so no column fully matches — the per-metric
+    columns localize WHAT drifted)."""
+    from postgres_cdc_reconciliation_spark import fixtures as fx
+
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    got = {r.column: r for r in profile_diff(src, tgt).collect()}
+    assert not got["order_id"].column_match
+    assert got["order_id"].src_max_str != got["order_id"].tgt_max_str  # +10M extras
+    assert not got["amount"].column_match
+    assert got["amount"].src_n_distinct != got["amount"].tgt_n_distinct
+    # status: same domain both sides — min/max/nulls match, counts differ
+    assert got["status"].src_min_str == got["status"].tgt_min_str
+    assert got["status"].src_max_str == got["status"].tgt_max_str
+    assert got["status"].src_n_nulls == got["status"].tgt_n_nulls == 0
