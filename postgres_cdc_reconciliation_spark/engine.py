@@ -323,3 +323,64 @@ class Engine:
 
         return hybrid_rrf_topk(docs, embeddings, terms, query_vec_id,
                                shortlist=shortlist, k=k)
+
+    def scd2(self, changelog, key, seq, attrs, op_col="op") -> DataFrame:
+        """SCD type-2 history from an ordered changelog (one keyed window;
+        deletes close versions without materializing one)."""
+        from .operators.temporal import scd2_build
+
+        return scd2_build(changelog, key=key, seq=seq, attrs=attrs,
+                          op_col=op_col)
+
+    def scd2_merge(self, history, batch, key, seq, attrs,
+                   op_col="op") -> DataFrame:
+        """Merge one changelog batch into an existing SCD2 history —
+        incremental, replay-guarded; equals the one-shot build."""
+        from .operators.temporal import scd2_merge_batch
+
+        return scd2_merge_batch(history, batch, key=key, seq=seq,
+                                attrs=attrs, op_col=op_col)
+
+    def compact_changelog(self, events, key_cols, attr_cols,
+                          seq_col) -> DataFrame:
+        """Net-effect changelog compaction (Kafka cleanup.policy=compact
+        semantics): one partial/final agg, shuffle O(keys)."""
+        from .operators.apply import compact_changelog
+
+        return compact_changelog(events, key_cols=key_cols,
+                                 attr_cols=attr_cols, seq_col=seq_col)
+
+    def kcore(self, edges, k, rounds, src="u", dst="v") -> DataFrame:
+        """Fixed-round k-core peeling with a per-round (vertices, edges)
+        trace."""
+        from .operators.graph import kcore_peel_rounds
+
+        return kcore_peel_rounds(edges, k=k, rounds=rounds, src=src, dst=dst)
+
+    def fingerprint_diff(self, src, tgt, key_cols, n_buckets=1024,
+                         **kw) -> DataFrame:
+        """Bucket-checksum recon first pass: O(buckets) network, matching
+        buckets proven divergence-free; drill into the rest with
+        fingerprint_drilldown."""
+        from .operators.recon import fingerprint_diff
+
+        return fingerprint_diff(src, tgt, key_cols, n_buckets=n_buckets, **kw)
+
+    def profile_diff(self, src, tgt, cols=None) -> DataFrame:
+        """Column-level profile compare (nulls/distinct/min/max per column,
+        one scan per side) — localizes WHICH column drifted."""
+        from .operators.recon import profile_diff
+
+        return profile_diff(src, tgt, cols)
+
+    def interval_overlap(self, left, right, on, l_id, l_start, l_end,
+                         r_id, r_start, r_end,
+                         chunk_seconds=3600) -> DataFrame:
+        """Interval x interval overlap join via chunk-binned equality join
+        (no per-key nested loop)."""
+        from .operators.temporal import interval_overlap_join
+
+        return interval_overlap_join(
+            left, right, on=on, l_id=l_id, l_start=l_start, l_end=l_end,
+            r_id=r_id, r_start=r_start, r_end=r_end,
+            chunk_seconds=chunk_seconds)

@@ -87,3 +87,56 @@ def test_clustering_graph_incremental_facade(spark, sf_dir):
     assert {"new_id", "match_id", "match_src", "n_shared_bands"} <= set(
         hits.columns
     )
+
+
+def test_temporal_recon_facade(spark, sf_dir):
+    """Round-5 facade methods delegate correctly (smoke + shape checks)."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_reconciliation_spark import fixtures as fx
+    from postgres_cdc_reconciliation_spark.engine import Engine
+
+    eng = Engine(spark)
+    log = spark.createDataFrame(
+        [(1, "c", 10.0, 1), (1, "u", 11.0, 2), (2, "c", 20.0, 3),
+         (2, "d", None, 4)],
+        "id int, op string, val double, seq long",
+    )
+    hist = eng.scd2(log.filter("seq <= 2"), key="id", seq="seq",
+                    attrs=["val"])
+    merged = eng.scd2_merge(hist, log.filter("seq > 2"), key="id",
+                            seq="seq", attrs=["val"])
+    full = eng.scd2(log, key="id", seq="seq", attrs=["val"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    net = eng.compact_changelog(log, key_cols=["id"], attr_cols=["val"],
+                                seq_col="seq")
+    assert {r.id: r.net_op for r in net.collect()} == {1: "c"}
+
+    trace = eng.kcore(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "u int, v int"
+        ), k=2, rounds=2,
+    )
+    assert {(r.round, r.n_vertices) for r in trace.collect()} == {
+        (1, 3), (2, 3)
+    }
+
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    fp = eng.fingerprint_diff(src, tgt, ["order_id"], n_buckets=16,
+                              bucket_of=lambda df: F.col("order_id") % 16)
+    assert fp.count() == 16
+    prof = eng.profile_diff(src, tgt)
+    assert prof.count() == 3
+
+    iv = spark.createDataFrame(
+        [(1, "a", "2026-01-01 00:00:00", "2026-01-01 02:00:00")],
+        "k int, iid string, start string, end string",
+    ).select("k", "iid", F.col("start").cast("timestamp").alias("start"),
+             F.col("end").cast("timestamp").alias("end"))
+    ov = eng.interval_overlap(iv, iv, on="k", l_id="iid", l_start="start",
+                              l_end="end", r_id="iid", r_start="start",
+                              r_end="end")
+    assert ov.count() == 1
