@@ -165,3 +165,111 @@ def test_manifest_commit_matches_dict_replay(spark, tmp_path_factory, batches):
     except FileNotFoundError:
         got = {}
     assert got == expected
+
+
+def _scd2_model(seq):
+    """Brute-force SCD2 model: per key, walk events in seq order; non-d
+    opens a version [(val, from, to, current)] closed by the next event."""
+    by_key: dict[int, list] = {}
+    for lsn, (key, opi, cents) in enumerate(seq, start=1):
+        evs = by_key.setdefault(key, [])
+        evs.append((lsn, "cud"[opi], cents))
+    out = []
+    for key, evs in by_key.items():
+        version = 0
+        for i, (lsn, op, cents) in enumerate(evs):
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            if op == "d":
+                continue
+            version += 1
+            out.append((key, float(cents), version, lsn, nxt, nxt is None))
+    return sorted(out)
+
+
+def _compact_model(seq):
+    """Brute-force compaction model applying the four first/last rules."""
+    by_key: dict[int, list] = {}
+    for lsn, (key, opi, cents) in enumerate(seq, start=1):
+        by_key.setdefault(key, []).append((lsn, "cud"[opi], cents))
+    out = {}
+    for key, evs in by_key.items():
+        (f_lsn, f_op, _), (l_lsn, l_op, l_cents) = evs[0], evs[-1]
+        if f_op == "c" and l_op == "d":
+            continue
+        net = "d" if l_op == "d" else ("c" if f_op == "c" else "u")
+        val = None if net == "d" else float(l_cents)
+        out[key] = (net, val, len(evs), f_lsn, l_lsn)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(EVENT, min_size=1, max_size=60))
+def test_scd2_build_matches_model(spark, seq):
+    """scd2_build == the brute-force interval model for arbitrary
+    interleavings (creates/updates/deletes in any per-key pattern,
+    including delete-then-recreate and update-before-create)."""
+    from postgres_cdc_reconciliation_spark.operators.temporal import scd2_build
+
+    rows = [
+        (key, "cud"[opi], None if opi == 2 else float(cents), lsn)
+        for lsn, (key, opi, cents) in enumerate(seq, start=1)
+    ]
+    df = spark.createDataFrame(rows, "id long, op string, val double, seq long")
+    got = sorted(
+        (r.id, r.val, r.version, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_build(df, key="id", seq="seq", attrs=["val"]).collect()
+    )
+    assert got == _scd2_model(seq)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(EVENT, min_size=2, max_size=60),
+    st.integers(min_value=1, max_value=58),
+)
+def test_scd2_merge_matches_model_at_random_split(spark, seq, cut):
+    """Incremental merge at an arbitrary split == the model of the full
+    log (the equivalence contract under hypothesis-chosen interleavings)."""
+    from postgres_cdc_reconciliation_spark.operators.temporal import (
+        scd2_build,
+        scd2_merge_batch,
+    )
+
+    cut = min(cut, len(seq) - 1)
+    rows = [
+        (key, "cud"[opi], None if opi == 2 else float(cents), lsn)
+        for lsn, (key, opi, cents) in enumerate(seq, start=1)
+    ]
+    df = spark.createDataFrame(rows, "id long, op string, val double, seq long")
+    hist = scd2_build(
+        df.filter(F.col("seq") <= cut), key="id", seq="seq", attrs=["val"]
+    )
+    merged = scd2_merge_batch(
+        hist, df.filter(F.col("seq") > cut), key="id", seq="seq", attrs=["val"]
+    )
+    got = sorted(
+        (r.id, r.val, r.version, r.valid_from, r.valid_to, r.is_current)
+        for r in merged.collect()
+    )
+    assert got == _scd2_model(seq)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(EVENT, min_size=1, max_size=60))
+def test_compact_changelog_matches_model(spark, seq):
+    from postgres_cdc_reconciliation_spark.operators.apply import (
+        compact_changelog,
+    )
+
+    rows = [
+        (key, "cud"[opi], None if opi == 2 else float(cents), lsn)
+        for lsn, (key, opi, cents) in enumerate(seq, start=1)
+    ]
+    df = spark.createDataFrame(rows, "id long, op string, val double, seq long")
+    got = {
+        r.id: (r.net_op, r.val, r.n_events, r.first_seq, r.last_seq)
+        for r in compact_changelog(
+            df, key_cols=["id"], attr_cols=["val"], seq_col="seq"
+        ).collect()
+    }
+    assert got == _compact_model(seq)
