@@ -217,13 +217,22 @@ def fingerprint_diff(
 
     def side(df: DataFrame, cnt: str, fp: str) -> DataFrame:
         cols = hash_cols or df.columns
-        canon = F.concat_ws(
-            "|",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
-                for c in cols
-            ],
-        )
+        # netstring-style canonicalization: each field is length-prefixed
+        # ("5:hello") or the null marker "N" — self-delimiting, so values
+        # containing the separator can't alias across field boundaries and
+        # NULL never collides with any literal string (a plain '|' join
+        # has both ambiguities). Same expression shape in the SQL oracle.
+        parts = [
+            F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+                F.concat(
+                    F.length(F.col(c).cast("string")).cast("string"),
+                    F.lit(":"),
+                    F.col(c).cast("string"),
+                )
+            )
+            for c in cols
+        ]
+        canon = F.concat_ws("|", *parts)
         rowh = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
         b = (
             bucket_of(df)

@@ -591,16 +591,14 @@ s AS (
   SELECT order_id % 256 AS bucket,
          CAST(count(*) AS BIGINT) AS src_count,
          CAST(SUM(CAST(CAST('0x' || substr(md5(
-              CAST(order_id AS VARCHAR) || '|' || CAST(amount AS VARCHAR)
-              || '|' || status), 1, 8) AS BIGINT) AS BIGINT)) AS BIGINT)
+              CASE WHEN order_id IS NULL THEN 'N' ELSE CAST(length(CAST(order_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(order_id AS VARCHAR) END || '|' || CASE WHEN amount IS NULL THEN 'N' ELSE CAST(length(CAST(amount AS VARCHAR)) AS VARCHAR) || ':' || CAST(amount AS VARCHAR) END || '|' || CASE WHEN status IS NULL THEN 'N' ELSE CAST(length(CAST(status AS VARCHAR)) AS VARCHAR) || ':' || CAST(status AS VARCHAR) END), 1, 8) AS BIGINT) AS BIGINT)) AS BIGINT)
            AS src_fp
   FROM recon_src GROUP BY 1),
 t AS (
   SELECT order_id % 256 AS bucket,
          CAST(count(*) AS BIGINT) AS tgt_count,
          CAST(SUM(CAST(CAST('0x' || substr(md5(
-              CAST(order_id AS VARCHAR) || '|' || CAST(amount AS VARCHAR)
-              || '|' || status), 1, 8) AS BIGINT) AS BIGINT)) AS BIGINT)
+              CASE WHEN order_id IS NULL THEN 'N' ELSE CAST(length(CAST(order_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(order_id AS VARCHAR) END || '|' || CASE WHEN amount IS NULL THEN 'N' ELSE CAST(length(CAST(amount AS VARCHAR)) AS VARCHAR) || ':' || CAST(amount AS VARCHAR) END || '|' || CASE WHEN status IS NULL THEN 'N' ELSE CAST(length(CAST(status AS VARCHAR)) AS VARCHAR) || ':' || CAST(status AS VARCHAR) END), 1, 8) AS BIGINT) AS BIGINT)) AS BIGINT)
            AS tgt_fp
   FROM recon_tgt GROUP BY 1)
 SELECT CAST(bucket AS BIGINT) AS bucket,
@@ -613,8 +611,8 @@ FROM s FULL OUTER JOIN t USING (bucket)""",
     doc="[EXT] bucket-fingerprint reconciliation — the 100 TB FIRST pass "
     "(operators/recon.py::fingerprint_diff): each side collapses to one "
     "(count, checksum) row per key bucket (row fingerprint = 8 md5 hex "
-    "chars of the canonicalized row, same cross-engine idiom as "
-    "q_hash_split; bucket checksum = order-independent SUM), so the "
+    "chars of the netstring-canonicalized row — length-prefixed fields, "
+    "null marker; same cross-engine md5 idiom as q_hash_split; bucket checksum = order-independent SUM), so the "
     "shuffle is O(buckets x partitions) partial rows — network cost "
     "independent of table width and row count, where diff_rows/"
     "diff_by_hash (q_recon_diff) ship O(rows). Matching buckets are "

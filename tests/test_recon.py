@@ -113,3 +113,27 @@ def test_fingerprint_diff_flags_exactly_divergent_buckets(spark, sf_dir):
         tuple(r[c] for c in cols) for r in df.collect()
     )
     assert norm(drill) == norm(truth)
+
+
+def test_fingerprint_canonicalization_distinguishes_null_and_delimiters(spark):
+    """The netstring row encoding must not alias NULL with any literal
+    string, nor let delimiter-bearing values shift across field
+    boundaries (a plain '|' join fails both)."""
+    from postgres_cdc_reconciliation_spark.operators.recon import (
+        fingerprint_diff,
+    )
+
+    schema = "k int, a string, b string"
+    base = spark.createDataFrame([(1, "x", None)], schema)
+    for rows in (
+        [(1, "x", "N")],        # literal 'N' vs NULL
+        [(1, "x|0", None)],     # delimiter injection
+        [(1, "x", "")],         # empty string vs NULL
+        [(1, "x|N", None)],     # combined
+    ):
+        tgt = spark.createDataFrame(rows, schema)
+        out = fingerprint_diff(base, tgt, ["k"], n_buckets=4).collect()
+        assert not all(r.bucket_match for r in out), rows
+    # and identical frames DO match
+    same = fingerprint_diff(base, base, ["k"], n_buckets=4).collect()
+    assert all(r.bucket_match for r in same)
