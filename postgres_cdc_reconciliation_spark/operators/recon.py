@@ -128,9 +128,19 @@ def diff_by_hash(
     originals on key for the value-level detail of just those rows."""
     def h(df: DataFrame) -> DataFrame:
         rest = [c for c in df.columns if c not in key_cols]
+        # xxhash64 leaves its accumulator untouched for a NULL argument, so
+        # (a, NULL, b) and (a, b, NULL) would collide; tag each field with
+        # an explicit null marker / value prefix to keep positions distinct
         return df.select(
             *key_cols,
-            F.xxhash64(*[F.col(c).cast("string") for c in rest]).alias("row_hash"),
+            F.xxhash64(
+                *[
+                    F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+                        F.concat(F.lit("v"), F.col(c).cast("string"))
+                    )
+                    for c in rest
+                ]
+            ).alias("row_hash"),
         )
 
     s = h(src).withColumnRenamed("row_hash", "src_hash")

@@ -137,3 +137,19 @@ def test_fingerprint_canonicalization_distinguishes_null_and_delimiters(spark):
     # and identical frames DO match
     same = fingerprint_diff(base, base, ["k"], n_buckets=4).collect()
     assert all(r.bucket_match for r in same)
+
+
+def test_diff_by_hash_null_position_no_alias(spark):
+    """(a, NULL, b) vs (a, b, NULL) must report a mismatch — xxhash64
+    ignores NULL args, so unmarked hashing would collide them."""
+    from postgres_cdc_reconciliation_spark.operators.recon import diff_by_hash
+
+    schema = "k int, a string, b string"
+    src = spark.createDataFrame([(1, None, "b"), (2, "vx", None)], schema)
+    tgt = spark.createDataFrame([(1, "b", None), (2, "x", None)], schema)
+    got = {r.k: r.diff_type for r in diff_by_hash(src, tgt, ["k"]).collect()}
+    # k=1: null-position swap; k=2: 'vx' vs 'x' must differ despite the
+    # 'v' value prefix (prefix is concatenated, not ambiguous)
+    assert got == {1: "value_mismatch", 2: "value_mismatch"}
+    same = diff_by_hash(src, src, ["k"]).collect()
+    assert same == []
