@@ -248,19 +248,26 @@ FROM lineitem GROUP BY l_returnflag""",
 )
 def q_approx_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # the DISTINCT aggregate is kept in its OWN aggregation and joined back
+    # on the 4-row group key: mixing count_distinct with the sketch/
+    # percentile buffers forces Catalyst's Expand (every input row
+    # duplicated per aggregate path) under the heavy object-buffer
+    # aggregators — measured 19.9s combined vs 2.5s split at sf0.1 (8x)
+    sketches = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("exact_rows"),
+        F.approx_count_distinct("l_orderkey").alias("_approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
+            "_apcts"
+        ),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.55, 0.94, 0.96))"
+        ).alias("_epcts"),
+    )
+    distincts = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").cast("long").alias("exact_orders")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").cast("long").alias("exact_rows"),
-            F.count_distinct("l_orderkey").cast("long").alias("exact_orders"),
-            F.approx_count_distinct("l_orderkey").alias("_approx_orders"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
-                "_apcts"
-            ),
-            F.expr(
-                "percentile(l_extendedprice, array(0.45, 0.55, 0.94, 0.96))"
-            ).alias("_epcts"),
-        )
+        sketches.join(distincts, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_rows",
