@@ -388,7 +388,10 @@ def compact_changelog(
     long trick doesn't apply because the after-image payload is multi-
     column.) No whole-changelog window function, no self-join.
     Attr columns are nulled on tombstones so the output is a valid minimal
-    changelog, not a peek at deleted data.
+    changelog, not a peek at deleted data. ``seq_col`` must be unique per
+    key (an LSN / commit sequence is — Debezium per-key ordering): min_by/
+    max_by on a tied seq would pick an arbitrary event and the net image
+    would be nondeterministic.
     """
     seq = F.col(seq_col)
     payload = F.struct(F.col(op_col).alias("_op"), *[F.col(c) for c in attr_cols])
