@@ -158,3 +158,13 @@ def test_compaction_is_single_partial_final_agg(spark, sf_dir):
     # partial + final instances of the same aggregate (SortAggregate: the
     # struct max_by buffer isn't hash-agg mutable; the split is what matters)
     assert p.count("Aggregate") >= 2, p
+
+
+def test_kcore_and_fingerprint_plans(spark, sf_dir):
+    """k-core rounds and the fingerprint recon must stay keyed: no
+    cartesian anywhere; the fingerprint summary's only wide-plan join is
+    the O(buckets)-row full-outer merge of the two per-bucket aggregates."""
+    qs = all_queries()
+    for name in ("q_kcore", "q_recon_fingerprint"):
+        plan = _plan(qs[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name

@@ -138,3 +138,34 @@ def test_profile_diff_localizes_column_drift(spark, sf_dir):
     assert got["status"].src_min_str == got["status"].tgt_min_str
     assert got["status"].src_max_str == got["status"].tgt_max_str
     assert got["status"].src_n_nulls == got["status"].tgt_n_nulls == 0
+
+
+def test_interval_overlap_hot_key_stays_correct(spark):
+    """Power-law key distribution (one key holds ~80% of intervals): the
+    binned join must stay exact — the scale rationale is that (key,chunk)
+    spreads a hot key across chunks where the theta join concentrates it."""
+    left = _intervals(spark, "L", 200, 17, key_mod=1).withColumn(
+        "k", (F.monotonically_increasing_id() % 5 == 0).cast("int")
+    )  # ~20% key 1, 80% key 0
+    right = _intervals(spark, "R", 200, 9999, key_mod=1).withColumn(
+        "k", (F.monotonically_increasing_id() % 7 == 0).cast("int")
+    )
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.start") <= F.col("r.end"))
+            & (F.col("r.start") <= F.col("l.end")),
+        )
+        .select(F.col("l.iid").alias("l_id"), F.col("r.iid").alias("r_id"))
+    )
+    expected = sorted((r.l_id, r.r_id) for r in naive.collect())
+    assert len(expected) > 100  # genuinely hot
+    got = interval_overlap_join(
+        left, right, on="k",
+        l_id="iid", l_start="start", l_end="end",
+        r_id="iid", r_start="start", r_end="end",
+        chunk_seconds=1800,
+    )
+    assert sorted((r.l_id, r.r_id) for r in got.collect()) == expected
