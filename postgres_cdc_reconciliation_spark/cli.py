@@ -60,8 +60,34 @@ def cmd_verify(args) -> int:
     eng = Engine(spark)
     src = spark.read.parquet(args.source)
     tgt = spark.read.parquet(args.target)
-    result = eng.verify(src, tgt, args.keys, max_report=args.max_report)
-    result["sample"] = result["sample"][: args.max_report]
+    if args.mode == "fingerprint":
+        # 100 TB mode: bucket checksums first, keyed drill-down only on the
+        # divergent buckets (operators/recon.py::fingerprint_diff)
+        summary = eng.fingerprint_diff(
+            src, tgt, args.keys, n_buckets=args.buckets
+        ).cache()
+        bad = summary.filter("NOT bucket_match").count()
+        sample = []
+        if bad:
+            from .operators.recon import fingerprint_drilldown
+
+            drill = fingerprint_drilldown(
+                src, tgt, args.keys, summary, n_buckets=args.buckets
+            )
+            sample = [
+                r.asDict()
+                for r in drill.orderBy(*args.keys).limit(args.max_report).collect()
+            ]
+        result = {
+            "mode": "fingerprint",
+            "n_buckets": args.buckets,
+            "divergent_buckets": bad,
+            "consistent": bad == 0,
+            "sample": sample,
+        }
+    else:
+        result = eng.verify(src, tgt, args.keys, max_report=args.max_report)
+        result["sample"] = result["sample"][: args.max_report]
     print(json.dumps(result, default=str))
     # exit semantics of verify_replication.py:182-186
     return 0 if result["consistent"] else 1
@@ -101,6 +127,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--target", required=True)
     v.add_argument("--keys", nargs="+", required=True)
     v.add_argument("--max-report", type=int, default=5)  # verify_replication.py:136
+    v.add_argument("--mode", choices=["rows", "fingerprint"], default="rows",
+                   help="rows: keyed full diff; fingerprint: bucket "
+                        "checksums first, drill-down on divergent buckets")
+    v.add_argument("--buckets", type=int, default=1024)
     v.set_defaults(fn=cmd_verify)
 
     s = sub.add_parser("status", help="multi-table replication health report")

@@ -228,6 +228,7 @@ def interval_overlap_join(
     r_start: str,
     r_end: str,
     chunk_seconds: int = 3600,
+    max_chunks_per_interval: int = 10_000,
 ) -> DataFrame:
     """Interval x interval overlap join, co-keyed on ``on`` — pairs whose
     [start, end] ranges intersect (closed bounds: touching endpoints
@@ -256,12 +257,28 @@ def interval_overlap_join(
     def chunks(df, id_c, s, e, side):
         lo = F.floor(F.unix_timestamp(F.col(s)) / chunk_seconds).cast("long")
         hi = F.floor(F.unix_timestamp(F.col(e)) / chunk_seconds).cast("long")
+        # explode-bound guard: one corrupt row (an end timestamp in year
+        # 9999, a swapped start/end) must fail loudly, not fan a single
+        # interval into millions of chunk rows and OOM the stage
+        span = hi - lo + 1
+        guarded_hi = F.when(
+            (span > max_chunks_per_interval) | (span < 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval spans more than {max_chunks_per_interval}"
+                        f" chunks of {chunk_seconds}s (or end < start): id="
+                    ),
+                    F.col(id_c).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(hi)
         return df.select(
             F.col(on),
             F.col(id_c),
             F.col(s),
             F.col(e),
-            F.explode(F.sequence(lo, hi)).alias("_chunk"),
+            F.explode(F.sequence(lo, guarded_hi)).alias("_chunk"),
         ).toDF(on, f"{side}_id", f"{side}_start", f"{side}_end", "_chunk")
 
     lc = chunks(left, l_id, l_start, l_end, "l")

@@ -49,3 +49,37 @@ def test_generate_verify_status_flow(spark, sf_dir, tmp_path, capsys, monkeypatc
     rows = json.loads(capsys.readouterr().out.strip())
     assert {r["table_name"] for r in rows} == {"orders", "customer"}
     assert rc == 1  # fixture has a STUCK table at AS_OF
+
+
+def test_verify_fingerprint_mode(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(
+        "postgres_cdc_reconciliation_spark.cli._spark", lambda: spark
+    )
+    table = str(tmp_path / "orders")
+    main([
+        "generate", "--table-path", table, "--control-path",
+        str(tmp_path / "ctl"), "--batch-size", "60", "--batch-id", "1",
+    ])
+    capsys.readouterr()
+
+    # self-compare: consistent, zero divergent buckets, exit 0
+    rc = main([
+        "verify", "--source", table, "--target", table,
+        "--keys", "order_id", "--mode", "fingerprint", "--buckets", "16",
+    ])
+    v = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and v["consistent"] and v["divergent_buckets"] == 0
+
+    # damaged copy: divergent buckets reported + drill-down sample
+    damaged = str(tmp_path / "damaged")
+    spark.read.parquet(table).filter("order_id % 3 != 0").write.parquet(damaged)
+    rc = main([
+        "verify", "--source", table, "--target", damaged,
+        "--keys", "order_id", "--mode", "fingerprint", "--buckets", "16",
+        "--max-report", "3",
+    ])
+    v = json.loads(capsys.readouterr().out.strip())
+    assert rc == 1 and not v["consistent"]
+    assert v["divergent_buckets"] > 0
+    assert 0 < len(v["sample"]) <= 3
+    assert all(s["diff_type"] == "missing_in_target" for s in v["sample"])

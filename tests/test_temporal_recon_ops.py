@@ -169,3 +169,28 @@ def test_interval_overlap_hot_key_stays_correct(spark):
         chunk_seconds=1800,
     )
     assert sorted((r.l_id, r.r_id) for r in got.collect()) == expected
+
+
+def test_interval_overlap_guards_runaway_spans(spark):
+    """A corrupt interval (end far in the future, or end < start) must
+    fail the job with a clear error, never explode unboundedly."""
+    import pytest
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k int, iid string, start string, end string"
+    ).select("k", "iid",
+             F.col("start").cast("timestamp").alias("start"),
+             F.col("end").cast("timestamp").alias("end"))
+    ok = mk([(1, "a", "2026-01-01 00:00:00", "2026-01-01 01:00:00")])
+    corrupt = mk([(1, "z", "2026-01-01 00:00:00", "9999-01-01 00:00:00")])
+    with pytest.raises(Exception, match="chunks"):
+        interval_overlap_join(
+            corrupt, ok, on="k", l_id="iid", l_start="start", l_end="end",
+            r_id="iid", r_start="start", r_end="end", chunk_seconds=3600,
+        ).collect()
+    swapped = mk([(1, "s", "2026-01-02 00:00:00", "2026-01-01 00:00:00")])
+    with pytest.raises(Exception, match="chunks"):
+        interval_overlap_join(
+            swapped, ok, on="k", l_id="iid", l_start="start", l_end="end",
+            r_id="iid", r_start="start", r_end="end", chunk_seconds=3600,
+        ).collect()
