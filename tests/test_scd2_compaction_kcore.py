@@ -262,3 +262,71 @@ def test_scd2_stream_maintains_history(spark, tmp_path):
     # key 2 was deleted then re-created: versions 1 (closed) and 2 (current)
     k2 = {r.version: r.is_current for r in got.filter("id = 2").collect()}
     assert k2 == {1: False, 2: True}
+
+
+def test_scd2_stream_rewrites_only_touched_buckets(spark, tmp_path):
+    """O(delta) evidence: a micro-batch touching ONE key must rewrite only
+    that key's _bucket dir — the other buckets' files stay byte-identical
+    (same inode set, same mtimes)."""
+    import glob
+    import json
+    import os
+
+    from postgres_cdc_reconciliation_spark.operators.apply import bucket_expr
+    from postgres_cdc_reconciliation_spark.streaming.scd2 import scd2_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_batch(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for id_, op, val, seq in rows:
+                f.write(json.dumps(
+                    {"id": id_, "op": op, "val": val, "seq": seq}) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: many keys spread across buckets
+    write_batch("b1.json",
+                [(i, "c", float(i), i + 1) for i in range(40)], 1_000)
+    hist_path = str(tmp_path / "hist")
+
+    def run():
+        stream = spark.readStream.schema(
+            "id bigint, op string, val double, seq long"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+        q = scd2_stream(
+            stream, history_path=hist_path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            key="id", seq="seq", attrs=["val"], n_buckets=8,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run()
+    touched_bucket = spark.createDataFrame([(7,)], "id bigint").select(
+        bucket_expr(["id"], 8).alias("b")
+    ).first()["b"]
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{hist_path}/_bucket=*/*.parquet")
+    }
+    # batch 2: ONE key updated
+    write_batch("b2.json", [(7, "u", 99.0, 1_000)], 1_001)
+    run()
+    after_files = set(glob.glob(f"{hist_path}/_bucket=*/*.parquet"))
+    unchanged = {
+        f for f in before
+        if f in after_files and os.path.getmtime(f) == before[f]
+    }
+    changed_dirs = {
+        os.path.basename(os.path.dirname(f))
+        for f in (set(before) | after_files) - unchanged
+    }
+    assert changed_dirs == {f"_bucket={touched_bucket}"}
+    # and the touched key's history is correct
+    hist = spark.read.parquet(hist_path)
+    k7 = sorted(
+        (r.version, r.val, r.is_current)
+        for r in hist.filter("id = 7").collect()
+    )
+    assert k7 == [(1, 7.0, False), (2, 99.0, True)]
