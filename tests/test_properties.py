@@ -273,3 +273,40 @@ def test_compact_changelog_matches_model(spark, seq):
         ).collect()
     }
     assert got == _compact_model(seq)
+
+
+ROW = st.tuples(st.integers(0, 30), st.integers(0, 5),
+                st.one_of(st.none(), st.text("ab|N:", max_size=4)))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(ROW, min_size=1, max_size=40, unique_by=lambda r: r[0]),
+    st.lists(ROW, min_size=1, max_size=40, unique_by=lambda r: r[0]),
+)
+def test_fingerprint_flags_exactly_divergent_buckets_property(spark, a, b):
+    """For arbitrary keyed frames (nulls + delimiter-adversarial strings):
+    a bucket is flagged iff its key-slice differs between the sides."""
+    from postgres_cdc_reconciliation_spark.operators.recon import (
+        fingerprint_diff,
+    )
+
+    schema = "k long, x long, s string"
+    n = 4
+    src = spark.createDataFrame(a, schema)
+    tgt = spark.createDataFrame(b, schema)
+    out = fingerprint_diff(
+        src, tgt, ["k"], n_buckets=n, bucket_of=lambda df: F.col("k") % n
+    ).collect()
+    truth_bad = set()
+    sa = {r[0] % n: set() for r in a + b}
+    sb = {r[0] % n: set() for r in a + b}
+    for r in a:
+        sa[r[0] % n].add(r)
+    for r in b:
+        sb[r[0] % n].add(r)
+    for bucket in sa:
+        if sa[bucket] != sb[bucket]:
+            truth_bad.add(bucket)
+    got_bad = {r.bucket for r in out if not r.bucket_match}
+    assert got_bad == truth_bad
