@@ -304,7 +304,11 @@ def fingerprint_drilldown(
     return diff_rows(restrict(src), restrict(tgt), key_cols)
 
 
-def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
     """Column-level profile in ONE scan: (column, n_rows, n_nulls,
     n_distinct, min_str, max_str).
 
@@ -312,20 +316,32 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     "something is off", the profile says WHICH column drifted (a NULLed-out
     field, a truncated string, a shifted range) without any keyed join.
     All metrics per column are computed as parallel aggregate expressions
-    in a single agg (one pass, map-side combined), then unpivoted with
-    stack() — never one scan per column. min/max surface as strings so
-    heterogeneous column types fit one frame; n_distinct is exact
-    (count_distinct) — swap for approx_count_distinct at the 100 TB tier
-    where a 2% error is acceptable to avoid the per-column distinct maps.
+    in a single agg, then unpivoted with stack() — never one scan per
+    column. min/max surface as strings so heterogeneous column types fit
+    one frame.
+
+    ``approx_distinct`` is the 100 TB switch: exact mode uses one
+    count_distinct PER COLUMN, and Catalyst plans multiple distinct
+    aggregates via Expand — every input row duplicated (n_cols+1)x before
+    aggregation (the q_approx_stats lesson), ruinous on a wide table.
+    approx mode swaps in approx_count_distinct (HLL, a plain non-distinct
+    aggregate buffer: no Expand, true single pass, ~2%% rsd). HLL is
+    deterministic for identical value sets, so profile_diff's match flags
+    remain sound in approx mode — equal slices still compare equal.
     """
     cols = cols or df.columns
+    nd = (
+        (lambda c: F.approx_count_distinct(F.col(c)))
+        if approx_distinct
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
     aggs = [F.count("*").cast("long").alias("n_rows")]
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"_nn_{c}"),
-            F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{c}"),
+            nd(c).cast("long").alias(f"_nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
         ]
@@ -341,13 +357,17 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 
 def profile_diff(
-    src: DataFrame, tgt: DataFrame, cols: list[str] | None = None
+    src: DataFrame,
+    tgt: DataFrame,
+    cols: list[str] | None = None,
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """Side-by-side column profiles with per-metric match flags — the
     zero-join data-diff first look (which column diverged, in one scan
-    per side)."""
-    s = profile_columns(src, cols)
-    t = profile_columns(tgt, cols)
+    per side). ``approx_distinct=True`` for wide tables at scale (see
+    profile_columns; match flags stay sound — HLL is deterministic)."""
+    s = profile_columns(src, cols, approx_distinct)
+    t = profile_columns(tgt, cols, approx_distinct)
     s = s.select(
         "column",
         *[F.col(c).alias(f"src_{c}") for c in s.columns if c != "column"],

@@ -194,3 +194,32 @@ def test_interval_overlap_guards_runaway_spans(spark):
             swapped, ok, on="k", l_id="iid", l_start="start", l_end="end",
             r_id="iid", r_start="start", r_end="end", chunk_seconds=3600,
         ).collect()
+
+
+def test_profile_approx_mode_no_expand_and_sound_flags(spark, sf_dir):
+    """approx_distinct mode must plan WITHOUT Expand (the multi-distinct
+    row-duplication the exact mode pays) and keep match flags sound:
+    identical sides fully match, drifted columns still flag."""
+    from postgres_cdc_reconciliation_spark import fixtures as fx
+
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    approx = profile_columns(src, approx_distinct=True)
+    plan = approx._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Expand" not in plan
+    exact_plan = profile_columns(src)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Expand" in exact_plan  # the cost approx mode avoids
+
+    same = profile_diff(src, src, approx_distinct=True).collect()
+    assert all(r.column_match for r in same)
+    drift = {
+        r.column: r for r in profile_diff(src, tgt, approx_distinct=True).collect()
+    }
+    assert not drift["amount"].column_match
