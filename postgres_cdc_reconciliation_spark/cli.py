@@ -58,8 +58,12 @@ def cmd_verify(args) -> int:
 
     spark = _spark()
     eng = Engine(spark)
-    src = spark.read.parquet(args.source)
-    tgt = spark.read.parquet(args.target)
+    from .operators.apply import read_target
+
+    # read_target hides a bucketed layout's internal _bucket column, so a
+    # verify against an apply/scd2 target compares payload, not layout
+    src = read_target(spark, args.source)
+    tgt = read_target(spark, args.target)
     if args.mode == "fingerprint":
         # 100 TB mode: bucket checksums first, keyed drill-down only on the
         # divergent buckets (operators/recon.py::fingerprint_diff)

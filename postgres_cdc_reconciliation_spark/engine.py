@@ -324,22 +324,24 @@ class Engine:
         return hybrid_rrf_topk(docs, embeddings, terms, query_vec_id,
                                shortlist=shortlist, k=k)
 
-    def scd2(self, changelog, key, seq, attrs, op_col="op") -> DataFrame:
+    def scd2(self, changelog, key, seq, attrs, op_col="op",
+             delete_op="d") -> DataFrame:
         """SCD type-2 history from an ordered changelog (one keyed window;
         deletes close versions without materializing one)."""
         from .operators.temporal import scd2_build
 
         return scd2_build(changelog, key=key, seq=seq, attrs=attrs,
-                          op_col=op_col)
+                          op_col=op_col, delete_op=delete_op)
 
     def scd2_merge(self, history, batch, key, seq, attrs,
-                   op_col="op") -> DataFrame:
+                   op_col="op", delete_op="d") -> DataFrame:
         """Merge one changelog batch into an existing SCD2 history —
         incremental, replay-guarded; equals the one-shot build."""
         from .operators.temporal import scd2_merge_batch
 
         return scd2_merge_batch(history, batch, key=key, seq=seq,
-                                attrs=attrs, op_col=op_col)
+                                attrs=attrs, op_col=op_col,
+                                delete_op=delete_op)
 
     def compact_changelog(self, events, key_cols, attr_cols,
                           seq_col) -> DataFrame:
@@ -366,12 +368,15 @@ class Engine:
 
         return fingerprint_diff(src, tgt, key_cols, n_buckets=n_buckets, **kw)
 
-    def profile_diff(self, src, tgt, cols=None) -> DataFrame:
+    def profile_diff(self, src, tgt, cols=None,
+                     approx_distinct=False) -> DataFrame:
         """Column-level profile compare (nulls/distinct/min/max per column,
-        one scan per side) — localizes WHICH column drifted."""
+        one scan per side) — localizes WHICH column drifted.
+        approx_distinct=True is the wide-table scale mode (HLL, no Expand;
+        flags stay sound)."""
         from .operators.recon import profile_diff
 
-        return profile_diff(src, tgt, cols)
+        return profile_diff(src, tgt, cols, approx_distinct)
 
     def interval_overlap(self, left, right, on, l_id, l_start, l_end,
                          r_id, r_start, r_end,

@@ -356,6 +356,8 @@ def kcore_peel_rounds(
     vertices per round) but real degree distributions finish in a handful;
     the per-round trace makes "did it converge" visible to the caller.
     """
+    if rounds < 1:
+        raise ValueError(f"kcore_peel_rounds needs rounds >= 1, got {rounds}")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.localCheckpoint()
     trace = []

@@ -223,10 +223,18 @@ def fingerprint_diff(
     ``bucket_of(df) -> Column`` overrides the bucket key (default
     pmod(xxhash64(key), n)); pass the same expression the target layout
     uses (operators/apply.py::bucket_expr) and the pass reads co-located.
+
+    The canonicalized column list is derived ONCE from the SOURCE (or
+    ``hash_cols``) and selected by name on both sides — a target with a
+    different physical column order, or with extra columns (e.g. the
+    ``_bucket`` layout column a bucketed target read exposes), compares
+    by content, not by schema accident. A target MISSING a source column
+    is a schema divergence and fails the plan with a clear resolution
+    error rather than silently flagging every bucket.
     """
+    cols = hash_cols or src.columns
 
     def side(df: DataFrame, cnt: str, fp: str) -> DataFrame:
-        cols = hash_cols or df.columns
         # netstring-style canonicalization: each field is length-prefixed
         # ("5:hello") or the null marker "N" — self-delimiting, so values
         # containing the separator can't alias across field boundaries and
@@ -330,24 +338,33 @@ def profile_columns(
     remain sound in approx mode — equal slices still compare equal.
     """
     cols = cols or df.columns
+    bad = [c for c in cols if "`" in c]
+    if bad:  # backticks can't be escaped in a quoted identifier
+        raise ValueError(f"column names with backticks unsupported: {bad!r}")
     nd = (
         (lambda c: F.approx_count_distinct(F.col(c)))
         if approx_distinct
         else (lambda c: F.count_distinct(F.col(c)))
     )
+    # positional aliases (_nn_0, _nd_0, ...) keep generated identifiers
+    # valid for ANY source column name (spaces, dots, quotes); the real
+    # name only ever appears as an escaped string literal in the stack
     aggs = [F.count("*").cast("long").alias("n_rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
-            .alias(f"_nn_{c}"),
-            nd(c).cast("long").alias(f"_nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+            .alias(f"_nn_{i}"),
+            nd(c).cast("long").alias(f"_nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{i}"),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+        "'{lbl}', _nn_{i}, _nd_{i}, _mn_{i}, _mx_{i}".format(
+            lbl=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) as "

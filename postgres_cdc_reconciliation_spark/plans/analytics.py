@@ -1012,13 +1012,38 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
-@register(
-    "q_triangle_count",
-    """WITH raw AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+
+_COPURCHASE_SQL = """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0),
+  WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Part co-purchase graph (parts sharing an order, 1-in-10 order
+    sample), canonical undirected edge list (u < v) — shared by
+    q_triangle_count and q_kcore; `_COPURCHASE_SQL` is the same
+    construction for their oracles."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+@register(
+    "q_triangle_count",
+    f"""WITH raw AS ({_COPURCHASE_SQL}),
 deg AS (
   SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
     SELECT u AS node FROM raw UNION ALL SELECT v AS node FROM raw)
@@ -1052,21 +1077,7 @@ JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""",
     "orientation expressed in the oracle CTE.",
 )
 def q_triangle_count(spark, sf_dir):
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 10 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    raw = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    raw = _copurchase_edges(spark, sf_dir)
     deg = (
         raw.select(F.col("u").alias("node"))
         .unionAll(raw.select(F.col("v").alias("node")))
@@ -1106,13 +1117,7 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
     oracle). AS MATERIALIZED on every e{i}: each is referenced by the next
     round's degree agg, edge filter AND its own count — without it the
     inlined prefix re-evaluates per reference (the q_pagerank lesson)."""
-    ctes = [
-        """e0 AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0)"""
-    ]
+    ctes = [f"e0 AS MATERIALIZED ({_COPURCHASE_SQL})"]
     for i in range(1, rounds + 1):
         p = i - 1
         ctes.append(
@@ -1153,22 +1158,7 @@ s{i} AS (
 def q_kcore(spark, sf_dir):
     from ..operators.graph import kcore_peel_rounds
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 10 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    raw = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    return kcore_peel_rounds(raw, k=3, rounds=6)
+    return kcore_peel_rounds(_copurchase_edges(spark, sf_dir), k=3, rounds=6)
 
 
 @register(

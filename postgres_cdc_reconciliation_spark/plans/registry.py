@@ -46,9 +46,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # queries with no hard signal yet, then queries whose implementation changed
 # this round (need re-verification), then the already-green remainder.
 _CHECK_PRIORITY: list[str] = [
-    # -- round 5 window: changed/new-this-round queries first (riskiest),
-    # then two high-risk r3-stale core-engine picks. The automatic
-    # staleness tier (_last_checked) fills the rest of the 50-slot window
+    # -- round 5 window: changed/new-this-round queries (riskiest). The
+    # automatic staleness tier (_last_checked) fills the rest of the 50-slot window
     # by itself: the 6 never-driver-checked queries (q_bm25, q_hybrid_rrf,
     # q_cohort_retention, q_funnel_steps, q_weighted_sample, q_salted_join),
     # then the 32 r2-stale rows. 12 manual + 6 never-checked + 32 r2-stale

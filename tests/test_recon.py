@@ -153,3 +153,28 @@ def test_diff_by_hash_null_position_no_alias(spark):
     assert got == {1: "value_mismatch", 2: "value_mismatch"}
     same = diff_by_hash(src, src, ["k"]).collect()
     assert same == []
+
+
+def test_fingerprint_ignores_target_schema_accidents(spark):
+    """The canonical column list comes from the SOURCE: a target with a
+    different physical column order or an extra layout column (_bucket)
+    must compare equal on identical data — the code-review failure case
+    where every bucket flagged divergent while the drill-down found
+    nothing."""
+    from postgres_cdc_reconciliation_spark.operators.recon import (
+        fingerprint_diff,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k int, s string, v double"
+    )
+    reordered = src.select("v", "k", "s")
+    with_extra = src.withColumn("_bucket", (src.k % 4).cast("int"))
+    for tgt in (reordered, with_extra):
+        out = fingerprint_diff(src, tgt, ["k"], n_buckets=4).collect()
+        assert all(r.bucket_match for r in out), tgt.columns
+    # a target MISSING a source column is a schema divergence: fail loudly
+    import pytest
+
+    with pytest.raises(Exception):
+        fingerprint_diff(src, src.drop("v"), ["k"], n_buckets=4).collect()
