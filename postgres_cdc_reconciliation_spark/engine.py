@@ -389,3 +389,15 @@ class Engine:
             left, right, on=on, l_id=l_id, l_start=l_start, l_end=l_end,
             r_id=r_id, r_start=r_start, r_end=r_end,
             chunk_seconds=chunk_seconds)
+
+    def series_similarity(self, series, query_key, key_col="user_id",
+                          time_col="bucket", value_col="value", k=10,
+                          min_overlap=3) -> DataFrame:
+        """Top-k keys whose series correlates with the query key's series
+        (Pearson over exact decimal sufficient statistics; one broadcast
+        join + one keyed agg)."""
+        from .operators.timeseries import series_similarity_topk
+
+        return series_similarity_topk(
+            series, query_key, key_col=key_col, time_col=time_col,
+            value_col=value_col, k=k, min_overlap=min_overlap)

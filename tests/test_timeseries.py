@@ -1,0 +1,88 @@
+"""Time-series similarity search: numpy ground truth, alignment and
+degenerate-series semantics. (Registry slot queued for round 6 — the
+r5 driver window is full; see NOTES_r5.)"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.timeseries import (
+    series_similarity_topk,
+)
+
+
+def _series_df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, bucket int, value double")
+
+
+def test_matches_numpy_pearson(spark):
+    """Deterministic multi-key series: ranking and r values must match a
+    direct Pearson computation."""
+    rows = []
+    for u in range(6):
+        for t in range(12):
+            # user u's series: base wave + per-user phase/scale + drift
+            v = (
+                10.0 * (u + 1) * math.sin(0.5 * t + 0.3 * u)
+                + 2.0 * u * t
+                + 100.0
+            )
+            rows.append((u, t, round(v, 3)))
+    df = _series_df(spark, rows)
+    got = series_similarity_topk(df, query_key=0, k=5).collect()
+
+    by_user = {u: [r[2] for r in rows if r[0] == u] for u in range(6)}
+    q = by_user[0]
+
+    def pearson(x, y):
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+        return (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+    expected = sorted(
+        ((round(pearson(by_user[u], q), 6), u) for u in range(1, 6)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert [(r.user_id, r.corr_r) for r in got] == [
+        (u, r) for r, u in expected
+    ]
+    assert all(r.n_buckets == 12 for r in got)
+
+
+def test_alignment_and_degenerate_series(spark):
+    rows = (
+        [(0, t, float(t)) for t in range(6)]            # query: 0..5
+        + [(1, t, 2.0 * t + 7) for t in range(6)]       # perfect r=1
+        + [(2, t, -3.0 * t) for t in range(6)]          # perfect r=-1
+        + [(3, t, 5.0) for t in range(6)]               # constant: dropped
+        + [(4, 0, 1.0), (4, 1, 9.0)]                    # overlap 2 < 3: dropped
+        + [(5, t, float(t * t)) for t in range(3, 9)]   # partial overlap 3
+    )
+    got = {r.user_id: r for r in series_similarity_topk(
+        _series_df(spark, rows), query_key=0, k=10).collect()}
+    assert set(got) == {1, 2, 5}
+    assert got[1].corr_r == 1.0
+    assert got[2].corr_r == -1.0
+    assert got[5].n_buckets == 3  # only buckets 3..5 pair with the query
+    assert -1.0 <= got[5].corr_r <= 1.0
+
+
+def test_scale_and_offset_invariance(spark):
+    """Pearson ranking must ignore per-key volume: a 1000x-scaled,
+    shifted copy of the query ranks at r=1 ahead of a slightly noisy
+    unscaled copy."""
+    rows = (
+        [(0, t, math.sin(t / 2.0)) for t in range(10)]
+        + [(1, t, 1000.0 * math.sin(t / 2.0) + 5e6) for t in range(10)]
+        + [(2, t, math.sin(t / 2.0) + (0.05 if t % 3 == 0 else -0.02))
+           for t in range(10)]
+    )
+    got = series_similarity_topk(_series_df(spark, rows), query_key=0, k=2)
+    out = got.collect()
+    assert [r.user_id for r in out] == [1, 2]
+    assert out[0].corr_r == 1.0 and out[1].corr_r < 1.0
