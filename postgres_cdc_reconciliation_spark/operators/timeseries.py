@@ -100,3 +100,104 @@ def series_similarity_topk(
         .orderBy(F.desc("corr_r"), key_col)
         .limit(k)
     )
+
+
+def series_dtw_topk(
+    series: DataFrame,
+    query_key,
+    key_col: str = "user_id",
+    time_col: str = "bucket",
+    value_col: str = "value",
+    k: int = 10,
+    band: int = 10,
+    min_len: int = 3,
+) -> DataFrame:
+    """Top-k keys by banded Dynamic Time Warping distance to the query
+    key's series — the shape-matching metric for series that are locally
+    stretched/shifted in time, where lockstep Pearson
+    (series_similarity_topk) under-scores.
+
+    Spark shape — the canonical custom-operator-via-Arrow path, kept off
+    the row-at-a-time API:
+
+      1. the query key's series is collected ONCE (bounded: one key's
+         bucket count) and closes over the UDF as a z-normalized numpy
+         array;
+      2. each candidate key's series is assembled per group and scored
+         inside ONE applyInPandas call per key group — an O(n*band)
+         Sakoe-Chiba DP in vectorized numpy per key, Arrow-batched in
+         and out, no Python per-row;
+      3. top-k by (distance asc, key) — TakeOrdered.
+
+    Both series are z-normalized first (scale/offset invariance, matching
+    the Pearson variant). Keys shorter than ``min_len`` or with zero
+    variance are dropped. ``band`` is the Sakoe-Chiba radius in buckets —
+    DTW's usual accuracy/cost dial; band >= max(len) degenerates to full
+    DTW (pytest-pinned against an unbanded reference DP).
+
+    Scale: per-key cost O(len * band); the groupBy shuffles O(points)
+    once (the same keyed shuffle any per-key assembly pays); the UDF
+    state per key is two short arrays — no global structure, any number
+    of keys streams through executors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        series.filter(F.col(key_col) == F.lit(query_key))
+        .select(time_col, value_col)
+        .orderBy(time_col)
+        .collect()
+    )
+    qv = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if qv.size < min_len or qv.std() == 0:
+        raise ValueError(
+            f"query series needs >= {min_len} points with variance; got "
+            f"{qv.size} points"
+        )
+    qz = (qv - qv.mean()) / qv.std()
+
+    def _znorm(x: "np.ndarray"):
+        s = x.std()
+        return None if s == 0 else (x - x.mean()) / s
+
+    def _dtw(a: "np.ndarray", b: "np.ndarray", r: int) -> float:
+        n, m = a.size, b.size
+        w = max(r, abs(n - m))  # band must cover the diagonal offset
+        inf = np.inf
+        prev = np.full(m + 1, inf)
+        prev[0] = 0.0
+        for i in range(1, n + 1):
+            cur = np.full(m + 1, inf)
+            lo, hi = max(1, i - w), min(m, i + w)
+            # vectorized row update: costs for the reachable band, then a
+            # sequential min-combine (the DP recurrence's only serial dep)
+            cost = (a[i - 1] - b[lo - 1:hi]) ** 2
+            for jj, c in zip(range(lo, hi + 1), cost):
+                cur[jj] = c + min(prev[jj], prev[jj - 1], cur[jj - 1])
+            prev = cur
+        return float(np.sqrt(prev[m]))
+
+    out_schema = f"{key_col} long, n_points long, dtw_dist double"
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(time_col)
+        key = pdf[key_col].iloc[0]
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        if x.size < min_len:
+            return pd.DataFrame(columns=[key_col, "n_points", "dtw_dist"])
+        xz = _znorm(x)
+        if xz is None:
+            return pd.DataFrame(columns=[key_col, "n_points", "dtw_dist"])
+        d = _dtw(xz, qz, band)
+        return pd.DataFrame(
+            {key_col: [key], "n_points": [int(x.size)], "dtw_dist": [round(d, 6)]}
+        )
+
+    return (
+        series.filter(F.col(key_col) != F.lit(query_key))
+        .groupBy(key_col)
+        .applyInPandas(score, out_schema)
+        .orderBy("dtw_dist", key_col)
+        .limit(k)
+    )

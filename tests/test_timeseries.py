@@ -86,3 +86,86 @@ def test_scale_and_offset_invariance(spark):
     out = got.collect()
     assert [r.user_id for r in out] == [1, 2]
     assert out[0].corr_r == 1.0 and out[1].corr_r < 1.0
+
+
+def _ref_dtw(a, b):
+    """Unbanded reference DP (pure python) for cross-checking."""
+    import math as m
+
+    n, p = len(a), len(b)
+    INF = float("inf")
+    D = [[INF] * (p + 1) for _ in range(n + 1)]
+    D[0][0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, p + 1):
+            c = (a[i - 1] - b[j - 1]) ** 2
+            D[i][j] = c + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+    return m.sqrt(D[n][p])
+
+
+def _znorm_py(x):
+    import statistics as st
+
+    mu = sum(x) / len(x)
+    sd = (sum((v - mu) ** 2 for v in x) / len(x)) ** 0.5
+    return [(v - mu) / sd for v in x]
+
+
+def test_dtw_matches_reference_dp(spark):
+    """Wide band == the unbanded reference DP on z-normalized series;
+    identical-shape series score 0."""
+    from postgres_cdc_reconciliation_spark.operators.timeseries import (
+        series_dtw_topk,
+    )
+
+    rows = []
+    series = {
+        0: [1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 2.0, 1.0],
+        1: [10.0, 30.0, 20.0, 50.0, 40.0, 60.0, 20.0, 10.0],  # scaled copy
+        2: [1.0, 1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 2.0],          # shifted in time
+        3: [6.0, 1.0, 5.0, 2.0, 4.0, 3.0, 6.0, 1.0],          # different shape
+    }
+    for u, vals in series.items():
+        rows += [(u, t, v) for t, v in enumerate(vals)]
+    df = _series_df(spark, rows)
+    got = {r.user_id: r.dtw_dist for r in
+           series_dtw_topk(df, query_key=0, k=10, band=20).collect()}
+
+    qz = _znorm_py(series[0])
+    for u in (1, 2, 3):
+        expected = round(_ref_dtw(_znorm_py(series[u]), qz), 6)
+        assert abs(got[u] - expected) < 1e-9, u
+    assert got[1] == 0.0  # scaled copy z-normalizes to the query exactly
+    # time-shifted copy warps much closer than the different shape
+    assert got[2] < got[3]
+
+
+def test_dtw_beats_pearson_on_time_shift(spark):
+    """The motivating case: a time-shifted copy of the query ranks FIRST
+    under DTW, while lockstep Pearson prefers an in-phase but
+    differently-shaped series."""
+    import math
+
+    from postgres_cdc_reconciliation_spark.operators.timeseries import (
+        series_dtw_topk,
+        series_similarity_topk,
+    )
+
+    n = 16
+    q = [math.sin(t * 0.8) for t in range(n)]
+    # same shape with a plateau inserted mid-series (locally stretched in
+    # time): DTW's warping absorbs the repeats nearly for free, while
+    # every lockstep point after the plateau decorrelates
+    warped = (q[:5] + [q[4]] * 3 + q[5:])[:n]
+    inphase = [math.sin(t * 0.8) * (1 if t % 2 else 0.2) for t in range(n)]
+    rows = (
+        [(0, t, v) for t, v in enumerate(q)]
+        + [(1, t, v) for t, v in enumerate(warped)]
+        + [(2, t, v) for t, v in enumerate(inphase)]
+    )
+    df = _series_df(spark, rows)
+    dtw_first = series_dtw_topk(df, query_key=0, k=1, band=6).collect()[0]
+    assert dtw_first.user_id == 1
+    pearson = {r.user_id: r.corr_r for r in
+               series_similarity_topk(df, query_key=0, k=2).collect()}
+    assert pearson[2] > pearson[1]  # lockstep metric misranks the pair
