@@ -59,7 +59,10 @@ def series_similarity_topk(
     Returns (key, n_buckets, corr_r) ordered by (corr_r desc, key),
     ``corr_r`` rounded at ``round_dp`` before the cut.
     """
-    dec = "decimal(28,6)"
+    # 18,6: products are decimal(37,12) — still exact within both engines'
+    # 38-digit ceiling; a wider input decimal would overflow the multiply
+    # and the engines disagree on precision-loss handling
+    dec = "decimal(18,6)"
     q = (
         series.filter(F.col(key_col) == F.lit(query_key))
         .select(
