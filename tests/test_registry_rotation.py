@@ -89,3 +89,14 @@ def test_every_registered_query_has_appeared_or_is_fronted():
         idx = names.index(n)
         behind = [m for m in names[:idx] if m in seen and m not in _CHECK_PRIORITY]
         assert not behind, f"never-checked {n} buried behind verified {behind[:3]}"
+
+
+def test_staged_queries_stay_unregistered_this_round():
+    """plans/staged_r6.py must NOT leak into the registry: the r5 window
+    is exactly full, and an accidental import-registration would bury
+    r2-stale rows (see NOTES_r5 'Round-6 queue')."""
+    from postgres_cdc_reconciliation_spark.plans.staged_r6 import STAGED
+
+    qs = all_queries()
+    leaked = [n for n in STAGED if n in qs]
+    assert not leaked, f"staged queries registered early: {leaked}"

@@ -330,3 +330,14 @@ def test_scd2_stream_rewrites_only_touched_buckets(spark, tmp_path):
         for r in hist.filter("id = 7").collect()
     )
     assert k7 == [(1, 7.0, False), (2, 99.0, True)]
+
+
+def test_kcore_empty_graph_and_bad_rounds(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "u int, v int")
+    out = {r.round: (r.n_vertices, r.n_edges)
+           for r in kcore_peel_rounds(empty, k=3, rounds=2).collect()}
+    assert out == {1: (0, 0), 2: (0, 0)}
+    with pytest.raises(ValueError, match="rounds"):
+        kcore_peel_rounds(empty, k=3, rounds=0)
