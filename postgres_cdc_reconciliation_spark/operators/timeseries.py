@@ -173,11 +173,15 @@ def series_dtw_topk(
         for i in range(1, n + 1):
             cur = np.full(m + 1, inf)
             lo, hi = max(1, i - w), min(m, i + w)
-            # vectorized row update: costs for the reachable band, then a
-            # sequential min-combine (the DP recurrence's only serial dep)
             cost = (a[i - 1] - b[lo - 1:hi]) ** 2
-            for jj, c in zip(range(lo, hi + 1), cost):
-                cur[jj] = c + min(prev[jj], prev[jj - 1], cur[jj - 1])
+            # the row recurrence cur[j] = min(cand[j], cur[j-1] + cost[j])
+            # (cand = cost + min(up, diag)) is a prefix-min with additive
+            # drift: cur[j] = cc[j] + min_{k<=j}(cand[k] - cc[k]) with
+            # cc = cumsum(cost) — so the whole row is two vectorized mins
+            # and an accumulate, no per-cell Python
+            cand = cost + np.minimum(prev[lo:hi + 1], prev[lo - 1:hi])
+            cc = np.cumsum(cost)
+            cur[lo:hi + 1] = cc + np.minimum.accumulate(cand - cc)
             prev = cur
         return float(np.sqrt(prev[m]))
 
