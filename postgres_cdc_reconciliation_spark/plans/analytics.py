@@ -1363,3 +1363,118 @@ def q_retention_curve(spark, sf_dir):
             ).alias("retention_r"),
         )
     )
+
+
+# --- interval algebra & time-series search (promoted from r5 staging) -------
+
+
+@register(
+    "q_interval_overlap",
+    """WITH l AS (
+  SELECT CAST(o_custkey % 50 AS BIGINT) AS grp,
+         CAST(o_orderkey AS BIGINT) AS l_id,
+         o_orderdate AS l_start,
+         o_orderdate + INTERVAL 1 DAY * CAST(o_orderkey % 7 AS INTEGER) AS l_end
+  FROM orders WHERE o_orderkey % 5 = 0),
+r AS (
+  SELECT CAST(o_custkey % 50 AS BIGINT) AS grp,
+         CAST(o_orderkey AS BIGINT) AS r_id,
+         o_orderdate AS r_start,
+         o_orderdate + INTERVAL 1 DAY * CAST(o_orderkey % 11 AS INTEGER) AS r_end
+  FROM orders WHERE o_orderkey % 7 = 0)
+SELECT l.grp, l_id, r_id, l_start, l_end, r_start, r_end,
+       greatest(l_start, r_start) AS overlap_start,
+       least(l_end, r_end) AS overlap_end
+FROM l JOIN r ON l.grp = r.grp
+  AND l_start <= r_end AND r_start <= l_end""",
+    doc="Interval x interval overlap join via chunk binning "
+    "(operators/temporal.py::interval_overlap_join). Oracle is the direct "
+    "theta join — the chunked plan is exactly equivalent for ANY chunk "
+    "size, so the compare never depends on chunk/timezone alignment. "
+    "Scale shape: explode factor = span/chunk_seconds (guard-capped), "
+    "then an equality shuffle join on (grp, chunk) instead of a "
+    "per-group cartesian.",
+)
+def q_interval_overlap(spark, sf_dir):
+    from ..operators.temporal import interval_overlap_join
+
+    o = _t(spark, sf_dir, "orders")
+
+    def side(mod_filter, span_mod):
+        return o.filter(F.col("o_orderkey") % mod_filter == 0).select(
+            (F.col("o_custkey") % 50).cast("long").alias("grp"),
+            F.col("o_orderkey").cast("long").alias("iid"),
+            F.col("o_orderdate").alias("start"),
+            (
+                F.col("o_orderdate")
+                + F.make_dt_interval(
+                    (F.col("o_orderkey") % span_mod).cast("int"),
+                    F.lit(0), F.lit(0), F.lit(0),
+                )
+            ).alias("end"),
+        )
+
+    out = interval_overlap_join(
+        side(5, 7), side(7, 11), on="grp",
+        l_id="iid", l_start="start", l_end="end",
+        r_id="iid", r_start="start", r_end="end",
+        chunk_seconds=4 * 86_400,
+    )
+    return out.select(
+        "grp", "l_id", "r_id", "l_start", "l_end", "r_start", "r_end",
+        "overlap_start", "overlap_end",
+    )
+
+
+@register(
+    "q_series_similarity",
+    """WITH s AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS value
+  FROM events GROUP BY 1, 2),
+q AS (SELECT bucket, value AS y FROM s WHERE user_id = 7),
+paired AS (
+  SELECT s.user_id AS k, s.value AS x, q.y
+  FROM s JOIN q USING (bucket) WHERE s.user_id <> 7),
+stats AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM paired GROUP BY k),
+r AS (
+  SELECT k AS user_id, n AS n_buckets,
+         round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS corr_r
+  FROM stats
+  WHERE n >= 3
+    AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0)
+SELECT user_id, n_buckets, corr_r FROM r
+ORDER BY corr_r DESC, user_id LIMIT 10""",
+    doc="Pearson top-k time-series similarity vs user 7's daily series "
+    "(operators/timeseries.py::series_similarity_topk). Sufficient "
+    "statistics summed in DECIMAL (exact cross-engine), r assembled in "
+    "double from the exact sums and rounded 6dp BEFORE the top-10 cut. "
+    "Scale shape: one broadcast join of the query series + one keyed agg; "
+    "no per-pair shuffle.",
+)
+def q_series_similarity(spark, sf_dir):
+    from .. import fixtures as fx
+    from ..operators.timeseries import series_similarity_topk
+
+    ev = fx.events_df(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("value")
+    )
+    return series_similarity_topk(daily, query_key=7, k=10)

@@ -807,3 +807,54 @@ def q_json_roundtrip(spark, sf_dir):
     return spark.read.json(
         path, schema="o_orderkey bigint, o_orderstatus string, total double"
     )
+
+
+# --- column profile diff (promoted from r5 staging) -------------------------
+
+
+def _profile_side_sql(rel: str, prefix: str) -> str:
+    parts = []
+    for c in ("order_id", "amount", "status"):
+        parts.append(
+            f"""SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS {prefix}_n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS {prefix}_n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS {prefix}_n_distinct,
+       CAST(min({c}) AS VARCHAR) AS {prefix}_min_str,
+       CAST(max({c}) AS VARCHAR) AS {prefix}_max_str
+FROM {rel}"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "q_profile_diff",
+    f"""WITH {fx.oracle_recon_cte()},
+sp AS ({_profile_side_sql("recon_src", "src")}),
+tp AS ({_profile_side_sql("recon_tgt", "tgt")})
+SELECT sp."column",
+       sp.src_n_rows, tp.tgt_n_rows,
+       sp.src_n_nulls, tp.tgt_n_nulls,
+       sp.src_n_distinct, tp.tgt_n_distinct,
+       sp.src_min_str, tp.tgt_min_str,
+       sp.src_max_str, tp.tgt_max_str,
+       sp.src_n_rows = tp.tgt_n_rows
+         AND sp.src_n_nulls = tp.tgt_n_nulls
+         AND sp.src_n_distinct = tp.tgt_n_distinct
+         AND sp.src_min_str IS NOT DISTINCT FROM tp.tgt_min_str
+         AND sp.src_max_str IS NOT DISTINCT FROM tp.tgt_max_str
+         AS column_match
+FROM sp JOIN tp USING ("column")""",
+    doc="Column-level drift localization on the seeded recon pair "
+    "(operators/recon.py::profile_diff, exact mode): one scan per side "
+    "computing all per-column aggregates in parallel, unpivoted with "
+    "stack() — answers WHICH column diverged after the fingerprint pass "
+    "says a bucket did (reference does row-compare only, "
+    "verify_replication.py:125-142).",
+)
+def q_profile_diff(spark, sf_dir):
+    from ..operators.recon import profile_diff
+
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    return profile_diff(src, tgt)

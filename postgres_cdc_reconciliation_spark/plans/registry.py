@@ -46,33 +46,17 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # queries with no hard signal yet, then queries whose implementation changed
 # this round (need re-verification), then the already-green remainder.
 _CHECK_PRIORITY: list[str] = [
-    # -- round 5 window: changed/new-this-round queries (riskiest). The
-    # automatic staleness tier (_last_checked) fills the rest of the 50-slot window
-    # by itself: the 6 never-driver-checked queries (q_bm25, q_hybrid_rrf,
-    # q_cohort_retention, q_funnel_steps, q_weighted_sample, q_salted_join),
-    # then the 32 r2-stale rows. 12 manual + 6 never-checked + 32 r2-stale
-    # = exactly 50 (pinned by tests/test_registry_rotation.py). The three
-    # r3-green picks that yielded their slots to the new queries
-    # (q_latest_per_group, q_health_report, q_frontier_complete) auto-front
-    # in r6 by staleness. --
-    #
-    # -- changed this round: re-verify (7) --
-    "q_triangle_count",  # edge orientation id-order → degree-order
-    "q_kmeans",  # rows-only → exact invariant oracle (VERDICT r4 #3)
-    "q_approx_stats",  # rows-only → exact-side + within-bound oracle
-    "q_sketch_pack",  # rows-only → exact-side + within-bound oracle
-    "q_audio_spectral",  # rows-only → closed-form sums + Parseval oracle
-    "q_funnel_conversion_window",  # new (VERDICT r4 #6)
-    "q_retention_curve",  # new (VERDICT r4 #6)
-    # -- new this round (5) --
-    "q_scd2_dim",  # SCD type-2 history build from the CDC changelog
-    "q_scd2_incremental",  # merge path certified vs the one-shot oracle
-    "q_changelog_compaction",  # net-effect compaction, Kafka log semantics
-    "q_kcore",  # fixed-round k-core peeling, third iterative graph op
-    "q_recon_fingerprint",  # bucket-checksum recon first pass
-    # (the r3-green core picks q_cdc_apply/q_recon_diff/q_latest_per_group/
-    # q_health_report/q_frontier_complete all yielded their slots to the
-    # new queries — staleness auto-fronts them in r6)
+    # -- round 6 window: the 3 r5-staged registrations (never driver-checked;
+    # the staleness tier would front them anyway, but pinning makes the
+    # intent explicit and keeps them first even after a CORRECTNESS_r06
+    # lands mid-round). The automatic staleness tier fills the rest:
+    # all 42 r3-stale rows (the whole r3 cohort — core CDC path, dedup
+    # tier, TF-IDF pack) fit in the remaining 47 slots with 5 to spare
+    # for r4 rows, so nothing is buried (pinned by
+    # tests/test_registry_rotation.py::test_window_covers_all_stale_evidence).
+    "q_interval_overlap",  # chunk-binned interval x interval join
+    "q_profile_diff",  # column drift localization (recon tier)
+    "q_series_similarity",  # Pearson top-k time-series search
 ]
 
 

@@ -91,12 +91,15 @@ def test_every_registered_query_has_appeared_or_is_fronted():
         assert not behind, f"never-checked {n} buried behind verified {behind[:3]}"
 
 
-def test_staged_queries_stay_unregistered_this_round():
-    """plans/staged_r6.py must NOT leak into the registry: the r5 window
-    is exactly full, and an accidental import-registration would bury
-    r2-stale rows (see NOTES_r5 'Round-6 queue')."""
-    from postgres_cdc_reconciliation_spark.plans.staged_r6 import STAGED
-
+def test_r5_staged_trio_is_registered():
+    """The r5 staging area (plans/staged_r6.py, since deleted) promoted
+    its three pre-verified queries into the registry in round 6 — they
+    must stay registered and fronted so the driver finally witnesses
+    them (VERDICT r5 #1/#2)."""
     qs = all_queries()
-    leaked = [n for n in STAGED if n in qs]
-    assert not leaked, f"staged queries registered early: {leaked}"
+    trio = ["q_interval_overlap", "q_profile_diff", "q_series_similarity"]
+    missing = [n for n in trio if n not in qs]
+    assert not missing, f"promoted queries unregistered: {missing}"
+    names = list(qs)
+    for n in trio:
+        assert names.index(n) < 50, f"{n} outside the driver window"
