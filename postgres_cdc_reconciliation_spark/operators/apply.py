@@ -45,6 +45,87 @@ def bucket_expr(key_cols: list[str], n_buckets: int = DEFAULT_TARGET_BUCKETS):
     )
 
 
+#: sidecar recording the bucket count a target's layout was written with.
+#: Underscore-prefixed, so Spark's parquet file index ignores it.
+_LAYOUT_SIDECAR = "_pcr_layout.json"
+
+
+def _write_layout_sidecar(
+    spark: SparkSession, target_path: str, n_buckets: int
+) -> None:
+    import json
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{target_path}/{_LAYOUT_SIDECAR}"
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps({"n_buckets": n_buckets}).encode()))
+    finally:
+        out.close()
+
+
+def _read_layout_n_buckets(spark: SparkSession, target_path: str):
+    """The bucket count recorded in the layout sidecar, or None for a
+    pre-sidecar target."""
+    import json
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{target_path}/{_LAYOUT_SIDECAR}"
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        content = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return int(json.loads(content)["n_buckets"])
+
+
+def validate_bucket_layout(
+    spark: SparkSession, target_path: str, n_buckets: int
+) -> None:
+    """Fail loudly when the caller's ``n_buckets`` disagrees with the
+    bucket count the on-disk layout was written with (ADVICE r5): a
+    mismatched count makes the touched-buckets filter recompute DIFFERENT
+    bucket ids than the dirs on disk, silently missing the keys' existing
+    rows — the apply path would resurrect deleted rows, the SCD2 path
+    double-append versions. Layout from the sidecar when present; for a
+    pre-sidecar target, the weaker invariant max(_bucket dir) < n_buckets
+    still catches a shrunk count."""
+    recorded = _read_layout_n_buckets(spark, target_path)
+    if recorded is not None:
+        if recorded != n_buckets:
+            raise ValueError(
+                f"bucket layout mismatch at {target_path}: target written "
+                f"with n_buckets={recorded}, caller passed {n_buckets} — "
+                "pass the original count (or fully rewrite the target to "
+                "re-bucket)"
+            )
+        return
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    max_bucket = -1
+    for st_ in fs.listStatus(jpath):
+        name = st_.getPath().getName()
+        if name.startswith("_bucket="):
+            try:
+                max_bucket = max(max_bucket, int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    if max_bucket >= n_buckets:
+        raise ValueError(
+            f"bucket layout mismatch at {target_path}: on-disk bucket dir "
+            f"_bucket={max_bucket} exceeds caller n_buckets={n_buckets} — "
+            "the target was written with a larger bucket count"
+        )
+
+
 def write_bucketed_target(
     df: DataFrame,
     target_path: str,
@@ -58,6 +139,10 @@ def write_bucketed_target(
     present in ``df`` — untouched buckets keep their existing files. Pass
     ``dynamic=False`` for a full truncate-and-write (initial snapshot, or
     migrating a legacy unpartitioned target).
+
+    Every write stamps the layout sidecar with ``n_buckets`` so later
+    readers/writers can validate their bucket count against the layout
+    (``validate_bucket_layout``) instead of silently mis-pruning.
     """
     (
         df.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
@@ -68,6 +153,7 @@ def write_bucketed_target(
         .partitionBy("_bucket")
         .parquet(target_path)
     )
+    _write_layout_sidecar(df.sparkSession, target_path, n_buckets)
 
 
 def read_target(spark: SparkSession, target_path: str) -> DataFrame:
@@ -294,6 +380,10 @@ def apply_stream(
                 # steady state returns to touched-buckets-only
                 target, dynamic = raw.drop("_bucket"), False
             elif "_bucket" in raw.columns:
+                # the pruning filter below recomputes bucket ids from the
+                # CALLER's n_buckets — guard against a count that disagrees
+                # with the on-disk layout (silent missed-rows corruption)
+                validate_bucket_layout(spark, target_path, n_buckets)
                 delta_buckets = [
                     r[0]
                     for r in batch_df.select(

@@ -250,6 +250,16 @@ def interval_overlap_join(
     near the median interval length. Long stragglers fatten the explode
     linearly but never quadratically; the all-pairs blowup is gone.
 
+    PRECONDITION — ids unique per side (ADVICE r5): the final distinct
+    on (on, ids, bounds) exists ONLY to collapse the synthetic
+    multi-chunk double-hits, but it cannot tell a chunk double-hit from
+    a genuine duplicate input row, so duplicate (id, start, end) rows —
+    or one id reused across different intervals that overlap the same
+    partner — collapse to one output pair where the direct theta join
+    would emit several. Same contract as scd2_build's per-key seq
+    uniqueness: pre-dedupe or add a surrogate id (monotonically_
+    increasing_id) if input multiplicity must survive.
+
     Returns (on, l_id, r_id, l_start, l_end, r_start, r_end,
     overlap_start, overlap_end).
     """

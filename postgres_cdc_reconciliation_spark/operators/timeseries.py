@@ -91,14 +91,43 @@ def series_similarity_topk(
     var_x = n * sxx - sx * sx
     var_y = n * syy - sy * sy
     r = (n * sxy - sx * sy) / F.sqrt(var_x * var_y)
+    # loud-failure guard (ADVICE r5): under ANSI-off, a DECIMAL sum that
+    # overflows (or an all-NULL value column) yields a NULL sufficient
+    # statistic — without this check the key would silently vanish from
+    # the top-k through the var>0 filter. n >= 1 always holds post-groupBy,
+    # so a NULL sum is never a legitimate empty-group artifact.
+    null_stat = (
+        F.col("sx").isNull()
+        | F.col("sy").isNull()
+        | F.col("sxy").isNull()
+        | F.col("sxx").isNull()
+        | F.col("syy").isNull()
+    )
+    r_checked = F.when(
+        null_stat,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "series_similarity_topk: NULL sufficient statistic for "
+                    "key "
+                ),
+                F.col("_k").cast("string"),
+                F.lit(
+                    " — decimal(18,6) sum overflow or all-NULL values; "
+                    "reduce input magnitude or pre-aggregate coarser"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(F.round(r, round_dp))
     return (
         stats.filter(
-            (F.col("n") >= min_overlap) & (var_x > 0) & (var_y > 0)
+            (F.col("n") >= min_overlap)
+            & (null_stat | ((var_x > 0) & (var_y > 0)))
         )
         .select(
             F.col("_k").alias(key_col),
             F.col("n").alias("n_buckets"),
-            F.round(r, round_dp).alias("corr_r"),
+            r_checked.alias("corr_r"),
         )
         .orderBy(F.desc("corr_r"), key_col)
         .limit(k)
@@ -185,7 +214,10 @@ def series_dtw_topk(
             prev = cur
         return float(np.sqrt(prev[m]))
 
-    out_schema = f"{key_col} long, n_points long, dtw_dist double"
+    # preserve the caller's key type (string/int/decimal keys all valid —
+    # a hardcoded 'long' would miscast or fail at runtime; ADVICE r5)
+    key_type = series.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_points long, dtw_dist double"
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(time_col)

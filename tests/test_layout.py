@@ -129,3 +129,108 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
         (F.col("l_orderkey") < 500) & (F.col("l_partkey") < 50)
     ).count()
     assert got == want
+
+
+def test_bucket_layout_sidecar_roundtrip_and_validation(spark, tmp_path):
+    """ADVICE r5: every bucketed write stamps a layout sidecar with its
+    n_buckets; a later caller with a different count must fail loudly
+    instead of silently mis-pruning."""
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.apply import (
+        _LAYOUT_SIDECAR,
+        _read_layout_n_buckets,
+        validate_bucket_layout,
+        write_bucketed_target,
+    )
+
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    target = str(tmp_path / "t")
+    write_bucketed_target(df, target, ["k"], n_buckets=8, dynamic=False)
+
+    assert _read_layout_n_buckets(spark, target) == 8
+    validate_bucket_layout(spark, target, 8)  # matching count: fine
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        validate_bucket_layout(spark, target, 16)
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        validate_bucket_layout(spark, target, 4)
+
+    # the sidecar must be invisible to parquet reads
+    assert spark.read.parquet(target).count() == 100
+
+    # pre-sidecar (legacy) target: only the weaker max-dir check applies
+    import os
+
+    os.remove(os.path.join(target, _LAYOUT_SIDECAR))
+    validate_bucket_layout(spark, target, 8)
+    validate_bucket_layout(spark, target, 16)  # legacy: larger passes
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        validate_bucket_layout(spark, target, 4)  # dirs exceed the count
+
+
+def test_apply_stream_rejects_mismatched_bucket_count(spark, tmp_path):
+    """The apply merge path validates its n_buckets against the target
+    layout before pruning (ADVICE r5's silent-corruption contract)."""
+    import json
+
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.apply import apply_stream
+    from postgres_cdc_reconciliation_spark.sources.cdc import (
+        parse_stream,
+        read_cdc_stream,
+        unwrap,
+    )
+
+    def env(i, lsn):
+        return {
+            "op": "r",
+            "before": None,
+            "after": {
+                "order_id": i,
+                "customer_id": i,
+                "amount": f"{i}.00",
+                "ts": "2026-01-01 00:00:00",
+                "batch_id": 0,
+            },
+            "source": {
+                "lsn": lsn,
+                "txId": 1,
+                "ts_ms": 1700000000000,
+                "schema": "public",
+                "table": "orders",
+            },
+        }
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i in range(1, 6):
+            f.write(
+                json.dumps({"key": str(i), "value": json.dumps(env(i, f"0/{i:X}"))})
+                + "\n"
+            )
+    target = str(tmp_path / "target")
+
+    def run(ckpt, n_buckets):
+        q = (
+            apply_stream(
+                unwrap(parse_stream(read_cdc_stream(spark, file_path=str(src)))),
+                target,
+                ["order_id"],
+                str(tmp_path / ckpt),
+                n_buckets=n_buckets,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1", 8)
+    with open(src / "b2.json", "w") as f:
+        f.write(
+            json.dumps({"key": "1", "value": json.dumps(env(1, "0/10"))}) + "\n"
+        )
+    with pytest.raises(Exception, match="bucket layout mismatch"):
+        run("ckpt2", 16)
+    run("ckpt3", 8)  # matching count still applies cleanly

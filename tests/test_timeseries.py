@@ -169,3 +169,60 @@ def test_dtw_beats_pearson_on_time_shift(spark):
     pearson = {r.user_id: r.corr_r for r in
                series_similarity_topk(df, query_key=0, k=2).collect()}
     assert pearson[2] > pearson[1]  # lockstep metric misranks the pair
+
+
+def test_dtw_preserves_string_key_type(spark):
+    """ADVICE r5: the applyInPandas output schema must carry the caller's
+    key type — a string-keyed series must come back string-keyed."""
+    from postgres_cdc_reconciliation_spark.operators.timeseries import (
+        series_dtw_topk,
+    )
+
+    rows = []
+    for name in ("alpha", "beta", "query"):
+        for t in range(8):
+            shift = {"alpha": 0, "beta": 3, "query": 0}[name]
+            rows.append((name, t, math.sin(0.7 * (t + shift)) + 0.01 * t))
+    df = spark.createDataFrame(
+        rows, "series_id string, bucket int, value double"
+    )
+    got = series_dtw_topk(
+        df, query_key="query", key_col="series_id", k=5, band=8
+    )
+    assert dict(got.dtypes)["series_id"] == "string"
+    out = got.collect()
+    assert {r["series_id"] for r in out} == {"alpha", "beta"}
+    # alpha is the same shape as the query; beta is time-shifted — DTW
+    # still ranks alpha first (identical series → distance 0)
+    assert out[0]["series_id"] == "alpha" and out[0]["dtw_dist"] == 0.0
+
+
+def test_pearson_overflow_raises_not_silently_drops(spark):
+    """ADVICE r5: a decimal(18,6) sufficient-statistic sum that overflows
+    to NULL (ANSI off) must raise loudly, not silently drop the key from
+    the top-k."""
+    import pytest
+
+    # sxx per row ~ 1e24 (decimal(37,12) products); 200 rows sum to
+    # ~2e26 > decimal(38,12) max — the sum overflows to NULL
+    big = 999_999_999_999.0
+    rows = [(0, t, float(t)) for t in range(200)] + [
+        (1, t, big) for t in range(200)
+    ]
+    df = _series_df(spark, rows)
+    # ANSI-on (Spark 4 default): the decimal sum itself raises
+    # ARITHMETIC_OVERFLOW; ANSI-off: the sum yields NULL and the
+    # operator's own guard raises. Either way: loud, never a silent drop.
+    with pytest.raises(
+        Exception, match="NULL sufficient statistic|ARITHMETIC_OVERFLOW"
+    ):
+        series_similarity_topk(df, query_key=0, k=5).collect()
+
+    # and the ANSI-off path exercises the in-plan guard explicitly
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="NULL sufficient statistic"):
+            series_similarity_topk(df, query_key=0, k=5).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
