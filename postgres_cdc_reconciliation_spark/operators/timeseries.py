@@ -240,3 +240,149 @@ def series_dtw_topk(
         .orderBy("dtw_dist", key_col)
         .limit(k)
     )
+
+
+def series_dtw_certificate(
+    series: DataFrame,
+    query_key,
+    key_col: str = "user_id",
+    time_col: str = "bucket",
+    value_col: str = "value",
+    band: int = 10,
+    narrow_band: int = 2,
+    min_len: int = 3,
+    eps: float = 1e-5,
+) -> DataFrame:
+    """Per-key correctness certificate for the banded-DTW operator — the
+    driver-checkable face of ``series_dtw_topk`` (the kmeans pattern: an
+    iterative/non-SQL computation witnessed through exact invariants
+    emitted in-plan, VERDICT r5 #6).
+
+    Runs the REAL numpy Sakoe-Chiba DP twice per key and checks three
+    mathematical invariants that hold for a correct DTW regardless of
+    data:
+
+    - ``dtw_nonneg``: distances are finite and >= 0;
+    - ``band_monotone``: widening the band can only shrink the distance
+      (radius ``band`` path set contains the radius ``narrow_band`` set);
+    - ``dtw_within_edgepath``: the DP minimum is bounded by the cost of
+      one EXPLICIT valid warping path, computed independently as a
+      DataFrame aggregation — diagonal for min(n, m) steps, then the
+      shorter side's last point absorbs the longer side's tail. That
+      path's |i-j| never exceeds |n-m|, which the operator's effective
+      band w = max(r, |n-m|) always covers, so the bound is sound for
+      ANY band and unequal lengths.
+
+    All three flags compare Spark-computed doubles with Spark-computed
+    doubles (the oracle only reproduces the key set and emits literal
+    TRUE), so cross-engine float drift cannot produce a spurious
+    mismatch; ``eps`` absorbs the 6dp output rounding and z-norm
+    fp noise.
+
+    Returns (key, n_points, dtw_nonneg, band_monotone,
+    dtw_within_edgepath) ordered by key — ALL candidate keys with
+    >= min_len points and nonzero variance, no top-k cut (the key set
+    must be reproducible without knowing the distances).
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    all_keys = 2**31 - 1  # no top-k cut: certificate covers every key
+    wide = series_dtw_topk(
+        series, query_key, key_col, time_col, value_col,
+        k=all_keys, band=band, min_len=min_len,
+    )
+    narrow = series_dtw_topk(
+        series, query_key, key_col, time_col, value_col,
+        k=all_keys, band=narrow_band, min_len=min_len,
+    ).select(key_col, F.col("dtw_dist").alias("_dtw_narrow"))
+
+    # query-side z-norm (population std, same as the operator's _znorm);
+    # bounded collect: one key's series, the same pattern series_dtw_topk
+    # itself uses
+    q_rows = (
+        series.filter(F.col(key_col) == F.lit(query_key))
+        .select(time_col, value_col)
+        .orderBy(time_col)
+        .collect()
+    )
+    qv = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qz = (qv - qv.mean()) / qv.std()
+    q_len = int(qz.size)
+    q_last = float(qz[-1])
+    spark = series.sparkSession
+    qz_df = spark.createDataFrame(
+        [(i + 1, float(z)) for i, z in enumerate(qz)], "_pos int, _yz double"
+    )
+
+    rest = series.filter(F.col(key_col) != F.lit(query_key)).select(
+        F.col(key_col).alias("_k"),
+        F.col(time_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    stats = (
+        rest.groupBy("_k")
+        .agg(
+            F.count("*").cast("int").alias("_n"),
+            F.avg("_x").alias("_mean"),
+            F.stddev_pop("_x").alias("_std"),
+        )
+        .filter((F.col("_n") >= min_len) & (F.col("_std") > 0))
+    )
+    wk = Window.partitionBy("_k").orderBy("_t")
+    xz_rows = (
+        rest.withColumn("_pos", F.row_number().over(wk))
+        .join(stats, "_k")
+        .select(
+            "_k",
+            "_pos",
+            ((F.col("_x") - F.col("_mean")) / F.col("_std")).alias("_xz"),
+        )
+    )
+    last_xz = xz_rows.groupBy("_k").agg(
+        F.max_by("_xz", "_pos").alias("_xz_last")
+    )
+    # per-key position spine up to max(n, q_len): tails beyond a side's
+    # length repeat that side's last z-value (the edge of the path)
+    spine = stats.select(
+        "_k",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(q_len)))
+        ).alias("_pos"),
+    )
+    bound = (
+        spine.join(xz_rows, ["_k", "_pos"], "left")
+        .join(F.broadcast(qz_df), "_pos", "left")
+        .join(last_xz, "_k")
+        .select(
+            "_k",
+            (
+                F.coalesce(F.col("_xz"), F.col("_xz_last"))
+                - F.coalesce(F.col("_yz"), F.lit(q_last))
+            ).alias("_d"),
+        )
+        .groupBy("_k")
+        .agg(F.sqrt(F.sum(F.col("_d") * F.col("_d"))).alias("_edge_bound"))
+    )
+
+    return (
+        wide.join(narrow, key_col)
+        .join(bound.withColumnRenamed("_k", key_col), key_col)
+        .select(
+            key_col,
+            "n_points",
+            (
+                F.col("dtw_dist").isNotNull()
+                & ~F.isnan("dtw_dist")
+                & (F.col("dtw_dist") >= 0)
+            ).alias("dtw_nonneg"),
+            (F.col("dtw_dist") <= F.col("_dtw_narrow") + eps).alias(
+                "band_monotone"
+            ),
+            (F.col("dtw_dist") <= F.col("_edge_bound") + eps).alias(
+                "dtw_within_edgepath"
+            ),
+        )
+        .orderBy(key_col)
+    )

@@ -1478,3 +1478,44 @@ def q_series_similarity(spark, sf_dir):
         .alias("value")
     )
     return series_similarity_topk(daily, query_key=7, k=10)
+
+
+@register(
+    "q_series_dtw",
+    """WITH s AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2),
+k AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+         var_pop(value) AS vp
+  FROM s WHERE user_id <> 7 GROUP BY 1)
+SELECT user_id, n_points,
+       TRUE AS dtw_nonneg,
+       TRUE AS band_monotone,
+       TRUE AS dtw_within_edgepath
+FROM k WHERE n_points >= 3 AND vp > 0
+ORDER BY user_id""",
+    doc="Banded-DTW correctness certificate "
+    "(operators/timeseries.py::series_dtw_certificate): the numpy "
+    "Sakoe-Chiba DP runs per key inside applyInPandas and three exact "
+    "invariants are emitted in-plan — nonnegativity, band monotonicity "
+    "(radius 10 <= radius 2), and the DP minimum bounded by one explicit "
+    "valid warping path computed as a DataFrame aggregation. The oracle "
+    "reproduces the key set (>=3 points, nonzero variance) and literal "
+    "TRUE flags; all float comparisons are Spark-vs-Spark (the kmeans "
+    "invariant-oracle pattern).",
+)
+def q_series_dtw(spark, sf_dir):
+    from .. import fixtures as fx
+    from ..operators.timeseries import series_dtw_certificate
+
+    ev = fx.events_df(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value")
+    )
+    return series_dtw_certificate(daily, query_key=7)

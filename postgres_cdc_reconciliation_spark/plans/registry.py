@@ -57,6 +57,8 @@ _CHECK_PRIORITY: list[str] = [
     "q_interval_overlap",  # chunk-binned interval x interval join
     "q_profile_diff",  # column drift localization (recon tier)
     "q_series_similarity",  # Pearson top-k time-series search
+    # -- new this round --
+    "q_series_dtw",  # banded-DTW invariant certificate (VERDICT r5 #6)
 ]
 
 

@@ -226,3 +226,32 @@ def test_pearson_overflow_raises_not_silently_drops(spark):
             series_similarity_topk(df, query_key=0, k=5).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
+def test_dtw_certificate_invariants_hold(spark):
+    """The certificate's three invariants must hold on series of unequal
+    lengths (tail absorbed by the edge path) and time-shifted shapes."""
+    from postgres_cdc_reconciliation_spark.operators.timeseries import (
+        series_dtw_certificate,
+    )
+
+    rows = []
+    lengths = {7: 12, 1: 12, 2: 9, 3: 15, 4: 12}
+    for u, n in lengths.items():
+        for t in range(n):
+            shift = u  # each key a different time shift
+            rows.append((u, t, math.sin(0.6 * (t + shift)) + 0.05 * t))
+    # key 5: too short — must be excluded from the certificate
+    rows += [(5, 0, 1.0), (5, 1, 2.0)]
+    # key 6: constant — zero variance, excluded
+    rows += [(6, t, 4.2) for t in range(12)]
+    df = _series_df(spark, rows)
+    got = series_dtw_certificate(df, query_key=7, band=3, narrow_band=1)
+    out = {r["user_id"]: r for r in got.collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for u, r in out.items():
+        assert r["n_points"] == lengths[u]
+        assert r["dtw_nonneg"] and r["band_monotone"] and r["dtw_within_edgepath"], (
+            u,
+            r,
+        )
