@@ -286,12 +286,19 @@ def rp_near_dup_pairs_multi(
                 }
             )
 
+        from ..session import pandas_parallelism
+
         per_table = None
         for t in range(n_tables):
             tbl = bucketed.select(
                 F.col(id_col).alias("_id"),
                 F.col(vec_col).alias("_v"),
                 F.col(f"_bk{t}").alias("_bk"),
+            ).repartition(
+                # explicit partition count: AQE's byte-based coalescing
+                # would fold the small vector shuffle to one partition
+                # and serialize the per-bucket gemms
+                pandas_parallelism(bucketed.sparkSession), "_bk"
             ).groupBy("_bk").applyInPandas(_score_bucket, "id_a long, id_b long, cos double")
             per_table = tbl if per_table is None else per_table.unionAll(tbl)
         # same pair found via several tables: keep one row (gemm bits can

@@ -66,3 +66,15 @@ def interactive_profile(spark: SparkSession, shuffle_partitions: int = 8):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def pandas_parallelism(spark: SparkSession) -> int:
+    """Partition count for applyInPandas stages whose cost is per-group
+    Python/Arrow overhead rather than bytes (DTW DP, per-bucket gemm):
+    AQE's byte-based coalescing sees a few MB of shuffle and folds the
+    stage to ONE partition, serializing the Python work — repartition by
+    the group key with this explicit count to keep the stage parallel."""
+    try:
+        return max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
