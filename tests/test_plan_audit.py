@@ -168,3 +168,38 @@ def test_kcore_and_fingerprint_plans(spark, sf_dir):
     for name in ("q_kcore", "q_recon_fingerprint"):
         plan = _plan(qs[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_r6_registrations_plan_shapes(spark, sf_dir):
+    """The four round-6 registrations keep their intended physical shapes:
+
+    - q_interval_overlap: the chunk-binned formulation exists to REPLACE a
+      theta join, so the plan must contain an equality join (hash or
+      sort-merge) and never a CartesianProduct / nested-loop.
+    - q_profile_diff: single-scan-per-side parallel aggregates — keyed
+      joins only.
+    - q_series_similarity: the query-key series joins every candidate row,
+      and it is one bounded series — it must broadcast.
+    - q_series_dtw: BOTH Sakoe-Chiba bands are scored in ONE
+      applyInPandas pass (exactly one FlatMapGroupsInPandas); a second
+      Python stage would double the Arrow round-trips per key.
+    """
+    qs = all_queries()
+    for name in ("q_interval_overlap", "q_profile_diff",
+                 "q_series_similarity", "q_series_dtw"):
+        plan = _plan(qs[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        if name == "q_interval_overlap":
+            assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+                    or "ShuffledHashJoin" in plan), plan
+        if name == "q_series_similarity":
+            assert "BroadcastHashJoin" in plan, plan
+        if name == "q_series_dtw":
+            df = qs[name].fn(spark, sf_dir)
+            simple = df._jdf.queryExecution().explainString(
+                df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+            assert simple.count("FlatMapGroupsInPandas") == 1, simple
