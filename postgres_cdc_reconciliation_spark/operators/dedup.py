@@ -57,13 +57,23 @@ def minhash_signatures(
         "_hex",
         F.concat(F.md5("shingle"), F.md5(F.concat(F.col("shingle"), F.lit("x")))),
     )
+    # min() runs on the raw HEX SLICES, conv() runs once per doc after the
+    # aggregation: fixed-width lowercase hex orders lexicographically the
+    # same as numerically, so min(conv(x)) == conv(min(x)) — this moves the
+    # base-conversion from O(shingle-rows x n_hashes) to O(docs x n_hashes)
+    # (~50x fewer at k=3) with bit-identical output (equivalence tested in
+    # tests/test_dedup_quality.py)
     aggs = [
-        F.min(
-            F.conv(F.substring("_hex", 8 * s + 1, 8), 16, 10).cast("long")
-        ).alias(f"h{s}")
+        F.min(F.substring("_hex", 8 * s + 1, 8)).alias(f"_x{s}")
         for s in range(n_hashes)
     ]
-    return hexed.groupBy(id_col).agg(*aggs)
+    return hexed.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        *[
+            F.conv(F.col(f"_x{s}"), 16, 10).cast("long").alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
 
 
 def lsh_candidates(

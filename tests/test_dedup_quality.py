@@ -107,3 +107,28 @@ def test_ngram_df_cap_bounds_hot_shingle_skew(spark):
         .count()
     )
     assert uncapped_candidates == 22 * 21 // 2  # all-pairs without the cap
+
+
+def test_minhash_post_agg_conv_is_bit_identical(spark):
+    """The post-aggregation base-conversion in minhash_signatures relies on
+    fixed-width lowercase hex ordering lexicographically == numerically
+    (min(conv(x)) == conv(min(x))). Pin bit-identity against the per-row
+    formulation it replaced."""
+    sh = shingles(_docs(spark), k=3)
+    hexed = sh.withColumn(
+        "_hex",
+        F.concat(F.md5("shingle"), F.md5(F.concat(F.col("shingle"), F.lit("x")))),
+    )
+    per_row = hexed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(F.substring("_hex", 8 * s + 1, 8), 16, 10).cast("long")
+            ).alias(f"h{s}")
+            for s in range(8)
+        ]
+    )
+    got = {r["doc_id"]: tuple(r[f"h{s}"] for s in range(8))
+           for r in minhash_signatures(sh, n_hashes=8).collect()}
+    want = {r["doc_id"]: tuple(r[f"h{s}"] for s in range(8))
+            for r in per_row.collect()}
+    assert got == want
