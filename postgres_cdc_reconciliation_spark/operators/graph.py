@@ -44,6 +44,13 @@ def connected_components(
     identical deterministic labeling.
     """
     spark = edges.sparkSession
+    # persist before the size probe: the count() and the subsequent
+    # collect()/propagation otherwise each re-run the whole upstream
+    # candidate-generation pipeline (LSH shingle->minhash->band join —
+    # measured 2x the operator's cost at sf0.1). The pair list is the
+    # LSH output, orders of magnitude smaller than the corpus, so this is
+    # a bounded cache at any scale.
+    edges = edges.persist()
     n_edges = edges.count()
     dtypes = dict(edges.dtypes)
     integral = {"tinyint", "smallint", "int", "bigint"}
@@ -54,6 +61,7 @@ def connected_components(
         pairs = edges.select(
             F.col(src).cast("long"), F.col(dst).cast("long")
         ).collect()
+        edges.unpersist()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -125,6 +133,7 @@ def connected_components(
         if changed == 0:
             break
     e.unpersist()
+    edges.unpersist()
     return labels
 
 
