@@ -341,11 +341,6 @@ def profile_columns(
     bad = [c for c in cols if "`" in c]
     if bad:  # backticks can't be escaped in a quoted identifier
         raise ValueError(f"column names with backticks unsupported: {bad!r}")
-    nd = (
-        (lambda c: F.approx_count_distinct(F.col(c)))
-        if approx_distinct
-        else (lambda c: F.count_distinct(F.col(c)))
-    )
     # positional aliases (_nn_0, _nd_0, ...) keep generated identifiers
     # valid for ANY source column name (spaces, dots, quotes); the real
     # name only ever appears as an escaped string literal in the stack
@@ -355,11 +350,28 @@ def profile_columns(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"_nn_{i}"),
-            nd(c).cast("long").alias(f"_nd_{i}"),
             F.min(F.col(c)).cast("string").alias(f"_mn_{i}"),
             F.max(F.col(c)).cast("string").alias(f"_mx_{i}"),
         ]
-    one = df.agg(*aggs)
+    if approx_distinct:
+        # HLL buffers are plain aggregates — no Expand, safe to co-locate
+        aggs += [
+            F.approx_count_distinct(F.col(c)).cast("long").alias(f"_nd_{i}")
+            for i, c in enumerate(cols)
+        ]
+        one = df.agg(*aggs)
+    else:
+        # exact mode: the n_cols count_distinct aggregates go in their OWN
+        # aggregation — Catalyst plans multi-distinct via Expand (every row
+        # duplicated (n_cols+1)x), and co-locating that with the min/max/
+        # null aggregates multiplies THEIR input too (the q_approx_stats
+        # 8x lesson, NOTES_r5). Split, the Expand only multiplies slim
+        # projected rows; the two 1-row results cross-join for free.
+        nd_aggs = [
+            F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{i}")
+            for i, c in enumerate(cols)
+        ]
+        one = df.agg(*aggs).crossJoin(df.agg(*nd_aggs))
     stack_args = ", ".join(
         "'{lbl}', _nn_{i}, _nd_{i}, _mn_{i}, _mx_{i}".format(
             lbl=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
