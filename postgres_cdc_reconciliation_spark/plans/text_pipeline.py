@@ -717,6 +717,14 @@ def q_corpus_curation(spark, sf_dir):
     exact_kept = kept_quality.join(exact_canon, "doc_id", "left_semi").select(
         "doc_id", "lang", "text"
     )
+    # the curated subset is reused 3x (LSH pair generation, the cluster
+    # vertex set, the final canonical join) — materialize the quality
+    # filter + exact-dedup stage once instead of recomputing it per
+    # consumer (same pattern as q_triangle_count's edge list; blocks are
+    # freed by the ContextCleaner when the plan is GC'd). At corpus scale
+    # this is the survivor set — the stage output a real pipeline would
+    # write out anyway.
+    exact_kept = exact_kept.localCheckpoint()
 
     pairs = lsh_candidates(
         minhash_signatures(shingles(exact_kept, k=3))
