@@ -258,7 +258,14 @@ def pagerank(
     truncates the lineage (same pattern as connected_components — without
     it the plan doubles per iteration). Convergence = L1 rank delta < tol.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # materialize the distinct edge set once: deg, verts (twice) and w all
+    # re-evaluate `e` otherwise — at minimum three extra scans+distincts of
+    # the raw edge input before the first iteration starts
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     deg = e.groupBy("u").agg(F.count("*").alias("deg"))
     has_out = deg.select(F.col("u").alias("vertex"))
     # the dangling set (no out-edges) is FIXED across iterations: tag each
