@@ -242,23 +242,22 @@ def interval_overlap_join(
     spans, the join runs as an EQUALITY join on (key, chunk) — shuffle-
     partitionable, AQE-skew-splittable — and two intersecting intervals
     are guaranteed to share at least the chunk containing the later
-    start. The exact predicate then prunes same-chunk non-overlaps, and
-    a distinct on (l_id, r_id) collapses multi-chunk double-hits.
+    start. The exact predicate then prunes same-chunk non-overlaps.
+
+    Multi-chunk double-hits are eliminated WITHOUT a distinct (ADVICE
+    r5): each surviving pair is emitted only from the single chunk that
+    contains the later of the two starts — both intervals necessarily
+    cover that chunk, so every overlapping row pair is emitted exactly
+    once and no deduplication shuffle is needed. This makes the operator
+    exactly theta-join-equivalent INCLUDING input multiplicity:
+    duplicate (id, start, end) rows — or an id reused across different
+    intervals — multiply in the output precisely as the direct join
+    would, with no id-uniqueness precondition.
 
     Cost: O(Σ interval_span/chunk) exploded rows + an equality join —
     chunk_seconds trades explode factor against per-chunk fan-in; set it
     near the median interval length. Long stragglers fatten the explode
     linearly but never quadratically; the all-pairs blowup is gone.
-
-    PRECONDITION — ids unique per side (ADVICE r5): the final distinct
-    on (on, ids, bounds) exists ONLY to collapse the synthetic
-    multi-chunk double-hits, but it cannot tell a chunk double-hit from
-    a genuine duplicate input row, so duplicate (id, start, end) rows —
-    or one id reused across different intervals that overlap the same
-    partner — collapse to one output pair where the direct theta join
-    would emit several. Same contract as scd2_build's per-key seq
-    uniqueness: pre-dedupe or add a surrogate id (monotonically_
-    increasing_id) if input multiplicity must survive.
 
     Returns (on, l_id, r_id, l_start, l_end, r_start, r_end,
     overlap_start, overlap_end).
@@ -296,12 +295,21 @@ def interval_overlap_join(
     joined = lc.join(rc, [on, "_chunk"]).filter(
         (F.col("l_start") <= F.col("r_end"))
         & (F.col("r_start") <= F.col("l_end"))
+        # emit from exactly ONE of the shared chunks — the one holding
+        # the later start (covered by both intervals whenever they
+        # overlap): replaces the distinct() with a free filter
+        & (
+            F.col("_chunk")
+            == F.floor(
+                F.unix_timestamp(F.greatest("l_start", "r_start"))
+                / chunk_seconds
+            ).cast("long")
+        )
     )
     return (
         joined.select(
             on, "l_id", "r_id", "l_start", "l_end", "r_start", "r_end"
         )
-        .distinct()
         .select(
             on,
             "l_id",

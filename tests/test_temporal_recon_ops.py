@@ -223,3 +223,51 @@ def test_profile_approx_mode_no_expand_and_sound_flags(spark, sf_dir):
         r.column: r for r in profile_diff(src, tgt, approx_distinct=True).collect()
     }
     assert not drift["amount"].column_match
+
+
+def test_interval_overlap_preserves_duplicate_multiplicity(spark):
+    """ADVICE r5 closure: duplicate (id, start, end) rows and ids reused
+    across different intervals must multiply in the output exactly as the
+    direct theta join's — the single-emitting-chunk rule replaced the
+    distinct() that used to collapse them."""
+    from collections import Counter
+
+    left_rows = [
+        (1, "a", "2026-01-01 00:00:00", "2026-01-01 05:00:00"),
+        (1, "a", "2026-01-01 00:00:00", "2026-01-01 05:00:00"),  # exact dup
+        (1, "a", "2026-01-01 02:00:00", "2026-01-01 09:00:00"),  # id reuse
+    ]
+    right_rows = [
+        (1, "x", "2026-01-01 01:00:00", "2026-01-01 03:00:00"),
+        (1, "x", "2026-01-01 01:00:00", "2026-01-01 03:00:00"),  # exact dup
+    ]
+    mk = lambda r: spark.createDataFrame(  # noqa: E731
+        r, "k int, iid string, start string, end string"
+    ).select(
+        "k", "iid",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    left, right = mk(left_rows), mk(right_rows)
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.start") <= F.col("r.end"))
+            & (F.col("r.start") <= F.col("l.end")),
+        )
+        .select(F.col("l.iid").alias("l_id"), F.col("r.iid").alias("r_id"))
+    )
+    expected = Counter((r.l_id, r.r_id) for r in naive.collect())
+    assert expected[("a", "x")] == 6  # 3 left rows x 2 right rows
+    for chunk in (1800, 3600, 100_000):
+        got = interval_overlap_join(
+            left, right, on="k",
+            l_id="iid", l_start="start", l_end="end",
+            r_id="iid", r_start="start", r_end="end",
+            chunk_seconds=chunk,
+        )
+        assert Counter(
+            (r.l_id, r.r_id) for r in got.collect()
+        ) == expected, f"chunk={chunk} multiplicity diverged"
