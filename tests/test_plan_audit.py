@@ -203,3 +203,37 @@ def test_r6_registrations_plan_shapes(spark, sf_dir):
                 )
             )
             assert simple.count("FlatMapGroupsInPandas") == 1, simple
+
+
+def test_python_stages_pin_explicit_parallelism(spark, sf_dir):
+    """Regression pin for the AQE-coalescing fix: the applyInPandas stages
+    whose cost is per-group Python work (DTW DP, per-bucket gemm) must keep
+    their explicit repartition (REPARTITION_BY_NUM survives in the plan) —
+    without it AQE's byte-based coalescing folds the few-MB shuffle to one
+    partition and serializes the Python work."""
+    qs = all_queries()
+    df = qs["q_series_dtw"].fn(spark, sf_dir)
+    simple = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "REPARTITION_BY_NUM" in simple, simple
+
+    # the per-bucket gemm scorer (matrix mode) is not on a registered
+    # query's default path — pin it at operator level
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        rp_near_dup_pairs_multi,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    mdf = rp_near_dup_pairs_multi(vecs, dim=4, scorer="matrix")
+    msimple = mdf._jdf.queryExecution().explainString(
+        mdf.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "REPARTITION_BY_NUM" in msimple, msimple

@@ -310,3 +310,57 @@ def test_fingerprint_flags_exactly_divergent_buckets_property(spark, a, b):
             truth_bad.add(bucket)
     got_bad = {r.bucket for r in out if not r.bucket_match}
     assert got_bad == truth_bad
+
+
+# interval: (key 0-2, start offset hours 0-72, duration hours 0-24); ids are
+# positional so duplicate (key, start, end) tuples exercise multiplicity
+INTERVAL = st.tuples(st.integers(0, 2), st.integers(0, 72), st.integers(0, 24))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(INTERVAL, min_size=1, max_size=12),
+    st.lists(INTERVAL, min_size=1, max_size=12),
+)
+def test_interval_overlap_matches_theta_join_property(spark, ls, rs):
+    """Chunk-binned overlap join == direct theta join for ARBITRARY
+    interval sets (including duplicates and id reuse), at a chunk size
+    smaller than, near, and above typical durations."""
+    from collections import Counter
+
+    from postgres_cdc_reconciliation_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    def mk(rows, side):
+        return spark.createDataFrame(
+            [
+                (k, f"{side}{i}", so * 3600, (so + du) * 3600)
+                for i, (k, so, du) in enumerate(rows)
+            ],
+            "k int, iid string, s long, e long",
+        ).select(
+            "k", "iid",
+            F.timestamp_seconds(F.col("s") + 1_767_225_600).alias("start"),
+            F.timestamp_seconds(F.col("e") + 1_767_225_600).alias("end"),
+        )
+
+    left, right = mk(ls, "L"), mk(rs, "R")
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.start") <= F.col("r.end"))
+            & (F.col("r.start") <= F.col("l.end")),
+        )
+        .select(F.col("l.iid").alias("l_id"), F.col("r.iid").alias("r_id"))
+    )
+    expected = Counter((r.l_id, r.r_id) for r in naive.collect())
+    got = interval_overlap_join(
+        left, right, on="k",
+        l_id="iid", l_start="start", l_end="end",
+        r_id="iid", r_start="start", r_end="end",
+        chunk_seconds=7200,
+    )
+    assert Counter((r.l_id, r.r_id) for r in got.collect()) == expected
