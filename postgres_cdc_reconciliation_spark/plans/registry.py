@@ -61,6 +61,15 @@ _CHECK_PRIORITY: list[str] = [
     "q_series_dtw",  # banded-DTW invariant certificate (VERDICT r5 #6)
 ]
 
+# The round the pins above were written FOR. A pin retires automatically
+# once the query has a green driver row from this round or later — its
+# purpose (force a first/fresh verification) is served, and keeping it
+# fronted next round would waste window slots fresh queries don't need
+# while stale rows get buried (the exact failure mode VERDICT r5 #1
+# flagged). Retired pins fall back into the staleness tier like any other
+# query, so the next round's window self-corrects with no list edit.
+_CHECK_PRIORITY_ROUND = 6
+
 
 import functools
 
@@ -112,14 +121,16 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import lakehouse  # noqa: F401
 
     # manual priority first (changed-this-round queries that need
-    # re-verification regardless of row age), then automatic staleness
-    # rotation: never-checked queries, then ascending last-checked round,
-    # stable by registration order within a tier
+    # re-verification regardless of row age) — minus pins that already got
+    # their green row in/after the round they were written for (see
+    # _CHECK_PRIORITY_ROUND) — then automatic staleness rotation:
+    # never-checked queries, then ascending last-checked round, stable by
+    # registration order within a tier
+    seen = _last_checked()
     ordered: dict[str, QuerySpec] = {}
     for name in _CHECK_PRIORITY:
-        if name in _REGISTRY:
+        if name in _REGISTRY and seen.get(name, -1) < _CHECK_PRIORITY_ROUND:
             ordered[name] = _REGISTRY[name]
-    seen = _last_checked()
     rest = [n for n in _REGISTRY if n not in ordered]
     for name in sorted(rest, key=lambda n: seen.get(n, -1)):
         ordered[name] = _REGISTRY[name]

@@ -101,5 +101,36 @@ def test_r5_staged_trio_is_registered():
     missing = [n for n in trio if n not in qs]
     assert not missing, f"promoted queries unregistered: {missing}"
     names = list(qs)
+    seen = _last_checked()
     for n in trio:
-        assert names.index(n) < 50, f"{n} outside the driver window"
+        # fronted only until the driver witnesses them: once a green row
+        # exists the pin retires (see test_pins_self_retire) and the query
+        # rotates like any other
+        if n not in seen:
+            assert names.index(n) < 50, f"{n} outside the driver window"
+
+
+def test_pins_self_retire():
+    """A _CHECK_PRIORITY pin whose query already has a green driver row
+    from the pin's target round (or later) must NOT occupy a manual front
+    slot — it rotates by staleness like everyone else, freeing its slot
+    for genuinely stale rows. This is what prevents the recurring
+    round-start failure where last round's priority list buries this
+    round's stale tier (VERDICT r5 #1)."""
+    from postgres_cdc_reconciliation_spark.plans.registry import (
+        _CHECK_PRIORITY_ROUND,
+    )
+
+    seen = _last_checked()
+    names = list(all_queries())
+    n_active = sum(
+        1
+        for n in _CHECK_PRIORITY
+        if seen.get(n, -1) < _CHECK_PRIORITY_ROUND
+    )
+    front = names[:n_active]
+    for n in _CHECK_PRIORITY:
+        if seen.get(n, -1) >= _CHECK_PRIORITY_ROUND:
+            assert n not in front, f"pin {n} should have retired"
+        else:
+            assert n in front, f"active pin {n} lost its front slot"
