@@ -110,6 +110,8 @@ def validate_bucket_layout(
         return
     jpath = spark._jvm.org.apache.hadoop.fs.Path(target_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return  # nothing on disk yet: the first write defines the layout
     max_bucket = -1
     for st_ in fs.listStatus(jpath):
         name = st_.getPath().getName()
@@ -143,7 +145,15 @@ def write_bucketed_target(
     Every write stamps the layout sidecar with ``n_buckets`` so later
     readers/writers can validate their bucket count against the layout
     (``validate_bucket_layout``) instead of silently mis-pruning.
+
+    A dynamic write validates the count against the existing layout FIRST:
+    without the check, a caller passing the wrong ``n_buckets`` would merge
+    mis-computed ``_bucket`` dirs into the layout and then re-stamp the
+    sidecar with the wrong count — recording the corruption as valid. A
+    static write may re-bucket freely (it truncates the whole target).
     """
+    if dynamic:
+        validate_bucket_layout(df.sparkSession, target_path, n_buckets)
     (
         df.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
         .write.mode("overwrite")

@@ -234,3 +234,42 @@ def test_apply_stream_rejects_mismatched_bucket_count(spark, tmp_path):
     with pytest.raises(Exception, match="bucket layout mismatch"):
         run("ckpt2", 16)
     run("ckpt3", 8)  # matching count still applies cleanly
+
+
+def test_dynamic_write_validates_layout_first(spark, tmp_path):
+    """A dynamic (touched-buckets) write with the wrong n_buckets must fail
+    BEFORE writing: otherwise it merges mis-computed _bucket dirs into the
+    existing layout and re-stamps the sidecar with the wrong count,
+    recording the corruption as valid. A fresh target (nothing on disk)
+    defines its own layout; a static write may re-bucket freely."""
+    import os
+
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.apply import (
+        _read_layout_n_buckets,
+        write_bucketed_target,
+    )
+
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+
+    # fresh target: first dynamic write defines the layout
+    fresh = str(tmp_path / "fresh")
+    write_bucketed_target(df, fresh, ["k"], n_buckets=8, dynamic=True)
+    assert _read_layout_n_buckets(spark, fresh) == 8
+
+    # wrong count on an existing layout: refused, nothing changed
+    n_dirs_before = len(
+        [d for d in os.listdir(fresh) if d.startswith("_bucket=")]
+    )
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        write_bucketed_target(df, fresh, ["k"], n_buckets=16, dynamic=True)
+    assert _read_layout_n_buckets(spark, fresh) == 8
+    assert (
+        len([d for d in os.listdir(fresh) if d.startswith("_bucket=")])
+        == n_dirs_before
+    )
+
+    # static rewrite re-buckets legitimately and re-stamps
+    write_bucketed_target(df, fresh, ["k"], n_buckets=4, dynamic=False)
+    assert _read_layout_n_buckets(spark, fresh) == 4
