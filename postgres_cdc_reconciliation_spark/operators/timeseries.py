@@ -34,6 +34,8 @@ volumes rank together.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -168,6 +170,100 @@ def _dtw_np(a, b, r: int) -> float:
     return float(np.sqrt(prev[m]))
 
 
+def _packed_dtw_scores(
+    series: DataFrame,
+    query_key,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    qz,
+    bands: list,
+    min_len: int,
+) -> DataFrame:
+    """(_k, n_points, _d0[, _d1...]) — banded-DTW distance(s) to the query
+    series for every candidate key, via the packed series-as-row shape:
+
+    1. ONE groupBy packs each key's time-ordered values into an array
+       column (collect_list + array_sort on (t, x) structs — the same
+       O(points) keyed shuffle any per-key assembly pays);
+    2. ONE Arrow-batched scalar pandas UDF scores a whole batch of keys
+       (~10k rows) per Python invocation, running the numpy DP per row.
+
+    vs applyInPandas(score) per key group: identical numbers (same sort,
+    same DP, same rounding — pinned in tests/test_timeseries.py), but the
+    per-key Python/pandas group-assembly overhead — which dominates once
+    keys number in the thousands and would dwarf the DP at corpus scale —
+    collapses to per-batch. Keys shorter than min_len or with zero
+    variance score NULL and are filtered here.
+
+    The explicit repartition after the pack is the AQE guard (see
+    session.pandas_parallelism): the packed rows are few bytes, and
+    byte-based coalescing would serialize the Python scoring stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    d_fields = ", ".join(f"_d{i} double" for i in range(len(bands)))
+
+    @pandas_udf(f"n_points long, {d_fields}")
+    def score_batch(xs: pd.Series) -> pd.DataFrame:
+        out = {"n_points": [], **{f"_d{i}": [] for i in range(len(bands))}}
+        for arr in xs:
+            x = np.asarray(arr, dtype=np.float64)
+            xz = _znorm_np(x) if x.size >= min_len else None
+            out["n_points"].append(int(x.size))
+            for i, b in enumerate(bands):
+                out[f"_d{i}"].append(
+                    None if xz is None else round(_dtw_np(xz, qz, b), 6)
+                )
+        return pd.DataFrame(out)
+
+    # nondeterministic marker = "evaluate exactly once": the null filter
+    # below otherwise gets pushed through the projection and Catalyst
+    # DUPLICATES the UDF expression — two ArrowEvalPython nodes running
+    # the whole DP twice per key (observed in the plan). The function is
+    # in fact deterministic; the flag only pins its evaluation count.
+    score_batch = score_batch.asNondeterministic()
+
+    spark = series.sparkSession
+    packed = (
+        series.filter(F.col(key_col) != F.lit(query_key))
+        # the explicit repartition BEFORE the pack is the AQE guard: the
+        # agg reuses this user-specified partitioning as its one exchange
+        # (REPARTITION_BY_NUM, which AQE's byte-based coalescing leaves
+        # alone), so the Python scoring stage downstream keeps its
+        # parallelism. Placed after the agg it would be redundant with
+        # the agg's own exchange and get optimized away — leaving an
+        # ENSURE_REQUIREMENTS exchange AQE would fold to one partition.
+        .repartition(_pandas_parallelism(spark), key_col)
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(time_col).alias("t"),
+                            F.col(value_col).cast("double").alias("x"),
+                        )
+                    )
+                ),
+                lambda s: s["x"],
+            ).alias("_xs")
+        )
+    )
+    return (
+        packed.withColumn("_s", score_batch("_xs"))
+        .filter(F.col("_s._d0").isNotNull())
+        .select(
+            "_k",
+            F.col("_s.n_points").alias("n_points"),
+            *[F.col(f"_s._d{i}").alias(f"_d{i}") for i in range(len(bands))],
+        )
+    )
+
+
 def series_dtw_topk(
     series: DataFrame,
     query_key,
@@ -189,10 +285,13 @@ def series_dtw_topk(
       1. the query key's series is collected ONCE (bounded: one key's
          bucket count) and closes over the UDF as a z-normalized numpy
          array;
-      2. each candidate key's series is assembled per group and scored
-         inside ONE applyInPandas call per key group — an O(n*band)
-         Sakoe-Chiba DP in vectorized numpy per key, Arrow-batched in
-         and out, no Python per-row;
+      2. candidate series are PACKED one-row-per-key (collect_list +
+         array_sort — the same O(points) keyed shuffle any per-key
+         assembly pays) and scored by an Arrow-batched scalar pandas
+         UDF: one Python invocation per ~10k keys running the O(n*band)
+         Sakoe-Chiba numpy DP per row (_packed_dtw_scores — replaced the
+         per-key-group applyInPandas whose group-assembly overhead
+         dominated once keys number in the thousands);
       3. top-k by (distance asc, key) — TakeOrdered.
 
     Both series are z-normalized first (scale/offset invariance, matching
@@ -222,35 +321,19 @@ def series_dtw_topk(
             f"{qv.size} points"
         )
     qz = (qv - qv.mean()) / qv.std()
-    _znorm, _dtw = _znorm_np, _dtw_np
-
-    # preserve the caller's key type (string/int/decimal keys all valid —
-    # a hardcoded 'long' would miscast or fail at runtime; ADVICE r5)
-    key_type = series.schema[key_col].dataType.simpleString()
-    out_schema = f"{key_col} {key_type}, n_points long, dtw_dist double"
-
-    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(time_col)
-        key = pdf[key_col].iloc[0]
-        x = pdf[value_col].to_numpy(dtype=np.float64)
-        if x.size < min_len:
-            return pd.DataFrame(columns=[key_col, "n_points", "dtw_dist"])
-        xz = _znorm(x)
-        if xz is None:
-            return pd.DataFrame(columns=[key_col, "n_points", "dtw_dist"])
-        d = _dtw(xz, qz, band)
-        return pd.DataFrame(
-            {key_col: [key], "n_points": [int(x.size)], "dtw_dist": [round(d, 6)]}
-        )
 
     return (
-        series.filter(F.col(key_col) != F.lit(query_key))
-        # explicit partition count: AQE would coalesce this small shuffle
-        # to ONE partition by data volume, serializing the Python-heavy
-        # per-group DP — the cost here is per GROUP, not per byte
-        .repartition(_pandas_parallelism(series.sparkSession), key_col)
-        .groupBy(key_col)
-        .applyInPandas(score, out_schema)
+        _packed_dtw_scores(
+            series, query_key, key_col, time_col, value_col,
+            qz, [band], min_len,
+        )
+        .select(
+            # the packed path carries the key as _k with its ORIGINAL type
+            # (string/int/decimal keys all valid; ADVICE r5)
+            F.col("_k").alias(key_col),
+            "n_points",
+            F.col("_d0").alias("dtw_dist"),
+        )
         .orderBy("dtw_dist", key_col)
         .limit(k)
     )
@@ -273,7 +356,7 @@ def series_dtw_certificate(
     emitted in-plan, VERDICT r5 #6).
 
     Runs the REAL numpy Sakoe-Chiba DP at two band radii per key (both
-    inside ONE applyInPandas pass — one shuffle, one group assembly) and
+    inside ONE Arrow-batched scoring pass — _packed_dtw_scores) and
     checks three mathematical invariants that hold for a correct DTW
     regardless of data:
 
@@ -334,39 +417,18 @@ def series_dtw_certificate(
         F.col(value_col).cast("double").alias("_x"),
     )
 
-    # ONE applyInPandas pass scores BOTH bands per key (series_dtw_topk
-    # would shuffle and re-assemble every group once per band)
-    key_type = series.schema[key_col].dataType.simpleString()
-    score_schema = (
-        f"_k {key_type}, n_points long, dtw_dist double, _dtw_narrow double"
-    )
-
-    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("_t")
-        key = pdf["_k"].iloc[0]
-        x = pdf["_x"].to_numpy(dtype=np.float64)
-        if x.size < min_len:
-            return pd.DataFrame(
-                columns=["_k", "n_points", "dtw_dist", "_dtw_narrow"]
-            )
-        xz = _znorm_np(x)
-        if xz is None:
-            return pd.DataFrame(
-                columns=["_k", "n_points", "dtw_dist", "_dtw_narrow"]
-            )
-        return pd.DataFrame(
-            {
-                "_k": [key],
-                "n_points": [int(x.size)],
-                "dtw_dist": [round(_dtw_np(xz, qz, band), 6)],
-                "_dtw_narrow": [round(_dtw_np(xz, qz, narrow_band), 6)],
-            }
-        )
-
-    scored = (
-        rest.repartition(_pandas_parallelism(spark), "_k")
-        .groupBy("_k")
-        .applyInPandas(score, score_schema)
+    # ONE Arrow-batched scoring pass covers BOTH bands per key
+    # (_packed_dtw_scores: packed series-as-row + scalar pandas UDF — a
+    # per-band applyInPandas would shuffle and re-assemble every group
+    # once per band AND pay per-key Python overhead)
+    scored = _packed_dtw_scores(
+        series, query_key, key_col, time_col, value_col,
+        qz, [band, narrow_band], min_len,
+    ).select(
+        "_k",
+        "n_points",
+        F.col("_d0").alias("dtw_dist"),
+        F.col("_d1").alias("_dtw_narrow"),
     )
 
     stats = (

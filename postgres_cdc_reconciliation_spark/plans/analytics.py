@@ -1498,7 +1498,8 @@ FROM k WHERE n_points >= 3 AND vp > 0
 ORDER BY user_id""",
     doc="Banded-DTW correctness certificate "
     "(operators/timeseries.py::series_dtw_certificate): the numpy "
-    "Sakoe-Chiba DP runs per key inside applyInPandas and three exact "
+    "Sakoe-Chiba DP runs per key inside one Arrow-batched pandas UDF "
+    "over packed series rows, and three exact "
     "invariants are emitted in-plan — nonnegativity, band monotonicity "
     "(radius 10 <= radius 2), and the DP minimum bounded by one explicit "
     "valid warping path computed as a DataFrame aggregation. The oracle "

@@ -181,8 +181,10 @@ def test_r6_registrations_plan_shapes(spark, sf_dir):
     - q_series_similarity: the query-key series joins every candidate row,
       and it is one bounded series — it must broadcast.
     - q_series_dtw: BOTH Sakoe-Chiba bands are scored in ONE
-      applyInPandas pass (exactly one FlatMapGroupsInPandas); a second
-      Python stage would double the Arrow round-trips per key.
+      Arrow-batched pandas-UDF stage over packed series rows (exactly one
+      ArrowEvalPython, zero per-group FlatMapGroupsInPandas, and the UDF
+      evaluated once — a pushed-through filter would duplicate it and run
+      the whole DP twice per key).
     """
     qs = all_queries()
     for name in ("q_interval_overlap", "q_profile_diff",
@@ -207,7 +209,8 @@ def test_r6_registrations_plan_shapes(spark, sf_dir):
                     "simple"
                 )
             )
-            assert simple.count("FlatMapGroupsInPandas") == 1, simple
+            assert simple.count("ArrowEvalPython") == 1, simple
+            assert simple.count("FlatMapGroupsInPandas") == 0, simple
 
 
 def test_python_stages_pin_explicit_parallelism(spark, sf_dir):
