@@ -53,17 +53,24 @@ _LAYOUT_SIDECAR = "_pcr_layout.json"
 def _write_layout_sidecar(
     spark: SparkSession, target_path: str, n_buckets: int
 ) -> None:
+    # tmp-write + atomic rename (the manifest_target commit idiom): a
+    # crash mid-write must never leave a truncated sidecar, which would
+    # fail every later validation/dynamic write on this target until
+    # hand-deleted
     import json
 
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(
-        f"{target_path}/{_LAYOUT_SIDECAR}"
-    )
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
+    path_cls = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = path_cls(f"{target_path}/.{_LAYOUT_SIDECAR}.tmp")
+    final = path_cls(f"{target_path}/{_LAYOUT_SIDECAR}")
+    fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps({"n_buckets": n_buckets}).encode()))
     finally:
         out.close()
+    fs.delete(final, False)  # rename won't overwrite on all filesystems
+    if not fs.rename(tmp, final):
+        raise IOError(f"layout sidecar write failed at {target_path}")
 
 
 def _read_layout_n_buckets(spark: SparkSession, target_path: str):
@@ -391,9 +398,12 @@ def apply_stream(
                 target, dynamic = raw.drop("_bucket"), False
             elif "_bucket" in raw.columns:
                 # the pruning filter below recomputes bucket ids from the
-                # CALLER's n_buckets — guard against a count that disagrees
-                # with the on-disk layout (silent missed-rows corruption)
-                validate_bucket_layout(spark, target_path, n_buckets)
+                # CALLER's n_buckets; a count disagreeing with the on-disk
+                # layout is caught by write_bucketed_target's validation
+                # BEFORE anything is written (one sidecar read per batch —
+                # a second pre-read validation here would double the
+                # metadata round-trips on the hot streaming path and buys
+                # only an earlier error for the same loud failure)
                 delta_buckets = [
                     r[0]
                     for r in batch_df.select(

@@ -76,6 +76,22 @@ def read_manifest(spark: SparkSession, root: str) -> tuple[int, dict[int, int]]:
     return v, {int(b): int(dv) for b, dv in doc["buckets"].items()}
 
 
+def _manifest_n_buckets(spark: SparkSession, root: str):
+    """The bucket count recorded in the latest manifest, or None for a
+    target with no snapshot yet / a pre-stamp (legacy) manifest."""
+    versions = _manifest_versions(spark, root)
+    if not versions:
+        return None
+    fs, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{versions[-1]}.json")
+    stream = fs.open(mpath)
+    try:
+        doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+    n = doc.get("n_buckets")
+    return int(n) if n is not None else None
+
+
 def _bucket_path(root: str, bucket: int, data_version: int) -> str:
     return f"{root}/{STAGE_DIR}/v={data_version}/_bucket={bucket}"
 
@@ -140,9 +156,33 @@ def commit_delta(
 
     ``merged`` must hold the COMPLETE new content of every bucket in
     ``touched_buckets`` (and only those). Steps: stage-write → manifest
-    tmp-write → atomic rename. Returns the committed version."""
+    tmp-write → atomic rename. Returns the committed version.
+
+    The commit VALIDATES ``n_buckets`` against the count stamped in the
+    current manifest (the manifest-protocol twin of the overwrite path's
+    layout sidecar): a caller holding the wrong count has computed bucket
+    ids — and therefore loaded prior content — for the WRONG buckets, so
+    committing would record silently-corrupt buckets as a valid snapshot
+    (updates re-inserted, deletes resurrected). Failing here keeps the
+    previous snapshot fully intact: the stage write is uncommitted until
+    the manifest rename. Pre-stamp (legacy) manifests fall back to the
+    weaker max-bucket-id check."""
     spark = merged.sparkSession
     current_v, mapping = read_manifest(spark, root)
+    recorded = _manifest_n_buckets(spark, root)
+    if recorded is not None:
+        if recorded != n_buckets:
+            raise ValueError(
+                f"bucket layout mismatch at {root}: manifest records "
+                f"n_buckets={recorded}, caller passed {n_buckets} — pass "
+                "the original count (or compact/rewrite to re-bucket)"
+            )
+    elif mapping and max(mapping) >= n_buckets:
+        raise ValueError(
+            f"bucket layout mismatch at {root}: committed bucket id "
+            f"{max(mapping)} exceeds caller n_buckets={n_buckets} — the "
+            "target was written with a larger bucket count"
+        )
     new_v = current_v + 1
     (
         merged.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
@@ -163,7 +203,11 @@ def commit_delta(
     mapping.update({b: new_v for b in surviving})
 
     doc = json.dumps(
-        {"version": new_v, "buckets": {str(b): dv for b, dv in mapping.items()}}
+        {
+            "version": new_v,
+            "n_buckets": n_buckets,
+            "buckets": {str(b): dv for b, dv in mapping.items()},
+        }
     )
     fs, mdir = _fs(spark, f"{root}/{MANIFEST_DIR}")
     fs.mkdirs(mdir)

@@ -317,16 +317,20 @@ def profile_columns(
     cols: list[str] | None = None,
     approx_distinct: bool = False,
 ) -> DataFrame:
-    """Column-level profile in ONE scan: (column, n_rows, n_nulls,
-    n_distinct, min_str, max_str).
+    """Column-level profile: (column, n_rows, n_nulls, n_distinct,
+    min_str, max_str).
 
     The column-granular sibling of compare_counts: where row counts say
     "something is off", the profile says WHICH column drifted (a NULLed-out
     field, a truncated string, a shifted range) without any keyed join.
-    All metrics per column are computed as parallel aggregate expressions
-    in a single agg, then unpivoted with stack() — never one scan per
-    column. min/max surface as strings so heterogeneous column types fit
-    one frame.
+    All metrics per column are computed as parallel aggregate
+    expressions — never one scan per column — then unpivoted with
+    stack(). min/max surface as strings so heterogeneous column types
+    fit one frame. Exact mode runs TWO aggregation jobs over the source
+    (the distinct counts must live in their own aggregation, see below),
+    so a source mutating between them — e.g. a parquet dir a stream is
+    appending to — can yield a profile mixing two snapshots; approx mode
+    is a true single pass (one snapshot) as well as the 100 TB mode.
 
     ``approx_distinct`` is the 100 TB switch: exact mode uses one
     count_distinct PER COLUMN, and Catalyst plans multiple distinct
@@ -392,9 +396,10 @@ def profile_diff(
     approx_distinct: bool = False,
 ) -> DataFrame:
     """Side-by-side column profiles with per-metric match flags — the
-    zero-join data-diff first look (which column diverged, in one scan
-    per side). ``approx_distinct=True`` for wide tables at scale (see
-    profile_columns; match flags stay sound — HLL is deterministic)."""
+    zero-join data-diff first look (which column diverged, without any
+    keyed join). ``approx_distinct=True`` for wide tables at scale AND
+    for single-snapshot reads of live sources (see profile_columns;
+    match flags stay sound — HLL is deterministic)."""
     s = profile_columns(src, cols, approx_distinct)
     t = profile_columns(tgt, cols, approx_distinct)
     s = s.select(

@@ -179,6 +179,7 @@ def _packed_dtw_scores(
     qz,
     bands: list,
     min_len: int,
+    candidate_keys: DataFrame | None = None,
 ) -> DataFrame:
     """(_k, n_points, _d0[, _d1...]) — banded-DTW distance(s) to the query
     series for every candidate key, via the packed series-as-row shape:
@@ -196,9 +197,18 @@ def _packed_dtw_scores(
     collapses to per-batch. Keys shorter than min_len or with zero
     variance score NULL and are filtered here.
 
-    The explicit repartition after the pack is the AQE guard (see
+    The explicit repartition is the AQE guard (see
     session.pandas_parallelism): the packed rows are few bytes, and
     byte-based coalescing would serialize the Python scoring stage.
+
+    ``candidate_keys``: when given (a 1-column ``_k`` frame), it is the
+    AUTHORITY on which keys get scored — the series rows left-semi-join it
+    before packing and the numpy-side null filter is skipped (short /
+    zero-variance rows score NULL and stay VISIBLE, so a caller whose
+    key-set filter disagrees with numpy's — e.g. Spark stddev_pop vs
+    numpy std on a pathological series — sees a loud NULL row instead of
+    a silently vanished key). Without it, numpy's own min_len/variance
+    check defines the key set (the top-k contract).
     """
     import numpy as np
     import pandas as pd
@@ -228,8 +238,17 @@ def _packed_dtw_scores(
     score_batch = score_batch.asNondeterministic()
 
     spark = series.sparkSession
+    candidates = series.filter(F.col(key_col) != F.lit(query_key))
+    if candidate_keys is not None:
+        candidates = candidates.join(
+            F.broadcast(
+                candidate_keys.withColumnRenamed("_k", key_col)
+            ),
+            key_col,
+            "left_semi",
+        )
     packed = (
-        series.filter(F.col(key_col) != F.lit(query_key))
+        candidates
         # the explicit repartition BEFORE the pack is the AQE guard: the
         # agg reuses this user-specified partitioning as its one exchange
         # (REPARTITION_BY_NUM, which AQE's byte-based coalescing leaves
@@ -253,14 +272,13 @@ def _packed_dtw_scores(
             ).alias("_xs")
         )
     )
-    return (
-        packed.withColumn("_s", score_batch("_xs"))
-        .filter(F.col("_s._d0").isNotNull())
-        .select(
-            "_k",
-            F.col("_s.n_points").alias("n_points"),
-            *[F.col(f"_s._d{i}").alias(f"_d{i}") for i in range(len(bands))],
-        )
+    scored = packed.withColumn("_s", score_batch("_xs"))
+    if candidate_keys is None:
+        scored = scored.filter(F.col("_s._d0").isNotNull())
+    return scored.select(
+        "_k",
+        F.col("_s.n_points").alias("n_points"),
+        *[F.col(f"_s._d{i}").alias(f"_d{i}") for i in range(len(bands))],
     )
 
 
@@ -403,6 +421,14 @@ def series_dtw_certificate(
         .collect()
     )
     qv = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if qv.size < min_len or qv.std() == 0:
+        # same contract as series_dtw_topk: an absent, too-short or
+        # constant query series must fail HERE with a clear message — not
+        # as an IndexError on qz[-1] or NaN-poisoned invariant flags
+        raise ValueError(
+            f"query series needs >= {min_len} points with variance; got "
+            f"{qv.size} points"
+        )
     qz = (qv - qv.mean()) / qv.std()
     q_len = int(qz.size)
     q_last = float(qz[-1])
@@ -417,20 +443,6 @@ def series_dtw_certificate(
         F.col(value_col).cast("double").alias("_x"),
     )
 
-    # ONE Arrow-batched scoring pass covers BOTH bands per key
-    # (_packed_dtw_scores: packed series-as-row + scalar pandas UDF — a
-    # per-band applyInPandas would shuffle and re-assemble every group
-    # once per band AND pay per-key Python overhead)
-    scored = _packed_dtw_scores(
-        series, query_key, key_col, time_col, value_col,
-        qz, [band, narrow_band], min_len,
-    ).select(
-        "_k",
-        "n_points",
-        F.col("_d0").alias("dtw_dist"),
-        F.col("_d1").alias("_dtw_narrow"),
-    )
-
     stats = (
         rest.groupBy("_k")
         .agg(
@@ -440,7 +452,33 @@ def series_dtw_certificate(
         )
         .filter((F.col("_n") >= min_len) & (F.col("_std") > 0))
     )
-    wk = Window.partitionBy("_k").orderBy("_t")
+
+    # ONE Arrow-batched scoring pass covers BOTH bands per key
+    # (_packed_dtw_scores: packed series-as-row + scalar pandas UDF — a
+    # per-band applyInPandas would shuffle and re-assemble every group
+    # once per band AND pay per-key Python overhead). `stats` is the
+    # single authority on the certificate's key set (candidate_keys):
+    # were the UDF's numpy-side variance check allowed to re-filter, a
+    # Spark-vs-numpy zero-variance disagreement on a pathological series
+    # would silently drop the key from one side of the scored<->bound
+    # join; under the authority contract such a key scores NULL and
+    # surfaces as a visible NULL-flag row instead
+    scored = _packed_dtw_scores(
+        series, query_key, key_col, time_col, value_col,
+        qz, [band, narrow_band], min_len,
+        candidate_keys=stats.select("_k"),
+    ).select(
+        "_k",
+        "n_points",
+        F.col("_d0").alias("dtw_dist"),
+        F.col("_d1").alias("_dtw_narrow"),
+    )
+
+    # tie-break by value as well: the DP scores values in
+    # array_sort(struct(t, x)) order, so the edge-path bound must walk the
+    # SAME sequence when duplicate timestamps occur — an orderBy(_t)-only
+    # row_number could permute ties and break the bound's validity
+    wk = Window.partitionBy("_k").orderBy("_t", "_x")
     xz_rows = (
         rest.withColumn("_pos", F.row_number().over(wk))
         .join(stats, "_k")

@@ -847,8 +847,9 @@ SELECT sp."column",
          AS column_match
 FROM sp JOIN tp USING ("column")""",
     doc="Column-level drift localization on the seeded recon pair "
-    "(operators/recon.py::profile_diff, exact mode): one scan per side "
-    "computing all per-column aggregates in parallel, unpivoted with "
+    "(operators/recon.py::profile_diff, exact mode): per-column "
+    "aggregates computed in parallel (null/min/max in one job, the "
+    "distinct counts in their own — the Expand split), unpivoted with "
     "stack() — answers WHICH column diverged after the fingerprint pass "
     "says a bucket did (reference does row-compare only, "
     "verify_replication.py:125-142).",

@@ -32,7 +32,6 @@ from ..operators.apply import (
     DEFAULT_TARGET_BUCKETS,
     _path_exists,
     bucket_expr,
-    validate_bucket_layout,
     write_bucketed_target,
 )
 from ..operators.temporal import scd2_build, scd2_merge_batch
@@ -70,10 +69,10 @@ def scd2_stream(
             raw = spark.read.parquet(history_path)
             if "_bucket" in raw.columns:
                 # history pruning recomputes bucket ids from the caller's
-                # n_buckets — validate against the on-disk layout first: a
-                # mismatch would miss the touched keys' existing versions
-                # and double-append (ADVICE r5)
-                validate_bucket_layout(spark, history_path, n_buckets)
+                # n_buckets; a mismatched count (missed versions →
+                # double-append, ADVICE r5) is caught loudly by
+                # write_bucketed_target's pre-write validation before
+                # anything lands on disk — one sidecar read per batch
                 delta_buckets = [
                     r[0]
                     for r in batch_df.select(

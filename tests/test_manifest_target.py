@@ -422,3 +422,44 @@ def test_snapshot_cdf_query_reuses_one_tempdir_per_session(spark):
     key = (id(spark), sf_dir)
     assert key in lh._CDF_ROOTS
     assert lh._CDF_ROOTS[key] in (mid - before) or (mid == before)
+
+
+def test_commit_validates_bucket_count(spark, tmp_path):
+    """The manifest-protocol twin of the layout-sidecar check: a commit
+    whose caller holds the wrong n_buckets has merged the WRONG buckets'
+    prior content — commit_delta must refuse before the manifest rename,
+    leaving the previous snapshot fully intact. Legacy manifests without
+    the stamp fall back to the max-bucket-id check."""
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "target")
+    base = spark.range(100).select(
+        F.col("id").alias("order_id"), (F.col("id") * 2).alias("amount")
+    )
+    commit_delta(base, root, ["order_id"], list(range(8)), 8)
+
+    delta = spark.range(3).select(
+        F.col("id").alias("order_id"), F.lit(-1).cast("long").alias("amount")
+    )
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        commit_delta(delta, root, ["order_id"], [0, 1], 16)
+    # the refused commit left the snapshot at v0 with the original count
+    v, mapping = read_manifest(spark, root)
+    assert v == 0 and mapping
+
+    # legacy manifest (pre-stamp): strip the n_buckets field in place
+    mpath = os.path.join(root, "_manifests", "v0.json")
+    doc = json.load(open(mpath))
+    doc.pop("n_buckets")
+    json.dump(doc, open(mpath, "w"))
+    crc = os.path.join(root, "_manifests", ".v0.json.crc")
+    if os.path.exists(crc):  # hadoop local FS checksums sidecar files
+        os.remove(crc)
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        commit_delta(delta, root, ["order_id"], [0, 1], 4)  # dirs exceed 4
+    # matching count still commits
+    commit_delta(delta, root, ["order_id"], [0, 1], 8)
+    v, _ = read_manifest(spark, root)
+    assert v == 1

@@ -255,3 +255,50 @@ def test_dtw_certificate_invariants_hold(spark):
             u,
             r,
         )
+
+
+def test_dtw_certificate_rejects_bad_query_series(spark):
+    """An absent or constant query key must fail with the same clear
+    ValueError as series_dtw_topk — not an IndexError on an empty qz or
+    NaN-poisoned invariant flags."""
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.timeseries import (
+        series_dtw_certificate,
+    )
+
+    rows = [(k, t, float(t % 5 + k)) for k in range(3) for t in range(10)]
+    rows += [(9, t, 7.0) for t in range(10)]  # constant series, key 9
+    df = spark.createDataFrame(rows, "user_id long, bucket long, value double")
+    with pytest.raises(ValueError, match="query series"):
+        series_dtw_certificate(df, query_key=42)  # absent key
+    with pytest.raises(ValueError, match="query series"):
+        series_dtw_certificate(df, query_key=9)  # zero variance
+
+
+def test_dtw_certificate_duplicate_timestamps_bound_holds(spark):
+    """Duplicate (key, t) rows: the DP scores values in
+    array_sort(struct(t, x)) order, and the edge-path bound must walk the
+    SAME tie-broken sequence — with an orderBy(t)-only row_number the
+    bound could be computed over a permuted series and spuriously flag a
+    correct DTW (code-review r6 finding)."""
+    from postgres_cdc_reconciliation_spark.operators.timeseries import (
+        series_dtw_certificate,
+    )
+
+    rows = [(0, t, float(t)) for t in range(8)]  # query
+    # candidate with a duplicated timestamp carrying OPPOSITE values —
+    # the tie-break order changes the series shape materially
+    rows += [(1, t, float(t * 2)) for t in range(6)]
+    rows += [(1, 3, -100.0), (1, 3, 100.0)]
+    rows += [(2, t, float((t * 7) % 5)) for t in range(8)]
+    df = spark.createDataFrame(rows, "user_id long, bucket long, value double")
+    got = series_dtw_certificate(df, query_key=0, band=3, narrow_band=1)
+    flags = {
+        r["user_id"]: (
+            r["dtw_nonneg"], r["band_monotone"], r["dtw_within_edgepath"]
+        )
+        for r in got.collect()
+    }
+    assert set(flags) == {1, 2}
+    assert all(all(v) for v in flags.values()), flags
