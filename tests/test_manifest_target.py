@@ -463,3 +463,41 @@ def test_commit_validates_bucket_count(spark, tmp_path):
     commit_delta(delta, root, ["order_id"], [0, 1], 8)
     v, _ = read_manifest(spark, root)
     assert v == 1
+
+
+def test_manifest_stream_restart_wrong_bucket_count_fails_loudly(spark, tmp_path):
+    """E2E for the commit-time layout guard: a manifest-protocol stream
+    restarted with a different n_buckets than the target was committed
+    with must FAIL (StreamingQueryException wrapping the layout
+    ValueError) before any manifest rename — the previous snapshot stays
+    fully readable and unchanged."""
+    import pytest
+
+    from pyspark.errors import StreamingQueryException
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [(str(i), _env("r", None, _row(i, i * 10.0), f"0/{i:X}")) for i in range(1, 6)],
+    )
+    target = str(tmp_path / "target")
+    _run_stream(spark, src, target, str(tmp_path / "ckpt"), n_buckets=8)
+    v_before, mapping_before = read_manifest(spark, target)
+
+    _write_events(
+        src / "b2.json",
+        [("2", _env("u", _row(2, 20.0), _row(2, 22.0), "0/10"))],
+    )
+    with pytest.raises(StreamingQueryException, match="bucket layout mismatch"):
+        # fresh checkpoint simulates a redeploy that lost its config
+        _run_stream(spark, src, target, str(tmp_path / "ckpt2"), n_buckets=16)
+
+    # snapshot untouched: same version, same mapping, same rows
+    v_after, mapping_after = read_manifest(spark, target)
+    assert (v_after, mapping_after) == (v_before, mapping_before)
+    final = {
+        r["order_id"]: float(r["amount"])
+        for r in read_snapshot(spark, target).collect()
+    }
+    assert final == {i: i * 10.0 for i in range(1, 6)}
