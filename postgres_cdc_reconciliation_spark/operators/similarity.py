@@ -333,7 +333,11 @@ def rp_near_dup_pairs_multi(
     )
     joined = cands.join(left, "id_a").join(right, "id_b")
     if scorer == "numpy":
-        cos = _pair_cos_udf()("va", "vb")
+        # evaluate-once marker (the q_series_dtw lesson, plan-pinned in
+        # tests/test_plan_audit.py): the threshold filter below otherwise
+        # pushes through the projection and Catalyst DUPLICATES the UDF —
+        # two ArrowEvalPython nodes running the einsum twice per pair
+        cos = _pair_cos_udf().asNondeterministic()("va", "vb")
     else:
         cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     scored = joined.select("id_a", "id_b", cos.alias("cos"))

@@ -245,3 +245,15 @@ def test_python_stages_pin_explicit_parallelism(spark, sf_dir):
         )
     )
     assert "REPARTITION_BY_NUM" in msimple, msimple
+
+    # evaluate-once: a threshold filter over a projected pandas-UDF column
+    # must not duplicate the UDF through filter pushdown (one
+    # ArrowEvalPython, not two — each extra node re-runs the whole einsum
+    # per candidate pair)
+    ndf = rp_near_dup_pairs_multi(vecs, dim=4, scorer="numpy")
+    nsimple = ndf._jdf.queryExecution().explainString(
+        ndf.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert nsimple.count("ArrowEvalPython") == 1, nsimple
