@@ -75,14 +75,23 @@ def _write_layout_sidecar(
 
 def _read_layout_n_buckets(spark: SparkSession, target_path: str):
     """The bucket count recorded in the layout sidecar, or None for a
-    pre-sidecar target."""
+    pre-sidecar target. An orphaned tmp with no final sidecar means a
+    stamp crashed mid-replace — fail LOUDLY instead of silently
+    downgrading the target to the weak legacy check."""
     import json
 
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(
-        f"{target_path}/{_LAYOUT_SIDECAR}"
-    )
+    path_cls = spark._jvm.org.apache.hadoop.fs.Path
+    jpath = path_cls(f"{target_path}/{_LAYOUT_SIDECAR}")
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
+        tmp = path_cls(f"{target_path}/.{_LAYOUT_SIDECAR}.tmp")
+        if fs.exists(tmp):
+            raise IOError(
+                f"interrupted layout-sidecar write at {target_path}: "
+                f".{_LAYOUT_SIDECAR}.tmp exists but the sidecar does not "
+                "— inspect the tmp's n_buckets and rename it into place "
+                "(or delete it to accept legacy validation)"
+            )
         return None
     stream = fs.open(jpath)
     try:
@@ -149,7 +158,7 @@ def write_bucketed_target(
     ``dynamic=False`` for a full truncate-and-write (initial snapshot, or
     migrating a legacy unpartitioned target).
 
-    Every write stamps the layout sidecar with ``n_buckets`` so later
+    The sidecar records the layout's ``n_buckets`` so later
     readers/writers can validate their bucket count against the layout
     (``validate_bucket_layout``) instead of silently mis-pruning.
 
@@ -158,9 +167,21 @@ def write_bucketed_target(
     mis-computed ``_bucket`` dirs into the layout and then re-stamp the
     sidecar with the wrong count — recording the corruption as valid. A
     static write may re-bucket freely (it truncates the whole target).
+
+    Stamping policy: the sidecar is written only by a write that DEFINES
+    the layout — a static rewrite, or the first write to a fresh path. A
+    steady-state dynamic write never stamps: on a stamped target the
+    validated count already matches (rewriting it would only add
+    per-batch metadata ops and a crash window), and on a pre-sidecar
+    legacy target stamping the caller's merely-plausible count would
+    LOCK IN a possibly wrong layout (the weak max-dir check admits any
+    larger count); legacy targets stay legacy until one full static
+    rewrite migrates them.
     """
-    if dynamic:
-        validate_bucket_layout(df.sparkSession, target_path, n_buckets)
+    spark = df.sparkSession
+    existed = _path_exists(spark, target_path)
+    if dynamic and existed:
+        validate_bucket_layout(spark, target_path, n_buckets)
     (
         df.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
         .write.mode("overwrite")
@@ -170,7 +191,8 @@ def write_bucketed_target(
         .partitionBy("_bucket")
         .parquet(target_path)
     )
-    _write_layout_sidecar(df.sparkSession, target_path, n_buckets)
+    if not dynamic or not existed:
+        _write_layout_sidecar(spark, target_path, n_buckets)
 
 
 def read_target(spark: SparkSession, target_path: str) -> DataFrame:

@@ -58,10 +58,13 @@ def _manifest_versions(spark: SparkSession, root: str) -> list[int]:
     return sorted(out)
 
 
-def read_manifest(spark: SparkSession, root: str) -> tuple[int, dict[int, int]]:
-    """Resolve the current snapshot: (version, {bucket: data_version}).
-
-    Returns ``(-1, {})`` for a target with no committed snapshot yet."""
+def _read_manifest_doc(spark: SparkSession, root: str) -> tuple[int, dict]:
+    """(version, parsed manifest doc) for the latest snapshot — ONE dir
+    listing + ONE open, shared by every consumer needing both the bucket
+    mapping and the recorded layout (commit_delta reads it once per
+    commit; a separate read per field would double the metadata
+    round-trips on the hot streaming path). ``(-1, {})`` when no snapshot
+    is committed yet."""
     versions = _manifest_versions(spark, root)
     if not versions:
         return -1, {}
@@ -72,22 +75,23 @@ def read_manifest(spark: SparkSession, root: str) -> tuple[int, dict[int, int]]:
         raw = bytes(stream.readAllBytes()).decode("utf-8")
     finally:
         stream.close()
-    doc = json.loads(raw)
+    return v, json.loads(raw)
+
+
+def read_manifest(spark: SparkSession, root: str) -> tuple[int, dict[int, int]]:
+    """Resolve the current snapshot: (version, {bucket: data_version}).
+
+    Returns ``(-1, {})`` for a target with no committed snapshot yet."""
+    v, doc = _read_manifest_doc(spark, root)
+    if v < 0:
+        return -1, {}
     return v, {int(b): int(dv) for b, dv in doc["buckets"].items()}
 
 
 def _manifest_n_buckets(spark: SparkSession, root: str):
     """The bucket count recorded in the latest manifest, or None for a
     target with no snapshot yet / a pre-stamp (legacy) manifest."""
-    versions = _manifest_versions(spark, root)
-    if not versions:
-        return None
-    fs, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{versions[-1]}.json")
-    stream = fs.open(mpath)
-    try:
-        doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
-    finally:
-        stream.close()
+    _, doc = _read_manifest_doc(spark, root)
     n = doc.get("n_buckets")
     return int(n) if n is not None else None
 
@@ -151,6 +155,7 @@ def commit_delta(
     key_cols: list[str],
     touched_buckets: list[int],
     n_buckets: int,
+    full_snapshot: bool = False,
 ) -> int:
     """Commit one micro-batch's merged bucket content atomically.
 
@@ -158,31 +163,48 @@ def commit_delta(
     ``touched_buckets`` (and only those). Steps: stage-write → manifest
     tmp-write → atomic rename. Returns the committed version.
 
-    The commit VALIDATES ``n_buckets`` against the count stamped in the
-    current manifest (the manifest-protocol twin of the overwrite path's
-    layout sidecar): a caller holding the wrong count has computed bucket
-    ids — and therefore loaded prior content — for the WRONG buckets, so
-    committing would record silently-corrupt buckets as a valid snapshot
-    (updates re-inserted, deletes resurrected). Failing here keeps the
-    previous snapshot fully intact: the stage write is uncommitted until
-    the manifest rename. Pre-stamp (legacy) manifests fall back to the
-    weaker max-bucket-id check."""
+    A delta commit VALIDATES ``n_buckets`` against the count stamped in
+    the current manifest (the manifest-protocol twin of the overwrite
+    path's layout sidecar): a caller holding the wrong count has computed
+    bucket ids — and therefore loaded prior content — for the WRONG
+    buckets, so committing would record silently-corrupt buckets as a
+    valid snapshot (updates re-inserted, deletes resurrected). Failing
+    here keeps the previous snapshot fully intact: the stage write is
+    uncommitted until the manifest rename. Pre-stamp (legacy) manifests
+    fall back to the weaker max-bucket-id check.
+
+    ``full_snapshot=True`` (``compact``'s mode) declares ``merged`` to be
+    the COMPLETE table: the mapping is REPLACED by the stage write's
+    actual bucket dirs instead of merged per touched id, and the count
+    validation is skipped — a full rewrite is the one legitimate way to
+    CHANGE a target's bucket count, and the new count is stamped. (A
+    delta commit with a new count can never be sound: its touched ids and
+    its loaded prior content were both computed under the wrong layout.)
+    """
     spark = merged.sparkSession
-    current_v, mapping = read_manifest(spark, root)
-    recorded = _manifest_n_buckets(spark, root)
-    if recorded is not None:
-        if recorded != n_buckets:
+    current_v, doc = _read_manifest_doc(spark, root)
+    mapping = (
+        {int(b): int(dv) for b, dv in doc["buckets"].items()}
+        if current_v >= 0
+        else {}
+    )
+    if not full_snapshot:
+        recorded = doc.get("n_buckets")
+        if recorded is not None:
+            if int(recorded) != n_buckets:
+                raise ValueError(
+                    f"bucket layout mismatch at {root}: manifest records "
+                    f"n_buckets={recorded}, caller passed {n_buckets} — "
+                    "pass the original count, or re-bucket via a FULL "
+                    "rewrite (compact(..., n_buckets=<new>) commits the "
+                    "whole snapshot and re-stamps)"
+                )
+        elif mapping and max(mapping) >= n_buckets:
             raise ValueError(
-                f"bucket layout mismatch at {root}: manifest records "
-                f"n_buckets={recorded}, caller passed {n_buckets} — pass "
-                "the original count (or compact/rewrite to re-bucket)"
+                f"bucket layout mismatch at {root}: committed bucket id "
+                f"{max(mapping)} exceeds caller n_buckets={n_buckets} — "
+                "the target was written with a larger bucket count"
             )
-    elif mapping and max(mapping) >= n_buckets:
-        raise ValueError(
-            f"bucket layout mismatch at {root}: committed bucket id "
-            f"{max(mapping)} exceeds caller n_buckets={n_buckets} — the "
-            "target was written with a larger bucket count"
-        )
     new_v = current_v + 1
     (
         merged.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
@@ -190,17 +212,29 @@ def commit_delta(
         .partitionBy("_bucket")
         .parquet(f"{root}/{STAGE_DIR}/v={new_v}")
     )
-    # buckets that actually produced rows keep/gain an entry; a touched
-    # bucket with no surviving rows (all keys deleted) drops out entirely
     fs, _ = _fs(spark, root)
-    surviving = set()
-    for b in touched_buckets:
-        _, bpath = _fs(spark, _bucket_path(root, b, new_v))
-        if fs.exists(bpath):
-            surviving.add(b)
-    for b in touched_buckets:
-        mapping.pop(b, None)
-    mapping.update({b: new_v for b in surviving})
+    if full_snapshot:
+        # the stage write IS the new table: list its bucket dirs and
+        # replace the mapping wholesale (old bucket ids — possibly from a
+        # different n_buckets — all retire with their entries)
+        _, vdir = _fs(spark, f"{root}/{STAGE_DIR}/v={new_v}")
+        mapping = {}
+        for st_ in fs.listStatus(vdir):
+            name = st_.getPath().getName()
+            if name.startswith("_bucket="):
+                mapping[int(name.split("=", 1)[1])] = new_v
+    else:
+        # buckets that actually produced rows keep/gain an entry; a
+        # touched bucket with no surviving rows (all keys deleted) drops
+        # out entirely
+        surviving = set()
+        for b in touched_buckets:
+            _, bpath = _fs(spark, _bucket_path(root, b, new_v))
+            if fs.exists(bpath):
+                surviving.add(b)
+        for b in touched_buckets:
+            mapping.pop(b, None)
+        mapping.update({b: new_v for b in surviving})
 
     doc = json.dumps(
         {
@@ -233,7 +267,10 @@ def compact(
     per bucket at one new version (the OPTIMIZE/compaction step every
     streaming parquet sink eventually needs — each micro-batch commit
     leaves a file per touched bucket, and scan cost grows with file count,
-    not data size).
+    not data size). Because it commits the COMPLETE snapshot, compact is
+    also the supported way to CHANGE a target's bucket count: pass the new
+    ``n_buckets`` and the commit re-buckets every row and re-stamps the
+    manifest.
 
     Repartitioning on the bucket expression puts each bucket's rows in
     exactly one task, so the partitioned stage write emits exactly one
@@ -249,7 +286,9 @@ def compact(
     snap = read_snapshot(spark, root).repartition(
         len(mapping), bucket_expr(key_cols, n_buckets)
     )
-    return commit_delta(snap, root, key_cols, sorted(mapping), n_buckets)
+    return commit_delta(
+        snap, root, key_cols, sorted(mapping), n_buckets, full_snapshot=True
+    )
 
 
 def changed_buckets(

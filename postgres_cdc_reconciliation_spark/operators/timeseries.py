@@ -240,10 +240,13 @@ def _packed_dtw_scores(
     spark = series.sparkSession
     candidates = series.filter(F.col(key_col) != F.lit(query_key))
     if candidate_keys is not None:
+        # no broadcast hint: the certificate passes its FULL key set (no
+        # top-k cut, unbounded at corpus scale) — a forced broadcast would
+        # collect it to the driver; AQE broadcasts small sets at runtime
+        # and keeps a shuffle semi-join for large ones (the dedup.py
+        # hot-set discipline)
         candidates = candidates.join(
-            F.broadcast(
-                candidate_keys.withColumnRenamed("_k", key_col)
-            ),
+            candidate_keys.withColumnRenamed("_k", key_col),
             key_col,
             "left_semi",
         )

@@ -501,3 +501,77 @@ def test_manifest_stream_restart_wrong_bucket_count_fails_loudly(spark, tmp_path
         for r in read_snapshot(spark, target).collect()
     }
     assert final == {i: i * 10.0 for i in range(1, 6)}
+
+
+def test_compact_rebuckets_with_new_count(spark, tmp_path):
+    """compact() is the supported full-rewrite path for CHANGING a
+    target's bucket count: same rows, new _bucket layout, new count
+    stamped — and subsequent delta commits validate against the NEW
+    count."""
+    import pytest
+
+    root = str(tmp_path / "target")
+    base = spark.range(200).select(
+        F.col("id").alias("order_id"), (F.col("id") * 2).alias("amount")
+    )
+    commit_delta(base, root, ["order_id"], list(range(8)), 8)
+
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        compact,
+    )
+
+    v = compact(spark, root, ["order_id"], 16)
+    _, mapping = read_manifest(spark, root)
+    assert set(mapping.values()) == {v}
+    assert max(mapping) > 7  # rows actually spread into the new id space
+    rows = {r["order_id"]: r["amount"] for r in read_snapshot(spark, root).collect()}
+    assert rows == {i: i * 2 for i in range(200)}
+
+    # old count now refused for deltas; new count accepted
+    delta = spark.range(1).select(
+        F.col("id").alias("order_id"), F.lit(-1).cast("long").alias("amount")
+    )
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        commit_delta(delta, root, ["order_id"], [0], 8)
+    commit_delta(delta, root, ["order_id"],
+                 [r[0] for r in delta.select(bucket_expr(["order_id"], 16)).collect()],
+                 16)
+    assert read_snapshot(spark, root).filter("order_id = 0").first()["amount"] == -1
+
+
+def test_sidecar_stamped_only_by_layout_defining_writes(spark, tmp_path):
+    """Steady-state dynamic writes must not rewrite the sidecar (per-batch
+    metadata ops + a recurring crash window); the first write to a fresh
+    path and any static rewrite do stamp. A legacy target stays legacy
+    under dynamic writes (no lock-in of an unvalidated count)."""
+    import os
+
+    from postgres_cdc_reconciliation_spark.operators.apply import (
+        _LAYOUT_SIDECAR,
+        _read_layout_n_buckets,
+        write_bucketed_target,
+    )
+
+    df = spark.range(50).selectExpr("id AS k", "id AS v")
+    target = str(tmp_path / "t")
+    # fresh path + dynamic: defines the layout -> stamped
+    write_bucketed_target(df, target, ["k"], n_buckets=8, dynamic=True)
+    assert _read_layout_n_buckets(spark, target) == 8
+    sidecar = os.path.join(target, _LAYOUT_SIDECAR)
+    mtime = os.path.getmtime(sidecar)
+
+    # steady-state dynamic write: validated, NOT re-stamped
+    write_bucketed_target(df, target, ["k"], n_buckets=8, dynamic=True)
+    assert os.path.getmtime(sidecar) == mtime
+
+    # legacy target (sidecar removed): dynamic write must not stamp
+    os.remove(sidecar)
+    crc = os.path.join(target, f".{_LAYOUT_SIDECAR}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    write_bucketed_target(df, target, ["k"], n_buckets=8, dynamic=True)
+    assert not os.path.exists(sidecar)
+
+    # static rewrite migrates the legacy target (and may re-bucket)
+    write_bucketed_target(df, target, ["k"], n_buckets=4, dynamic=False)
+    assert _read_layout_n_buckets(spark, target) == 4
