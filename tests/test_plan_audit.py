@@ -257,3 +257,27 @@ def test_python_stages_pin_explicit_parallelism(spark, sf_dir):
         )
     )
     assert nsimple.count("ArrowEvalPython") == 1, nsimple
+
+
+def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
+    """The whole-registry anti-pattern sweep: EVERY registered query's
+    physical plan must be free of CartesianProduct (quadratic row blowup)
+    and BatchEvalPython (row-at-a-time Python — the engine's contract is
+    JVM-native or Arrow-batched only). The targeted pins above guard the
+    queries where a specific strategy matters; this sweep guards the other
+    ~140 against an innocent refactor quietly degrading one of them.
+    (~1 min: a few queries eagerly materialize bounded intermediates
+    during plan build.)"""
+    offenders = []
+    for name, spec in all_queries().items():
+        df = spec.fn(spark, sf_dir)
+        p = df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in p:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
