@@ -364,3 +364,130 @@ def test_interval_overlap_matches_theta_join_property(spark, ls, rs):
         chunk_seconds=7200,
     )
     assert Counter((r.l_id, r.r_id) for r in got.collect()) == expected
+
+
+# manifest batches: list of (key 0-9, value, is_delete)
+MBATCH = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 999), st.booleans()),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(MBATCH, min_size=1, max_size=3), st.sampled_from([4, 16, 32]))
+def test_compact_rebucket_preserves_snapshot_property(
+    spark, tmp_path_factory, batches, new_n
+):
+    """For ANY commit sequence, compacting at ANY new bucket count yields
+    the identical key->value snapshot, and delta commits continue under
+    the new count (old count refused)."""
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.apply import bucket_expr
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        commit_delta,
+        compact,
+        read_snapshot,
+    )
+
+    root = str(tmp_path_factory.mktemp("rebucket") / "t")
+    model: dict[int, int] = {}
+    n0 = 8
+    for batch in batches:
+        for k, v, dele in batch:
+            if dele:
+                model.pop(k, None)
+            else:
+                model[k] = v
+        # merged = complete new content of the touched buckets under n0
+        touched_keys = {k for k, _, _ in batch}
+        tb = {
+            r[0]
+            for r in spark.createDataFrame(
+                [(k,) for k in touched_keys], "k long"
+            ).select(bucket_expr(["k"], n0)).collect()
+        }
+        bucket_of_key = {
+            r["k"]: r["b"]
+            for r in spark.createDataFrame(
+                [(k,) for k in model], "k long"
+            ).withColumn("b", bucket_expr(["k"], n0)).collect()
+        } if model else {}
+        content = [
+            (k, v) for k, v in model.items() if bucket_of_key.get(k) in tb
+        ]
+        merged = spark.createDataFrame(content or [(None, None)], "k long, v long")
+        if not content:
+            merged = merged.filter("k IS NOT NULL")
+        commit_delta(merged, root, ["k"], sorted(tb), n0)
+
+    def snap():
+        try:
+            return {r["k"]: r["v"] for r in read_snapshot(spark, root).collect()}
+        except FileNotFoundError:
+            return {}
+
+    before = snap()
+    assert before == model
+    if not model:
+        return  # compact requires a live snapshot
+    compact(spark, root, ["k"], new_n)
+    assert snap() == model
+
+    # old count refused, new count accepted
+    delta = spark.createDataFrame([(0, -1)], "k long, v long")
+    db = [r[0] for r in delta.select(bucket_expr(["k"], new_n)).collect()]
+    if new_n != n0:
+        with pytest.raises(ValueError, match="bucket layout mismatch"):
+            commit_delta(delta, root, ["k"], db, n0)
+    commit_delta(delta, root, ["k"], db, new_n)
+    assert snap()[0] == -1
+
+
+# a column mutation: (column index 0-2, mutation kind)
+#   0 = null out one row, 1 = change a value, 2 = drop a row (all columns)
+PROFILE_MUT = st.tuples(st.integers(0, 2), st.integers(0, 2))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(10, 40), st.lists(PROFILE_MUT, min_size=1, max_size=3))
+def test_profile_diff_localizes_mutated_columns_property(spark, n, muts):
+    """profile_diff must flag column_match=False for EVERY column whose
+    values were mutated (nulls, edits) and keep untouched columns flagged
+    True unless a whole-row drop changed their profile too (row drops
+    change n_rows, which flags every column — asserted separately)."""
+    from postgres_cdc_reconciliation_spark.operators.recon import profile_diff
+
+    src = spark.createDataFrame(
+        [(i, i * 7 % 13, f"s{i % 5}") for i in range(n)],
+        "a long, b long, c string",
+    )
+    cols = ["a", "b", "c"]
+    rows = [[i, i * 7 % 13, f"s{i % 5}"] for i in range(n)]
+    dropped = False
+    touched = set()
+    for ci, kind in muts:
+        if kind == 2:
+            if len(rows) > 1:
+                rows.pop(ci % len(rows))
+                dropped = True
+        elif rows:
+            r = rows[(ci * 3) % len(rows)]
+            before = r[ci]
+            r[ci] = None if kind == 0 else (
+                999_999 if ci < 2 else "MUTATED"
+            )
+            if r[ci] != before:
+                touched.add(cols[ci])
+    tgt = spark.createDataFrame(
+        [tuple(r) for r in rows], "a long, b long, c string"
+    )
+    got = {r["column"]: r["column_match"] for r in profile_diff(src, tgt).collect()}
+    if dropped:
+        # n_rows differs -> every column row flags False
+        assert all(v is False for v in got.values()), got
+    else:
+        for c in cols:
+            if c in touched:
+                assert got[c] is False, (c, got)
