@@ -187,7 +187,14 @@ def kmeans_fit(
         cents = seeder(corpus, k, id_col, vec_col)
     vecs = corpus.select(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v")
-    )
+    ).localCheckpoint()
+    # ^ materialize the casted feature vectors once: every Lloyd's
+    # iteration otherwise re-reads the corpus AND re-runs the interpreted
+    # cast transform (measured 5.5s -> 4.0s median at sf0.1, identical
+    # centroids). Caching the feature matrix across iterations is the
+    # standard k-means trade (MLlib does the same); at cluster scale the
+    # blocks spill to executor disk rather than re-scanning the source
+    # per iteration.
     it = 0
     for it in range(1, max_iter + 1):
         assigned = vecs.withColumn("_m", _nearest_expr(cents)).select(
