@@ -96,7 +96,10 @@ def kmeans_init_farthest(
     base = corpus.select(
         F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
-    )
+    ).localCheckpoint()
+    # ^ each of the k seed-selection passes otherwise re-reads the corpus
+    # and re-runs the hash + interpreted cast transform — same
+    # materialize-the-static-input rule as kmeans_fit's vector cache
     first = base.orderBy("_h").limit(1).collect()
     if not first:
         raise ValueError("empty corpus")
