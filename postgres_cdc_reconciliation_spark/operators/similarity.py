@@ -178,17 +178,115 @@ def assign_rp_buckets(
     return vectors.withColumn(bucket_col, bucket.cast("int"))
 
 
+def hot_buckets(
+    vectors: DataFrame, max_bucket_size: int, bucket_col: str
+) -> DataFrame:
+    """(bucket, size) rows for buckets over the cap — the loud half of the
+    hot-bucket guard. Run (and log/alert on) this alongside any capped
+    near-dup job so dropped or split buckets are visible, not silent."""
+    return (
+        vectors.groupBy(bucket_col)
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def cap_hot_buckets(
+    vectors: DataFrame,
+    max_bucket_size: int,
+    bucket_col: str,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    split_planes: int = 2,
+    plane_offset: int = 1000,
+) -> DataFrame:
+    """Bound every blocking bucket at ``max_bucket_size`` before a pair join.
+
+    The skew guard for the embedding-dedup tier (the twin of the shingle
+    df-cap, `dedup.py::ngram_jaccard_pairs` max_doc_freq): a within-bucket
+    pair join is O(Σ bucket²), so ONE dense embedding mode — thousands of
+    near-identical vectors landing in the same LSH/label bucket — turns a
+    linear job quadratic at 100 TB. Two-stage, deterministic, SQL-mirrorable:
+
+    1. **split** (``split_planes`` > 0): rows in oversized buckets get a
+       refined key ``bucket || '#' || rp_bucket`` from ``split_planes``
+       extra sign-LSH hyperplanes (disjoint ``plane_offset`` set) — a
+       map-only projection that partitions a hot bucket into up to
+       2^split_planes sub-buckets while keeping truly-near vectors (small
+       angle → same signs) together. Rows in small buckets keep their key.
+    2. **residual drop**: sub-buckets STILL over the cap are dropped. No
+       hyperplane separates identical vectors, so splitting alone cannot
+       bound a degenerate mass-duplicate mode — run exact dedup first (it
+       collapses identical vectors for free) and surface what was dropped
+       via :func:`hot_buckets` on the refined frame.
+
+    Returns ``vectors`` with ``bucket_col`` replaced by the refined STRING
+    key, every bucket ≤ ``max_bucket_size`` by construction. Both size scans
+    move only (bucket, count) — the hot list is small (AQE broadcasts it;
+    no forced broadcast, degenerate inputs could make it wide)."""
+    if split_planes > 0 and dim is None:
+        raise ValueError("cap_hot_buckets: dim is required when split_planes > 0")
+    if split_planes > 0:
+        split = assign_rp_buckets(
+            vectors, dim, split_planes, vec_col, "_split", plane_offset=plane_offset
+        )
+        return _cap_with_split(split, max_bucket_size, bucket_col).drop("_split")
+    # pure drop mode: anti-join the hot list out, key cast to string so both
+    # modes return the same key type
+    hot = hot_buckets(vectors, max_bucket_size, bucket_col).select(bucket_col)
+    return vectors.join(hot, bucket_col, "left_anti").withColumn(
+        bucket_col, F.col(bucket_col).cast("string")
+    )
+
+
+def _cap_with_split(
+    df: DataFrame, max_bucket_size: int, bucket_col: str, split_col: str = "_split"
+) -> DataFrame:
+    """Refine-and-bound one bucket column, given a precomputed split key:
+    rows of oversized buckets get ``bucket || '#' || split``; sub-buckets
+    still over the cap are dropped. ``bucket_col`` comes back as string with
+    every group ≤ ``max_bucket_size``. Shared by :func:`cap_hot_buckets`
+    and the per-table capping in :func:`rp_near_dup_pairs_multi` (which
+    computes ``split_col`` once and caps each table's bucket independently —
+    a vector dropped from one table's degenerate bucket stays a candidate
+    via the other tables)."""
+    hot = hot_buckets(df, max_bucket_size, bucket_col).select(
+        bucket_col, F.lit(True).alias("_hot")
+    )
+    marked = df.join(hot, bucket_col, "left")
+    base_key = F.col(bucket_col).cast("string")
+    refined = F.when(
+        F.col("_hot"),
+        F.concat(base_key, F.lit("#"), F.col(split_col).cast("string")),
+    ).otherwise(base_key)
+    capped = marked.withColumn(bucket_col, refined).drop("_hot")
+    still_hot = hot_buckets(capped, max_bucket_size, bucket_col).select(bucket_col)
+    return capped.join(still_hot, bucket_col, "left_anti")
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "label",
+    max_bucket_size: int | None = None,
+    dim: int | None = None,
+    split_planes: int = 2,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, blocked by bucket.
 
     Blocking keeps the pair join O(Σ bucket²) instead of O(n²); at scale the
-    bucket key comes from LSH or coarse k-means."""
+    bucket key comes from LSH or coarse k-means.
+
+    ``max_bucket_size`` bounds the quadratic term per bucket via
+    :func:`cap_hot_buckets` (split oversized buckets with ``split_planes``
+    extra hyperplanes, drop what still exceeds the cap) — without it a dense
+    embedding mode makes one bucket O(bucket²) at corpus scale."""
+    if max_bucket_size is not None:
+        vectors = cap_hot_buckets(
+            vectors, max_bucket_size, bucket_col, dim, vec_col, split_planes
+        )
     v = with_norm(vectors, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("v"), F.col("_norm").alias("n"),
         F.col(bucket_col).alias("bk"),
@@ -235,6 +333,7 @@ def rp_near_dup_pairs_multi(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scorer: str = "sql",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via L independent sign-LSH tables, candidates unioned.
 
@@ -261,11 +360,29 @@ def rp_near_dup_pairs_multi(
       Measured at 20k×64-dim / ~12M candidates on local[16]: sql 70s,
       numpy 47s, matrix 11s. Bucket size is bounded by n_planes (buckets
       ≈ n/2^planes) — grow planes with log(n) so a bucket's s×s matrix
-      fits an executor (the same knob that bounds candidate counts)."""
+      fits an executor (the same knob that bounds candidate counts).
+
+    ``max_bucket_size`` (the hot-bucket guard, :func:`cap_hot_buckets`):
+    expected bucket size tracks n/2^planes only for spread-out data — a
+    dense embedding mode concentrates in ONE bucket of every table no
+    matter how many planes, making the candidate join (and the matrix
+    scorer's s×s gemm) quadratic in the mode's size. With the cap set,
+    each table's oversized buckets are split by 2 extra shared planes and
+    residually dropped, independently per table — a vector cut from one
+    table's degenerate bucket still pairs via its other tables. Surface
+    what was cut with :func:`hot_buckets`; run exact dedup upstream so
+    identical vectors (unsplittable by construction) never form a mode."""
     bucketed = vectors
     for t in range(n_tables):
         bucketed = assign_rp_buckets(
             bucketed, dim, n_planes, vec_col, f"_bk{t}", plane_offset=t * n_planes
+        )
+    if max_bucket_size is not None:
+        # one shared refinement key for all tables' caps: map-only, computed
+        # on the same pass as the table buckets (plane set disjoint from
+        # every table's — tables use offsets [0, n_tables*n_planes))
+        bucketed = assign_rp_buckets(
+            bucketed, dim, 2, vec_col, "_split", plane_offset=1000
         )
     if scorer == "matrix":
         import numpy as np
@@ -294,7 +411,13 @@ def rp_near_dup_pairs_multi(
                 F.col(id_col).alias("_id"),
                 F.col(vec_col).alias("_v"),
                 F.col(f"_bk{t}").alias("_bk"),
-            ).repartition(
+                *(["_split"] if max_bucket_size is not None else []),
+            )
+            if max_bucket_size is not None:
+                # bound the per-group gemm: an uncapped hot bucket is an
+                # executor OOM (s×s doubles), not just wasted work
+                tbl = _cap_with_split(tbl, max_bucket_size, "_bk").drop("_split")
+            tbl = tbl.repartition(
                 # explicit partition count: AQE's byte-based coalescing
                 # would fold the small vector shuffle to one partition
                 # and serialize the per-bucket gemms
@@ -308,11 +431,18 @@ def rp_near_dup_pairs_multi(
     # self-joins and the distinct shuffle move a few ints per row, never the
     # vectors (at 64+ dims the vector payload dominates the join cost ~20:1)
     keys = bucketed.select(
-        F.col(id_col), *[f"_bk{t}" for t in range(n_tables)]
+        F.col(id_col),
+        *[f"_bk{t}" for t in range(n_tables)],
+        *(["_split"] if max_bucket_size is not None else []),
     )
     cands = None
     for t in range(n_tables):
-        a, b = keys.alias("a"), keys.alias("b")
+        kt = keys.select(id_col, f"_bk{t}", *(
+            ["_split"] if max_bucket_size is not None else []
+        ))
+        if max_bucket_size is not None:
+            kt = _cap_with_split(kt, max_bucket_size, f"_bk{t}")
+        a, b = kt.alias("a"), kt.alias("b")
         ct = a.join(
             b,
             (F.col(f"a._bk{t}") == F.col(f"b._bk{t}"))

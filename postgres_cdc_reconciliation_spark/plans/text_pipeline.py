@@ -509,6 +509,45 @@ def _rp_bucket_sql(n_planes: int = 4, dim: int = 64, offset: int = 0) -> str:
     return " + ".join(terms)
 
 
+def _capped_embed_oracle(cap: int = 40) -> str:
+    split = _rp_bucket_sql(2, 64, 1000)  # cap_hot_buckets' split-plane set
+    return f"""WITH {_VEC_CTE},
+b AS (SELECT vec_id, e, n, label AS bk FROM v),
+hot AS (SELECT bk FROM b GROUP BY bk HAVING count(*) > {cap}),
+r AS (SELECT vec_id, e, n,
+        CASE WHEN bk IN (SELECT bk FROM hot)
+             THEN bk::VARCHAR || '#' || ({split})::VARCHAR
+             ELSE bk::VARCHAR END AS bk2
+      FROM b),
+still AS (SELECT bk2 FROM r GROUP BY bk2 HAVING count(*) > {cap}),
+kept AS (SELECT * FROM r WHERE bk2 NOT IN (SELECT bk2 FROM still))
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_dot_product(a.e, b2.e) / (a.n * b2.n), 4) AS cos_r
+FROM kept a JOIN kept b2 ON a.bk2 = b2.bk2 AND a.vec_id < b2.vec_id
+WHERE list_dot_product(a.e, b2.e) / (a.n * b2.n) >= 0.35"""
+
+
+@register(
+    "q_dedup_embed_capped",
+    _capped_embed_oracle(),
+    doc="[EXT] q_dedup_embed with the hot-bucket guard live (max_bucket_size=40): "
+    "label buckets over the cap are split by 2 extra sign-LSH planes "
+    "(offset-1000 set, disjoint from every blocking table's), sub-buckets "
+    "still over the cap dropped — bounds the within-bucket pair join at "
+    "O(buckets x cap^2) instead of O(hottest-bucket^2), the skew guard a "
+    "dense embedding mode needs at 100 TB (VERDICT r6 #1; the twin of the "
+    "ngram df-cap). Cap 40 < every sf0.01 label bucket (50-59 rows), so the "
+    "split path is exercised at oracle scale; split-plane sign margins "
+    ">= 3.0e-4 at sf0.001/0.01/0.1 — bucket keys engine-stable.",
+)
+def q_dedup_embed_capped(spark, sf_dir):
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(v, threshold=0.35, max_bucket_size=40, dim=64)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+
+
 @register(
     "q_dedup_embed_rp",
     f"""WITH {_VEC_CTE},
