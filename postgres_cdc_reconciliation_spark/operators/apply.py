@@ -77,8 +77,12 @@ def _read_layout_n_buckets(spark: SparkSession, target_path: str):
     """The bucket count recorded in the layout sidecar, or None for a
     pre-sidecar target. An orphaned tmp with no final sidecar means a
     stamp crashed mid-replace — fail LOUDLY instead of silently
-    downgrading the target to the weak legacy check."""
+    downgrading the target to the weak legacy check. A reader racing a
+    LIVE re-stamp (between its delete(final) and rename) sees the same
+    tmp-without-final state for a few ms, so re-check once after a short
+    pause before declaring the write dead (ADVICE r6)."""
     import json
+    import time
 
     path_cls = spark._jvm.org.apache.hadoop.fs.Path
     jpath = path_cls(f"{target_path}/{_LAYOUT_SIDECAR}")
@@ -86,13 +90,16 @@ def _read_layout_n_buckets(spark: SparkSession, target_path: str):
     if not fs.exists(jpath):
         tmp = path_cls(f"{target_path}/.{_LAYOUT_SIDECAR}.tmp")
         if fs.exists(tmp):
-            raise IOError(
-                f"interrupted layout-sidecar write at {target_path}: "
-                f".{_LAYOUT_SIDECAR}.tmp exists but the sidecar does not "
-                "— inspect the tmp's n_buckets and rename it into place "
-                "(or delete it to accept legacy validation)"
-            )
-        return None
+            time.sleep(0.2)  # a live re-stamp's delete→rename gap is ms-scale
+            if not fs.exists(jpath):
+                raise IOError(
+                    f"interrupted layout-sidecar write at {target_path}: "
+                    f".{_LAYOUT_SIDECAR}.tmp exists but the sidecar does not "
+                    "— inspect the tmp's n_buckets and rename it into place "
+                    "(or delete it to accept legacy validation)"
+                )
+        else:
+            return None
     stream = fs.open(jpath)
     try:
         content = spark._jvm.org.apache.commons.io.IOUtils.toString(
@@ -136,6 +143,25 @@ def validate_bucket_layout(
                 max_bucket = max(max_bucket, int(name.split("=", 1)[1]))
             except ValueError:
                 continue
+    if max_bucket >= 0:
+        # bucketed layout but no sidecar: either a pre-sidecar legacy target
+        # or a FIRST write that crashed between parquet commit and stamp
+        # (ADVICE r6) — both validate only weakly (any count > max dir id
+        # passes). Warn, don't fail: legacy targets are legitimate; the fix
+        # for either is one static rewrite, which stamps.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bucketed target %s has _bucket= dirs but no %s sidecar: "
+            "n_buckets=%d validates only against max dir id %d (weak). "
+            "Run one static rewrite (write_bucketed_target(..., "
+            "dynamic=False)) to stamp the layout and regain the strong "
+            "check.",
+            target_path,
+            _LAYOUT_SIDECAR,
+            n_buckets,
+            max_bucket,
+        )
     if max_bucket >= n_buckets:
         raise ValueError(
             f"bucket layout mismatch at {target_path}: on-disk bucket dir "

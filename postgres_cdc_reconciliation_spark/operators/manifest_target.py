@@ -88,14 +88,6 @@ def read_manifest(spark: SparkSession, root: str) -> tuple[int, dict[int, int]]:
     return v, {int(b): int(dv) for b, dv in doc["buckets"].items()}
 
 
-def _manifest_n_buckets(spark: SparkSession, root: str):
-    """The bucket count recorded in the latest manifest, or None for a
-    target with no snapshot yet / a pre-stamp (legacy) manifest."""
-    _, doc = _read_manifest_doc(spark, root)
-    n = doc.get("n_buckets")
-    return int(n) if n is not None else None
-
-
 def _bucket_path(root: str, bucket: int, data_version: int) -> str:
     return f"{root}/{STAGE_DIR}/v={data_version}/_bucket={bucket}"
 

@@ -46,19 +46,17 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # queries with no hard signal yet, then queries whose implementation changed
 # this round (need re-verification), then the already-green remainder.
 _CHECK_PRIORITY: list[str] = [
-    # -- round 6 window: the 3 r5-staged registrations (never driver-checked;
-    # the staleness tier would front them anyway, but pinning makes the
-    # intent explicit and keeps them first even after a CORRECTNESS_r06
-    # lands mid-round). The automatic staleness tier fills the rest:
-    # all 42 r3-stale rows (the whole r3 cohort — core CDC path, dedup
-    # tier, TF-IDF pack) fit in the remaining 47 slots with 5 to spare
-    # for r4 rows, so nothing is buried (pinned by
-    # tests/test_registry_rotation.py::test_window_covers_all_stale_evidence).
-    "q_interval_overlap",  # chunk-binned interval x interval join
-    "q_profile_diff",  # column drift localization (recon tier)
-    "q_series_similarity",  # Pearson top-k time-series search
-    # -- new this round --
-    "q_series_dtw",  # banded-DTW invariant certificate (VERDICT r5 #6)
+    # -- round 7 window: the two rp near-dup queries run through code the
+    # hot-bucket-guard refactor touched this round (similarity.py — default
+    # cap=None keeps their plans identical, but a driver re-verification on
+    # the changed file is cheap insurance). Their r5 evidence would
+    # otherwise sort them OUT of the window: the automatic tier is exactly
+    # full (2 never-checked registrations + 46 r4-stale rows + these 2 = 50;
+    # the three r5 rows displaced — scd2_dim/scd2_incremental/
+    # changelog_compaction — are only 2 rounds stale at r7 and front the r8
+    # window by staleness, so nothing breaches the 2-round bound).
+    "q_dedup_embed_rp",
+    "q_dedup_embed_rp_multi",
 ]
 
 # The round the pins above were written FOR. A pin retires automatically
@@ -68,7 +66,7 @@ _CHECK_PRIORITY: list[str] = [
 # while stale rows get buried (the exact failure mode VERDICT r5 #1
 # flagged). Retired pins fall back into the staleness tier like any other
 # query, so the next round's window self-corrects with no list edit.
-_CHECK_PRIORITY_ROUND = 6
+_CHECK_PRIORITY_ROUND = 7
 
 
 import functools

@@ -558,11 +558,22 @@ def test_sidecar_stamped_only_by_layout_defining_writes(spark, tmp_path):
     write_bucketed_target(df, target, ["k"], n_buckets=8, dynamic=True)
     assert _read_layout_n_buckets(spark, target) == 8
     sidecar = os.path.join(target, _LAYOUT_SIDECAR)
-    mtime = os.path.getmtime(sidecar)
+
+    # plant a content sentinel (still a valid n_buckets=8 doc) — mtime
+    # equality can't distinguish "not rewritten" from "rewritten fast on a
+    # coarse-mtime filesystem" (ADVICE r6); surviving bytes can. Drop the
+    # Hadoop .crc so the modified body stays readable through the JVM FS.
+    sentinel = '{"n_buckets": 8, "sentinel": "not-restamped"}'
+    with open(sidecar, "w") as f:
+        f.write(sentinel)
+    crc = os.path.join(target, f".{_LAYOUT_SIDECAR}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
     # steady-state dynamic write: validated, NOT re-stamped
     write_bucketed_target(df, target, ["k"], n_buckets=8, dynamic=True)
-    assert os.path.getmtime(sidecar) == mtime
+    with open(sidecar) as f:
+        assert f.read() == sentinel, "dynamic write re-stamped the sidecar"
 
     # legacy target (sidecar removed): dynamic write must not stamp
     os.remove(sidecar)
@@ -575,3 +586,53 @@ def test_sidecar_stamped_only_by_layout_defining_writes(spark, tmp_path):
     # static rewrite migrates the legacy target (and may re-bucket)
     write_bucketed_target(df, target, ["k"], n_buckets=4, dynamic=False)
     assert _read_layout_n_buckets(spark, target) == 4
+
+
+def test_orphan_sidecar_tmp_fails_loud_but_tolerates_racing_restamp(
+    spark, tmp_path
+):
+    """A tmp with no final sidecar is a crashed stamp — _read_layout_n_buckets
+    must raise, not silently downgrade to legacy validation. But a reader
+    racing a LIVE re-stamp (final deleted, rename pending) sees the same
+    state transiently: if the final (re)appears within the retry pause the
+    read must succeed (ADVICE r6)."""
+    import json
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.apply import (
+        _LAYOUT_SIDECAR,
+        _read_layout_n_buckets,
+        write_bucketed_target,
+    )
+
+    df = spark.range(10).selectExpr("id AS k", "id AS v")
+    target = str(tmp_path / "t")
+    write_bucketed_target(df, target, ["k"], n_buckets=4, dynamic=True)
+    sidecar = os.path.join(target, _LAYOUT_SIDECAR)
+    tmp = os.path.join(target, f".{_LAYOUT_SIDECAR}.tmp")
+
+    # crashed stamp: tmp present, final gone -> loud failure
+    os.rename(sidecar, tmp)
+    with pytest.raises(Exception, match="interrupted layout-sidecar"):
+        _read_layout_n_buckets(spark, target)
+
+    # racing re-stamp: final reappears while the reader is in its retry
+    # pause -> the read succeeds with the new count
+    def finish_restamp():
+        time.sleep(0.05)
+        with open(sidecar, "w") as f:
+            f.write(json.dumps({"n_buckets": 4}))
+        crc = os.path.join(target, f".{_LAYOUT_SIDECAR}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    t = threading.Thread(target=finish_restamp)
+    t.start()
+    try:
+        assert _read_layout_n_buckets(spark, target) == 4
+    finally:
+        t.join()
