@@ -294,6 +294,96 @@ def pagerank(
     # edge weight = 1/outdeg(src), fixed across iterations
     w = e.join(deg, "u").select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
     w = w.localCheckpoint()
+    return _pagerank_loop(w, verts, n, damping, max_iter, tol, checkpoint_every)
+
+
+def write_pagerank_edges(
+    edges: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+    path: str | None = None,
+) -> None:
+    """One-time prep for :func:`pagerank_prebucketed`: distinct edges with
+    their 1/outdeg weights, written as a parquet table BUCKETED AND SORTED
+    by ``u`` (Spark bucketing, ``bucketBy(n).sortBy``).
+
+    This moves the edge side's shuffle+sort out of the iteration loop and
+    into the write: every power-iteration join reads the bucketed scan
+    co-located on ``u`` with ZERO Exchange above it (plan-pinned in
+    tests/test_pagerank.py), while only the |V|-sized ranks frame shuffles
+    per round. At 100 TB the edge table is the term you cannot afford to
+    shuffle 8-20 times; it is also reusable across pagerank runs, k-core
+    peels and any other per-vertex join keyed the same way. Size
+    ``n_buckets`` so a bucket is file-sized (the SCALING.md bucket-count
+    lesson: data/bucket ≈ hundreds of MB, never thousands of near-empty
+    dirs).
+
+    Measured honestly (SCALING.md round-7): at sf0.1 (230k edges) this
+    path is ~1.2-1.4x SLOWER than :func:`pagerank` — a 230k-row narrow
+    shuffle is effectively free on local[32] and the in-memory
+    localCheckpoint beats 8 parquet re-scans. The crossover is when edges
+    stop fitting executor memory: then the plain path shuffles the edge
+    table across the network EVERY iteration while this path reads
+    co-located buckets with zero Exchange (the plan pin) — opt in for
+    disk-resident edge tables, not as a default."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    w = e.join(deg, "u").select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = w.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.bucketBy(n_buckets, "u").sortBy("u").saveAsTable(table)
+
+
+def pagerank_prebucketed(
+    spark,
+    table: str,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """PageRank over a :func:`write_pagerank_edges` table — identical
+    semantics to :func:`pagerank` (same loop), but the per-iteration
+    edges⋈ranks join is co-located on the table's bucketing: ZERO Exchange
+    above the edge scan, plan-pinned in tests/test_pagerank.py. (A
+    partition-local Sort may remain — Spark elides it only when each
+    bucket is one file; it is never a shuffle.) The remaining per-round
+    shuffles are |V|-sized: the ranks frame into the join and the
+    map-side-combined contribution aggregate by ``v`` — eliminating that
+    one needs GraphX-style vertex routing tables, which is the documented
+    next step if contributions ever dominate."""
+    w = spark.table(table)
+    has_out = w.select(F.col("u").alias("vertex")).distinct()
+    verts = (
+        w.select(F.col("u").alias("vertex"))
+        .unionByName(w.select(F.col("v").alias("vertex")))
+        .distinct()
+        .join(has_out.withColumn("_has_out", F.lit(True)), "vertex", "left")
+        .select("vertex", F.col("_has_out").isNull().alias("_dangling"))
+        .localCheckpoint()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select("vertex").withColumn("rank", F.lit(0.0))
+    return _pagerank_loop(w, verts, n, damping, max_iter, tol, checkpoint_every)
+
+
+def _pagerank_loop(
+    w: DataFrame,
+    verts: DataFrame,
+    n: int,
+    damping: float,
+    max_iter: int,
+    tol: float,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Shared power-iteration loop over a weighted edge frame ``w`` (u, v,
+    w=1/outdeg) and a tagged vertex frame ``verts`` (vertex, _dangling)."""
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     every = max(1, checkpoint_every) if tol <= 0.0 else 1

@@ -70,3 +70,88 @@ def test_convergence_stops_early(spark):
     out = pagerank(e, max_iter=50, tol=1e-12).collect()
     assert {r["vertex"] for r in out} == {0, 1}
     assert time.time() - t0 < 60  # 50 full iterations would far exceed this
+
+
+def test_prebucketed_matches_plain_pagerank(spark, tmp_path):
+    """pagerank_prebucketed over a write_pagerank_edges table reproduces
+    pagerank() to float round-off on a nontrivial graph with dangling
+    vertices and duplicate input edges (the prep dedupes)."""
+    from postgres_cdc_reconciliation_spark.operators.graph import (
+        pagerank_prebucketed,
+        write_pagerank_edges,
+    )
+
+    edges = [(i, (i * 3 + 1) % 23) for i in range(23)] + [
+        (i, (i * 7 + 2) % 29) for i in range(20)
+    ]
+    edges += edges[:5]  # duplicates
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    want = {r["vertex"]: r["rank"] for r in pagerank(e, max_iter=8, tol=0.0).collect()}
+
+    write_pagerank_edges(
+        e, "pr_edges_test", n_buckets=4, path=str(tmp_path / "pr_edges")
+    )
+    try:
+        got = {
+            r["vertex"]: r["rank"]
+            for r in pagerank_prebucketed(
+                spark, "pr_edges_test", max_iter=8, tol=0.0
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_test")
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_prebucketed_join_has_no_edge_side_exchange(spark, tmp_path):
+    """The plan pin (VERDICT r6 #5): with broadcast disabled (the 100 TB
+    shape — ranks too big to broadcast), the per-iteration edges-by-ranks
+    join must read the bucketed scan with ZERO Exchange above it — the
+    bucket layout supplies the join's required distribution, so only the
+    ranks side shuffles (plus the contribution aggregate by v). A
+    partition-LOCAL Sort over the scan may remain: Spark elides it only
+    when each bucket is a single file; it never reintroduces a shuffle."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_reconciliation_spark.operators.graph import (
+        write_pagerank_edges,
+    )
+
+    e = spark.range(500).select(
+        F.col("id").alias("src"), ((F.col("id") * 13 + 7) % 500).alias("dst")
+    )
+    write_pagerank_edges(
+        e, "pr_edges_pin", n_buckets=4, path=str(tmp_path / "pr_edges_pin")
+    )
+    try:
+        w = spark.table("pr_edges_pin")
+        ranks = spark.range(500).select(
+            F.col("id").alias("u"), F.lit(1.0 / 500).alias("rank")
+        )
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = w.join(ranks, "u").groupBy("v").agg(
+                F.sum(F.col("w") * F.col("rank")).alias("c")
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the bucketed scan must be selected (Spark reports its buckets)
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+        # exactly the two vertex-sized exchanges survive: ranks into the
+        # join + the contribution aggregate by v — never a third for the
+        # edge scan
+        n_exchanges = plan.count("+- Exchange") + plan.count("  Exchange")
+        assert n_exchanges == 2, plan
+        # and the bucketed scan is actually in the join (not optimized away)
+        scan_lines = [
+            ln for ln in plan.splitlines() if "FileScan parquet" in ln and "pr_edges_pin" in ln
+        ]
+        assert scan_lines, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_pin")
