@@ -209,15 +209,19 @@ class Engine:
 
     def near_dup_pairs(
         self, vectors, dim, threshold=0.3, n_tables=4, n_planes=4,
+        max_bucket_size=None,
     ) -> DataFrame:
         """Embedding near-duplicate pairs via multi-table sign-LSH blocking
         with exact-cosine verification (precision 1.0; recall grows with
-        n_tables)."""
+        n_tables). ``max_bucket_size`` enables the hot-bucket guard
+        (operators/similarity.cap_hot_buckets) — set it on corpora that may
+        contain a dense embedding mode; pair the job with
+        ``similarity.hot_buckets`` to report what the guard cut."""
         from .operators.similarity import rp_near_dup_pairs_multi
 
         return rp_near_dup_pairs_multi(
             vectors, dim, threshold=threshold, n_planes=n_planes,
-            n_tables=n_tables,
+            n_tables=n_tables, max_bucket_size=max_bucket_size,
         )
 
     def curate(self, docs, budget=2000, group_col="lang") -> DataFrame:

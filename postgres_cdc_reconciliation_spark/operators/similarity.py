@@ -222,8 +222,14 @@ def cap_hot_buckets(
 
     Returns ``vectors`` with ``bucket_col`` replaced by the refined STRING
     key, every bucket ≤ ``max_bucket_size`` by construction. Both size scans
-    move only (bucket, count) — the hot list is small (AQE broadcasts it;
-    no forced broadcast, degenerate inputs could make it wide)."""
+    move only (bucket, count), and both hot lists are MATERIALIZED once
+    (localCheckpoint — the r6 bounded-intermediates rule): the capped frame
+    feeds a self-join, and without materialization each side re-runs the
+    full size-aggregation pipeline — measured 8 table scans instead of 4
+    on q_dedup_embed_capped. A hot list is bounded by n/cap rows by
+    definition (only buckets with > cap members appear), so the eager
+    job is small at any corpus size; no forced broadcast (a degenerate
+    input could still make it wide — AQE decides)."""
     if split_planes > 0 and dim is None:
         raise ValueError("cap_hot_buckets: dim is required when split_planes > 0")
     if split_planes > 0:
@@ -233,7 +239,9 @@ def cap_hot_buckets(
         return _cap_with_split(split, max_bucket_size, bucket_col).drop("_split")
     # pure drop mode: anti-join the hot list out, key cast to string so both
     # modes return the same key type
-    hot = hot_buckets(vectors, max_bucket_size, bucket_col).select(bucket_col)
+    hot = hot_buckets(vectors, max_bucket_size, bucket_col).select(
+        bucket_col
+    ).localCheckpoint()
     return vectors.join(hot, bucket_col, "left_anti").withColumn(
         bucket_col, F.col(bucket_col).cast("string")
     )
@@ -249,10 +257,12 @@ def _cap_with_split(
     and the per-table capping in :func:`rp_near_dup_pairs_multi` (which
     computes ``split_col`` once and caps each table's bucket independently —
     a vector dropped from one table's degenerate bucket stays a candidate
-    via the other tables)."""
+    via the other tables). Both hot lists localCheckpointed — see
+    :func:`cap_hot_buckets` (self-join consumers would re-aggregate per
+    side otherwise; the lists are ≤ n/cap rows by definition)."""
     hot = hot_buckets(df, max_bucket_size, bucket_col).select(
         bucket_col, F.lit(True).alias("_hot")
-    )
+    ).localCheckpoint()
     marked = df.join(hot, bucket_col, "left")
     base_key = F.col(bucket_col).cast("string")
     refined = F.when(
@@ -260,7 +270,9 @@ def _cap_with_split(
         F.concat(base_key, F.lit("#"), F.col(split_col).cast("string")),
     ).otherwise(base_key)
     capped = marked.withColumn(bucket_col, refined).drop("_hot")
-    still_hot = hot_buckets(capped, max_bucket_size, bucket_col).select(bucket_col)
+    still_hot = hot_buckets(capped, max_bucket_size, bucket_col).select(
+        bucket_col
+    ).localCheckpoint()
     return capped.join(still_hot, bucket_col, "left_anti")
 
 
