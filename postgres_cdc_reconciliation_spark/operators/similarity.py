@@ -191,13 +191,30 @@ def hot_buckets(
     )
 
 
+def _auto_split_planes(hot: DataFrame, max_bucket_size: int) -> int:
+    """Plane count sized to the MEASURED hottest bucket: ceil(log2(
+    max_hot / cap)) + 1 headroom bit, clamped to [1, 16]. The SCALING.md
+    round-7 lesson made the sizing rule executable: a fixed under-sized
+    split leaves every sub-bucket over the cap and the residual-drop
+    stage cuts the whole mode to zero recall; a corpus-tracking count
+    keeps expected sub-buckets at ~cap/2. ``hot`` is any frame with a
+    ``bucket_size`` column (the max is a tiny agg over ≤ n/cap rows;
+    pass the materialized hot list when one exists)."""
+    import math
+
+    row = hot.agg(F.max("bucket_size")).first()[0]
+    if row is None:
+        return 0  # no bucket over the cap: nothing to split
+    return min(16, max(1, math.ceil(math.log2(row / max_bucket_size)) + 1))
+
+
 def cap_hot_buckets(
     vectors: DataFrame,
     max_bucket_size: int,
     bucket_col: str,
     dim: int | None = None,
     vec_col: str = "embedding",
-    split_planes: int = 2,
+    split_planes: int | str = 2,
     plane_offset: int = 1000,
 ) -> DataFrame:
     """Bound every blocking bucket at ``max_bucket_size`` before a pair join.
@@ -208,12 +225,17 @@ def cap_hot_buckets(
     near-identical vectors landing in the same LSH/label bucket — turns a
     linear job quadratic at 100 TB. Two-stage, deterministic, SQL-mirrorable:
 
-    1. **split** (``split_planes`` > 0): rows in oversized buckets get a
-       refined key ``bucket || '#' || rp_bucket`` from ``split_planes``
-       extra sign-LSH hyperplanes (disjoint ``plane_offset`` set) — a
-       map-only projection that partitions a hot bucket into up to
-       2^split_planes sub-buckets while keeping truly-near vectors (small
-       angle → same signs) together. Rows in small buckets keep their key.
+    1. **split** (``split_planes`` > 0, or ``"auto"``): rows in oversized
+       buckets get a refined key ``bucket || '#' || rp_bucket`` from
+       ``split_planes`` extra sign-LSH hyperplanes (disjoint
+       ``plane_offset`` set) — a map-only projection that partitions a hot
+       bucket into up to 2^split_planes sub-buckets while keeping
+       truly-near vectors (small angle → same signs) together. Rows in
+       small buckets keep their key. ``"auto"`` sizes the plane count from
+       the MEASURED hottest bucket (:func:`_auto_split_planes`) — the
+       corpus-tracking mode that avoids the under-sized-split footgun
+       (every sub-bucket still over the cap → the whole mode residually
+       dropped; SCALING.md round-7).
     2. **residual drop**: sub-buckets STILL over the cap are dropped. No
        hyperplane separates identical vectors, so splitting alone cannot
        bound a degenerate mass-duplicate mode — run exact dedup first (it
@@ -230,25 +252,41 @@ def cap_hot_buckets(
     definition (only buckets with > cap members appear), so the eager
     job is small at any corpus size; no forced broadcast (a degenerate
     input could still make it wide — AQE decides)."""
-    if split_planes > 0 and dim is None:
-        raise ValueError("cap_hot_buckets: dim is required when split_planes > 0")
-    if split_planes > 0:
-        split = assign_rp_buckets(
-            vectors, dim, split_planes, vec_col, "_split", plane_offset=plane_offset
+    if split_planes != 0 and dim is None:
+        raise ValueError("cap_hot_buckets: dim is required unless split_planes=0")
+    if split_planes == 0:
+        # pure drop mode: anti-join the hot list out, key cast to string so
+        # every mode returns the same key type
+        hot = hot_buckets(vectors, max_bucket_size, bucket_col).select(
+            bucket_col
+        ).localCheckpoint()
+        return vectors.join(hot, bucket_col, "left_anti").withColumn(
+            bucket_col, F.col(bucket_col).cast("string")
         )
-        return _cap_with_split(split, max_bucket_size, bucket_col).drop("_split")
-    # pure drop mode: anti-join the hot list out, key cast to string so both
-    # modes return the same key type
     hot = hot_buckets(vectors, max_bucket_size, bucket_col).select(
-        bucket_col
+        bucket_col, "bucket_size", F.lit(True).alias("_hot")
     ).localCheckpoint()
-    return vectors.join(hot, bucket_col, "left_anti").withColumn(
-        bucket_col, F.col(bucket_col).cast("string")
+    n_planes = (
+        _auto_split_planes(hot, max_bucket_size)
+        if split_planes == "auto"
+        else split_planes
     )
+    if n_planes == 0:  # auto, and no bucket over the cap: key-type normalize only
+        return vectors.withColumn(bucket_col, F.col(bucket_col).cast("string"))
+    split = assign_rp_buckets(
+        vectors, dim, n_planes, vec_col, "_split", plane_offset=plane_offset
+    )
+    return _cap_with_split(
+        split, max_bucket_size, bucket_col, hot=hot.drop("bucket_size")
+    ).drop("_split")
 
 
 def _cap_with_split(
-    df: DataFrame, max_bucket_size: int, bucket_col: str, split_col: str = "_split"
+    df: DataFrame,
+    max_bucket_size: int,
+    bucket_col: str,
+    split_col: str = "_split",
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Refine-and-bound one bucket column, given a precomputed split key:
     rows of oversized buckets get ``bucket || '#' || split``; sub-buckets
@@ -259,10 +297,13 @@ def _cap_with_split(
     a vector dropped from one table's degenerate bucket stays a candidate
     via the other tables). Both hot lists localCheckpointed — see
     :func:`cap_hot_buckets` (self-join consumers would re-aggregate per
-    side otherwise; the lists are ≤ n/cap rows by definition)."""
-    hot = hot_buckets(df, max_bucket_size, bucket_col).select(
-        bucket_col, F.lit(True).alias("_hot")
-    ).localCheckpoint()
+    side otherwise; the lists are ≤ n/cap rows by definition). Pass a
+    precomputed ``hot`` frame (bucket_col, _hot) to skip the first
+    aggregation when the caller already materialized it."""
+    if hot is None:
+        hot = hot_buckets(df, max_bucket_size, bucket_col).select(
+            bucket_col, F.lit(True).alias("_hot")
+        ).localCheckpoint()
     marked = df.join(hot, bucket_col, "left")
     base_key = F.col(bucket_col).cast("string")
     refined = F.when(
@@ -284,7 +325,7 @@ def embedding_near_dup_pairs(
     bucket_col: str = "label",
     max_bucket_size: int | None = None,
     dim: int | None = None,
-    split_planes: int = 2,
+    split_planes: int | str = 2,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, blocked by bucket.
 
@@ -346,6 +387,7 @@ def rp_near_dup_pairs_multi(
     vec_col: str = "embedding",
     scorer: str = "sql",
     max_bucket_size: int | None = None,
+    cap_split_planes: int | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs via L independent sign-LSH tables, candidates unioned.
 
@@ -379,8 +421,12 @@ def rp_near_dup_pairs_multi(
     dense embedding mode concentrates in ONE bucket of every table no
     matter how many planes, making the candidate join (and the matrix
     scorer's s×s gemm) quadratic in the mode's size. With the cap set,
-    each table's oversized buckets are split by 2 extra shared planes and
-    residually dropped, independently per table — a vector cut from one
+    each table's oversized buckets are split by extra shared planes —
+    ``cap_split_planes="auto"`` (default) sizes the count from the
+    MEASURED hottest bucket across all tables (one tiny agg over the
+    narrow bucket projections; :func:`_auto_split_planes`), so the split
+    tracks corpus growth instead of silently under-splitting — and
+    residually dropped, independently per table: a vector cut from one
     table's degenerate bucket still pairs via its other tables. Surface
     what was cut with :func:`hot_buckets`; run exact dedup upstream so
     identical vectors (unsplittable by construction) never form a mode."""
@@ -390,11 +436,21 @@ def rp_near_dup_pairs_multi(
             bucketed, dim, n_planes, vec_col, f"_bk{t}", plane_offset=t * n_planes
         )
     if max_bucket_size is not None:
+        if cap_split_planes == "auto":
+            hot_union = None
+            for t in range(n_tables):
+                h = hot_buckets(
+                    bucketed.select(f"_bk{t}"), max_bucket_size, f"_bk{t}"
+                ).select("bucket_size")
+                hot_union = h if hot_union is None else hot_union.unionAll(h)
+            n_split = max(1, _auto_split_planes(hot_union, max_bucket_size))
+        else:
+            n_split = cap_split_planes
         # one shared refinement key for all tables' caps: map-only, computed
         # on the same pass as the table buckets (plane set disjoint from
         # every table's — tables use offsets [0, n_tables*n_planes))
         bucketed = assign_rp_buckets(
-            bucketed, dim, 2, vec_col, "_split", plane_offset=1000
+            bucketed, dim, n_split, vec_col, "_split", plane_offset=1000
         )
     if scorer == "matrix":
         import numpy as np

@@ -115,3 +115,73 @@ def test_multi_table_cap_consistent_across_scorers(spark):
         }
     assert got["sql"] == got["numpy"] == got["matrix"]
     assert got["sql"] and got["sql"] <= uncapped
+
+
+def test_auto_split_planes_recovers_undersized_split(spark):
+    """The SCALING.md r7 footgun, made executable: a 600-row hot bucket at
+    cap=30 needs ~2^5 sub-buckets; a fixed 2-plane split leaves every
+    sub-bucket over the cap (whole mode residually dropped, zero pairs),
+    while split_planes='auto' sizes the count from the measured hottest
+    bucket and keeps pairs flowing. Every surviving bucket respects the
+    cap in both modes. Vectors are hash-decorrelated (NOT the 1-D sinusoid
+    family _vec gives — a 1-D curve crosses only O(planes) hyperplanes, so
+    its sign patterns can't multiply exponentially; real embedding modes
+    have enough intrinsic dimension for the split to work as designed)."""
+
+    def _rvec(i: int, dim: int = 16) -> list[float]:
+        return [
+            math.sin(i * 12.9898 + j * 78.233) * 43758.5453 % 2.0 - 1.0
+            for j in range(dim)
+        ]
+
+    rows = [(i, _rvec(i), 0) for i in range(600)]
+    rows += [(10_000 + i, _rvec(10_000 + i), 1 + i % 3) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    fixed = cap_hot_buckets(df, 30, "label", dim=16, split_planes=2)
+    # under the undersized fixed split nearly all hot rows are residually
+    # dropped (only sub-buckets that land under the cap by chance survive —
+    # here 19 of 600)
+    fixed_survivors = fixed.filter(F.col("label").contains("#")).count()
+    assert fixed_survivors < 60, fixed_survivors
+
+    auto = cap_hot_buckets(df, 30, "label", dim=16, split_planes="auto")
+    sizes = [r["n"] for r in
+             auto.groupBy("label").agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) <= 30
+    survivors = auto.filter(F.col("label").contains("#")).count()
+    assert survivors > 300, f"auto split kept only {survivors} of 600 hot rows"
+
+    # and pairs actually flow end-to-end under auto
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.1, max_bucket_size=30, dim=16, split_planes="auto"
+    ).count()
+    assert pairs > 0
+
+
+def test_auto_split_noop_when_nothing_hot(spark):
+    """auto with no bucket over the cap must not split anything — keys are
+    only type-normalized to string."""
+    rows = [(i, _vec(i), i % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cap_hot_buckets(df, 30, "label", dim=16, split_planes="auto")
+    keys = {r["label"] for r in out.select("label").distinct().collect()}
+    assert keys == {"0", "1", "2", "3", "4"}
+    assert out.count() == 40
+
+
+def test_multi_table_auto_cap(spark):
+    """rp_near_dup_pairs_multi with the default auto-sized cap: bounded,
+    sound (subset of uncapped), and scorer-consistent."""
+    rows = [(i, _vec(i, 8)) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=8, threshold=0.1, n_planes=1, n_tables=2)  # 2 fat buckets/table
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                rp_near_dup_pairs_multi(df, **kw).collect()}
+    sql = {(r["id_a"], r["id_b"]) for r in
+           rp_near_dup_pairs_multi(df, max_bucket_size=20, **kw).collect()}
+    mat = {(r["id_a"], r["id_b"]) for r in
+           rp_near_dup_pairs_multi(df, max_bucket_size=20, scorer="matrix",
+                                   **kw).collect()}
+    assert sql == mat
+    assert sql and sql <= uncapped
