@@ -216,7 +216,9 @@ class Engine:
         n_tables). ``max_bucket_size`` enables the hot-bucket guard
         (operators/similarity.cap_hot_buckets) — set it on corpora that may
         contain a dense embedding mode; pair the job with
-        ``similarity.hot_buckets`` to report what the guard cut."""
+        ``similarity.rp_hot_bucket_report`` (same plane sets, same cap) to
+        report exactly which (table, bucket) modes the guard split or
+        dropped."""
         from .operators.similarity import rp_near_dup_pairs_multi
 
         return rp_near_dup_pairs_multi(

@@ -73,14 +73,19 @@ def _write_layout_sidecar(
         raise IOError(f"layout sidecar write failed at {target_path}")
 
 
-def _read_layout_n_buckets(spark: SparkSession, target_path: str):
+def _read_layout_n_buckets(spark: SparkSession, target_path: str, _retry: bool = True):
     """The bucket count recorded in the layout sidecar, or None for a
     pre-sidecar target. An orphaned tmp with no final sidecar means a
     stamp crashed mid-replace — fail LOUDLY instead of silently
     downgrading the target to the weak legacy check. A reader racing a
     LIVE re-stamp (between its delete(final) and rename) sees the same
     tmp-without-final state for a few ms, so re-check once after a short
-    pause before declaring the write dead (ADVICE r6)."""
+    pause before declaring the write dead (ADVICE r6). The open itself
+    gets the same treatment: the file can vanish between the exists check
+    and the open (the second race window of the same re-stamp), so a
+    FileNotFoundException triggers ONE full re-evaluation — which then
+    returns the re-stamped count, or raises the loud interrupted-write
+    error if the writer really died."""
     import json
     import time
 
@@ -100,13 +105,19 @@ def _read_layout_n_buckets(spark: SparkSession, target_path: str):
                 )
         else:
             return None
-    stream = fs.open(jpath)
     try:
-        content = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
+        stream = fs.open(jpath)
+        try:
+            content = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+    except Exception as e:
+        if _retry and "FileNotFoundException" in str(e):
+            time.sleep(0.2)
+            return _read_layout_n_buckets(spark, target_path, _retry=False)
+        raise
     return int(json.loads(content)["n_buckets"])
 
 

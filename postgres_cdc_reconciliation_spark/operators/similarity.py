@@ -358,6 +358,39 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cos") >= threshold)
 
 
+def rp_hot_bucket_report(
+    vectors: DataFrame,
+    dim: int,
+    max_bucket_size: int,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(table, bucket, bucket_size) rows for every blocking bucket the
+    capped :func:`rp_near_dup_pairs_multi` would split or drop — computed
+    over the SAME plane sets (offsets ``t * n_planes``), so the report
+    names exactly the modes the guard acts on. The multi operator's
+    internal bucket columns never leave it, so this is the loud-reporting
+    companion the engine facade points callers at (run it alongside any
+    capped job; empty result = the cap changed nothing)."""
+    bucketed = vectors
+    for t in range(n_tables):
+        bucketed = assign_rp_buckets(
+            bucketed, dim, n_planes, vec_col, f"_bk{t}", plane_offset=t * n_planes
+        )
+    out = None
+    for t in range(n_tables):
+        h = hot_buckets(
+            bucketed.select(f"_bk{t}"), max_bucket_size, f"_bk{t}"
+        ).select(
+            F.lit(t).alias("table"),
+            F.col(f"_bk{t}").alias("bucket"),
+            "bucket_size",
+        )
+        out = h if out is None else out.unionAll(h)
+    return out
+
+
 def _pair_cos_udf():
     """Arrow-batched pairwise cosine (numpy einsum) — shared by
     cosine_topk_fast and the near-dup scorers. ~30x the interpreted SQL
@@ -430,22 +463,46 @@ def rp_near_dup_pairs_multi(
     table's degenerate bucket still pairs via its other tables. Surface
     what was cut with :func:`hot_buckets`; run exact dedup upstream so
     identical vectors (unsplittable by construction) never form a mode."""
+    if max_bucket_size is not None and cap_split_planes != "auto":
+        if not isinstance(cap_split_planes, int) or cap_split_planes < 1:
+            raise ValueError(
+                "rp_near_dup_pairs_multi: cap_split_planes must be >= 1 or "
+                "'auto' (per-table drop-without-split is not offered — the "
+                "tables themselves are the recall redundancy; to drop a "
+                "mode entirely, run exact dedup upstream)"
+            )
     bucketed = vectors
     for t in range(n_tables):
         bucketed = assign_rp_buckets(
             bucketed, dim, n_planes, vec_col, f"_bk{t}", plane_offset=t * n_planes
         )
+    hot_by_table: list[DataFrame] = []
     if max_bucket_size is not None:
+        # per-table hot lists, materialized ONCE (bounded by n/cap rows by
+        # definition) and reused for BOTH the auto sizing and each table's
+        # _cap_with_split — without the reuse every cap call re-ran the
+        # same size aggregation over the full sign-LSH fold
+        for t in range(n_tables):
+            hot_by_table.append(
+                hot_buckets(bucketed.select(f"_bk{t}"), max_bucket_size, f"_bk{t}")
+                .withColumn("_hot", F.lit(True))
+                .localCheckpoint()
+            )
         if cap_split_planes == "auto":
             hot_union = None
-            for t in range(n_tables):
-                h = hot_buckets(
-                    bucketed.select(f"_bk{t}"), max_bucket_size, f"_bk{t}"
-                ).select("bucket_size")
-                hot_union = h if hot_union is None else hot_union.unionAll(h)
-            n_split = max(1, _auto_split_planes(hot_union, max_bucket_size))
+            for h in hot_by_table:
+                hs = h.select("bucket_size")
+                hot_union = hs if hot_union is None else hot_union.unionAll(hs)
+            n_split = _auto_split_planes(hot_union, max_bucket_size)
+            if n_split == 0:
+                # nothing anywhere over the cap: skip the whole guard (the
+                # same short-circuit cap_hot_buckets takes) — no split
+                # fold, no per-table cap jobs
+                max_bucket_size = None
+                hot_by_table = []
         else:
             n_split = cap_split_planes
+    if max_bucket_size is not None:
         # one shared refinement key for all tables' caps: map-only, computed
         # on the same pass as the table buckets (plane set disjoint from
         # every table's — tables use offsets [0, n_tables*n_planes))
@@ -484,7 +541,12 @@ def rp_near_dup_pairs_multi(
             if max_bucket_size is not None:
                 # bound the per-group gemm: an uncapped hot bucket is an
                 # executor OOM (s×s doubles), not just wasted work
-                tbl = _cap_with_split(tbl, max_bucket_size, "_bk").drop("_split")
+                hot_t = hot_by_table[t].select(
+                    F.col(f"_bk{t}").alias("_bk"), "_hot"
+                )
+                tbl = _cap_with_split(
+                    tbl, max_bucket_size, "_bk", hot=hot_t
+                ).drop("_split")
             tbl = tbl.repartition(
                 # explicit partition count: AQE's byte-based coalescing
                 # would fold the small vector shuffle to one partition
@@ -509,7 +571,12 @@ def rp_near_dup_pairs_multi(
             ["_split"] if max_bucket_size is not None else []
         ))
         if max_bucket_size is not None:
-            kt = _cap_with_split(kt, max_bucket_size, f"_bk{t}")
+            kt = _cap_with_split(
+                kt,
+                max_bucket_size,
+                f"_bk{t}",
+                hot=hot_by_table[t].select(f"_bk{t}", "_hot"),
+            )
         a, b = kt.alias("a"), kt.alias("b")
         ct = a.join(
             b,

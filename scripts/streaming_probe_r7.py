@@ -169,9 +169,17 @@ def probe_watermark_join(spark, rate_mult: int) -> None:
 
 def main() -> None:
     spark = get_spark(app_name="streaming-probe-r7")
-    probe_dedup_stream(spark)
-    probe_watermark_join(spark, 1)
-    probe_watermark_join(spark, 10)
+    # default retention is ~100 progress updates — probe A produces 100+
+    # batches, so without this the "first10" baseline would silently read
+    # EVICTED (wrong) entries once the run exceeds the buffer
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "300")
+    which = set(sys.argv[1:]) or {"dedup", "join1", "join10"}
+    if "dedup" in which:
+        probe_dedup_stream(spark)
+    if "join1" in which:
+        probe_watermark_join(spark, 1)
+    if "join10" in which:
+        probe_watermark_join(spark, 10)
     spark.stop()
 
 

@@ -185,3 +185,42 @@ def test_multi_table_auto_cap(spark):
                                    **kw).collect()}
     assert sql == mat
     assert sql and sql <= uncapped
+
+
+def test_multi_cap_split_planes_zero_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, _vec(1, 8))], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="cap_split_planes"):
+        rp_near_dup_pairs_multi(df, dim=8, max_bucket_size=5, cap_split_planes=0)
+
+
+def test_multi_auto_cap_noop_matches_uncapped(spark):
+    """auto cap with no bucket anywhere over the cap must short-circuit:
+    identical pair set to the uncapped run (no split fold, no drops)."""
+    rows = [(i, _vec(i, 8)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=8, threshold=0.1, n_planes=3, n_tables=2)
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                rp_near_dup_pairs_multi(df, **kw).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              rp_near_dup_pairs_multi(df, max_bucket_size=1000, **kw).collect()}
+    assert capped == uncapped
+
+
+def test_rp_hot_bucket_report_names_the_modes(spark):
+    """The facade's loud-reporting companion: same plane sets as the multi
+    operator, (table, bucket, size) rows for every bucket over the cap."""
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        rp_hot_bucket_report,
+    )
+
+    base = _vec(7, 8)
+    rows = [(i, list(base)) for i in range(30)]          # one dense mode
+    rows += [(100 + i, _vec(100 + i, 8)) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = rp_hot_bucket_report(df, dim=8, max_bucket_size=20, n_planes=2,
+                               n_tables=3).collect()
+    # the identical-vector mode lands in ONE bucket of EVERY table
+    assert {r["table"] for r in rep} == {0, 1, 2}
+    assert all(r["bucket_size"] >= 30 for r in rep)
