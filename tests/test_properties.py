@@ -491,3 +491,63 @@ def test_profile_diff_localizes_mutated_columns_property(spark, n, muts):
         for c in cols:
             if c in touched:
                 assert got[c] is False, (c, got)
+
+
+# --- hot-bucket cap invariants (round 7) -----------------------------------
+
+# a corpus: list of (id, bucket, seed) — seeds drive deterministic vectors
+CORPUS = st.lists(
+    st.tuples(st.integers(0, 10**6), st.integers(0, 3), st.integers(0, 10**6)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(CORPUS, st.integers(2, 8), st.sampled_from([0, 2, "auto"]))
+def test_cap_hot_buckets_invariants(spark, corpus, cap, split_planes):
+    """For ANY corpus/cap/mode: (1) every surviving bucket <= cap; (2) the
+    surviving ids are a subset of the input ids with no duplicates; (3)
+    every row of a bucket that was NOT over the cap survives, key intact
+    (only hot buckets may lose rows)."""
+    import math as m
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        cap_hot_buckets,
+    )
+
+    def vec(seed):
+        return [m.sin(seed * 12.9898 + j * 78.233) * 43758.5453 % 2.0 - 1.0
+                for j in range(8)]
+
+    rows = [(i, vec(s), b) for i, b, s in corpus]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cap_hot_buckets(
+        df, cap, "label", dim=8, split_planes=split_planes
+    ).collect()
+
+    sizes = {}
+    for r in out:
+        sizes[r["label"]] = sizes.get(r["label"], 0) + 1
+    assert all(n <= cap for n in sizes.values()), sizes
+
+    in_ids = {i for i, _, _ in corpus}
+    out_ids = [r["vec_id"] for r in out]
+    assert len(out_ids) == len(set(out_ids))
+    assert set(out_ids) <= in_ids
+
+    from collections import Counter
+
+    bucket_counts = Counter(b for _, b, _ in corpus)
+    cold_ids = {i for i, b, _ in corpus if bucket_counts[b] <= cap}
+    survived_cold = {
+        r["vec_id"] for r in out if "#" not in r["label"]
+    }
+    assert cold_ids <= set(out_ids), "a row from a never-hot bucket was dropped"
+    # and cold rows keep their original (stringified) key
+    keymap = {i: str(b) for i, b, _ in corpus}
+    for r in out:
+        if r["vec_id"] in cold_ids:
+            assert r["label"] == keymap[r["vec_id"]]
+    assert survived_cold >= cold_ids
