@@ -81,11 +81,21 @@ def lsh_candidates(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     band_size: int = 2,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band (equality bucket join).
 
     Bands of `band_size` consecutive hashes; docs agreeing on a whole band
-    land in the same bucket. Output: (doc_a, doc_b, n_shared_bands)."""
+    land in the same bucket. Output: (doc_a, doc_b, n_shared_bands).
+
+    ``max_band_freq`` (same skew guard as ``ngram_jaccard_pairs``'
+    max_doc_freq and the incremental paths' identical knob): a band held by
+    df docs yields df² candidate pairs, so ONE degenerate band — a
+    boilerplate mega-cluster hashing alike — turns the self-join quadratic
+    at corpus scale. With the cap set, bands over it are anti-joined out
+    before the pair join (no forced broadcast of the hot list; AQE
+    decides). Mega-clusters belong to exact dedup upstream; smaller true
+    near-dup groups still pair via their sub-cap bands."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -98,6 +108,15 @@ def lsh_candidates(
         ]
     )
     banded = sig.select(F.col(id_col), F.explode(bands).alias("band"))
+    if max_band_freq is not None:
+        hot = (
+            banded.groupBy("band")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_band_freq)
+            .select("band")
+            .localCheckpoint()  # reused by both sides of the self-join
+        )
+        banded = banded.join(hot, "band", "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -326,6 +326,7 @@ def embedding_near_dup_pairs(
     max_bucket_size: int | None = None,
     dim: int | None = None,
     split_planes: int | str = 2,
+    scorer: str = "sql",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, blocked by bucket.
 
@@ -335,10 +336,28 @@ def embedding_near_dup_pairs(
     ``max_bucket_size`` bounds the quadratic term per bucket via
     :func:`cap_hot_buckets` (split oversized buckets with ``split_planes``
     extra hyperplanes, drop what still exceeds the cap) — without it a dense
-    embedding mode makes one bucket O(bucket²) at corpus scale."""
+    embedding mode makes one bucket O(bucket²) at corpus scale.
+
+    ``scorer="sql"`` (default, oracle-checkable bit-for-bit) enumerates
+    candidate pairs and scores each with the native fold;
+    ``scorer="matrix"`` is the production path for big buckets: one BLAS
+    gemm per bucket via applyInPandas (:func:`_matrix_score_fn`), only
+    surviving pairs leave the worker — same pairs, cosine to float
+    round-off (the rp_near_dup_pairs_multi scorer contract)."""
     if max_bucket_size is not None:
         vectors = cap_hot_buckets(
             vectors, max_bucket_size, bucket_col, dim, vec_col, split_planes
+        )
+    if scorer == "matrix":
+        from ..session import pandas_parallelism
+
+        tbl = vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col(bucket_col).alias("_bk"),
+        ).repartition(pandas_parallelism(vectors.sparkSession), "_bk")
+        return tbl.groupBy("_bk").applyInPandas(
+            _matrix_score_fn(threshold), "id_a long, id_b long, cos double"
         )
     v = with_norm(vectors, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("v"), F.col("_norm").alias("n"),
@@ -356,6 +375,32 @@ def embedding_near_dup_pairs(
         (_dot("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def _matrix_score_fn(threshold: float):
+    """Per-bucket BLAS scorer for applyInPandas groups of (_id, _v): the
+    whole within-bucket similarity matrix in one gemm, only the pairs over
+    ``threshold`` leave the worker. Shared by the multi-table and
+    single-table near-dup matrix paths."""
+    import numpy as np
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["_v"].values).astype(np.float64)
+        ids = pdf["_id"].values
+        norms = np.linalg.norm(x, axis=1)
+        sim = (x @ x.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sim[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cos": sim[iu, ju][keep],
+            }
+        )
+
+    return _score_bucket
 
 
 def rp_hot_bucket_report(
@@ -510,23 +555,7 @@ def rp_near_dup_pairs_multi(
             bucketed, dim, n_split, vec_col, "_split", plane_offset=1000
         )
     if scorer == "matrix":
-        import numpy as np
-
-        def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            x = np.stack(pdf["_v"].values).astype(np.float64)
-            ids = pdf["_id"].values
-            norms = np.linalg.norm(x, axis=1)
-            sim = (x @ x.T) / np.outer(norms, norms)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            keep = sim[iu, ju] >= threshold
-            a, b = ids[iu[keep]], ids[ju[keep]]
-            return pd.DataFrame(
-                {
-                    "id_a": np.minimum(a, b),
-                    "id_b": np.maximum(a, b),
-                    "cos": sim[iu, ju][keep],
-                }
-            )
+        _score_bucket = _matrix_score_fn(threshold)
 
         from ..session import pandas_parallelism
 

@@ -132,3 +132,47 @@ def test_minhash_post_agg_conv_is_bit_identical(spark):
     want = {r["doc_id"]: tuple(r[f"h{s}"] for s in range(8))
             for r in per_row.collect()}
     assert got == want
+
+
+def test_lsh_band_freq_cap_bounds_mega_cluster(spark):
+    """The minhash twin of the shingle df-cap: a mega-cluster of identical
+    docs shares every band (df² candidate pairs); max_band_freq drops its
+    bands while pairs among normal docs survive."""
+    mega = "boilerplate header repeated across the whole corpus " * 3
+    rows = [(i, mega) for i in range(30)]  # mega-cluster: all bands df=30
+    rows += [(100, BASE), (101, BASE.replace("lazy", "sleepy"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(shingles(docs), "doc_id")
+
+    uncapped = lsh_candidates(sig, "doc_id").collect()
+    # the mega-cluster alone contributes C(30,2)=435 pairs
+    assert len(uncapped) >= 435
+
+    capped = lsh_candidates(sig, "doc_id", max_band_freq=10).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (100, 101) in pairs, "normal near-dup pair lost to the cap"
+    assert all(a >= 100 for a, _ in pairs), "mega-cluster pairs not dropped"
+
+
+def test_embedding_matrix_scorer_agrees_with_sql(spark, sf_dir):
+    """Single-table near-dup matrix scorer (per-bucket gemm) emits the same
+    pair set as the oracle-checkable SQL fold, capped and uncapped."""
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for kw in ({}, {"max_bucket_size": 40, "dim": 64, "split_planes": "auto"}):
+        sql_pairs = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in embedding_near_dup_pairs(v, threshold=0.35, **kw).collect()
+        }
+        mat_pairs = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in embedding_near_dup_pairs(
+                v, threshold=0.35, scorer="matrix", **kw
+            ).collect()
+        }
+        assert set(sql_pairs) == set(mat_pairs)
+        for k in sql_pairs:
+            assert abs(sql_pairs[k] - mat_pairs[k]) < 1e-9
