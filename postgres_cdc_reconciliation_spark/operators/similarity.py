@@ -214,7 +214,7 @@ def cap_hot_buckets(
     bucket_col: str,
     dim: int | None = None,
     vec_col: str = "embedding",
-    split_planes: int | str = 2,
+    split_planes: int | str = "auto",
     plane_offset: int = 1000,
 ) -> DataFrame:
     """Bound every blocking bucket at ``max_bucket_size`` before a pair join.
@@ -325,7 +325,7 @@ def embedding_near_dup_pairs(
     bucket_col: str = "label",
     max_bucket_size: int | None = None,
     dim: int | None = None,
-    split_planes: int | str = 2,
+    split_planes: int | str = "auto",
     scorer: str = "sql",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, blocked by bucket.

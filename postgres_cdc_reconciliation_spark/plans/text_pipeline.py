@@ -544,7 +544,9 @@ def q_dedup_embed_capped(spark, sf_dir):
     from ..operators.similarity import embedding_near_dup_pairs
 
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = embedding_near_dup_pairs(v, threshold=0.35, max_bucket_size=40, dim=64)
+    pairs = embedding_near_dup_pairs(
+        v, threshold=0.35, max_bucket_size=40, dim=64, split_planes=2
+    )  # plane count pinned: the oracle mirrors exactly 2 split planes
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 
