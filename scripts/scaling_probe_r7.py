@@ -74,7 +74,7 @@ def build_10x(spark) -> None:
     out.repartition(32).write.mode("overwrite").parquet(f"{SF10}/embeddings.parquet")
 
 
-def run(spark, sf_dir: str, split_planes: int | None) -> tuple[float, int]:
+def run(spark, sf_dir: str, split_planes) -> tuple[float, int]:
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     kw = dict(threshold=0.35)
     if split_planes is not None:
@@ -97,7 +97,8 @@ def main() -> None:
           f"{'exp':>6s} {'exp/out':>8s}")
     for name, sp in (("q_dedup_embed (uncapped)", None),
                      ("q_dedup_embed cap=40 sp=4", 4),
-                     ("q_dedup_embed cap=40 sp=8", 8)):
+                     ("q_dedup_embed cap=40 sp=8", 8),
+                     ("q_dedup_embed cap=40 auto", "auto")):
         t1, r1 = run(spark, SF1, sp)
         t10, r10 = run(spark, SF10, sp)
         exp = math.log10(t10 / t1)
