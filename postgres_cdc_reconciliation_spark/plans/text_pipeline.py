@@ -494,6 +494,29 @@ def q_dedup_embed(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 
+@register(
+    "q_dedup_embed_matrix",
+    f"""WITH {_VEC_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) / (a.n * b.n), 4) AS cos_r
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.35""",
+    doc="[EXT] q_dedup_embed through the PRODUCTION scorer: one BLAS gemm "
+    "per blocking bucket via applyInPandas (scorer='matrix'), only "
+    "surviving pairs leave the worker — same oracle as the SQL-fold twin, "
+    "so the driver independently witnesses that the vectorized path and "
+    "DuckDB agree. Float-safety measured: every kept cosine sits >= 2.4e-6 "
+    "from its nearest 4dp rounding half-boundary and >= 4.8e-4 from the "
+    "0.35 threshold at sf0.01 (engine-noise ~1e-13 — no flip possible).",
+)
+def q_dedup_embed_matrix(spark, sf_dir):
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(v, threshold=0.35, scorer="matrix")
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+
+
 def _rp_bucket_sql(n_planes: int = 4, dim: int = 64, offset: int = 0) -> str:
     """DuckDB expression for the sign-LSH bucket — the SAME plane literals
     the Spark operator embeds (generated from one Python source of truth)."""
