@@ -343,21 +343,30 @@ def embedding_near_dup_pairs(
     ``scorer="matrix"`` is the production path for big buckets: one BLAS
     gemm per bucket via applyInPandas (:func:`_matrix_score_fn`), only
     surviving pairs leave the worker — same pairs, cosine to float
-    round-off (the rp_near_dup_pairs_multi scorer contract)."""
+    round-off (the rp_near_dup_pairs_multi scorer contract). NULL bucket
+    keys pair with nothing in either scorer (the SQL equality join is
+    null-rejecting; the matrix path filters them before grouping), and
+    zero-norm vectors (cosine undefined = NaN) are excluded in both —
+    Spark's nonstandard NaN >= x = TRUE would otherwise keep them on the
+    SQL path while numpy and DuckDB drop them."""
+    if scorer not in ("sql", "matrix"):
+        raise ValueError(
+            f"embedding_near_dup_pairs: unknown scorer {scorer!r} "
+            "(expected 'sql' or 'matrix')"
+        )
     if max_bucket_size is not None:
         vectors = cap_hot_buckets(
             vectors, max_bucket_size, bucket_col, dim, vec_col, split_planes
         )
     if scorer == "matrix":
-        from ..session import pandas_parallelism
-
-        tbl = vectors.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            F.col(bucket_col).alias("_bk"),
-        ).repartition(pandas_parallelism(vectors.sparkSession), "_bk")
-        return tbl.groupBy("_bk").applyInPandas(
-            _matrix_score_fn(threshold), "id_a long, id_b long, cos double"
+        return _matrix_pairs(
+            vectors.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                F.col(bucket_col).alias("_bk"),
+            ),
+            threshold,
+            dict(vectors.dtypes)[id_col],
         )
     v = with_norm(vectors, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("v"), F.col("_norm").alias("n"),
@@ -372,9 +381,15 @@ def embedding_near_dup_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        (_dot("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))).alias("cos"),
+        # try_divide: a zero-norm vector makes the divisor 0 — under ANSI
+        # mode (Spark 4 default) a plain division RAISES, and with ANSI off
+        # it yields NaN, which Spark orders GREATER than every number so
+        # NaN >= threshold would pass. NULL + the filter below matches the
+        # numpy/DuckDB behavior (such pairs are dropped)
+        F.try_divide(_dot("a.v", "b.v"), F.col("a.n") * F.col("b.n")).alias("cos"),
     )
-    return pairs.filter(F.col("cos") >= threshold)
+    return pairs.filter(F.col("cos").isNotNull() & ~F.isnan("cos")
+                        & (F.col("cos") >= threshold))
 
 
 def _matrix_score_fn(threshold: float):
@@ -401,6 +416,29 @@ def _matrix_score_fn(threshold: float):
         )
 
     return _score_bucket
+
+
+def _matrix_pairs(tbl: DataFrame, threshold: float, id_type: str) -> DataFrame:
+    """Shared matrix-scorer plumbing over a (_id, _v, _bk) frame: drop NULL
+    bucket keys (an equality self-join is null-rejecting — the scorers must
+    agree, and an unfiltered NULL group would also bypass the hot-bucket
+    cap straight into one giant gemm), repartition by the bucket key with
+    an explicit count (AQE's byte-based coalescing would fold the small
+    vector shuffle to one partition and serialize the per-bucket gemms),
+    and run one BLAS gemm per group. Output schema follows the caller's id
+    type — ids are compared with np.minimum/maximum, which handles ints
+    and strings alike."""
+    from ..session import pandas_parallelism
+
+    return (
+        tbl.filter(F.col("_bk").isNotNull())
+        .repartition(pandas_parallelism(tbl.sparkSession), "_bk")
+        .groupBy("_bk")
+        .applyInPandas(
+            _matrix_score_fn(threshold),
+            f"id_a {id_type}, id_b {id_type}, cos double",
+        )
+    )
 
 
 def rp_hot_bucket_report(
@@ -508,6 +546,11 @@ def rp_near_dup_pairs_multi(
     table's degenerate bucket still pairs via its other tables. Surface
     what was cut with :func:`hot_buckets`; run exact dedup upstream so
     identical vectors (unsplittable by construction) never form a mode."""
+    if scorer not in ("sql", "numpy", "matrix"):
+        raise ValueError(
+            f"rp_near_dup_pairs_multi: unknown scorer {scorer!r} "
+            "(expected 'sql', 'numpy' or 'matrix')"
+        )
     if max_bucket_size is not None and cap_split_planes != "auto":
         if not isinstance(cap_split_planes, int) or cap_split_planes < 1:
             raise ValueError(
@@ -555,10 +598,7 @@ def rp_near_dup_pairs_multi(
             bucketed, dim, n_split, vec_col, "_split", plane_offset=1000
         )
     if scorer == "matrix":
-        _score_bucket = _matrix_score_fn(threshold)
-
-        from ..session import pandas_parallelism
-
+        id_type = dict(vectors.dtypes)[id_col]
         per_table = None
         for t in range(n_tables):
             tbl = bucketed.select(
@@ -576,12 +616,7 @@ def rp_near_dup_pairs_multi(
                 tbl = _cap_with_split(
                     tbl, max_bucket_size, "_bk", hot=hot_t
                 ).drop("_split")
-            tbl = tbl.repartition(
-                # explicit partition count: AQE's byte-based coalescing
-                # would fold the small vector shuffle to one partition
-                # and serialize the per-bucket gemms
-                pandas_parallelism(bucketed.sparkSession), "_bk"
-            ).groupBy("_bk").applyInPandas(_score_bucket, "id_a long, id_b long, cos double")
+            tbl = _matrix_pairs(tbl, threshold, id_type)
             per_table = tbl if per_table is None else per_table.unionAll(tbl)
         # same pair found via several tables: keep one row (gemm bits can
         # differ in the last ulp between groups, so dedup by key, not value)
@@ -633,9 +668,13 @@ def rp_near_dup_pairs_multi(
         # two ArrowEvalPython nodes running the einsum twice per pair
         cos = _pair_cos_udf().asNondeterministic()("va", "vb")
     else:
-        cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+        # try_divide + isnan guard: see embedding_near_dup_pairs — zero-norm
+        # vectors must drop, matching numpy/DuckDB/matrix semantics, not
+        # raise (ANSI) or pass as NaN (Spark NaN ordering)
+        cos = F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb"))
     scored = joined.select("id_a", "id_b", cos.alias("cos"))
-    return scored.filter(F.col("cos") >= threshold)
+    return scored.filter(F.col("cos").isNotNull() & ~F.isnan("cos")
+                         & (F.col("cos") >= threshold))
 
 
 # --- centroid-based multi-probe IVF (real coarse quantizer) -----------------

@@ -224,3 +224,56 @@ def test_rp_hot_bucket_report_names_the_modes(spark):
     # the identical-vector mode lands in ONE bucket of EVERY table
     assert {r["table"] for r in rep} == {0, 1, 2}
     assert all(r["bucket_size"] >= 30 for r in rep)
+
+
+def test_scorers_agree_on_null_buckets_and_zero_norms(spark):
+    """Review-pass edge cases: NULL bucket keys pair with nothing in EITHER
+    scorer (the SQL equality join is null-rejecting; the matrix path must
+    filter, not form a giant NULL group), and zero-norm vectors (cosine =
+    NaN) are excluded in both — Spark's NaN >= threshold is TRUE, so the
+    SQL filter needs the explicit isnan guard numpy/DuckDB semantics give
+    for free."""
+    rows = [(1, _vec(1), 0), (2, _vec(2), 0)]         # normal pair
+    rows += [(10, _vec(10), None), (11, _vec(11), None)]  # NULL bucket
+    rows += [(20, [0.0] * 16, 1), (21, _vec(21), 1)]  # zero-norm in bucket 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    for kw in ({}, {"max_bucket_size": 1000, "dim": 16}):
+        got = {}
+        for scorer in ("sql", "matrix"):
+            got[scorer] = {
+                (r["id_a"], r["id_b"])
+                for r in embedding_near_dup_pairs(
+                    df, threshold=-1.0, scorer=scorer, **kw
+                ).collect()
+            }
+        assert got["sql"] == got["matrix"], (kw, got)
+        assert not any(10 in p or 11 in p for p in got["sql"]), "NULL bucket paired"
+        assert not any(20 in p for p in got["sql"]), "zero-norm NaN pair emitted"
+        assert (1, 2) in got["sql"]
+
+
+def test_unknown_scorer_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, _vec(1))], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="unknown scorer"):
+        embedding_near_dup_pairs(df, scorer="Matrix")
+    with pytest.raises(ValueError, match="unknown scorer"):
+        rp_near_dup_pairs_multi(df, dim=16, scorer="einsum")
+
+
+def test_matrix_scorer_string_ids(spark):
+    """The matrix output schema follows the caller's id type — string ids
+    work (np.minimum/maximum order object arrays lexicographically, same
+    as the SQL path's < on strings)."""
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        embedding_near_dup_pairs as endp,
+    )
+
+    rows = [(f"doc{i}", _vec(i), 0) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>, label int")
+    sql_pairs = {(r["id_a"], r["id_b"]) for r in
+                 endp(df, threshold=-1.0, scorer="sql").collect()}
+    mat_pairs = {(r["id_a"], r["id_b"]) for r in
+                 endp(df, threshold=-1.0, scorer="matrix").collect()}
+    assert sql_pairs == mat_pairs and len(sql_pairs) == 15
