@@ -70,8 +70,11 @@ def cosine_topk(
     else:
         joined = c.crossJoin(F.broadcast(q))
     scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
-        "cos", _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
-    )
+        # try_divide: a zero-norm vector (cosine undefined) must drop out of
+        # the ranking, not raise under ANSI mode (Spark 4 default) or rank
+        # FIRST as NaN (Spark orders NaN above every number)
+        "cos", F.try_divide(_dot("q_vec", "c_vec"), F.col("q_norm") * F.col("c_norm"))
+    ).filter(F.col("cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -116,7 +119,7 @@ def cosine_topk_fast(
         joined = c.crossJoin(F.broadcast(q))
     scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
         "cos", pair_cos("q_vec", "c_vec")
-    )
+    ).filter(F.col("cos").isNotNull() & ~F.isnan("cos"))  # zero-norm: see cosine_topk
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -768,7 +771,9 @@ def ivf_topk_multiprobe(
     )
     scored = c.join(F.broadcast(q), "cent_id").filter(
         F.col("query_id") != F.col("neighbor_id")
-    ).withColumn("cos", _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")))
+    ).withColumn(
+        "cos", F.try_divide(_dot("q_vec", "c_vec"), F.col("q_norm") * F.col("c_norm"))
+    ).filter(F.col("cos").isNotNull())  # zero-norm: see cosine_topk
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

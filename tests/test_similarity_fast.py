@@ -53,3 +53,25 @@ def test_rp_bucket_assignment_properties(spark):
     assert out[1] == out[2]
     assert out[1] ^ out[3] == 0b1111  # negation flips every sign bit
     assert 0 <= out[1] < 16
+
+
+def test_topk_tolerates_zero_norm_vectors(spark):
+    """A zero-norm vector (cosine undefined) must drop out of every top-k
+    ranking — not crash under ANSI mode, and not rank FIRST as NaN (Spark
+    orders NaN above every number). Exact and fast paths agree."""
+    import math
+
+    def vec(i):
+        return [math.sin(0.7 * i + 0.31 * j) + 0.05 for j in range(16)]
+
+    rows = [(i, vec(i)) for i in range(6)] + [(99, [0.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 2")
+    for fn in (cosine_topk, cosine_topk_fast):
+        out = fn(q, df, k=3).collect()
+        assert out, fn.__name__
+        assert all(r["neighbor_id"] != 99 for r in out), fn.__name__
+        assert all(r["cos"] == r["cos"] for r in out)  # no NaN survives
+    # zero-norm QUERY: contributes no rows instead of crashing/ranking NaN
+    zq = df.filter("vec_id = 99")
+    assert cosine_topk(zq, df, k=3).count() == 0
