@@ -434,7 +434,11 @@ def _matrix_pairs(tbl: DataFrame, threshold: float, id_type: str) -> DataFrame:
     from ..session import pandas_parallelism
 
     return (
-        tbl.filter(F.col("_bk").isNotNull())
+        # _v NOT NULL: a NULL embedding folds to bucket 0 (the sign CASE's
+        # otherwise-branch), and np.stack crashes on a None row — the SQL
+        # scorers drop such rows silently (NULL dot → NULL cos → filtered);
+        # match them. _bk NOT NULL: equality self-joins are null-rejecting.
+        tbl.filter(F.col("_bk").isNotNull() & F.col("_v").isNotNull())
         .repartition(pandas_parallelism(tbl.sparkSession), "_bk")
         .groupBy("_bk")
         .applyInPandas(

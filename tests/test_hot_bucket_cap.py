@@ -277,3 +277,26 @@ def test_matrix_scorer_string_ids(spark):
     mat_pairs = {(r["id_a"], r["id_b"]) for r in
                  endp(df, threshold=-1.0, scorer="matrix").collect()}
     assert sql_pairs == mat_pairs and len(sql_pairs) == 15
+
+
+def test_scorers_agree_on_null_embeddings(spark):
+    """A NULL embedding folds to sign-bucket 0 (the CASE's otherwise
+    branch), so it reaches the scorers: SQL drops it via NULL cosine; the
+    matrix path must filter it before np.stack, not crash."""
+    rows = [(1, _vec(1), 0), (2, _vec(2), 0), (3, None, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    for scorer in ("sql", "matrix"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                df, threshold=-1.0, scorer=scorer
+            ).collect()
+        }
+        assert pairs == {(1, 2)}, (scorer, pairs)
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in rp_near_dup_pairs_multi(
+            df, dim=16, threshold=-1.0, n_planes=2, n_tables=2, scorer="matrix"
+        ).collect()
+    }
+    assert multi == {(1, 2)}
