@@ -585,14 +585,20 @@ WHERE list_dot_product(a.e, b2.e) / (a.n * b2.n) >= 0.3""",
     "buckets computed IN the plan (no precomputed labels — the 100 TB "
     "blocking path; single table here, production unions L plane sets for "
     "recall). Sign margins in the testdata are ≥4e-5 per plane, far above "
-    "fold-order float noise, so bucket ids are engine-stable.",
+    "fold-order float noise, so bucket ids are engine-stable. Scored via "
+    "the production matrix path (one gemm per bucket) — pair sets are "
+    "identical to the SQL fold and the min 4dp-rounding half-boundary "
+    "margin is 7.6e-9 at sf0.1 vs ~3e-16 scorer noise, so the DuckDB "
+    "oracle (SQL fold) cannot diverge.",
 )
 def q_dedup_embed_rp(spark, sf_dir):
     from ..operators.similarity import assign_rp_buckets, embedding_near_dup_pairs
 
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     bucketed = assign_rp_buckets(v, dim=64, n_planes=4)
-    pairs = embedding_near_dup_pairs(bucketed, threshold=0.3, bucket_col="rp_bucket")
+    pairs = embedding_near_dup_pairs(
+        bucketed, threshold=0.3, bucket_col="rp_bucket", scorer="matrix"
+    )
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 
@@ -624,13 +630,19 @@ WHERE list_dot_product(x.e, y.e) / (x.n * y.n) >= 0.3"""
     "1-(1-p)^L). Measured on testdata at threshold 0.3: recall vs brute "
     "force 0.14 (L=1) -> 0.45-0.47 (L=4) -> 0.71-0.72 (L=8), false-positive "
     "rate 0 at every L (exact verification step). All 16 plane sign margins "
-    ">= 1.9e-5 at sf0.001/0.01/0.1 — bucket ids engine-stable.",
+    ">= 1.9e-5 at sf0.001/0.01/0.1 — bucket ids engine-stable. Scored via "
+    "the production matrix path (one gemm per bucket per table) — pair "
+    "sets identical to the SQL fold, min 4dp half-boundary margin 7.6e-9 "
+    "at sf0.1 vs ~3e-16 scorer noise, so the SQL-fold DuckDB oracle "
+    "cannot diverge.",
 )
 def q_dedup_embed_rp_multi(spark, sf_dir):
     from ..operators.similarity import rp_near_dup_pairs_multi
 
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = rp_near_dup_pairs_multi(v, dim=64, threshold=0.3, n_tables=4)
+    pairs = rp_near_dup_pairs_multi(
+        v, dim=64, threshold=0.3, n_tables=4, scorer="matrix"
+    )
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 

@@ -228,8 +228,8 @@ def test_python_stages_pin_explicit_parallelism(spark, sf_dir):
     )
     assert "REPARTITION_BY_NUM" in simple, simple
 
-    # the per-bucket gemm scorer (matrix mode) is not on a registered
-    # query's default path — pin it at operator level
+    # the per-bucket gemm scorer (matrix mode) now backs q_dedup_embed_matrix
+    # and the two rp near-dup queries — pin its repartition at operator level
     from postgres_cdc_reconciliation_spark.operators.similarity import (
         rp_near_dup_pairs_multi,
     )
