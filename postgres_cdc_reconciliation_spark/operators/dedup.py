@@ -153,6 +153,12 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_doc_freq)
             .select("shingle")
+            # materialized once: the capped frame feeds THREE branches
+            # (sizes + both self-join sides), and without this each branch
+            # re-runs the full corpus-scan df-aggregation to rebuild the
+            # hot list (same bounded-intermediates rule as lsh_candidates'
+            # band cap; the hot list is small — only over-cap shingles)
+            .localCheckpoint()
         )
         # no broadcast hint: the hot set is usually tiny (AQE will broadcast
         # it at runtime) but can be corpus-scale in degenerate inputs, where

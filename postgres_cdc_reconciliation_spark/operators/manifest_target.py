@@ -92,13 +92,15 @@ def _bucket_path(root: str, bucket: int, data_version: int) -> str:
     return f"{root}/{STAGE_DIR}/v={data_version}/_bucket={bucket}"
 
 
-def _mapping_at(
-    spark: SparkSession, root: str, version: int | None
-) -> dict[int, int]:
-    """{bucket: data_version} for a pinned manifest (None → latest)."""
+def _doc_at(spark: SparkSession, root: str, version: int | None) -> dict:
+    """Parsed manifest doc for a pinned version (None → latest). Raises
+    FileNotFoundError when the pinned version was never committed (or is
+    no longer retained), or when no snapshot exists at all."""
     if version is None:
-        _, buckets = read_manifest(spark, root)
-        return buckets
+        v, doc = _read_manifest_doc(spark, root)
+        if v < 0:
+            raise FileNotFoundError(f"no committed snapshot at {root}")
+        return doc
     if version not in _manifest_versions(spark, root):
         raise FileNotFoundError(
             f"no committed (or retained) manifest v{version} at {root}"
@@ -109,7 +111,19 @@ def _mapping_at(
         doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
     finally:
         stream.close()
-    return {int(b): int(dv) for b, dv in doc["buckets"].items()}
+    return doc
+
+
+def _mapping_at(
+    spark: SparkSession, root: str, version: int | None
+) -> dict[int, int]:
+    """{bucket: data_version} for a pinned manifest (None → latest)."""
+    if version is None:
+        _, buckets = read_manifest(spark, root)
+        return buckets
+    return {
+        int(b): int(dv) for b, dv in _doc_at(spark, root, version)["buckets"].items()
+    }
 
 
 def read_snapshot(
@@ -120,10 +134,26 @@ def read_snapshot(
     In-flight or crashed writers are invisible: their stage dirs are not in
     any committed manifest. ``version`` pins a specific committed manifest
     (time travel — valid as long as ``vacuum`` retains it); default is the
-    latest."""
-    buckets = _mapping_at(spark, root, version)
+    latest.
+
+    A committed manifest with ZERO live buckets is a legitimate EMPTY
+    table (first commit was empty, or every key was deleted) — distinct
+    from "no snapshot committed". An empty snapshot has no parquet files
+    to carry the schema, so the manifest stamps it at commit time and the
+    empty frame is rebuilt from that record; pre-schema-stamp (legacy)
+    manifests can only fail loud here."""
+    doc = _doc_at(spark, root, version)
+    buckets = {int(b): int(dv) for b, dv in doc["buckets"].items()}
     if not buckets:
-        raise FileNotFoundError(f"no committed snapshot at {root}")
+        schema_doc = doc.get("schema")
+        if schema_doc is None:
+            raise FileNotFoundError(
+                f"empty snapshot at {root} predates schema stamping — "
+                "no parquet files and no recorded schema to rebuild from"
+            )
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(schema_doc))
     paths = [_bucket_path(root, b, dv) for b, dv in sorted(buckets.items())]
     return spark.read.parquet(*paths)
 
@@ -233,6 +263,10 @@ def commit_delta(
             "version": new_v,
             "n_buckets": n_buckets,
             "buckets": {str(b): dv for b, dv in mapping.items()},
+            # table schema at this version: the ONLY schema record when the
+            # snapshot has zero live buckets (empty first commit, or every
+            # key deleted) — read_snapshot rebuilds the empty frame from it
+            "schema": json.loads(merged.schema.json()),
         }
     )
     fs, mdir = _fs(spark, f"{root}/{MANIFEST_DIR}")
@@ -272,12 +306,15 @@ def compact(
     superseded dirs. Returns the committed version."""
     from .apply import bucket_expr
 
-    _, mapping = read_manifest(spark, root)
-    if not mapping:
+    v, mapping = read_manifest(spark, root)
+    if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {root}")
-    snap = read_snapshot(spark, root).repartition(
-        len(mapping), bucket_expr(key_cols, n_buckets)
-    )
+    snap = read_snapshot(spark, root)
+    if mapping:
+        snap = snap.repartition(len(mapping), bucket_expr(key_cols, n_buckets))
+    # an EMPTY committed table (all keys deleted) still compacts: the
+    # full-snapshot commit re-stamps n_buckets and lets vacuum retire the
+    # superseded delete-era stage dirs
     return commit_delta(
         snap, root, key_cols, sorted(mapping), n_buckets, full_snapshot=True
     )

@@ -888,6 +888,18 @@ def pq_encode_fast(
     import numpy as np
 
     cb = codebooks.collect()
+    if not cb:
+        # empty-corpus ANN degrades to an empty result set (the
+        # cosine/ivf siblings' contract); an empty codebook with corpus
+        # rows present would silently drop every vector — fail loud
+        # instead (the pq_codebooks seed filter found no id < k_codes)
+        schema = f"{id_col} long, sub integer, code integer"
+        if corpus.isEmpty():
+            return corpus.sparkSession.createDataFrame([], schema)
+        raise ValueError(
+            "pq_encode_fast: empty codebook for a non-empty corpus — "
+            "pq_codebooks seeds from vectors with id < k_codes; none exist"
+        )
     k_codes = max(r["cent_id"] for r in cb) + 1
     cents = np.zeros((n_sub, k_codes, d_sub), dtype=np.float64)
     for r in cb:

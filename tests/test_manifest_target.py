@@ -759,3 +759,68 @@ def test_crashed_full_snapshot_compact_replay(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bucket layout mismatch"):
         commit_delta(delta, target, ["id"], [0], 8)
+
+
+def test_empty_snapshot_commits_and_reads(spark, tmp_path):
+    """A committed manifest with ZERO live buckets is a legitimate EMPTY
+    table, not "no snapshot": an empty first commit reads back as an empty
+    frame (schema rebuilt from the manifest's schema stamp), CDF between
+    two empty versions is empty, delete-to-empty then compact works, and a
+    target with NO manifest at all still fails loud."""
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        compact,
+        snapshot_changes,
+    )
+
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame([], "k long, val string")
+
+    # no manifest at all: loud
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, target)
+
+    v0 = commit_delta(df, target, ["k"], [], 8)
+    snap = read_snapshot(spark, target)
+    assert snap.count() == 0
+    assert [f.name for f in snap.schema.fields] == ["k", "val"]
+
+    v1 = commit_delta(df, target, ["k"], [], 8)
+    ch = snapshot_changes(spark, target, ["k"], v0, v1)
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns
+
+    # rows in, all deleted out: the snapshot is empty again but committed
+    data = spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string")
+    v2 = commit_delta(data, target, ["k"], list(range(8)), 8)
+    assert read_snapshot(spark, target).count() == 2
+    gone = spark.createDataFrame([], "k long, val string")
+    v3 = commit_delta(gone, target, ["k"], list(range(8)), 8)
+    empty_again = read_snapshot(spark, target)
+    assert empty_again.count() == 0
+    assert [f.name for f in empty_again.schema.fields] == ["k", "val"]
+    # the insert->empty CDF carries the deletes' before-images
+    deltas = snapshot_changes(spark, target, ["k"], v2, v3)
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in deltas.collect()
+    ) == [(1, "delete"), (2, "delete")]
+
+    # compacting the empty table still commits (re-stamps the layout)
+    v4 = compact(spark, target, ["k"], 8)
+    assert v4 == v3 + 1
+    assert read_snapshot(spark, target).count() == 0
+
+
+def test_legacy_empty_manifest_without_schema_fails_loud(spark, tmp_path):
+    """Pre-schema-stamp manifests have no schema record: an empty snapshot
+    under one can only fail loud (there are no parquet files to infer
+    from) — and the error names the cause, not a generic read failure."""
+    import pytest
+
+    target = str(tmp_path / "t")
+    (tmp_path / "t" / "_manifests").mkdir(parents=True)
+    with open(tmp_path / "t" / "_manifests" / "v0.json", "w") as f:
+        f.write(json.dumps({"version": 0, "n_buckets": 8, "buckets": {}}))
+    with pytest.raises(FileNotFoundError, match="schema"):
+        read_snapshot(spark, target)
