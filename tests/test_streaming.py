@@ -307,3 +307,84 @@ def test_stream_apply_schema_evolution_full_rewrite(spark, tmp_path):
     # uniform-schema invariant: every bucket dir readable with the new column
     for d in sorted(glob.glob(f"{target}/_bucket=*")):
         assert "region" in spark.read.parquet(d).columns, d
+
+
+def test_torn_checkpoint_replay_converges(spark, tmp_path):
+    """At-least-once replay e2e at the STREAM level: a micro-batch whose
+    work committed but whose stream-checkpoint commit marker was lost (the
+    crash window between foreachBatch returning and the checkpoint write)
+    is RE-RUN by Structured Streaming on restart — the target and frontier
+    must converge to the same state, and new data arriving after the
+    restart must still apply on top. This drives the replay-convergence
+    claim end-to-end instead of at the apply_batch unit level."""
+    import os
+    import shutil
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    with open(src / "batch1.json", "w") as f:
+        for i in range(1, 6):
+            f.write(
+                json.dumps(
+                    {"key": str(i), "value": json.dumps(_env("r", None, _row(i, i * 10.0), f"0/{i:X}"))}
+                )
+                + "\n"
+            )
+        f.write(
+            json.dumps({"key": "2", "value": json.dumps(_env("u", _row(2, 20.0), _row(2, 22.0), "0/10"))})
+            + "\n"
+        )
+        f.write(
+            json.dumps({"key": "3", "value": json.dumps(_env("d", _row(3, 30.0), None, "0/11"))})
+            + "\n"
+        )
+
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    frontier = str(tmp_path / "frontier")
+
+    def _run():
+        q = apply_stream(
+            unwrap(parse_stream(read_cdc_stream(spark, file_path=str(src)))),
+            target,
+            ["order_id"],
+            ckpt,
+            frontier_path=frontier,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    def _state():
+        return {
+            r["order_id"]: float(r["amount"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+    _run()
+    applied = _state()
+    assert applied == {1: 10.0, 2: 22.0, 4: 40.0, 5: 50.0}
+
+    # tear the checkpoint: the last batch's commit marker vanishes, as if
+    # the process died after the apply but before the checkpoint commit
+    commits = os.path.join(ckpt, "commits")
+    batch_files = [n for n in os.listdir(commits) if n.split(".")[0].isdigit()]
+    last = max(batch_files, key=lambda n: int(n.split(".")[0]))
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    _run()  # restart replays the torn batch against the already-applied target
+    assert _state() == applied
+    f = current_frontier(spark, frontier).collect()[0]
+    assert f["frontier_lsn"] == "0/11"
+
+    # and the stream is still live for NEW data on top of the replay
+    with open(src / "batch2.json", "w") as fh:
+        fh.write(
+            json.dumps({"key": "4", "value": json.dumps(_env("u", _row(4, 40.0), _row(4, 44.0), "0/20"))})
+            + "\n"
+        )
+    _run()
+    assert _state() == {1: 10.0, 2: 22.0, 4: 44.0, 5: 50.0}
+    f2 = current_frontier(spark, frontier).collect()[0]
+    assert f2["frontier_lsn"] == "0/20"
