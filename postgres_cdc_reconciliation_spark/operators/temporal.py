@@ -174,16 +174,25 @@ def scd2_merge_batch(
     history laid out PK-hash-bucketed (operators/apply.py) the touched-key
     join prunes to touched buckets; the full history is never re-sorted.
     """
+    # materialized once (the r6 bounded-intermediates rule): without these,
+    # every downstream reference re-expands the whole upstream subtree —
+    # hist_key_stats is referenced three times (both guarded consumers +
+    # the _v0 renumber join) and bstats three times (close, anti, via
+    # guarded), which measured as 60 FileScans / 6x history evaluations on
+    # the registered incremental query. All three frames are bounded:
+    # hist_key_stats and bstats are (key, longs) rows over the *input*
+    # history — the streaming path prunes that to touched buckets before
+    # calling — and guarded is at most the micro-batch itself.
     hist_key_stats = history.groupBy(key).agg(
         F.max(F.greatest(F.col("valid_from"), F.coalesce("valid_to", "valid_from"))).alias(
             "_max_seen"
         ),
         F.max("version").alias("_v0"),
-    )
+    ).localCheckpoint()
     guarded = batch.join(hist_key_stats, key, "left").filter(
         F.col("_max_seen").isNull() | (F.col(seq) > F.col("_max_seen"))
-    )
-    bstats = guarded.groupBy(key).agg(F.min(seq).alias("_first_new"))
+    ).localCheckpoint()
+    bstats = guarded.groupBy(key).agg(F.min(seq).alias("_first_new")).localCheckpoint()
     closed = (
         history.join(bstats, key)
         .select(
