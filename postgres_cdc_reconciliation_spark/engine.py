@@ -200,8 +200,13 @@ class Engine:
             F.col("embedding").alias("c_vec"), F.col("_norm").alias("c_norm"))
         rr = (short.select("query_id", "neighbor_id")
               .join(F.broadcast(qn), "query_id").join(cn, "neighbor_id")
-              .withColumn("cos", _dot("q_vec", "c_vec")
-                          / (F.col("q_norm") * F.col("c_norm"))))
+              # try_divide + drop: zero-norm cosine is undefined — raises
+              # under ANSI, ranks first as NaN with ANSI off (cosine_topk
+              # contract)
+              .withColumn("cos", F.try_divide(
+                  _dot("q_vec", "c_vec"),
+                  F.col("q_norm") * F.col("c_norm")))
+              .filter(F.col("cos").isNotNull() & ~F.isnan("cos")))
         w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
         return (rr.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)

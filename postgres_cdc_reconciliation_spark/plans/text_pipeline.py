@@ -458,8 +458,14 @@ def q_ann_pq_rerank(spark, sf_dir):
         .join(F.broadcast(qside), "query_id")
         .join(cside, "neighbor_id")
         .withColumn(
-            "cos", _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+            # try_divide + drop: a zero-norm vector's 0/0 raises under ANSI
+            # and ranks FIRST with ANSI off (NaN orders above every number)
+            # — same contract as cosine_topk (no zero vectors in testdata,
+            # so oracle values are bit-unchanged)
+            "cos",
+            F.try_divide(_dot("q_vec", "c_vec"), F.col("q_norm") * F.col("c_norm")),
         )
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (

@@ -140,3 +140,29 @@ def test_temporal_recon_facade(spark, sf_dir):
                               l_end="end", r_id="iid", r_start="start",
                               r_end="end")
     assert ov.count() == 1
+
+
+def test_pq_rerank_tolerates_zero_norm_vectors(spark):
+    """The facade's exact-rerank step recomputes true cosine over the PQ
+    shortlist: a zero-norm corpus vector reaching the shortlist must drop
+    out of the reranked top-k — not raise under ANSI mode, not rank FIRST
+    as NaN (the cosine_topk contract, which this inline rerank previously
+    missed)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    def vec(i):
+        return [math.sin(0.7 * i + 0.31 * j) + 0.05 for j in range(16)]
+
+    # ids 0..7 cover the k_codes=8 codebook seeds; 99 is the zero vector
+    rows = [(i, vec(i)) for i in range(8)] + [(99, [0.0] * 16)]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    eng = Engine(spark)
+    q = v.filter(F.col("vec_id") < 2)
+    out = eng.similarity_topk_approx(
+        q, v, k=3, method="pq", n_sub=8, d_sub=2, rerank=9
+    ).collect()
+    assert out
+    assert all(r["neighbor_id"] != 99 for r in out)
+    assert all(r["cos"] == r["cos"] for r in out)  # no NaN survives
