@@ -42,8 +42,11 @@ from pyspark.sql import functions as F
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
-    row = df.select(F.size(vec_col).alias("d")).first()
-    if row is None or row["d"] is None:
+    # max(size) rather than first(): deterministic under any partitioning,
+    # and robust to dirty rows (NULL/empty/truncated embeddings are shorter
+    # than the true dimensionality, never longer)
+    row = df.agg(F.max(F.size(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer dimensionality of {vec_col!r}: empty input")
     return int(row["d"])
 
@@ -147,7 +150,11 @@ def kmeans_assign(
     same scale bound as any broadcast), so there is no join and no shuffle;
     downstream grouping is the caller's choice."""
     return (
-        corpus.select(
+        # malformed vectors (size != centroid dim) drop out: their padded
+        # distances are NULL, which would otherwise win array_min's struct
+        # compare and mis-assign every dirty row to centroid 0
+        corpus.filter(F.size(vec_col) == len(centroids[0]))
+        .select(
             F.col(id_col),
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
         )
@@ -181,6 +188,11 @@ def kmeans_fit(
     keep their previous centroid (standard Lloyd's fallback; with hash
     seeding they are rare)."""
     dim = _dim_of(corpus, vec_col)
+    # well-formed vectors only: a NULL/truncated embedding cannot be
+    # assigned (zip_with pads to NULL dists) and crashes the per-dimension
+    # avg() under ANSI — at corpus scale a dirty row must cost itself, not
+    # the training job. Seeding runs on the same filtered frame.
+    corpus = corpus.filter(F.size(vec_col) == dim)
     if seeds is not None:
         if len(seeds) != k:
             raise ValueError(f"got {len(seeds)} seeds for k={k}")
@@ -229,7 +241,10 @@ def kmeans_inertia(
     """Σ min-dist² — the Lloyd's objective; monotone non-increasing across
     iterations (the property the tests assert)."""
     row = (
-        corpus.select(
+        # same well-formed filter as kmeans_assign: NULL padded distances
+        # would null out the whole sum
+        corpus.filter(F.size(vec_col) == len(centroids[0]))
+        .select(
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v")
         )
         .withColumn("_m", _nearest_expr(centroids))

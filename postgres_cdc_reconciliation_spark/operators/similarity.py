@@ -399,16 +399,27 @@ def _matrix_score_fn(threshold: float):
     """Per-bucket BLAS scorer for applyInPandas groups of (_id, _v): the
     whole within-bucket similarity matrix in one gemm, only the pairs over
     ``threshold`` leave the worker. Shared by the multi-table and
-    single-table near-dup matrix paths."""
+    single-table near-dup near-dup matrix paths.
+
+    Dirty-row contract (must match the SQL fold exactly): vectors of
+    DIFFERENT lengths in one bucket never pair — zip_with pads the shorter
+    with NULL, so the fold's dot is NULL and the pair is filtered. A
+    mixed-length bucket would also crash np.stack outright, so the gemm
+    runs per length group (real corpora carry truncated/empty embedding
+    rows; a malformed row must cost its own pairs, not the job). Zero-norm
+    vectors give 0/0 = NaN under errstate-ignore and NaN >= t is False —
+    dropped, same as the fold's try_divide."""
     import numpy as np
 
-    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         x = np.stack(pdf["_v"].values).astype(np.float64)
         ids = pdf["_id"].values
         norms = np.linalg.norm(x, axis=1)
-        sim = (x @ x.T) / np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (x @ x.T) / np.outer(norms, norms)
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sim[iu, ju] >= threshold
+        with np.errstate(invalid="ignore"):
+            keep = sim[iu, ju] >= threshold
         a, b = ids[iu[keep]], ids[ju[keep]]
         return pd.DataFrame(
             {
@@ -416,6 +427,14 @@ def _matrix_score_fn(threshold: float):
                 "id_b": np.maximum(a, b),
                 "cos": sim[iu, ju][keep],
             }
+        )
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = pdf["_v"].map(len)
+        if lens.nunique() <= 1:
+            return _score_group(pdf)
+        return pd.concat(
+            [_score_group(g) for _, g in pdf.groupby(lens)], ignore_index=True
         )
 
     return _score_bucket
@@ -484,18 +503,43 @@ def rp_hot_bucket_report(
 def _pair_cos_udf():
     """Arrow-batched pairwise cosine (numpy einsum) — shared by
     cosine_topk_fast and the near-dup scorers. ~30x the interpreted SQL
-    fold per pair once candidates number in the millions."""
+    fold per pair once candidates number in the millions.
+
+    Dirty-row contract (matches the SQL fold): a pair of DIFFERENT-length
+    vectors scores NaN (the fold's zip_with-padded dot is NULL) and a
+    zero-norm pair scores NaN (0/0) — both are dropped by every caller's
+    isNotNull/~isnan filter. A mixed-length Arrow batch would crash
+    np.stack, so the einsum runs per length group; the uniform-length fast
+    path is unchanged."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    def _block(am, bm):
+        dots = np.einsum("ij,ij->i", am, bm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return dots / (np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1))
+
     @pandas_udf("double")
     def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        am = np.stack(a.values).astype(np.float64)
-        bm = np.stack(b.values).astype(np.float64)
-        dots = np.einsum("ij,ij->i", am, bm)
-        return pd.Series(
-            dots / (np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1))
-        )
+        la = np.fromiter((len(x) for x in a.values), np.int64, len(a))
+        lb = np.fromiter((len(x) for x in b.values), np.int64, len(b))
+        if len(a) and (la == la[0]).all() and (lb == la[0]).all():
+            return pd.Series(
+                _block(
+                    np.stack(a.values).astype(np.float64),
+                    np.stack(b.values).astype(np.float64),
+                ),
+                index=a.index,
+            )
+        out = np.full(len(a), np.nan)
+        ok = la == lb
+        for length in np.unique(la[ok]):
+            m = ok & (la == length)
+            out[m] = _block(
+                np.stack(a.values[m]).astype(np.float64),
+                np.stack(b.values[m]).astype(np.float64),
+            )
+        return pd.Series(out, index=a.index)
 
     return pair_cos
 
@@ -806,7 +850,12 @@ def pq_codebooks(
     quality knob with the same dataflow shape: broadcast centroids, keyed
     re-assignment, mean-agg update). Codebooks are tiny (n_sub × k_codes
     rows) — always broadcast-joined, never shuffled."""
-    seeds = corpus.filter(F.col(id_col) < k_codes).select(
+    # well-formed seeds only: a NULL/truncated embedding among the
+    # smallest-id rows would otherwise become a malformed centroid
+    # (size(NULL) is NULL, so NULL embeddings drop here too)
+    seeds = corpus.filter(
+        (F.col(id_col) < k_codes) & (F.size(vec_col) == n_sub * d_sub)
+    ).select(
         F.col(id_col).cast("int").alias("cent_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
     )
@@ -847,7 +896,10 @@ def pq_encode(
     (partition-local), broadcast-joins the tiny codebook, and the argmin is
     a min_by hash aggregate — map-side combinable, one keyed shuffle on
     (vec_id, sub), no window sort."""
-    subs = corpus.select(
+    # malformed vectors (NULL / wrong length) cannot be coded — drop
+    # them, identically in both encoders (agreement-tested); at corpus
+    # scale a dirty row must cost itself, not the job
+    subs = corpus.filter(F.size(vec_col) == n_sub * d_sub).select(
         F.col(id_col),
         F.explode(
             F.expr(
@@ -925,8 +977,12 @@ def pq_encode_fast(
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} long, sub integer, code integer"
+    # same malformed-row drop as pq_encode (agreement-tested): a NULL or
+    # wrong-length vector would crash the batched reshape
+    return (
+        corpus.filter(F.size(vec_col) == n_sub * d_sub)
+        .select(id_col, vec_col)
+        .mapInPandas(encode, schema=f"{id_col} long, sub integer, code integer")
     )
 
 
@@ -949,7 +1005,9 @@ def pq_topk(
     sum per (query, vec) — the join input is |codes| = corpus × n_sub narrow
     int rows, which is the entire point of PQ at 100 TB: the scan reads
     8 ints per vector instead of 64 floats, and memory holds codebooks only."""
-    qsubs = queries.select(
+    # malformed query vectors contribute no rows (the corpus-side
+    # encoders drop them the same way)
+    qsubs = queries.filter(F.size(vec_col) == n_sub * d_sub).select(
         F.col(id_col).alias("query_id"),
         F.explode(
             F.expr(

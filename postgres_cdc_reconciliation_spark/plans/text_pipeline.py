@@ -872,9 +872,14 @@ def q_repetition(spark, sf_dir):
         "n_distinct_2grams",
         F.size(
             F.array_distinct(
+                # CASE guard (the shingles() discipline): a 1-token doc
+                # makes sequence(0, -1) DESCEND to [0, -1] and slice(w, 0,
+                # 2) raise — real corpora have empty/one-word docs
                 F.expr(
-                    "transform(sequence(0, size(w) - 2),"
+                    "CASE WHEN size(w) >= 2 THEN"
+                    " transform(sequence(0, size(w) - 2),"
                     " i -> concat_ws(' ', slice(w, i + 1, 2)))"
+                    " ELSE array() END"
                 )
             )
         ).cast("long"),
@@ -889,9 +894,14 @@ def q_repetition(spark, sf_dir):
             "mode_token_share"
         ),
         (
+            # try_divide: a 1-token doc has zero 2-grams — 0/0 raises under
+            # ANSI; NULL share is right (no 2-grams to be duplicated). No
+            # such docs exist in testdata, so oracle values are unchanged.
             F.lit(1.0)
-            - F.col("n_distinct_2grams").cast("double")
-            / F.col("n_2grams").cast("double")
+            - F.try_divide(
+                F.col("n_distinct_2grams").cast("double"),
+                F.col("n_2grams").cast("double"),
+            )
         ).alias("dup_2gram_share"),
         (
             (F.col("n_distinct") * 100 >= F.col("n_tokens") * 32)
