@@ -521,9 +521,15 @@ def _pair_cos_udf():
 
     @pandas_udf("double")
     def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        la = np.fromiter((len(x) for x in a.values), np.int64, len(a))
-        lb = np.fromiter((len(x) for x in b.values), np.int64, len(b))
-        if len(a) and (la == la[0]).all() and (lb == la[0]).all():
+        # NULL vector → length -1: pairs with nothing (the fold's NULL dot),
+        # including another NULL
+        la = np.fromiter(
+            (-1 if x is None else len(x) for x in a.values), np.int64, len(a)
+        )
+        lb = np.fromiter(
+            (-1 if x is None else len(x) for x in b.values), np.int64, len(b)
+        )
+        if len(a) and la[0] >= 0 and (la == la[0]).all() and (lb == la[0]).all():
             return pd.Series(
                 _block(
                     np.stack(a.values).astype(np.float64),
@@ -532,7 +538,7 @@ def _pair_cos_udf():
                 index=a.index,
             )
         out = np.full(len(a), np.nan)
-        ok = la == lb
+        ok = (la == lb) & (la >= 0)
         for length in np.unique(la[ok]):
             m = ok & (la == length)
             out[m] = _block(

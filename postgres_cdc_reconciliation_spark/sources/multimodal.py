@@ -330,7 +330,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     and the per-frame payload slice are the actual distributed work."""
     frames = F.when(
         F.col("kind") == "video",
-        F.expr(f"sequence(0, meta.duration_ms, {every_ms})"),
+        # greatest(..., 0): a corrupt/negative duration_ms would make
+        # sequence() raise (positive step needs start <= stop) — a dirty
+        # metadata row degrades to a single frame at offset 0 instead
+        F.expr(f"sequence(0, greatest(meta.duration_ms, 0), {every_ms})"),
     ).otherwise(F.array(F.lit(0)))
     return media.select(
         "media_id",

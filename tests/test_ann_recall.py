@@ -195,3 +195,33 @@ def test_rp_matrix_scorer_agrees(spark, sf_dir):
         ).collect()
     }
     assert mx_pairs == sql_pairs
+
+
+def test_all_scorers_agree_on_dirty_vectors(spark, sf_dir):
+    """Scorer contract under dirt: NULL, empty, and truncated embeddings
+    must produce IDENTICAL pair sets across sql / numpy / matrix scorers —
+    the SQL fold's semantics (cross-length pairs NULL out via zip_with
+    padding, zero-norm pairs drop via try_divide) are the contract the
+    vectorized paths mirror with per-length-group batching. Same-length
+    truncated vectors may legitimately pair with each other."""
+    from pyspark.sql import functions as F
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 23 == 20, F.lit(None).cast("array<float>"))
+        .when(F.col("vec_id") % 23 == 21, F.expr("array()").cast("array<float>"))
+        .when(F.col("vec_id") % 23 == 22, F.expr("slice(embedding, 1, 8)"))
+        .otherwise(F.col("embedding")),
+    )
+    results = {
+        scorer: {
+            (r["id_a"], r["id_b"])
+            for r in rp_near_dup_pairs_multi(
+                v, dim=64, threshold=0.3, n_tables=2, scorer=scorer
+            ).collect()
+        }
+        for scorer in ("sql", "numpy", "matrix")
+    }
+    assert results["numpy"] == results["sql"]
+    assert results["matrix"] == results["sql"]
+    assert results["sql"]  # dirt must not empty the result outright
