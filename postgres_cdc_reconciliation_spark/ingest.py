@@ -190,13 +190,23 @@ def generate_orders(
 ) -> DataFrame:
     """Seeded synthetic order batch (data_generator.py:45-55, made
     deterministic per SURVEY.md §5: fix the reference's unseeded randomness).
-    customer_id uniform 1..1000, amount uniform 10.00..1000.00 (2dp)."""
+    customer_id uniform 1..1000, amount uniform 10.00..1000.00 (2dp).
+
+    Values derive from xxhash64(id, seed), not F.rand(seed): rand is only
+    reproducible under a FIXED partitioning (its stream seeds per
+    partition), so the same call on a different cluster parallelism would
+    generate different rows — hash-of-id is bit-stable under any layout,
+    the same partition-invariance the determinism sweep pins for queries."""
+    h1 = F.pmod(F.xxhash64((F.col("id") * 2 + seed).cast("string")), F.lit(1000))
+    h2 = F.pmod(
+        F.xxhash64((F.col("id") * 2 + 1 + seed).cast("string")), F.lit(99001)
+    )
     return (
         spark.range(n)
         .select(
             (F.col("id") + 1 + batch_id * n).cast("int").alias("order_id"),
-            (F.floor(F.rand(seed) * 1000) + 1).cast("int").alias("customer_id"),
-            F.round(F.rand(seed + 1) * 990 + 10, 2)
+            (h1 + 1).cast("int").alias("customer_id"),
+            (h2.cast("decimal(10,2)") / 100 + 10)
             .cast("decimal(10,2)")
             .alias("amount"),
             F.expr(
