@@ -46,15 +46,29 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # queries with no hard signal yet, then queries whose implementation changed
 # this round (need re-verification), then the already-green remainder.
 _CHECK_PRIORITY: list[str] = [
-    # -- round 7 window: the two rp near-dup queries run through code the
-    # hot-bucket-guard refactor touched this round (similarity.py — default
-    # cap=None keeps their plans identical, but a driver re-verification on
-    # the changed file is cheap insurance). Their r5 evidence would
-    # otherwise sort them OUT of the window: the automatic tier is exactly
-    # full (2 never-checked registrations + 46 r4-stale rows + these 2 = 50;
-    # the three r5 rows displaced — scd2_dim/scd2_incremental/
-    # changelog_compaction — are only 2 rounds stale at r7 and front the r8
-    # window by staleness, so nothing breaches the 2-round bound).
+    # -- round 7 window: the two rp near-dup queries CHANGED implementation
+    # this round — they now score through the per-bucket matrix gemm
+    # (similarity.py, scorer="matrix") instead of the SQL fold — so a
+    # driver re-verification is mandatory, not just insurance. (Switch was
+    # gated on a measured margin sweep: identical pair sets at every sf,
+    # ~3e-16 scorer diff vs 7.6e-9 min 4dp half-boundary margin.) Their r5
+    # evidence would otherwise sort them OUT of the window: the automatic
+    # tier is exactly full (2 never-checked registrations + 46 r4-stale
+    # rows + these 2 = 50; the three r5 rows displaced — scd2_dim/
+    # scd2_incremental/changelog_compaction — are only 2 rounds stale at
+    # r7 and front the r8 window by staleness, so nothing breaches the
+    # 2-round bound).
+    #
+    # NOT pinned, deliberately: q_ann_pq / q_ann_pq_rerank / q_repetition /
+    # q_kmeans / q_scd2_incremental / q_dedup_ngram also run through code
+    # edited this round, but every edit is a no-op on well-formed input —
+    # dirty-row guards (malformed-vector drops, CASE around a descending
+    # sequence(), try_divide on a division clean data never zeroes) and
+    # bounded-intermediate localCheckpoints. Value-identity on driver data
+    # is proven by the committed sweeps (tests/test_empty_inputs.py,
+    # tests/test_dirty_inputs.py, the per-split scd2 contract tests) plus
+    # repeated full local drives (148/148 MATCH after every such commit);
+    # pinning them would bury r4-stale rows the window exists to refresh.
     "q_dedup_embed_rp",
     "q_dedup_embed_rp_multi",
 ]
