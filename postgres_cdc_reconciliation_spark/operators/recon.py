@@ -74,10 +74,12 @@ def diff_rows(
         *[F.max(c).alias(f"tgt_{c}") for c in compare_cols],
     )
     j = s.join(t, key_cols, "full_outer")
-    value_mismatch = None
+    # key-only tables (no compare columns) diff on existence/cardinality
+    # alone — F.lit(False) keeps the when() chain well-formed
+    value_mismatch = F.lit(False)
     for c in compare_cols:
         neq = ~F.col(f"src_{c}").eqNullSafe(F.col(f"tgt_{c}"))
-        value_mismatch = neq if value_mismatch is None else (value_mismatch | neq)
+        value_mismatch = value_mismatch | neq
     diff_type = (
         F.when(F.col("src_cnt").isNull(), "extra_in_target")
         .when(F.col("tgt_cnt").isNull(), "missing_in_target")

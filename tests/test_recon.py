@@ -178,3 +178,18 @@ def test_fingerprint_ignores_target_schema_accidents(spark):
 
     with pytest.raises(Exception):
         fingerprint_diff(src, src.drop("v"), ["k"], n_buckets=4).collect()
+
+
+def test_diff_rows_key_only_tables(spark):
+    """Tables with no non-key columns diff on existence/cardinality alone
+    (compare_cols resolves empty — previously built an ill-formed when())."""
+    from postgres_cdc_reconciliation_spark.operators.recon import diff_rows
+
+    s = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    t = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {r["k"]: r["diff_type"] for r in diff_rows(s, t, ["k"]).collect()}
+    assert out == {
+        1: "missing_in_target",
+        2: "cardinality_mismatch",
+        3: "extra_in_target",
+    }
