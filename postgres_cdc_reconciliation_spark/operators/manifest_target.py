@@ -9,18 +9,26 @@ parquet the lakehouse answer is a transaction log — this module is that
 protocol, in the shape Delta Lake's ``_delta_log`` and Iceberg's metadata
 pointer standardized:
 
-- Data files are IMMUTABLE once written: micro-batch ``v`` writes its merged
-  buckets under ``{root}/stage/v=<v>/_bucket=<b>/`` and never touches any
-  earlier version's files.
+- Data files are IMMUTABLE once written: each commit ATTEMPT writes its
+  merged buckets under a unique dir ``{root}/stage/v=<v>-<token>/_bucket=<b>/``
+  (random per-attempt token, the Delta/Iceberg uniquely-named-files rule)
+  and never touches any other attempt's or version's files.
 - A manifest ``{root}/_manifests/v<v>.json`` maps every live bucket to the
-  version whose stage dir holds its current rows. The manifest is written to
-  a temp name and atomically renamed into place — the rename IS the commit.
+  stage label whose dir holds its current rows. The manifest is written to
+  a temp name and atomically renamed into place — the rename IS the commit,
+  and it is rename-if-absent: two writers racing to the same version stage
+  disjoint dirs and the loser fails LOUD at the rename while the winner's
+  committed data is untouched (optimistic concurrency; the old
+  deterministic ``v=<v>`` stage path let a losing writer overwrite the
+  winner's just-committed data files before failing).
 - Readers resolve the highest complete manifest and read exactly the dirs it
-  lists. A writer crash before the rename leaves only an orphan stage dir;
-  the previous snapshot stays fully intact and visible.
+  lists. A writer crash before the rename — or a lost commit race — leaves
+  only an orphan stage dir; the previous snapshot stays fully intact and
+  visible, and ``vacuum`` GCs the orphan.
 - Replay safety: the stream checkpoint re-runs the batch, which re-reads the
-  OLD manifest (the crashed commit never happened), rewrites the same stage
-  dir (overwrite), and renames the manifest — converging to the same state.
+  OLD manifest (the crashed commit never happened), stages a FRESH attempt
+  dir, and renames the manifest — converging to the same state with no
+  in-place mutation anywhere.
 
 Per-batch cost is O(touched buckets) in data IO plus one tiny JSON write —
 the same scale shape as dynamic overwrite, with atomic visibility on top.
@@ -31,6 +39,7 @@ needs.
 from __future__ import annotations
 
 import json
+import secrets
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,18 +87,21 @@ def _read_manifest_doc(spark: SparkSession, root: str) -> tuple[int, dict]:
     return v, json.loads(raw)
 
 
-def read_manifest(spark: SparkSession, root: str) -> tuple[int, dict[int, int]]:
-    """Resolve the current snapshot: (version, {bucket: data_version}).
+def read_manifest(spark: SparkSession, root: str) -> tuple[int, dict[int, str]]:
+    """Resolve the current snapshot: (version, {bucket: stage_label}).
 
+    Stage labels are ``"<v>-<token>"`` (one immutable dir per commit
+    attempt); pre-token (legacy) manifests recorded plain version ints,
+    which normalize to the same string space — dir ``v=<label>`` either way.
     Returns ``(-1, {})`` for a target with no committed snapshot yet."""
     v, doc = _read_manifest_doc(spark, root)
     if v < 0:
         return -1, {}
-    return v, {int(b): int(dv) for b, dv in doc["buckets"].items()}
+    return v, {int(b): str(dv) for b, dv in doc["buckets"].items()}
 
 
-def _bucket_path(root: str, bucket: int, data_version: int) -> str:
-    return f"{root}/{STAGE_DIR}/v={data_version}/_bucket={bucket}"
+def _bucket_path(root: str, bucket: int, stage_label: int | str) -> str:
+    return f"{root}/{STAGE_DIR}/v={stage_label}/_bucket={bucket}"
 
 
 def _doc_at(spark: SparkSession, root: str, version: int | None) -> dict:
@@ -116,13 +128,13 @@ def _doc_at(spark: SparkSession, root: str, version: int | None) -> dict:
 
 def _mapping_at(
     spark: SparkSession, root: str, version: int | None
-) -> dict[int, int]:
-    """{bucket: data_version} for a pinned manifest (None → latest)."""
+) -> dict[int, str]:
+    """{bucket: stage_label} for a pinned manifest (None → latest)."""
     if version is None:
         _, buckets = read_manifest(spark, root)
         return buckets
     return {
-        int(b): int(dv) for b, dv in _doc_at(spark, root, version)["buckets"].items()
+        int(b): str(dv) for b, dv in _doc_at(spark, root, version)["buckets"].items()
     }
 
 
@@ -143,7 +155,7 @@ def read_snapshot(
     empty frame is rebuilt from that record; pre-schema-stamp (legacy)
     manifests can only fail loud here."""
     doc = _doc_at(spark, root, version)
-    buckets = {int(b): int(dv) for b, dv in doc["buckets"].items()}
+    buckets = {int(b): str(dv) for b, dv in doc["buckets"].items()}
     if not buckets:
         schema_doc = doc.get("schema")
         if schema_doc is None:
@@ -182,8 +194,19 @@ def commit_delta(
     """Commit one micro-batch's merged bucket content atomically.
 
     ``merged`` must hold the COMPLETE new content of every bucket in
-    ``touched_buckets`` (and only those). Steps: stage-write → manifest
-    tmp-write → atomic rename. Returns the committed version.
+    ``touched_buckets`` (and only those). Steps: stage-write to a UNIQUE
+    per-attempt dir → manifest tmp-write → rename-if-absent. Returns the
+    committed version.
+
+    Concurrency: the unique stage dir plus the rename-if-absent commit
+    point make this safe under racing writers — both stage disjoint dirs,
+    exactly one rename lands ``v<n>.json``, the loser raises IOError with
+    the winner's committed data untouched, and the loser's orphan stage
+    dir is GC'd by ``vacuum``. (On a filesystem whose rename silently
+    overwrites, the pre-rename existence check narrows the window to
+    milliseconds; HDFS/local Hadoop rename already refuses an existing
+    destination.) The loser retries by re-reading the NEW snapshot and
+    re-merging — same as a crashed-batch replay.
 
     A delta commit VALIDATES ``n_buckets`` against the count stamped in
     the current manifest (the manifest-protocol twin of the overwrite
@@ -206,7 +229,7 @@ def commit_delta(
     spark = merged.sparkSession
     current_v, doc = _read_manifest_doc(spark, root)
     mapping = (
-        {int(b): int(dv) for b, dv in doc["buckets"].items()}
+        {int(b): str(dv) for b, dv in doc["buckets"].items()}
         if current_v >= 0
         else {}
     )
@@ -228,35 +251,41 @@ def commit_delta(
                 "the target was written with a larger bucket count"
             )
     new_v = current_v + 1
+    # unique per-attempt stage dir: a replayed crashed commit and a racing
+    # writer each stage fresh, so NO path here ever mutates data another
+    # manifest could be pointing at (orphan attempts are vacuum's job)
+    label = f"{new_v}-{secrets.token_hex(4)}"
     (
         merged.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
-        .write.mode("overwrite")  # replay of a crashed commit rewrites in place
+        .write.mode("overwrite")
         .partitionBy("_bucket")
-        .parquet(f"{root}/{STAGE_DIR}/v={new_v}")
+        .parquet(f"{root}/{STAGE_DIR}/v={label}")
     )
     fs, _ = _fs(spark, root)
     if full_snapshot:
         # the stage write IS the new table: list its bucket dirs and
         # replace the mapping wholesale (old bucket ids — possibly from a
-        # different n_buckets — all retire with their entries)
-        _, vdir = _fs(spark, f"{root}/{STAGE_DIR}/v={new_v}")
+        # different n_buckets — all retire with their entries); the listing
+        # is of THIS attempt's fresh dir, so a dead writer's junk can never
+        # leak into the mapping
+        _, vdir = _fs(spark, f"{root}/{STAGE_DIR}/v={label}")
         mapping = {}
         for st_ in fs.listStatus(vdir):
             name = st_.getPath().getName()
             if name.startswith("_bucket="):
-                mapping[int(name.split("=", 1)[1])] = new_v
+                mapping[int(name.split("=", 1)[1])] = label
     else:
         # buckets that actually produced rows keep/gain an entry; a
         # touched bucket with no surviving rows (all keys deleted) drops
         # out entirely
         surviving = set()
         for b in touched_buckets:
-            _, bpath = _fs(spark, _bucket_path(root, b, new_v))
+            _, bpath = _fs(spark, _bucket_path(root, b, label))
             if fs.exists(bpath):
                 surviving.add(b)
         for b in touched_buckets:
             mapping.pop(b, None)
-        mapping.update({b: new_v for b in surviving})
+        mapping.update({b: label for b in surviving})
 
     doc = json.dumps(
         {
@@ -278,8 +307,17 @@ def commit_delta(
     finally:
         out.close()
     _, final = _fs(spark, f"{root}/{MANIFEST_DIR}/v{new_v}.json")
-    if not fs.rename(tmp, final):  # the commit point
-        raise IOError(f"manifest commit failed for v{new_v} at {root}")
+    # rename-if-absent IS the commit point: losing a race here must leave
+    # the winner's v{new_v} untouched — clean up this attempt's tmp and
+    # fail loud; the caller re-reads the new snapshot and re-merges
+    if fs.exists(final) or not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise IOError(
+            f"manifest commit lost the race for v{new_v} at {root}: "
+            "another writer committed this version first — re-read the "
+            "snapshot and re-merge (this attempt's stage dir is orphaned "
+            "and will be vacuumed)"
+        )
     return new_v
 
 
@@ -321,10 +359,10 @@ def compact(
 
 
 def changed_buckets(
-    map_from: dict[int, int], map_to: dict[int, int]
+    map_from: dict[int, str], map_to: dict[int, str]
 ) -> list[int]:
-    """Buckets whose data_version differs between two manifests (including
-    buckets present in only one). Buckets with EQUAL data versions point at
+    """Buckets whose stage label differs between two manifests (including
+    buckets present in only one). Buckets with EQUAL labels point at
     the same immutable stage dir — byte-identical by construction — so a
     snapshot diff can skip them without reading a row."""
     return sorted(
@@ -363,7 +401,7 @@ def snapshot_changes(
         probe = read_snapshot(spark, root, v_to)
         return probe.limit(0).select("*", empty_type)
 
-    def _side(mapping: dict[int, int]) -> DataFrame | None:
+    def _side(mapping: dict[int, str]) -> DataFrame | None:
         paths = [
             _bucket_path(root, b, mapping[b]) for b in delta if b in mapping
         ]
@@ -420,7 +458,7 @@ def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]
         return []
     retained = versions[-keep_manifests:]
     fs, _ = _fs(spark, root)
-    live: set[tuple[int, int]] = set()
+    live: set[tuple[int, str]] = set()
     for v in retained:
         # read each retained manifest's mapping directly
         _, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
@@ -429,7 +467,7 @@ def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]
             doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
         finally:
             stream.close()
-        live |= {(int(b), int(dv)) for b, dv in doc["buckets"].items()}
+        live |= {(int(b), str(dv)) for b, dv in doc["buckets"].items()}
     deleted: list[str] = []
     for v in versions[:-keep_manifests]:
         _, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
@@ -437,10 +475,10 @@ def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]
     _, sdir = _fs(spark, f"{root}/{STAGE_DIR}")
     if fs.exists(sdir):
         for vstat in fs.listStatus(sdir):
-            vname = vstat.getPath().getName()  # "v=<n>"
+            vname = vstat.getPath().getName()  # "v=<label>"
             if not vname.startswith("v="):
                 continue
-            dv = int(vname[2:])
+            dv = vname[2:]  # "<n>-<token>", or plain "<n>" for legacy dirs
             for bstat in fs.listStatus(vstat.getPath()):
                 bname = bstat.getPath().getName()  # "_bucket=<b>"
                 if not bname.startswith("_bucket="):
@@ -448,6 +486,12 @@ def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]
                 if (int(bname[8:]), dv) not in live:
                     fs.delete(bstat.getPath(), True)
                     deleted.append(str(bstat.getPath()))
-            if not fs.listStatus(vstat.getPath()):
+            # an attempt dir with no bucket dirs left holds only write
+            # markers (_SUCCESS) — drop it wholesale, or dead/lost-race
+            # attempts would accumulate empty dirs forever
+            if not any(
+                st_.getPath().getName().startswith("_bucket=")
+                for st_ in fs.listStatus(vstat.getPath())
+            ):
                 fs.delete(vstat.getPath(), True)
     return deleted

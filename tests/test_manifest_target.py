@@ -119,7 +119,15 @@ def test_incremental_commit_writes_only_touched_bucket_dirs(spark, tmp_path):
                 out[fp] = (os.path.getsize(fp), os.path.getmtime(fp))
         return out
 
-    v0_files = files_under(f"{root}/stage/v=0")
+    import glob as _glob
+
+    def stage_of(v):
+        # one unique attempt dir per committed version: stage/v=<v>-<token>
+        dirs = _glob.glob(f"{root}/stage/v={v}-*")
+        assert len(dirs) == 1
+        return dirs[0]
+
+    v0_files = files_under(stage_of(0))
 
     # delta: 3 keys → their buckets only
     delta = spark.range(3).select(
@@ -145,11 +153,11 @@ def test_incremental_commit_writes_only_touched_bucket_dirs(spark, tmp_path):
 
     # v1 stage holds exactly the touched buckets
     v1_buckets = {
-        d for d in os.listdir(f"{root}/stage/v=1") if d.startswith("_bucket=")
+        d for d in os.listdir(stage_of(1)) if d.startswith("_bucket=")
     }
     assert v1_buckets == {f"_bucket={b}" for b in touched}
     # v0 files immutable: same set, same sizes, same mtimes
-    assert files_under(f"{root}/stage/v=0") == v0_files
+    assert files_under(stage_of(0)) == v0_files
     # and the snapshot is still complete/correct
     snap = {r["order_id"]: r["amount"] for r in read_snapshot(spark, root).collect()}
     assert len(snap) == 1000
@@ -276,9 +284,12 @@ def test_compact_one_file_per_bucket_same_rows(spark, tmp_path):
     after = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
     assert after == before  # compaction never changes content
     _, mapping = read_manifest(spark, target)
-    assert set(mapping.values()) == {v}  # every bucket now at the new version
+    # every bucket now at the new version's (single) attempt dir
+    assert len(set(mapping.values())) == 1
+    label = next(iter(mapping.values()))
+    assert label.startswith(f"{v}-")
     for b in mapping:
-        files = glob.glob(f"{target}/stage/v={v}/_bucket={b}/*.parquet")
+        files = glob.glob(f"{target}/stage/v={label}/_bucket={b}/*.parquet")
         assert len(files) == 1, (b, files)
     # reclaim: superseded stage dirs disappear, snapshot still reads
     vacuum(spark, target, keep_manifests=1)
@@ -334,8 +345,9 @@ def test_manifest_schema_evolution_commits_all_buckets(spark, tmp_path):
 
     v1, mapping1 = read_manifest(spark, target)
     assert v1 == v0 + 1
-    # every live bucket advanced to the evolving commit's data version
-    assert set(mapping1.values()) == {v1}
+    # every live bucket advanced to the evolving commit's attempt dir
+    assert len(set(mapping1.values())) == 1
+    assert next(iter(mapping1.values())).startswith(f"{v1}-")
     snap = read_snapshot(spark, target)
     rows = {r["order_id"]: r for r in snap.collect()}
     assert len(rows) == 20 and "region" in snap.columns
@@ -522,7 +534,8 @@ def test_compact_rebuckets_with_new_count(spark, tmp_path):
 
     v = compact(spark, root, ["order_id"], 16)
     _, mapping = read_manifest(spark, root)
-    assert set(mapping.values()) == {v}
+    assert len(set(mapping.values())) == 1
+    assert next(iter(mapping.values())).startswith(f"{v}-")
     assert max(mapping) > 7  # rows actually spread into the new id space
     rows = {r["order_id"]: r["amount"] for r in read_snapshot(spark, root).collect()}
     assert rows == {i: i * 2 for i in range(200)}
@@ -643,8 +656,9 @@ def test_crashed_delta_commit_vacuum_gc_and_replay(spark, tmp_path):
     #4): (a) killed between stage-write and manifest rename — including a
     half-written manifest tmp — the snapshot stays at v_n, vacuum GCs the
     orphan stage dirs, and the manifest tmp never becomes visible; (b) a
-    REPLAY of the crashed commit overwrites the stage in place (planted
-    garbage from the dead writer disappears) and commits correctly."""
+    REPLAY of the crashed commit stages a FRESH attempt dir (the dead
+    writer's junk is never referenced — no in-place mutation anywhere) and
+    commits correctly; vacuum then GCs the dead attempt."""
     import os
 
     target = str(tmp_path / "target")
@@ -695,30 +709,36 @@ def test_crashed_delta_commit_vacuum_gc_and_replay(spark, tmp_path):
 
     # -- window (b): replay the crashed commit from scratch (at-least-once
     # restart path: the checkpoint replays the batch). Re-plant garbage to
-    # prove the in-place overwrite truncates the dead writer's stage.
+    # prove the fresh attempt dir never touches — and never references —
+    # the dead writer's stage.
     os.makedirs(f"{target}/stage/v=1/_bucket=99", exist_ok=True)
     with open(f"{target}/stage/v=1/_bucket=99/part-junk.parquet", "w") as f:
         f.write("not parquet")
     new_v = commit_delta(merged, target, ["id"], touched, 8)
     assert new_v == 1
-    assert not os.path.exists(
-        f"{target}/stage/v=1/_bucket=99"
-    ), "static stage overwrite must truncate the crashed writer's junk"
     _, mapping = read_manifest(spark, target)
     assert 99 not in mapping
+    # the replay staged its own unique dir; the dead writer's junk is an
+    # unreferenced orphan until vacuum GCs it
+    assert all(lbl.startswith("1-") for b, lbl in mapping.items() if b in touched)
     rows = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
     assert (1, "NEW") in rows and len(rows) == 20
     # the replay's manifest committed; the dead writer's tmp was recreated
     # and renamed into place by the replay (same tmp name), so no orphan
     assert os.path.exists(f"{target}/{MANIFEST_DIR}/v1.json")
     assert not os.path.exists(f"{target}/{MANIFEST_DIR}/.v1.json.tmp")
+    deleted = vacuum(spark, target, keep_manifests=1)
+    assert any("/v=1/_bucket=99" in d for d in deleted)
+    assert not os.path.exists(f"{target}/stage/v=1/_bucket=99")
+    assert {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()} == rows
 
 
 def test_crashed_full_snapshot_compact_replay(spark, tmp_path):
     """The same two windows for full_snapshot mode (compact, including a
     re-bucket to a NEW count): a crashed compact's stage is invisible and
-    GC-able; the replay truncates it, commits the complete snapshot, and
-    re-stamps the new bucket count."""
+    GC-able; the replay stages fresh (the dead attempt is never read or
+    referenced), commits the complete snapshot, and re-stamps the new
+    bucket count."""
     import os
 
     target = str(tmp_path / "target")
@@ -749,9 +769,10 @@ def test_crashed_full_snapshot_compact_replay(spark, tmp_path):
         fromlist=["_read_manifest_doc"],
     )._read_manifest_doc(spark, target)
     assert int(doc["n_buckets"]) == 16
-    # mapping reflects the REAL stage listing (junk bucket truncated away)
+    # mapping reflects the replay's OWN fresh attempt listing — the dead
+    # writer's junk bucket can never leak in
     assert 77 not in {int(b) for b in doc["buckets"]}
-    assert all(int(dv) == 1 for dv in doc["buckets"].values())
+    assert all(str(dv).startswith("1-") for dv in doc["buckets"].values())
     assert {(r["id"], r["amount"]) for r in read_snapshot(spark, target).collect()} == before
     # old count now refused for deltas, new accepted — layout fully switched
     delta = spark.createDataFrame([(0, -1)], "id long, amount long")
@@ -824,3 +845,86 @@ def test_legacy_empty_manifest_without_schema_fails_loud(spark, tmp_path):
         f.write(json.dumps({"version": 0, "n_buckets": 8, "buckets": {}}))
     with pytest.raises(FileNotFoundError, match="schema"):
         read_snapshot(spark, target)
+
+
+def test_concurrent_writers_loser_fails_loud_winner_intact(spark, tmp_path):
+    """Optimistic concurrency at the commit point: two writers that both
+    resolved the SAME base snapshot race to commit the same version. The
+    winner's commit must land; the loser must raise at the rename with the
+    winner's data files byte-untouched (the old deterministic ``v=<n>``
+    stage path let the loser OVERWRITE the winner's just-committed bucket
+    files before failing); the loser's orphan attempt dir is vacuumed.
+
+    The interleaving is simulated the only deterministic way: writer B's
+    snapshot resolution is pinned to the pre-race manifest (as if B read it
+    just before A's rename), then B runs the full stage-write + rename
+    sequence against a root A has already advanced."""
+    import os
+    from unittest import mock
+
+    from postgres_cdc_reconciliation_spark.operators import manifest_target as mt
+
+    target = str(tmp_path / "target")
+    base = spark.createDataFrame(
+        [(i, f"base{i}") for i in range(20)], "id long, v string"
+    )
+    commit_delta(base, target, ["id"], list(range(8)), 8)
+    stale = mt._read_manifest_doc(spark, target)  # both writers start here
+
+    # writer A wins: commits v1
+    a = spark.createDataFrame([(1, "A")], "id long, v string")
+    touched_a = [r[0] for r in a.select(bucket_expr(["id"], 8)).collect()]
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        read_buckets,
+    )
+
+    merged_a = read_buckets(spark, target, touched_a).withColumn(
+        "v", F.when(F.col("id") == 1, F.lit("A")).otherwise(F.col("v"))
+    )
+    assert commit_delta(merged_a, target, ["id"], touched_a, 8) == 1
+    _, map_a = read_manifest(spark, target)
+
+    def files_under(p):
+        out = {}
+        for dirpath, _, names in os.walk(p):
+            for n in names:
+                fp = os.path.join(dirpath, n)
+                out[fp] = (os.path.getsize(fp), os.path.getmtime(fp))
+        return out
+
+    a_label = map_a[touched_a[0]]
+    a_files = files_under(f"{target}/stage/v={a_label}")
+    assert a_files  # sanity: the winner staged real files
+
+    # writer B raced A: same base snapshot, SAME touched bucket, loses
+    merged_b = merged_a.withColumn(
+        "v", F.when(F.col("id") == 1, F.lit("B")).otherwise(F.col("v"))
+    )
+    with mock.patch.object(
+        mt, "_read_manifest_doc", return_value=stale
+    ):
+        import pytest as _pytest
+
+        with _pytest.raises(IOError, match="lost the race"):
+            mt.commit_delta(merged_b, target, ["id"], touched_a, 8)
+
+    # the winner's committed version, data files and snapshot are untouched
+    v, map_after = read_manifest(spark, target)
+    assert v == 1 and map_after == map_a
+    assert files_under(f"{target}/stage/v={a_label}") == a_files
+    rows = {r["id"]: r["v"] for r in read_snapshot(spark, target).collect()}
+    assert rows[1] == "A" and len(rows) == 20
+    # no half-visible manifest tmp from the loser
+    assert not os.path.exists(f"{target}/_manifests/.v1.json.tmp")
+    # the loser's attempt dir is an orphan; vacuum reclaims it
+    import glob as _glob
+
+    orphans = [
+        d
+        for d in _glob.glob(f"{target}/stage/v=1-*")
+        if d != f"{target}/stage/v={a_label}"
+    ]
+    assert len(orphans) == 1
+    vacuum(spark, target, keep_manifests=1)
+    assert not os.path.exists(orphans[0])
+    assert {r["id"]: r["v"] for r in read_snapshot(spark, target).collect()} == rows
