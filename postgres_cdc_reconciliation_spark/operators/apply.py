@@ -364,10 +364,13 @@ def apply_stream(
       Schema change is DDL-rare, so paying O(target) once per change keeps
       every steady-state batch at O(delta).
     - ``protocol="manifest"`` swaps the in-place dynamic overwrite for the
-      versioned-manifest commit (``manifest_target.py``): immutable stage
-      dirs + atomic manifest rename, so concurrent readers get snapshot
-      isolation and a mid-write crash leaves the previous snapshot fully
-      visible. Read such targets with ``manifest_target.read_snapshot``.
+      versioned-manifest commit (``manifest_target.py``): immutable
+      per-attempt stage dirs + atomic rename-if-absent manifest commit, so
+      concurrent readers get snapshot isolation, a mid-write crash leaves
+      the previous snapshot fully visible, and even a RACING second writer
+      fails loud without touching the winner's committed data (the
+      dynamic-overwrite path remains strictly single-writer). Read such
+      targets with ``manifest_target.read_snapshot``.
     """
     from ..streaming.frontier import append_frontier
 

@@ -51,6 +51,17 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+def _well_formed(vec_col: str, dim: int):
+    """Right-sized AND all-finite. Finiteness matters as much as shape: one
+    NaN/Inf component poisons its cluster's per-dimension avg, and the
+    poisoned centroid then folds into the next iteration's literal distance
+    expression as an unparseable ``nanD``/``InfinityD`` token — the dirty
+    ROW must cost itself, never the fit."""
+    return (F.size(vec_col) == dim) & ~F.expr(
+        f"exists({vec_col}, x -> isnan(x) or abs(x) = cast('Infinity' as double))"
+    )
+
+
 def kmeans_init(
     corpus: DataFrame,
     k: int,
@@ -65,7 +76,11 @@ def kmeans_init(
     k ≪ rows a global ``orderBy ... limit k`` is optimized to a
     TakeOrdered (no full sort materialization)."""
     rows = (
-        corpus.select(
+        # seeding sees the raw corpus (callers may seed before fit): the
+        # same well-formed filter as the fit, or a dirty vector becomes a
+        # seed and poisons every distance expression after
+        corpus.filter(_well_formed(vec_col, _dim_of(corpus, vec_col)))
+        .select(
             F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
         )
@@ -96,10 +111,16 @@ def kmeans_init_farthest(
     so this is k cheap passes — the classic trade against one-pass random
     seeding, worth it because the quantizer is trained once and reused for
     every query after."""
-    base = corpus.select(
-        F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
-    ).localCheckpoint()
+    base = (
+        # filter dirty vectors BEFORE seeding (see kmeans_init) — callers
+        # may seed on the raw corpus before kmeans_fit's own filter runs
+        corpus.filter(_well_formed(vec_col, _dim_of(corpus, vec_col)))
+        .select(
+            F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+        )
+        .localCheckpoint()
+    )
     # ^ each of the k seed-selection passes otherwise re-reads the corpus
     # and re-runs the hash + interpreted cast transform — same
     # materialize-the-static-input rule as kmeans_fit's vector cache
@@ -150,10 +171,11 @@ def kmeans_assign(
     same scale bound as any broadcast), so there is no join and no shuffle;
     downstream grouping is the caller's choice."""
     return (
-        # malformed vectors (size != centroid dim) drop out: their padded
-        # distances are NULL, which would otherwise win array_min's struct
-        # compare and mis-assign every dirty row to centroid 0
-        corpus.filter(F.size(vec_col) == len(centroids[0]))
+        # malformed vectors (size != centroid dim, non-finite components)
+        # drop out: their padded distances are NULL/NaN, which would
+        # otherwise win array_min's struct compare and mis-assign every
+        # dirty row to centroid 0
+        corpus.filter(_well_formed(vec_col, len(centroids[0])))
         .select(
             F.col(id_col),
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
@@ -190,9 +212,10 @@ def kmeans_fit(
     dim = _dim_of(corpus, vec_col)
     # well-formed vectors only: a NULL/truncated embedding cannot be
     # assigned (zip_with pads to NULL dists) and crashes the per-dimension
-    # avg() under ANSI — at corpus scale a dirty row must cost itself, not
-    # the training job. Seeding runs on the same filtered frame.
-    corpus = corpus.filter(F.size(vec_col) == dim)
+    # avg() under ANSI, and a NaN/Inf component would poison a centroid —
+    # at corpus scale a dirty row must cost itself, not the training job.
+    # Seeding runs on the same filtered frame.
+    corpus = corpus.filter(_well_formed(vec_col, dim))
     if seeds is not None:
         if len(seeds) != k:
             raise ValueError(f"got {len(seeds)} seeds for k={k}")
@@ -242,8 +265,8 @@ def kmeans_inertia(
     iterations (the property the tests assert)."""
     row = (
         # same well-formed filter as kmeans_assign: NULL padded distances
-        # would null out the whole sum
-        corpus.filter(F.size(vec_col) == len(centroids[0]))
+        # (or one NaN component) would null/NaN out the whole sum
+        corpus.filter(_well_formed(vec_col, len(centroids[0])))
         .select(
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v")
         )

@@ -36,10 +36,10 @@ def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.expr("cast('1998-09-02 00:00:00' as timestamp_ntz)")
     )
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(12,2)")
-    tax = F.col("l_tax").cast("decimal(12,2)")
+    qty = F.col("l_quantity").try_cast("decimal(12,2)")
+    price = F.col("l_extendedprice").try_cast("decimal(12,2)")
+    disc = F.col("l_discount").try_cast("decimal(12,2)")
+    tax = F.col("l_tax").try_cast("decimal(12,2)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -74,8 +74,8 @@ def q_top_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
     li = _t(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    rev = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -107,8 +107,8 @@ def q_regional_revenue(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    rev = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
     )
     dims = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -184,7 +184,7 @@ def q_range_join(spark, sf_dir):
     j = range_join(li, o, "o_orderkey", "l_shipdate", "o_orderdate", "range_end")
     return j.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+        F.sum(F.col("l_quantity").try_cast("decimal(12,2)")).cast("double").alias("qty"),
     )
 
 
@@ -249,8 +249,8 @@ FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey""",
 def q_promo_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    rev = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
     )
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
         F.lit(0).cast("decimal(16,4)")
@@ -282,7 +282,7 @@ def q_small_qty_revenue(spark, sf_dir):
         (
             F.lit(0.2)
             * (
-                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                F.sum(F.col("l_quantity").try_cast("decimal(12,2)")).cast("double")
                 / F.count("*")
             )
         ).alias("threshold")
@@ -292,7 +292,7 @@ def q_small_qty_revenue(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
             (
-                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                F.sum(F.col("l_extendedprice").try_cast("decimal(12,2)")).cast("double")
                 / 7.0
             ).alias("avg_yearly")
         )
@@ -321,8 +321,8 @@ def q_forecast_revenue(spark, sf_dir):
         )
         .agg(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * F.col("l_discount").cast("decimal(12,2)")
+                F.col("l_extendedprice").try_cast("decimal(12,2)")
+                * F.col("l_discount").try_cast("decimal(12,2)")
             )
             .cast("double")
             .alias("revenue")
@@ -350,8 +350,8 @@ def q_returned_items(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    rev = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -394,8 +394,8 @@ def q_shipping_priority(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.expr("cast('1995-03-15' as timestamp_ntz)")
     )
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    rev = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -442,8 +442,8 @@ def q_volume_shipping(spark, sf_dir):
     n2 = n.select(
         F.col("n_nationkey").alias("k2"), F.col("n_name").alias("cust_nation")
     )
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    rev = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
     )
     return (
         s.join(li, s.s_suppkey == li.l_suppkey)
@@ -494,8 +494,8 @@ def q_market_share(spark, sf_dir):
     n2 = n.select(
         F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
     )
-    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    vol = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
     )
     base = (
         F.broadcast(p)
@@ -542,7 +542,7 @@ GROUP BY c_name, c_custkey, o.o_orderkey, o_orderdate, o_totalprice""",
 )
 def q_large_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
+    qty = F.col("l_quantity").try_cast("decimal(12,2)")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(qty).alias("_sq"))
@@ -558,7 +558,7 @@ def q_large_orders(spark, sf_dir):
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            F.col("o_totalprice").cast("decimal(12,2)").alias("_tp"),
+            F.col("o_totalprice").try_cast("decimal(12,2)").alias("_tp"),
         )
         .agg(F.sum(qty).cast("double").alias("total_qty"))
         .select(
@@ -585,7 +585,7 @@ GROUP BY c_nationkey""",
 )
 def q_sales_opportunity(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    bal = F.col("c_acctbal").try_cast("decimal(12,2)")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg(bal).alias("a"))
     recent = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.expr("cast('2001-06-01' as timestamp_ntz)")
@@ -672,7 +672,7 @@ def q_part_value_share(spark, sf_dir):
             li.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("v"))
+        .agg(F.sum(F.col("l_extendedprice").try_cast("decimal(14,2)")).alias("v"))
     )
     total = val.agg(F.sum("v").alias("t"))
     return (
@@ -697,7 +697,7 @@ def q_excess_suppliers(spark, sf_dir):
     heavy = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_q"))
+        .agg(F.sum(F.col("l_quantity").try_cast("decimal(12,2)")).alias("_q"))
         .filter(F.col("_q") > 100)
         .select("l_suppkey")
     )
@@ -799,8 +799,8 @@ def q_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= F.expr("cast('1995-01-01' as timestamp_ntz)"))
         & (F.col("l_shipdate") < F.expr("cast('1995-04-01' as timestamp_ntz)"))
     )
-    rev_expr = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    rev_expr = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(rev_expr).alias("total_rev")
@@ -840,8 +840,8 @@ def q_disjunctive_revenue(spark, sf_dir):
         & (q >= q_lo)
         & (q <= q_hi)
     )
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    rev = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
     )
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
@@ -928,9 +928,9 @@ def q_product_profit(spark, sf_dir):
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
-    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+    profit = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
+    ) - F.col("p_retailprice").try_cast("decimal(12,2)") * F.col("l_quantity").cast(
         "decimal(12,2)"
     ) * F.lit("0.1").cast("decimal(2,1)")
     return (
@@ -1473,7 +1473,7 @@ def q_series_similarity(spark, sf_dir):
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("bucket")
     ).agg(
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        F.sum(F.col("value").try_cast("decimal(18,6)"))
         .cast("decimal(18,6)")
         .alias("value")
     )
@@ -1515,7 +1515,7 @@ def q_series_dtw(spark, sf_dir):
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("bucket")
     ).agg(
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        F.sum(F.col("value").try_cast("decimal(18,6)"))
         .cast("double")
         .alias("value")
     )

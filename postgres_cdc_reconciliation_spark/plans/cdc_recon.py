@@ -705,7 +705,7 @@ def q_csv_roundtrip(spark, sf_dir):
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("total"),
+        F.col("o_totalprice").try_cast("decimal(12,2)").cast("double").alias("total"),
         "o_orderdate",
     )
     path = os.path.join(
@@ -773,7 +773,7 @@ def q_orc_roundtrip(spark, sf_dir):
     sel = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey",
         "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("total"),
+        F.col("o_totalprice").try_cast("decimal(12,2)").cast("double").alias("total"),
     )
     path = os.path.join(
         tempfile.gettempdir(),
@@ -797,7 +797,7 @@ def q_json_roundtrip(spark, sf_dir):
     sel = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey",
         "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("total"),
+        F.col("o_totalprice").try_cast("decimal(12,2)").cast("double").alias("total"),
     )
     path = os.path.join(
         tempfile.gettempdir(),

@@ -50,7 +50,7 @@ def q_session_window(spark, sf_dir):
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+            F.sum(F.col("value").try_cast("decimal(12,2)")).cast("double").alias("total"),
         )
         .select(
             "user_id",
@@ -75,7 +75,7 @@ def q_rollup(spark, sf_dir):
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            F.sum(F.col("o_totalprice").try_cast("decimal(18,2)"))
             .cast("double")
             .alias("total"),
         )
@@ -448,7 +448,7 @@ def q_grouped_demean(spark, sf_dir):
 
     w = Window.partitionBy("user_id")
     mean_v = (
-        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double")
+        F.sum(F.col("value").try_cast("decimal(12,2)")).over(w).cast("double")
         / F.count("*").over(w)
     )
     return events_df(spark, sf_dir).select(
@@ -578,8 +578,8 @@ def q_unpivot(spark, sf_dir):
         .filter(F.col("o_orderkey") < 100)
         .select(
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(12,2)").alias("totalprice"),
-            F.col("o_custkey").cast("decimal(12,2)").alias("custkey_num"),
+            F.col("o_totalprice").try_cast("decimal(12,2)").alias("totalprice"),
+            F.col("o_custkey").try_cast("decimal(12,2)").alias("custkey_num"),
         )
     )
     return o.unpivot(
@@ -618,7 +618,7 @@ def q_sample(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("long").alias("sampled_rows"),
-            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            F.sum(F.col("o_totalprice").try_cast("decimal(12,2)"))
             .cast("double")
             .alias("sampled_total"),
         )
@@ -659,7 +659,7 @@ def q_window_frames(spark, sf_dir):
     return _t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        F.sum(F.col("o_totalprice").try_cast("decimal(12,2)"))
         .over(w3)
         .cast("double")
         .alias("sliding_sum3"),
@@ -735,7 +735,7 @@ def q_hash_sample(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count("*").cast("long").alias("sampled_rows"),
-            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            F.sum(F.col("l_quantity").try_cast("decimal(12,2)"))
             .cast("double")
             .alias("sampled_qty"),
         )
@@ -772,7 +772,7 @@ def q_salted_join(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").cast("long").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            F.sum(F.col("l_quantity").try_cast("decimal(12,2)"))
             .cast("double")
             .alias("total_qty"),
         )

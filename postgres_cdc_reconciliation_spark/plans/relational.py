@@ -61,7 +61,7 @@ def q_ext_cube(spark, sf_dir):
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            F.sum(F.col("o_totalprice").try_cast("decimal(18,2)"))
             .cast("double")
             .alias("total"),
         )
@@ -278,7 +278,7 @@ def q_lag_trend(spark, sf_dir):
     from pyspark.sql import Window
 
     e = events_df(spark, sf_dir).withColumn(
-        "value_d", F.col("value").cast("decimal(12,2)")
+        "value_d", F.col("value").try_cast("decimal(12,2)")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w3 = w.rowsBetween(-2, 0)
@@ -311,7 +311,7 @@ def q_ext_tumble(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+            F.sum(F.col("value").try_cast("decimal(12,2)")).cast("double").alias("total"),
         )
         .select(F.col("w.start").alias("ws"), "event_type", "cnt", "total")
     )
@@ -476,7 +476,7 @@ def q_having(spark, sf_dir):
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            F.sum(F.col("o_totalprice").try_cast("decimal(18,2)"))
             .cast("double")
             .alias("total"),
         )
@@ -509,7 +509,7 @@ def q_hopping_window(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+            F.sum(F.col("value").try_cast("decimal(12,2)")).cast("double").alias("total"),
         )
         .select(F.col("w.start").alias("ws"), "event_type", "cnt", "total")
     )

@@ -25,7 +25,7 @@ def _partial(batch: DataFrame, ts_col: str, key_cols: list[str], value_col: str,
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col(value_col).cast("decimal(20,2)")).alias("total"),
+            F.sum(F.col(value_col).try_cast("decimal(20,2)")).alias("total"),
         )
     )
 

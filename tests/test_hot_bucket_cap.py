@@ -300,3 +300,34 @@ def test_scorers_agree_on_null_embeddings(spark):
         ).collect()
     }
     assert multi == {(1, 2)}
+
+
+def test_scorers_agree_on_nonfinite_components(spark):
+    """A NaN or ±Inf COMPONENT inside a right-sized vector (the numeric-
+    dirt sweep's class): every scorer's cosine for a pair touching it is
+    non-finite — IEEE gives inf/inf = NaN in the SQL fold, numpy and the
+    gemm alike — and a NaN compare is false, so the dirty vector pairs
+    with NOTHING and the clean pair set is identical across scorers."""
+    nan, inf = float("nan"), float("inf")
+    v_nan = _vec(3)
+    v_nan[0] = nan
+    v_inf = _vec(4)
+    v_inf[0] = inf
+    rows = [(1, _vec(1), 0), (2, _vec(2), 0), (3, v_nan, 0), (4, v_inf, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    for scorer in ("sql", "matrix"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                df, threshold=-1.0, scorer=scorer
+            ).collect()
+        }
+        assert pairs == {(1, 2)}, (scorer, pairs)
+    for scorer in ("sql", "numpy", "matrix"):
+        multi = {
+            (r["id_a"], r["id_b"])
+            for r in rp_near_dup_pairs_multi(
+                df, dim=16, threshold=-1.0, n_planes=2, n_tables=2, scorer=scorer
+            ).collect()
+        }
+        assert multi == {(1, 2)}, (scorer, multi)
