@@ -258,20 +258,35 @@ def latest_per_key(
 ) -> DataFrame:
     """Collapse a micro-batch to the newest event per key (last-writer-wins).
 
-    max_by over a struct of all columns keyed by the BIGINT LSN; ties are
-    impossible (LSN strictly increases per key — Debezium per-key ordering,
+    max_by over a struct of all columns keyed by the BIGINT LSN; on a clean
+    Debezium feed ties are impossible (LSN strictly increases per key,
     SURVEY.md §7 delta 6). Plans as SortAggregate (struct buffer isn't
     hash-agg mutable) but keeps the map-side partial/final split — shuffle
     volume is O(distinct keys in the batch), not O(events), which is the
     property the row_number()-window formulation lacks (full event shuffle
     + sort, zero partial aggregation).
+
+    Dirty-feed contract (round-7 probe): an event whose LSN does not parse
+    (lsn_to_long → NULL) cannot be ordered and is dropped BEFORE the
+    aggregate — max_by over an all-NULL ordering group otherwise emits one
+    ghost all-NULL row per such key. And should a duplicate (key, lsn)
+    ever appear (replayed/merged feeds), the tie breaks on a hash of the
+    full payload instead of max_by's partition-arrival order — the
+    partition-invariance the engine's determinism sweep pins everywhere
+    else. Both guards are no-ops on a well-formed feed.
     """
     lsn_long = (
         lsn_to_long(lsn_col) if lsn_is_text else F.col(lsn_col).cast("long")
     )
     payload = F.struct(*[F.col(c) for c in events.columns])
-    agg = events.groupBy(*[F.col(k) for k in key_cols]).agg(
-        F.max_by(payload, lsn_long).alias("_latest")
+    order = F.struct(
+        lsn_long.alias("_l"),
+        F.xxhash64(*[F.col(c) for c in events.columns]).alias("_h"),
+    )
+    agg = (
+        events.filter(lsn_long.isNotNull())
+        .groupBy(*[F.col(k) for k in key_cols])
+        .agg(F.max_by(payload, order).alias("_latest"))
     )
     return agg.select("_latest.*")
 

@@ -137,3 +137,72 @@ def test_apply_batch_schema_evolution_additive(spark):
     t2 = apply_batch(t1, old_events, ["id"], evolve_schema=True)
     rows2 = {r["id"]: (r["val"], r["region"]) for r in t2.collect()}
     assert rows2[1] == ("a9", None) and rows2[2] == ("b2", "eu")
+
+
+def test_lsn_parse_dirty_feed_nulls_not_errors(spark):
+    """lsn_to_long on a dirty feed: malformed / non-hex / splitless /
+    out-of-signed-range text parses to NULL — never an ANSI
+    INVALID_ARRAY_INDEX / overflow that would kill the whole apply job —
+    while well-formed LSNs (any case, any width, up to the 2^63-1
+    encoding ceiling) are bit-identical to the strict parse."""
+    from postgres_cdc_reconciliation_spark.functions.lsn import lsn_to_long
+
+    cases = [
+        ("0/1A", 26),
+        ("00000000/0000001a", 26),
+        ("7FFFFFFF/FFFFFFFF", 2**63 - 1),  # encoding ceiling
+        ("ZZZ", None),  # no separator
+        ("1A", None),
+        ("", None),
+        (None, None),
+        ("0/GG", None),  # non-hex half
+        ("0/1A/2B", None),  # extra separator
+        ("80000000/0", None),  # past the signed-BIGINT encoding
+        ("8000000000000000/0", None),  # 16-digit hi (unsigned-64 form)
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {r["s"]: r["lsn"] for r in df.select("s", lsn_to_long("s").alias("lsn")).collect()}
+    for s, want in cases:
+        assert got[s] == want, (s, got[s], want)
+
+
+def test_latest_per_key_drops_unorderable_events_no_ghost_row(spark):
+    """A key whose every event has an unparseable LSN produces NO output
+    row (the event cannot be ordered, so it costs itself) — previously
+    max_by over the all-NULL ordering group emitted a ghost all-NULL row.
+    A key with a mix keeps its parseable events only."""
+    ev = spark.createDataFrame(
+        [
+            (1, "0/10", "u", "keep"),
+            (1, "garbage", "u", "mangled-later-event"),
+            (2, "ZZZ", "u", "only-event-mangled"),
+        ],
+        "order_id long, source_lsn string, op string, val string",
+    )
+    rows = {r["order_id"]: r["val"] for r in latest_per_key(ev, ["order_id"]).collect()}
+    assert rows == {1: "keep"}
+
+
+def test_latest_per_key_duplicate_lsn_tie_is_partition_invariant(spark):
+    """Duplicate (key, lsn) — impossible on a clean Debezium feed, routine
+    in replayed/merged ones — must pick the SAME winner under any
+    partitioning and input order (the driver's value-hash gate and the
+    determinism sweep assume partition-invariance everywhere). The
+    tie-break is a payload hash, not max_by's arrival order."""
+    base = [
+        (1, "0/10", "u", "A"),
+        (1, "0/10", "u", "B"),
+        (1, "0/10", "u", "C"),
+        (2, "0/7", "u", "X"),
+    ]
+    winners = set()
+    for order, nparts in [(base, 1), (base[::-1], 8), (base[1:] + base[:1], 3)]:
+        ev = spark.createDataFrame(
+            order, "order_id long, source_lsn string, op string, val string"
+        ).repartition(nparts)
+        rows = {
+            r["order_id"]: r["val"] for r in latest_per_key(ev, ["order_id"]).collect()
+        }
+        assert rows[2] == "X"
+        winners.add(rows[1])
+    assert len(winners) == 1, winners
