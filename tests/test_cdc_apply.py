@@ -206,3 +206,44 @@ def test_latest_per_key_duplicate_lsn_tie_is_partition_invariant(spark):
         assert rows[2] == "X"
         winners.add(rows[1])
     assert len(winners) == 1, winners
+
+
+def test_malformed_envelopes_cost_themselves_end_to_end(spark):
+    """Dirty envelope JSON through the whole parse→unwrap→order→apply
+    chain: from_json NULLs malformed text, unwrap drops rows with no
+    usable image, and an event that survives unwrap but lost its source
+    block (NULL LSN) is dropped by latest_per_key as unorderable — one
+    garbage message costs itself; every well-formed event still applies."""
+    import json as _json
+
+    def env(op, lsn, after):
+        return _json.dumps(
+            {"op": op, "before": None, "after": after,
+             "source": {"lsn": lsn, "txId": 1, "ts_ms": 1700000000000,
+                        "schema": "public", "table": "orders"}}
+        )
+
+    def row(oid, amount):
+        return {"order_id": oid, "customer_id": oid % 10,
+                "amount": f"{amount:.2f}", "ts": "2026-01-01 00:00:00",
+                "batch_id": 0}
+
+    vals = [
+        env("r", "0/10", row(1, 10.0)),
+        env("u", "0/11", row(1, 11.0)),
+        '{"op": "r", "before"',  # truncated mid-key
+        "",
+        None,
+        "not json at all",
+        _json.dumps({"op": "u", "before": None, "after": row(2, 20.0)}),  # no source
+        env("u", "XYZ", row(3, 30.0)),  # unparseable LSN
+        env("r", "0/20", row(4, 40.0)),
+    ]
+    raw = spark.createDataFrame([(str(i), v) for i, v in enumerate(vals)],
+                                "key string, value string")
+    flat = unwrap(parse_stream(raw))
+    latest = latest_per_key(flat, ["order_id"])
+    rows = {r["order_id"]: str(r["amount"]) for r in latest.collect()}
+    # key 1 took its newest valid event; keys 2 (no source) and 3 (bad
+    # LSN) cost themselves; key 4 applied; nothing crashed, no ghost rows
+    assert rows == {1: "11.00", 4: "40.00"}
