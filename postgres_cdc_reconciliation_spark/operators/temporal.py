@@ -121,8 +121,18 @@ def scd2_build(
     row_number over the already-partitioned versions — same shuffle, no
     extra exchange. Shuffles O(events); no self-join of the changelog
     against itself (the naive interval formulation), no Python in the
-    plan. seq must be unique per key (an LSN / commit sequence is)."""
-    w = Window.partitionBy(key).orderBy(seq)
+    plan.
+
+    seq must be unique per key (an LSN / commit sequence is); that is the
+    contract. Should a dirty or merged changelog violate it anyway, the
+    window order tie-breaks on a payload hash so the history is at least
+    PARTITION-INVARIANT (lead()/row_number() over a tie are otherwise
+    arrival-ordered — the latest_per_key duplicate-LSN hazard) — though
+    tied events produce zero-length versions and the incremental replay
+    guard drops cross-batch duplicates, so unique seq remains the only
+    fully-specified semantics. A no-op on well-formed changelogs."""
+    tie = F.xxhash64(F.col(op_col), *[F.col(a) for a in attrs])
+    w = Window.partitionBy(key).orderBy(F.col(seq), tie)
     bounded = changelog.select(
         key,
         op_col,
@@ -131,7 +141,9 @@ def scd2_build(
         F.lead(seq).over(w).alias("valid_to"),
     )
     versions = bounded.filter(F.col(op_col) != delete_op)
-    wv = Window.partitionBy(key).orderBy(seq)
+    wv = Window.partitionBy(key).orderBy(
+        F.col(seq), F.xxhash64(F.col(op_col), *[F.col(a) for a in attrs])
+    )
     return versions.select(
         key,
         *attrs,

@@ -341,3 +341,33 @@ def test_kcore_empty_graph_and_bad_rounds(spark):
     assert out == {1: (0, 0), 2: (0, 0)}
     with pytest.raises(ValueError, match="rounds"):
         kcore_peel_rounds(empty, k=3, rounds=0)
+
+
+def test_scd2_build_duplicate_seq_is_partition_invariant(spark):
+    """Duplicate (key, seq) violates scd2_build's documented contract, but
+    a dirty/merged changelog that does it anyway must not get a
+    PARTITION-DEPENDENT history: lead()/row_number() over a tie are
+    arrival-ordered, so the window order tie-breaks on a payload hash.
+    Same history rows under any partitioning and input order."""
+    rows = [
+        (1, "u", 10, "a"),
+        (1, "u", 10, "b"),  # duplicate seq, different attr
+        (1, "u", 10, "c"),
+        (1, "u", 20, "d"),
+        (2, "u", 5, "x"),
+    ]
+    outs = []
+    for order, nparts in [(rows, 1), (rows[::-1], 7), (rows[2:] + rows[:2], 3)]:
+        log = spark.createDataFrame(
+            order, "k long, op string, seq long, attr string"
+        ).repartition(nparts)
+        hist = scd2_build(log, key="k", seq="seq", attrs=["attr"])
+        outs.append(
+            sorted(
+                (r["k"], r["attr"], r["version"], r["valid_from"], r["valid_to"], r["is_current"])
+                for r in hist.collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    # the clean key is untouched by tie handling
+    assert [(o[0], o[1]) for o in outs[0] if o[0] == 2] == [(2, "x")]
