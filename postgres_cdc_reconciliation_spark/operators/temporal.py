@@ -53,9 +53,18 @@ def asof_join(
         F.col(right_ts),
     )
     u = l_tag.unionByName(r_tag)
+    # third order key: two RIGHT rows tied on (key, ts) must fill
+    # deterministically, not in partition-arrival order (left-left ties
+    # are harmless — their right columns are NULL and ignorenulls skips
+    # them). Hash over the right payload; a no-op when right timestamps
+    # are unique per key.
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy(
+            "_ts",
+            "_side",
+            F.xxhash64(*[F.col(c) for c in right_cols + [right_ts]]),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(

@@ -271,3 +271,29 @@ def test_interval_overlap_preserves_duplicate_multiplicity(spark):
         assert Counter(
             (r.l_id, r.r_id) for r in got.collect()
         ) == expected, f"chunk={chunk} multiplicity diverged"
+
+
+def test_asof_join_tied_right_rows_fill_partition_invariantly(spark):
+    """Two RIGHT rows tied on (key, ts): last(ignorenulls) over an
+    (_ts, _side)-only order fills whichever arrived last in the partition
+    — partition-dependent. The window's third order key (right-payload
+    hash) makes the fill deterministic under any partitioning and input
+    order; left rows strictly after the tie must still see SOME one of
+    the tied values, consistently."""
+    from postgres_cdc_reconciliation_spark.operators.temporal import asof_join
+
+    right_rows = [(1, 100, "r-a"), (1, 100, "r-b"), (1, 50, "r-early")]
+    left_rows = [(1, 150, "L1"), (1, 75, "L2"), (1, 10, "L0")]
+    picks = set()
+    for r_order, nparts in [(right_rows, 1), (right_rows[::-1], 5), (right_rows[1:] + right_rows[:1], 3)]:
+        left = spark.createDataFrame(left_rows, "k long, ts long, lval string").repartition(nparts)
+        right = spark.createDataFrame(r_order, "k long, rts long, rval string").repartition(nparts)
+        out = {
+            r["lval"]: (r["rval"], r["rts"])
+            for r in asof_join(left, right, "k", "ts", "rts").collect()
+        }
+        assert out["L2"] == ("r-early", 50)  # untied path unaffected
+        assert out["L0"] == (None, None)
+        assert out["L1"][1] == 100
+        picks.add(out["L1"][0])
+    assert len(picks) == 1, picks  # tie resolved the same way every time
