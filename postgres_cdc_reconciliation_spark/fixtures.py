@@ -315,7 +315,7 @@ def _cdc_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders_raw(spark, sf_dir).select(
         F.col("o_orderkey").alias("order_id"),
         (F.col("o_custkey") % 1000).cast("int").alias("customer_id"),
-        F.col("o_totalprice").cast("decimal(10,2)").alias("amount"),
+        F.col("o_totalprice").try_cast("decimal(10,2)").alias("amount"),
         F.col("o_orderdate").alias("ts"),
         F.floor(F.col("o_orderkey") / 100).cast("long").alias("batch_id"),
     )
@@ -394,7 +394,7 @@ cdc_events AS (
 def recon_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     src = orders_raw(spark, sf_dir).select(
         F.col("o_orderkey").alias("order_id"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("amount"),
+        F.col("o_totalprice").try_cast("decimal(12,2)").alias("amount"),
         F.col("o_orderstatus").alias("status"),
     )
     tgt_main = src.filter(F.col("order_id") % 97 != 0).withColumn(

@@ -67,6 +67,7 @@ def kmeans_init(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> list[list[float]]:
     """Deterministic seeding: the k vectors with the smallest
     ``xxhash64(id)``. Equivalent to a uniform random sample under a fixed
@@ -78,8 +79,10 @@ def kmeans_init(
     rows = (
         # seeding sees the raw corpus (callers may seed before fit): the
         # same well-formed filter as the fit, or a dirty vector becomes a
-        # seed and poisons every distance expression after
-        corpus.filter(_well_formed(vec_col, _dim_of(corpus, vec_col)))
+        # seed and poisons every distance expression after. ``dim`` skips
+        # the inference scan when the caller (kmeans_fit) already ran it;
+        # the duplicated filter predicate itself is a map-side no-op.
+        corpus.filter(_well_formed(vec_col, dim if dim is not None else _dim_of(corpus, vec_col)))
         .select(
             F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
@@ -98,6 +101,7 @@ def kmeans_init_farthest(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> list[list[float]]:
     """Deterministic farthest-first (Gonzalez) seeding: seed 1 is the
     smallest-hash vector; each next seed is the vector maximizing the
@@ -114,7 +118,7 @@ def kmeans_init_farthest(
     base = (
         # filter dirty vectors BEFORE seeding (see kmeans_init) — callers
         # may seed on the raw corpus before kmeans_fit's own filter runs
-        corpus.filter(_well_formed(vec_col, _dim_of(corpus, vec_col)))
+        corpus.filter(_well_formed(vec_col, dim if dim is not None else _dim_of(corpus, vec_col)))
         .select(
             F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
@@ -222,7 +226,9 @@ def kmeans_fit(
         cents = [list(s) for s in seeds]
     else:
         seeder = kmeans_init_farthest if init == "farthest" else kmeans_init
-        cents = seeder(corpus, k, id_col, vec_col)
+        # pass the dim already inferred above — saves the seeder's own
+        # full-scan max(size) aggregation job
+        cents = seeder(corpus, k, id_col, vec_col, dim=dim)
     vecs = corpus.select(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v")
     ).localCheckpoint()

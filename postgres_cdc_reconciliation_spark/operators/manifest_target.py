@@ -300,7 +300,12 @@ def commit_delta(
     )
     fs, mdir = _fs(spark, f"{root}/{MANIFEST_DIR}")
     fs.mkdirs(mdir)
-    _, tmp = _fs(spark, f"{root}/{MANIFEST_DIR}/.v{new_v}.json.tmp")
+    # the tmp name carries THIS attempt's stage token: a shared
+    # deterministic tmp would let racing writers overwrite each other's
+    # doc pre-rename, so the winner could commit the loser's (or a torn)
+    # manifest — the one hole rename-if-absent alone does not close.
+    # Orphan tmps from dead writers are vacuum's job.
+    _, tmp = _fs(spark, f"{root}/{MANIFEST_DIR}/.v{label}.json.tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(doc.encode("utf-8")))
@@ -444,15 +449,37 @@ def snapshot_changes(
     ).filter(F.col("_change_type").isNotNull())
 
 
-def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]:
+def vacuum(
+    spark: SparkSession,
+    root: str,
+    keep_manifests: int = 2,
+    min_attempt_age_seconds: float = 3600.0,
+) -> list[str]:
     """Delete stage dirs referenced by no retained manifest.
 
     Keeps the newest ``keep_manifests`` manifests (time travel / in-flight
     readers), drops older manifest files, then removes every
-    ``stage/v=*/_bucket=*`` dir that none of the retained manifests lists.
-    Returns the deleted paths (for tests/audit)."""
+    ``stage/v=*/_bucket=*`` dir that none of the retained manifests lists,
+    plus orphan manifest tmps from dead or lost-race writers. Returns the
+    deleted paths (for tests/audit).
+
+    ``min_attempt_age_seconds`` is the in-flight-writer guard (Delta's
+    retention-window idea): an UNREFERENCED stage dir or manifest tmp may
+    be a commit attempt still between its stage write and its rename —
+    deleting it would let that writer commit a manifest pointing at
+    vacuumed data. Anything younger than the threshold is skipped; the
+    default of one hour dwarfs any real commit's stage-to-rename window.
+    Tests pass 0 to reclaim immediately."""
     if keep_manifests < 1:
         raise ValueError("keep_manifests must be >= 1 (0 would wipe the table)")
+    import time as _time
+
+    now_ms = _time.time() * 1000.0
+    min_age_ms = min_attempt_age_seconds * 1000.0
+
+    def _old_enough(status) -> bool:
+        return (now_ms - status.getModificationTime()) >= min_age_ms
+
     versions = _manifest_versions(spark, root)
     if not versions:
         return []
@@ -472,12 +499,23 @@ def vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]
     for v in versions[:-keep_manifests]:
         _, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
         fs.delete(mpath, False)
+    # orphan manifest tmps (dead writer crashed pre-rename, or a loser
+    # whose cleanup didn't run) — age-gated like the stage dirs
+    _, mdir = _fs(spark, f"{root}/{MANIFEST_DIR}")
+    if fs.exists(mdir):
+        for mstat in fs.listStatus(mdir):
+            mname = mstat.getPath().getName()
+            if mname.startswith(".v") and mname.endswith(".json.tmp") and _old_enough(mstat):
+                fs.delete(mstat.getPath(), False)
+                deleted.append(str(mstat.getPath()))
     _, sdir = _fs(spark, f"{root}/{STAGE_DIR}")
     if fs.exists(sdir):
         for vstat in fs.listStatus(sdir):
             vname = vstat.getPath().getName()  # "v=<label>"
             if not vname.startswith("v="):
                 continue
+            if not _old_enough(vstat):
+                continue  # possibly an in-flight attempt — next vacuum's job
             dv = vname[2:]  # "<n>-<token>", or plain "<n>" for legacy dirs
             for bstat in fs.listStatus(vstat.getPath()):
                 bname = bstat.getPath().getName()  # "_bucket=<b>"

@@ -973,7 +973,12 @@ def pq_encode_fast(
                 .astype(np.float64)
                 .reshape(b, n_sub, d_sub)
             )
-            dists = ((x[:, :, None, :] - cents[None]) ** 2).sum(-1)
+            # inf - inf = NaN is the INTENDED dirty-vector semantics (a
+            # non-finite component's distances go NaN and argmin picks an
+            # arbitrary-but-deterministic code; rerank drops the row) —
+            # silence numpy's per-batch RuntimeWarning about it
+            with np.errstate(invalid="ignore", over="ignore"):
+                dists = ((x[:, :, None, :] - cents[None]) ** 2).sum(-1)
             codes = dists.argmin(-1)
             yield pd.DataFrame(
                 {

@@ -150,9 +150,7 @@ def scd2_build(
         F.lead(seq).over(w).alias("valid_to"),
     )
     versions = bounded.filter(F.col(op_col) != delete_op)
-    wv = Window.partitionBy(key).orderBy(
-        F.col(seq), F.xxhash64(F.col(op_col), *[F.col(a) for a in attrs])
-    )
+    wv = Window.partitionBy(key).orderBy(F.col(seq), tie)
     return versions.select(
         key,
         *attrs,

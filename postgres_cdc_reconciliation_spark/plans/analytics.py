@@ -930,9 +930,9 @@ def q_product_profit(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     profit = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").try_cast("decimal(12,2)")
-    ) - F.col("p_retailprice").try_cast("decimal(12,2)") * F.col("l_quantity").cast(
-        "decimal(12,2)"
-    ) * F.lit("0.1").cast("decimal(2,1)")
+    ) - F.col("p_retailprice").try_cast("decimal(12,2)") * F.col(
+        "l_quantity"
+    ).try_cast("decimal(12,2)") * F.lit("0.1").cast("decimal(2,1)")
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))

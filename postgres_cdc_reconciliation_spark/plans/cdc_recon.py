@@ -277,7 +277,7 @@ def q_cdc_parse(spark, sf_dir):
     return e.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
     )
 
 
@@ -295,7 +295,7 @@ def q_cdc_unwrap(spark, sf_dir):
     return ev.select(
         "order_id",
         "op",
-        F.col("amount").cast("double").alias("amount"),
+        F.col("amount").try_cast("double").alias("amount"),
         "customer_id",
         "batch_id",
         "source_lsn",
@@ -324,7 +324,7 @@ def q_cdc_apply(spark, sf_dir):
     latest = latest_per_key(ev, ["order_id"], lsn_col="lsn_long", lsn_is_text=False)
     return latest.filter(F.col("op") != "d").select(
         "order_id",
-        F.col("amount").cast("double").alias("amount"),
+        F.col("amount").try_cast("double").alias("amount"),
         "customer_id",
         "batch_id",
         "source_lsn",
@@ -366,7 +366,7 @@ def q_scd2_dim(spark, sf_dir):
     )
     return dim.select(
         "order_id",
-        F.col("amount").cast("double").alias("amount"),
+        F.col("amount").try_cast("double").alias("amount"),
         "customer_id",
         "version",
         "valid_from",
@@ -425,7 +425,7 @@ def q_scd2_incremental(spark, sf_dir):
     )
     return dim.select(
         "order_id",
-        F.col("amount").cast("double").alias("amount"),
+        F.col("amount").try_cast("double").alias("amount"),
         "customer_id",
         "version",
         "valid_from",
@@ -484,7 +484,7 @@ def q_changelog_compaction(spark, sf_dir):
     return out.select(
         "order_id",
         "net_op",
-        F.col("amount").cast("double").alias("amount"),
+        F.col("amount").try_cast("double").alias("amount"),
         "customer_id",
         "n_events",
         "first_seq",
@@ -576,8 +576,8 @@ def q_recon_diff(spark, sf_dir):
             "order_id",
             F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
             F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
-            F.col("src_amt").cast("double").alias("src_amount"),
-            F.col("tgt_amt").cast("double").alias("tgt_amount"),
+            F.col("src_amt").try_cast("double").alias("src_amount"),
+            F.col("tgt_amt").try_cast("double").alias("tgt_amount"),
             diff_type.alias("diff_type"),
         )
         .filter(F.col("diff_type").isNotNull())
@@ -654,7 +654,7 @@ def q_recon_setdiff(spark, sf_dir):
         return df.select(
             F.lit(direction).alias("direction"),
             "order_id",
-            F.col("amount").cast("double").alias("amount"),
+            F.col("amount").try_cast("double").alias("amount"),
             "status",
         )
 

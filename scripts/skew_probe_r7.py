@@ -64,49 +64,15 @@ QUERIES = [
 
 
 def build_skewed(spark) -> None:
-    if os.path.exists(f"{SKEWED}/embeddings.parquet/_SUCCESS"):
+    # sentinel on events: it is the LAST table tests/_corpora.py::build_skew
+    # writes, so a partially-built corpus from an interrupted run can never
+    # masquerade as complete
+    if os.path.exists(f"{SKEWED}/events.parquet/_SUCCESS"):
         return
     os.makedirs(SKEWED, exist_ok=True)
-    for t in "region nation customer supplier part".split():
-        spark.read.parquet(f"{UNIFORM}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{SKEWED}/{t}.parquet"
-        )
-    li = spark.read.parquet(f"{UNIFORM}/lineitem.parquet")
-    hot_order = li.agg(F.min("l_orderkey")).first()[0]
-    li.withColumn(
-        "l_orderkey",
-        F.when(F.col("l_orderkey") % 10 < 3, F.lit(hot_order)).otherwise(
-            F.col("l_orderkey")
-        ),
-    ).write.mode("overwrite").parquet(f"{SKEWED}/lineitem.parquet")
-    od = spark.read.parquet(f"{UNIFORM}/orders.parquet")
-    hot_cust = od.agg(F.min("o_custkey")).first()[0]
-    od.withColumn(
-        "o_custkey",
-        F.when(F.col("o_orderkey") % 10 < 3, F.lit(hot_cust)).otherwise(
-            F.col("o_custkey")
-        ),
-    ).write.mode("overwrite").parquet(f"{SKEWED}/orders.parquet")
-    docs = spark.read.parquet(f"{UNIFORM}/documents.parquet")
-    mode_text = docs.orderBy("doc_id").select("text").first()[0]
-    docs.withColumn(
-        "text",
-        F.when(F.col("doc_id") % 10 < 3, F.lit(mode_text)).otherwise(F.col("text")),
-    ).write.mode("overwrite").parquet(f"{SKEWED}/documents.parquet")
-    emb = spark.read.parquet(f"{UNIFORM}/embeddings.parquet")
-    mode_vec = emb.orderBy("vec_id").select(F.col("embedding").alias("_mv")).limit(1)
-    emb.crossJoin(F.broadcast(mode_vec)).withColumn(
-        "embedding",
-        F.when(F.col("vec_id") % 10 < 3, F.col("_mv")).otherwise(F.col("embedding")),
-    ).drop("_mv").write.mode("overwrite").parquet(f"{SKEWED}/embeddings.parquet")
-    ev = spark.read.parquet(f"{UNIFORM}/events.parquet")
-    hot_user = ev.agg(F.min("user_id")).first()[0]
-    ev.withColumn(
-        "user_id",
-        F.when(F.col("event_id") % 10 < 4, F.lit(hot_user)).otherwise(
-            F.col("user_id")
-        ),
-    ).write.mode("overwrite").parquet(f"{SKEWED}/events.parquet")
+    from tests._corpora import build_skew
+
+    build_skew(spark, UNIFORM, SKEWED)
 
 
 def _run(spark, name, sf_dir):

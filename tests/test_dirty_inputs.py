@@ -25,36 +25,19 @@ from __future__ import annotations
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from postgres_cdc_reconciliation_spark.plans.registry import all_queries
 
 
 @pytest.fixture(scope="session")
 def dirty_dir(spark, sf_dir, tmp_path_factory):
     """sf0.001 with dirt: ~3/17 of documents NULL/empty/whitespace text,
-    ~2/23 of embeddings NULL/empty arrays."""
+    ~2/23 of embeddings NULL/empty arrays. The transform lives in
+    tests/_corpora.py (shared with the determinism-sweep script so the
+    test and the sweep measure the SAME corpus)."""
+    from tests._corpora import build_dirty_text
+
     root = tmp_path_factory.mktemp("dirty_sf")
-    for t in "region nation customer supplier part orders lineitem events".split():
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode("overwrite").parquet(
-            str(root / f"{t}.parquet")
-        )
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-        "text",
-        F.when(F.col("doc_id") % 17 == 0, F.lit(None).cast("string"))
-        .when(F.col("doc_id") % 17 == 1, F.lit(""))
-        .when(F.col("doc_id") % 17 == 2, F.lit("   "))
-        .otherwise(F.col("text")),
-    )
-    d.write.mode("overwrite").parquet(str(root / "documents.parquet"))
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding",
-        F.when(F.col("vec_id") % 23 == 20, F.lit(None).cast("array<float>"))
-        .when(F.col("vec_id") % 23 == 21, F.expr("array()").cast("array<float>"))
-        .otherwise(F.col("embedding")),
-    )
-    e.write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
-    return str(root)
+    return build_dirty_text(spark, sf_dir, str(root))
 
 
 @pytest.mark.parametrize("name", sorted(all_queries()))

@@ -229,7 +229,7 @@ def test_vacuum_keeps_referenced_dirs(spark, tmp_path):
         b = [r[0] for r in upd.select(bucket_expr(["id"], 8)).collect()]
         commit_delta(upd, target, ["id"], b, 8)
 
-    deleted = vacuum(spark, target, keep_manifests=1)
+    deleted = vacuum(spark, target, keep_manifests=1, min_attempt_age_seconds=0)
     assert deleted  # v=1's superseded bucket dir must go
     rows = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
     assert rows == {(1, "y"), (2, "b")}  # v0 dir still referenced, kept
@@ -292,7 +292,7 @@ def test_compact_one_file_per_bucket_same_rows(spark, tmp_path):
         files = glob.glob(f"{target}/stage/v={label}/_bucket={b}/*.parquet")
         assert len(files) == 1, (b, files)
     # reclaim: superseded stage dirs disappear, snapshot still reads
-    vacuum(spark, target, keep_manifests=1)
+    vacuum(spark, target, keep_manifests=1, min_attempt_age_seconds=0)
     assert {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()} == before
 
 
@@ -701,19 +701,22 @@ def test_crashed_delta_commit_vacuum_gc_and_replay(spark, tmp_path):
     assert {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()} == before
 
     # vacuum GCs the orphan stage dirs (nothing references v=1)
-    deleted = vacuum(spark, target, keep_manifests=1)
+    deleted = vacuum(spark, target, keep_manifests=1, min_attempt_age_seconds=0)
     assert any("/v=1/" in d and "_bucket=" in d for d in deleted)
     assert not os.path.exists(f"{target}/stage/v=1/_bucket=99")
     # and the committed v0 data survives
     assert {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()} == before
 
     # -- window (b): replay the crashed commit from scratch (at-least-once
-    # restart path: the checkpoint replays the batch). Re-plant garbage to
-    # prove the fresh attempt dir never touches — and never references —
-    # the dead writer's stage.
+    # restart path: the checkpoint replays the batch). Re-plant garbage —
+    # stage junk AND the dead writer's truncated manifest tmp (window (a)'s
+    # vacuum reclaimed the first plantings) — to prove the fresh attempt
+    # never touches and never references either.
     os.makedirs(f"{target}/stage/v=1/_bucket=99", exist_ok=True)
     with open(f"{target}/stage/v=1/_bucket=99/part-junk.parquet", "w") as f:
         f.write("not parquet")
+    with open(f"{target}/{MANIFEST_DIR}/.v1.json.tmp", "w") as f:
+        f.write('{"version": 1, "buckets"')
     new_v = commit_delta(merged, target, ["id"], touched, 8)
     assert new_v == 1
     _, mapping = read_manifest(spark, target)
@@ -723,14 +726,28 @@ def test_crashed_delta_commit_vacuum_gc_and_replay(spark, tmp_path):
     assert all(lbl.startswith("1-") for b, lbl in mapping.items() if b in touched)
     rows = {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()}
     assert (1, "NEW") in rows and len(rows) == 20
-    # the replay's manifest committed; the dead writer's tmp was recreated
-    # and renamed into place by the replay (same tmp name), so no orphan
+    # the replay's manifest committed through its OWN per-attempt tmp; the
+    # dead writer's truncated tmp is untouched (a shared tmp name was the
+    # race by which a winner could rename a loser's — or a torn — doc) and
+    # is vacuumed as an orphan alongside the junk stage dir
     assert os.path.exists(f"{target}/{MANIFEST_DIR}/v1.json")
-    assert not os.path.exists(f"{target}/{MANIFEST_DIR}/.v1.json.tmp")
-    deleted = vacuum(spark, target, keep_manifests=1)
+    assert os.path.exists(f"{target}/{MANIFEST_DIR}/.v1.json.tmp")
+    deleted = vacuum(spark, target, keep_manifests=1, min_attempt_age_seconds=0)
     assert any("/v=1/_bucket=99" in d for d in deleted)
+    assert any(".v1.json.tmp" in d for d in deleted)
     assert not os.path.exists(f"{target}/stage/v=1/_bucket=99")
+    assert not os.path.exists(f"{target}/{MANIFEST_DIR}/.v1.json.tmp")
     assert {(r["id"], r["v"]) for r in read_snapshot(spark, target).collect()} == rows
+    # and an IN-FLIGHT attempt (age below the guard) survives a default
+    # vacuum: plant a fresh fake attempt and GC with the 1h threshold
+    os.makedirs(f"{target}/stage/v=9-inflight/_bucket=0", exist_ok=True)
+    with open(f"{target}/stage/v=9-inflight/_bucket=0/part-0.parquet", "w") as f:
+        f.write("staging")
+    with open(f"{target}/{MANIFEST_DIR}/.v9-inflight.json.tmp", "w") as f:
+        f.write("{}")
+    vacuum(spark, target, keep_manifests=1)  # default min_attempt_age
+    assert os.path.exists(f"{target}/stage/v=9-inflight/_bucket=0")
+    assert os.path.exists(f"{target}/{MANIFEST_DIR}/.v9-inflight.json.tmp")
 
 
 def test_crashed_full_snapshot_compact_replay(spark, tmp_path):
@@ -914,8 +931,11 @@ def test_concurrent_writers_loser_fails_loud_winner_intact(spark, tmp_path):
     assert files_under(f"{target}/stage/v={a_label}") == a_files
     rows = {r["id"]: r["v"] for r in read_snapshot(spark, target).collect()}
     assert rows[1] == "A" and len(rows) == 20
-    # no half-visible manifest tmp from the loser
-    assert not os.path.exists(f"{target}/_manifests/.v1.json.tmp")
+    # no half-visible manifest tmp from the loser (per-attempt tmp names —
+    # the loser writes and cleans ITS OWN tmp, never the winner's)
+    import glob as _g
+
+    assert _g.glob(f"{target}/_manifests/.v1*.json.tmp") == []
     # the loser's attempt dir is an orphan; vacuum reclaims it
     import glob as _glob
 
@@ -925,6 +945,6 @@ def test_concurrent_writers_loser_fails_loud_winner_intact(spark, tmp_path):
         if d != f"{target}/stage/v={a_label}"
     ]
     assert len(orphans) == 1
-    vacuum(spark, target, keep_manifests=1)
+    vacuum(spark, target, keep_manifests=1, min_attempt_age_seconds=0)
     assert not os.path.exists(orphans[0])
     assert {r["id"]: r["v"] for r in read_snapshot(spark, target).collect()} == rows

@@ -32,66 +32,18 @@ from __future__ import annotations
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from postgres_cdc_reconciliation_spark.plans.registry import all_queries
 
 
 @pytest.fixture(scope="session")
 def skew_dir(spark, sf_dir, tmp_path_factory):
+    """Planted-skew corpus; the transform lives in tests/_corpora.py
+    (shared with scripts/skew_probe_r7.py and the determinism sweep so
+    every consumer measures the SAME corpus)."""
+    from tests._corpora import build_skew
+
     root = tmp_path_factory.mktemp("skew_sf")
-    for t in "region nation customer supplier part".split():
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode("overwrite").parquet(
-            str(root / f"{t}.parquet")
-        )
-
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    hot_order = li.agg(F.min("l_orderkey")).first()[0]
-    li.withColumn(
-        "l_orderkey",
-        F.when(F.col("l_orderkey") % 10 < 3, F.lit(hot_order)).otherwise(
-            F.col("l_orderkey")
-        ),
-    ).write.mode("overwrite").parquet(str(root / "lineitem.parquet"))
-
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    hot_cust = od.agg(F.min("o_custkey")).first()[0]
-    od.withColumn(
-        "o_custkey",
-        F.when(F.col("o_orderkey") % 10 < 3, F.lit(hot_cust)).otherwise(
-            F.col("o_custkey")
-        ),
-    ).write.mode("overwrite").parquet(str(root / "orders.parquet"))
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    mode_text = (
-        docs.orderBy("doc_id").select("text").first()[0]
-    )
-    docs.withColumn(
-        "text",
-        F.when(F.col("doc_id") % 10 < 3, F.lit(mode_text)).otherwise(F.col("text")),
-    ).write.mode("overwrite").parquet(str(root / "documents.parquet"))
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    mode_vec_df = emb.orderBy("vec_id").select(
-        F.col("embedding").alias("_mode_vec")
-    ).limit(1)
-    emb.crossJoin(F.broadcast(mode_vec_df)).withColumn(
-        "embedding",
-        F.when(F.col("vec_id") % 10 < 3, F.col("_mode_vec")).otherwise(
-            F.col("embedding")
-        ),
-    ).drop("_mode_vec").write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    hot_user = ev.agg(F.min("user_id")).first()[0]
-    ev.withColumn(
-        "user_id",
-        F.when(F.col("event_id") % 10 < 4, F.lit(hot_user)).otherwise(
-            F.col("user_id")
-        ),
-    ).write.mode("overwrite").parquet(str(root / "events.parquet"))
-    return str(root)
+    return build_skew(spark, sf_dir, str(root))
 
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
