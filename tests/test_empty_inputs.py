@@ -20,7 +20,10 @@ from postgres_cdc_reconciliation_spark.plans.registry import all_queries
 # list justified — anything not listed must survive empty input.
 _DOCUMENTED_PRECONDITIONS = {
     # k-means needs at least one point to seed centroids
-    "q_kmeans": "empty corpus",
+    # farthest-first seeding now fails at dim inference (one scan earlier
+    # than the old 'empty corpus' raise) — both are the documented loud
+    # empty-precondition, so either message satisfies the pin
+    "q_kmeans": "empty corpus|empty input",
     # the DTW query pivots on ONE driver-chosen query series; with no rows
     # there is no query key to band against
     "q_series_dtw": "query series",
