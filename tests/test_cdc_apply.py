@@ -247,3 +247,21 @@ def test_malformed_envelopes_cost_themselves_end_to_end(spark):
     # key 1 took its newest valid event; keys 2 (no source) and 3 (bad
     # LSN) cost themselves; key 4 applied; nothing crashed, no ghost rows
     assert rows == {1: "11.00", 4: "40.00"}
+
+
+def test_null_key_events_never_upsert_ghost_rows(spark):
+    """A PK-less event (NULL key — a mangled envelope that still parsed)
+    must not upsert a NULL-key row into the target or delete anything:
+    the keyed anti-join/upsert plumbing is null-rejecting end to end.
+    Well-formed events in the same batch still apply."""
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "order_id long, v string")
+    events = spark.createDataFrame(
+        [
+            (None, "0/10", "u", "ghost-upsert"),
+            (2, "0/11", "u", "b2"),
+            (None, "0/12", "d", None),
+        ],
+        "order_id long, source_lsn string, op string, v string",
+    )
+    out = {r["order_id"]: r["v"] for r in apply_batch(target, events, ["order_id"]).collect()}
+    assert out == {1: "a", 2: "b2"}
