@@ -38,6 +38,26 @@ from ..functions.lsn import lsn_to_long
 DEFAULT_TARGET_BUCKETS = 64
 
 
+def hash_safe_cols(df: DataFrame, cols: list[str]) -> list[str]:
+    """Subset of ``cols`` usable inside ``xxhash64`` — Spark refuses to
+    hash MapType (no canonical entry order) without a legacy flag, so the
+    payload-hash tie-breaks (latest_per_key, scd2_build, asof_join) hash
+    every column EXCEPT maps. Rows differing only in an unhashable column
+    tie back to arrival order, which is the pre-tie-break behavior —
+    strictly no worse, and analysis no longer crashes on map-carrying
+    feeds (round-7 second review pass)."""
+    from pyspark.sql.types import MapType
+
+    return [c for c in cols if not isinstance(df.schema[c].dataType, MapType)]
+
+
+def payload_hash(df: DataFrame, cols: list[str]):
+    """xxhash64 over the hashable subset of ``cols`` (lit(0) when nothing
+    is hashable — ties then keep arrival order)."""
+    safe = hash_safe_cols(df, cols)
+    return F.xxhash64(*[F.col(c) for c in safe]) if safe else F.lit(0)
+
+
 def bucket_expr(key_cols: list[str], n_buckets: int = DEFAULT_TARGET_BUCKETS):
     """Deterministic PK-hash bucket id (non-negative, stable across runs)."""
     return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast(
@@ -267,13 +287,16 @@ def latest_per_key(
     + sort, zero partial aggregation).
 
     Dirty-feed contract (round-7 probe): an event whose LSN does not parse
-    (lsn_to_long → NULL) cannot be ordered and is dropped BEFORE the
-    aggregate — max_by over an all-NULL ordering group otherwise emits one
-    ghost all-NULL row per such key. And should a duplicate (key, lsn)
-    ever appear (replayed/merged feeds), the tie breaks on a hash of the
-    full payload instead of max_by's partition-arrival order — the
-    partition-invariance the engine's determinism sweep pins everywhere
-    else. Both guards are no-ops on a well-formed feed.
+    (lsn_to_long → NULL) cannot be ordered, and an event with a NULL key
+    column cannot be KEYED (groupBy would collect all such events into one
+    NULL group whose winner then upserts a ghost NULL-key row into the
+    target — caught by the round's second review pass, the first probe's
+    fixture had a delete shadowing the upsert). Both classes drop BEFORE
+    the aggregate. And should a duplicate (key, lsn) ever appear
+    (replayed/merged feeds), the tie breaks on a hash of the full payload
+    instead of max_by's partition-arrival order — the partition-invariance
+    the engine's determinism sweep pins everywhere else. All three guards
+    are no-ops on a well-formed feed.
     """
     lsn_long = (
         lsn_to_long(lsn_col) if lsn_is_text else F.col(lsn_col).cast("long")
@@ -281,10 +304,13 @@ def latest_per_key(
     payload = F.struct(*[F.col(c) for c in events.columns])
     order = F.struct(
         lsn_long.alias("_l"),
-        F.xxhash64(*[F.col(c) for c in events.columns]).alias("_h"),
+        payload_hash(events, events.columns).alias("_h"),
     )
+    keyable = F.lit(True)
+    for k in key_cols:
+        keyable = keyable & F.col(k).isNotNull()
     agg = (
-        events.filter(lsn_long.isNotNull())
+        events.filter(lsn_long.isNotNull() & keyable)
         .groupBy(*[F.col(k) for k in key_cols])
         .agg(F.max_by(payload, order).alias("_latest"))
     )

@@ -56,15 +56,13 @@ def asof_join(
     # third order key: two RIGHT rows tied on (key, ts) must fill
     # deterministically, not in partition-arrival order (left-left ties
     # are harmless — their right columns are NULL and ignorenulls skips
-    # them). Hash over the right payload; a no-op when right timestamps
-    # are unique per key.
+    # them). Hash over the right payload (maps excluded — unhashable); a
+    # no-op when right timestamps are unique per key.
+    from .apply import payload_hash
+
     w = (
         Window.partitionBy(on)
-        .orderBy(
-            "_ts",
-            "_side",
-            F.xxhash64(*[F.col(c) for c in right_cols + [right_ts]]),
-        )
+        .orderBy("_ts", "_side", payload_hash(right, right_cols + [right_ts]))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
@@ -140,7 +138,9 @@ def scd2_build(
     tied events produce zero-length versions and the incremental replay
     guard drops cross-batch duplicates, so unique seq remains the only
     fully-specified semantics. A no-op on well-formed changelogs."""
-    tie = F.xxhash64(F.col(op_col), *[F.col(a) for a in attrs])
+    from .apply import payload_hash
+
+    tie = payload_hash(changelog, [op_col, *attrs])
     w = Window.partitionBy(key).orderBy(F.col(seq), tie)
     bounded = changelog.select(
         key,

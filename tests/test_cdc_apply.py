@@ -255,11 +255,13 @@ def test_null_key_events_never_upsert_ghost_rows(spark):
     the keyed anti-join/upsert plumbing is null-rejecting end to end.
     Well-formed events in the same batch still apply."""
     target = spark.createDataFrame([(1, "a"), (2, "b")], "order_id long, v string")
+    # NOTE: no null-key delete shadowing the null-key upsert — the first
+    # version of this fixture had one, and latest_per_key's NULL group
+    # collapsed to it, making the pin pass vacuously (second review pass)
     events = spark.createDataFrame(
         [
             (None, "0/10", "u", "ghost-upsert"),
             (2, "0/11", "u", "b2"),
-            (None, "0/12", "d", None),
         ],
         "order_id long, source_lsn string, op string, v string",
     )

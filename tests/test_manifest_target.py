@@ -933,12 +933,10 @@ def test_concurrent_writers_loser_fails_loud_winner_intact(spark, tmp_path):
     assert rows[1] == "A" and len(rows) == 20
     # no half-visible manifest tmp from the loser (per-attempt tmp names —
     # the loser writes and cleans ITS OWN tmp, never the winner's)
-    import glob as _g
-
-    assert _g.glob(f"{target}/_manifests/.v1*.json.tmp") == []
-    # the loser's attempt dir is an orphan; vacuum reclaims it
     import glob as _glob
 
+    assert _glob.glob(f"{target}/_manifests/.v1*.json.tmp") == []
+    # the loser's attempt dir is an orphan; vacuum reclaims it
     orphans = [
         d
         for d in _glob.glob(f"{target}/stage/v=1-*")

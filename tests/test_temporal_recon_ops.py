@@ -297,3 +297,36 @@ def test_asof_join_tied_right_rows_fill_partition_invariantly(spark):
         assert out["L1"][1] == 100
         picks.add(out["L1"][0])
     assert len(picks) == 1, picks  # tie resolved the same way every time
+
+
+def test_tie_break_hashes_tolerate_map_columns(spark):
+    """The payload-hash tie-breaks must not make previously-working
+    schemas un-analyzable: Spark's xxhash64 refuses MapType, so the hash
+    covers every column EXCEPT maps (rows differing only in a map column
+    tie back to arrival order — the pre-tie-break behavior)."""
+    from postgres_cdc_reconciliation_spark.operators.apply import latest_per_key
+    from postgres_cdc_reconciliation_spark.operators.temporal import (
+        asof_join,
+        scd2_build,
+    )
+
+    left = spark.createDataFrame([(1, 100, "L")], "k long, ts long, lval string")
+    right = spark.createDataFrame(
+        [(1, 50, {"a": "1"}), (1, 40, {"b": "2"})],
+        "k long, rts long, rmap map<string,string>",
+    )
+    out = asof_join(left, right, "k", "ts", "rts").collect()
+    assert len(out) == 1 and out[0]["rts"] == 50
+
+    log = spark.createDataFrame(
+        [(1, "u", 10, {"x": "1"}), (1, "u", 20, {"x": "2"})],
+        "k long, op string, seq long, props map<string,string>",
+    )
+    hist = scd2_build(log, key="k", seq="seq", attrs=["props"]).collect()
+    assert len(hist) == 2
+
+    ev = spark.createDataFrame(
+        [(1, "0/10", "u", {"m": "1"})],
+        "order_id long, source_lsn string, op string, props map<string,string>",
+    )
+    assert latest_per_key(ev, ["order_id"]).count() == 1
