@@ -388,3 +388,60 @@ def test_torn_checkpoint_replay_converges(spark, tmp_path):
     assert _state() == {1: 10.0, 2: 22.0, 4: 44.0, 5: 50.0}
     f2 = current_frontier(spark, frontier).collect()[0]
     assert f2["frontier_lsn"] == "0/20"
+
+
+def test_stream_apply_survives_dirty_feed(spark, tmp_path):
+    """The batch-path dirty-feed contract, proven through the STREAMING
+    path: a micro-batch carrying truncated JSON, non-JSON text, a
+    sourceless envelope, an unparseable LSN, and a null-key event applies
+    without failing the query — every garbage message costs itself and
+    every well-formed event lands. The frontier advances to the max
+    PARSEABLE LSN PROCESSED (0/20 — the null-key event's position), not
+    the max applied: the dropped event was consumed, and a frontier stuck
+    below discarded garbage would under-report progress forever. The
+    mangled 'XYZ' LSN contributes nothing (unorderable)."""
+    src = tmp_path / "dirty_in"
+    src.mkdir()
+    with open(src / "batch1.json", "w") as f:
+        for i in range(1, 4):
+            f.write(
+                json.dumps(
+                    {"key": str(i), "value": json.dumps(_env("r", None, _row(i, i * 10.0), f"0/{i:X}"))}
+                )
+                + "\n"
+            )
+    with open(src / "batch2.json", "w") as f:
+        good_update = _env("u", _row(2, 20.0), _row(2, 22.0), "0/10")
+        null_key_row = dict(_row(9, 90.0), order_id=None)
+        for value in [
+            json.dumps(good_update),
+            '{"op": "u", "before"',           # truncated mid-key
+            "not json at all",
+            "",
+            json.dumps({"op": "u", "before": None, "after": _row(7, 70.0)}),  # no source
+            json.dumps(_env("u", None, _row(8, 80.0), "XYZ")),  # unparseable LSN
+            json.dumps(_env("u", None, null_key_row, "0/20")),  # null key
+        ]:
+            f.write(json.dumps({"key": "x", "value": value}) + "\n")
+
+    target = str(tmp_path / "dirty_target")
+    ckpt = str(tmp_path / "dirty_ckpt")
+    frontier = str(tmp_path / "dirty_frontier")
+    q = apply_stream(
+        unwrap(parse_stream(read_cdc_stream(spark, file_path=str(src)))),
+        target,
+        ["order_id"],
+        ckpt,
+        frontier_path=frontier,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    final = {
+        r["order_id"]: float(r["amount"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # keys 1-3 inserted, 2 updated; none of the dirty events produced a
+    # row (no ghost NULL key, no key 7/8/9)
+    assert final == {1: 10.0, 2: 22.0, 3: 30.0}
+    f = current_frontier(spark, frontier).collect()[0]
+    assert f["frontier_lsn"] == "0/20"
