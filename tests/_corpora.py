@@ -196,3 +196,32 @@ def build_skew(spark, src: str, dst: str) -> str:
         ),
     ).write.mode("overwrite").parquet(f"{dst}/events.parquet")
     return dst
+
+
+def build_unicode_text(spark, src: str, dst: str) -> str:
+    """Non-ASCII and outlier-length text: CJK (no whitespace — a whole
+    sentence becomes one 'token'), emoji + combining marks, RTL script,
+    zero-width joiners embedded in ASCII, and ONE ~300KB mega-document
+    (explode/shingle paths must price it per row, not per partition).
+    Everything else copied verbatim."""
+    _copy(
+        spark,
+        src,
+        dst,
+        _PASSTHROUGH + ["lineitem", "orders", "events", "embeddings"],
+    )
+    cjk = "订单处理系统在高负载下保持一致性。数据湖的清单提交协议与参考实现等价。"
+    emoji = "data 🚀🚀 pipeline 👩‍💻 with déjà-vu café naïve résumé ✨"
+    rtl = "نظام معالجة الطلبات يحافظ على الاتساق تحت الحمل العالي"
+    zwj = "or​der pro‍cess​ing with zero​width chars"
+    mega = ("the quick brown fox jumps over the lazy dog " * 7000).strip()
+    spark.read.parquet(f"{src}/documents.parquet").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(cjk))
+        .when(F.col("doc_id") % 13 == 1, F.lit(emoji))
+        .when(F.col("doc_id") % 13 == 2, F.lit(rtl))
+        .when(F.col("doc_id") % 13 == 3, F.lit(zwj))
+        .when(F.col("doc_id") == 4, F.lit(mega))
+        .otherwise(F.col("text")),
+    ).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    return dst
