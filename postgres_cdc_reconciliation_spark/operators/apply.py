@@ -38,17 +38,31 @@ from ..functions.lsn import lsn_to_long
 DEFAULT_TARGET_BUCKETS = 64
 
 
+def _contains_map(dt) -> bool:
+    """True if ``dt`` is or transitively contains a MapType — xxhash64
+    refuses a map ANYWHERE in the type tree (array<map<...>>, a struct
+    with a map field), not just at the top level (ADVICE r7)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def hash_safe_cols(df: DataFrame, cols: list[str]) -> list[str]:
     """Subset of ``cols`` usable inside ``xxhash64`` — Spark refuses to
     hash MapType (no canonical entry order) without a legacy flag, so the
     payload-hash tie-breaks (latest_per_key, scd2_build, asof_join) hash
-    every column EXCEPT maps. Rows differing only in an unhashable column
-    tie back to arrival order, which is the pre-tie-break behavior —
-    strictly no worse, and analysis no longer crashes on map-carrying
-    feeds (round-7 second review pass)."""
-    from pyspark.sql.types import MapType
-
-    return [c for c in cols if not isinstance(df.schema[c].dataType, MapType)]
+    every column EXCEPT map-carrying ones (the check walks the full type
+    tree: array<map>, struct-with-map-field — ADVICE r7). Rows differing
+    only in an unhashable column tie back to arrival order, which is the
+    pre-tie-break behavior — strictly no worse, and analysis no longer
+    crashes on map-carrying feeds (round-7 second review pass)."""
+    return [c for c in cols if not _contains_map(df.schema[c].dataType)]
 
 
 def payload_hash(df: DataFrame, cols: list[str]):
@@ -258,6 +272,30 @@ def read_target(spark: SparkSession, target_path: str) -> DataFrame:
     return df.drop("_bucket") if "_bucket" in df.columns else df
 
 
+def _warn_dropped_events(observation, batch_id: int) -> None:
+    """Log loudly when a micro-batch silently discarded events (unparseable
+    LSN / NULL key — the latest_per_key dirty-feed guards). The drop itself
+    is the documented contract (one mangled event must cost itself, not the
+    job); this makes it OBSERVABLE instead of silent (ADVICE r7). Reads the
+    Observation the merge action already materialized — no extra pass."""
+    import logging
+
+    try:
+        m = observation.get
+    except Exception:
+        return  # metrics never materialized (no action ran) — nothing to say
+    if m.get("dropped"):
+        logging.getLogger(__name__).warning(
+            "apply batch %s dropped %s of %s events "
+            "(unorderable_lsn=%s, unkeyable=%s) — dirty feed upstream",
+            batch_id,
+            m["dropped"],
+            m["events"],
+            m["unorderable_lsn"],
+            m["unkeyable"],
+        )
+
+
 def _path_exists(spark: SparkSession, path: str) -> bool:
     """Explicit FS existence check (works on any Hadoop-compatible FS).
 
@@ -275,6 +313,7 @@ def latest_per_key(
     key_cols: list[str],
     lsn_col: str = "source_lsn",
     lsn_is_text: bool = True,
+    observation=None,
 ) -> DataFrame:
     """Collapse a micro-batch to the newest event per key (last-writer-wins).
 
@@ -297,6 +336,12 @@ def latest_per_key(
     instead of max_by's partition-arrival order — the partition-invariance
     the engine's determinism sweep pins everywhere else. All three guards
     are no-ops on a well-formed feed.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to get drop
+    accounting for free (metrics ``events`` / ``unorderable_lsn`` /
+    ``unkeyable`` / ``dropped`` materialize with the caller's first action
+    over the result — no extra scan). ``apply_stream`` wires this per
+    micro-batch and logs loudly when a batch discards anything.
     """
     lsn_long = (
         lsn_to_long(lsn_col) if lsn_is_text else F.col(lsn_col).cast("long")
@@ -309,6 +354,23 @@ def latest_per_key(
     keyable = F.lit(True)
     for k in key_cols:
         keyable = keyable & F.col(k).isNotNull()
+    if observation is not None:
+        # zero-extra-pass drop accounting (ADVICE r7: malformed LSNs now
+        # parse to NULL instead of failing loud, so the discard must be
+        # OBSERVABLE): piggyback aggregate metrics on whatever action the
+        # caller runs over the result. Categories can overlap (an event can
+        # be both unorderable and unkeyable); 'dropped' is the exact count
+        # of events the filter below removes.
+        droppable = lsn_long.isNull() | ~keyable
+        events = events.observe(
+            observation,
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.when(lsn_long.isNull(), 1).otherwise(0)).alias(
+                "unorderable_lsn"
+            ),
+            F.sum(F.when(~keyable, 1).otherwise(0)).alias("unkeyable"),
+            F.sum(F.when(droppable, 1).otherwise(0)).alias("dropped"),
+        )
     agg = (
         events.filter(lsn_long.isNotNull() & keyable)
         .groupBy(*[F.col(k) for k in key_cols])
@@ -325,6 +387,7 @@ def apply_batch(
     op_col: str = "op",
     drop_cols: tuple[str, ...] = ("op", "source_lsn", "ts_ms", "__deleted"),
     evolve_schema: bool = False,
+    observation=None,
 ) -> DataFrame:
     """Apply unwrapped change events to a target snapshot.
 
@@ -339,7 +402,9 @@ def apply_batch(
     NULL), and old-schema events missing target columns upsert NULL there.
     Column drops/renames/retypes stay errors — basic mode doesn't do them.
     """
-    latest = latest_per_key(events, key_cols, lsn_col=lsn_col)
+    latest = latest_per_key(
+        events, key_cols, lsn_col=lsn_col, observation=observation
+    )
     touched_keys = latest.select(*key_cols)
     upserts = latest.filter(F.col(op_col) != "d").drop(*drop_cols)
     if evolve_schema:
@@ -467,16 +532,24 @@ def apply_stream(
             target = batch_df.limit(0).drop(
                 "op", "source_lsn", "ts_ms", "__deleted"
             )
+        from pyspark.sql import Observation
+
+        obs = Observation()
         merged = apply_batch(
-            target, batch_df, key_cols, evolve_schema=evolve_schema
+            target, batch_df, key_cols, evolve_schema=evolve_schema,
+            observation=obs,
         ).localCheckpoint(eager=True)
+        _warn_dropped_events(obs, batch_id)
         commit_delta(merged, target_path, key_cols, touched, n_buckets)
         if frontier_path is not None:
             append_frontier(batch_df, frontier_path, batch_id)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         if batch_df.isEmpty():
             return
+        obs = Observation()
         dynamic = True
         delta_buckets: list[int] = []
         payload_cols = [
@@ -523,16 +596,19 @@ def apply_stream(
                 # one-time O(target) migration into the bucketed layout
                 target, dynamic = raw, False
             new_target = apply_batch(
-                target, batch_df, key_cols, evolve_schema=evolve_schema
+                target, batch_df, key_cols, evolve_schema=evolve_schema,
+                observation=obs,
             )
         else:  # first batch: empty target with the delta's payload schema
             new_target = apply_batch(
                 batch_df.limit(0).drop("op", "source_lsn", "ts_ms", "__deleted"),
                 batch_df,
                 key_cols,
+                observation=obs,
             )
         # materialize, then dynamic-overwrite only the touched buckets
         new_target = new_target.localCheckpoint(eager=True)
+        _warn_dropped_events(obs, batch_id)
         write_bucketed_target(
             new_target, target_path, key_cols, n_buckets, dynamic=dynamic
         )

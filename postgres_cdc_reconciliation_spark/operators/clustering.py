@@ -42,10 +42,21 @@ from pyspark.sql import functions as F
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
-    # max(size) rather than first(): deterministic under any partitioning,
-    # and robust to dirty rows (NULL/empty/truncated embeddings are shorter
-    # than the true dimensionality, never longer)
-    row = df.agg(F.max(F.size(vec_col)).alias("d")).first()
+    # modal (most frequent) size rather than max or first(): deterministic
+    # under any partitioning (ties break to the larger size), and robust to
+    # dirty rows in BOTH directions — NULL/empty/truncated embeddings are
+    # shorter than the true dimensionality, and an over-length row (e.g. two
+    # vectors concatenated upstream) must not become the inferred dim, or
+    # the size==dim well-formed filter would drop every clean row and the
+    # fit would train on the garbage (ADVICE r7). One tiny agg: the
+    # grouped frame has ≤ distinct-sizes rows.
+    row = (
+        df.groupBy(F.size(vec_col).alias("d"))
+        .count()
+        .filter(F.col("d") > 0)
+        .orderBy(F.col("count").desc(), F.col("d").desc())
+        .first()
+    )
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer dimensionality of {vec_col!r}: empty input")
     return int(row["d"])

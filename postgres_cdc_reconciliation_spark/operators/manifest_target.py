@@ -34,6 +34,18 @@ Per-batch cost is O(touched buckets) in data IO plus one tiny JSON write —
 the same scale shape as dynamic overwrite, with atomic visibility on top.
 ``vacuum`` bounds storage by deleting stage dirs no referenced manifest
 needs.
+
+FILESYSTEM REQUIREMENT (ADVICE r7): the commit point is only atomic on
+filesystems whose ``rename`` refuses an existing destination — HDFS,
+local/POSIX, ABFS, GCS. On an object store with overwriting, non-atomic
+rename (S3A without a metadata layer such as S3Guard or a consistent
+commit service), two racing writers can BOTH pass the exists()+rename
+check and both believe they committed the same version. That is the same
+constraint Delta Lake documents for its ``_delta_log`` (it requires a
+LogStore with mutual exclusion on S3) — run this protocol there only with
+a single writer, or front the manifest dir with an HDFS/ABFS/GCS path.
+Single-writer operation (the ``apply_stream`` default: one streaming query
+owns the target) is safe on any Hadoop filesystem.
 """
 
 from __future__ import annotations
@@ -314,7 +326,10 @@ def commit_delta(
     _, final = _fs(spark, f"{root}/{MANIFEST_DIR}/v{new_v}.json")
     # rename-if-absent IS the commit point: losing a race here must leave
     # the winner's v{new_v} untouched — clean up this attempt's tmp and
-    # fail loud; the caller re-reads the new snapshot and re-merges
+    # fail loud; the caller re-reads the new snapshot and re-merges.
+    # Atomic ONLY where rename refuses an existing destination — see the
+    # module docstring's FILESYSTEM REQUIREMENT (S3A needs a mutual-
+    # exclusion LogStore or a single writer, the Delta rule).
     if fs.exists(final) or not fs.rename(tmp, final):
         fs.delete(tmp, False)
         raise IOError(

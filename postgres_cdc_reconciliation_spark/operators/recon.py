@@ -428,3 +428,53 @@ def profile_diff(
             & F.col("src_max_str").eqNullSafe(F.col("tgt_max_str"))
         ).alias("column_match"),
     )
+
+
+def cast_null_audit(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """Per-column count of values a ``try_cast`` would SILENTLY null —
+    rows where the source value is non-NULL but ``try_cast(col AS type)``
+    returns NULL (unparseable text, out-of-DECIMAL-range doubles, NaN/Inf
+    into exact types).
+
+    The auditability companion to the engine's try_cast money discipline
+    (ADVICE r7): every revenue/stats query casts measures with try_cast so
+    one corrupt value costs itself instead of failing the job under ANSI —
+    but that makes the exclusion silent, and aggregate totals can
+    understate on a dirty feed with no signal. Run this audit beside (or
+    scheduled against) any try_cast-consuming pipeline: a non-zero
+    ``silently_nulled`` names exactly which column is quietly losing
+    values and how many. One scan, all columns as parallel aggregate
+    expressions (the profile_columns dataflow), unpivoted with stack().
+
+    ``casts`` maps column name → target type string, e.g.
+    ``{"l_quantity": "decimal(12,2)"}``.
+    """
+    cols = list(casts)
+    bad = [c for c in cols if "`" in c]
+    if bad:
+        raise ValueError(f"column names with backticks unsupported: {bad!r}")
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNotNull() & F.col(c).try_cast(casts[c]).isNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_sn_{i}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        "'{lbl}', '{ty}', _sn_{i}".format(
+            lbl=c.replace("\\", "\\\\").replace("'", "\\'"),
+            ty=casts[c].replace("'", "\\'"),
+            i=i,
+        )
+        for i, c in enumerate(cols)
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column, target_type, silently_nulled)",
+        "n_rows",
+    ).select("column", "target_type", "n_rows", "silently_nulled")

@@ -1520,3 +1520,44 @@ def q_series_dtw(spark, sf_dir):
         .alias("value")
     )
     return series_dtw_certificate(daily, query_key=7)
+
+
+_AUDIT_CASTS = {
+    "l_quantity": "decimal(12,2)",
+    "l_extendedprice": "decimal(12,2)",
+    "l_discount": "decimal(12,2)",
+    "l_tax": "decimal(12,2)",
+}
+
+
+def _cast_audit_oracle() -> str:
+    sums = ",\n  ".join(
+        f"SUM(CASE WHEN {c} IS NOT NULL AND TRY_CAST({c} AS DECIMAL(12,2)) IS NULL"
+        f" THEN 1 ELSE 0 END) AS s{i}"
+        for i, c in enumerate(_AUDIT_CASTS)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", 'decimal(12,2)' AS target_type,"
+        f" n_rows, CAST(s{i} AS BIGINT) AS silently_nulled FROM base"
+        for i, c in enumerate(_AUDIT_CASTS)
+    )
+    return f"WITH base AS (SELECT count(*) AS n_rows,\n  {sums}\nFROM lineitem)\n{rows}"
+
+
+@register(
+    "q_cast_audit",
+    _cast_audit_oracle(),
+    doc="[EXT] try_cast silent-exclusion audit (operators/recon.py::"
+    "cast_null_audit): per measure column, how many non-NULL values a "
+    "try_cast to the money DECIMAL would quietly turn into NULL — the "
+    "observability companion to the engine's dirty-feed cast discipline "
+    "(ADVICE r7: a corrupt numeric vanishes from sums with no signal; "
+    "this names the column and the count). Zero everywhere on clean "
+    "testdata — the numeric-dirt sweep exercises the non-zero path. One "
+    "scan, parallel aggregates, stack() unpivot.",
+)
+def q_cast_audit(spark, sf_dir):
+    from ..operators.recon import cast_null_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cast_null_audit(li, dict(_AUDIT_CASTS))

@@ -267,3 +267,67 @@ def test_null_key_events_never_upsert_ghost_rows(spark):
     )
     out = {r["order_id"]: r["v"] for r in apply_batch(target, events, ["order_id"]).collect()}
     assert out == {1: "a", 2: "b2"}
+
+
+def test_latest_per_key_drop_accounting_via_observation(spark):
+    """The dirty-feed guards drop unparseable-LSN / NULL-key events by
+    contract — but the discard must be OBSERVABLE (ADVICE r7). An
+    Observation passed to latest_per_key materializes exact drop counts
+    with the caller's own action, no extra scan."""
+    from pyspark.sql import Observation
+
+    from postgres_cdc_reconciliation_spark.operators.apply import latest_per_key
+
+    ev = spark.createDataFrame(
+        [
+            (1, "0/10", "u"),        # clean
+            (2, "garbage", "u"),     # unparseable LSN -> unorderable
+            (None, "0/20", "u"),     # NULL key -> unkeyable
+            (None, "also-bad", "u"), # both (counted once in 'dropped')
+        ],
+        "order_id long, source_lsn string, op string",
+    )
+    obs = Observation()
+    out = latest_per_key(ev, ["order_id"], observation=obs)
+    assert out.count() == 1  # the action that materializes the metrics
+    m = obs.get
+    assert m["events"] == 4
+    assert m["unorderable_lsn"] == 2
+    assert m["unkeyable"] == 2
+    assert m["dropped"] == 3
+
+
+def test_apply_stream_logs_dropped_events(spark, tmp_path, caplog):
+    """apply_stream's per-batch drop accounting surfaces in the log: a
+    micro-batch carrying a mangled event produces one loud warning naming
+    the counts, and clean events still apply."""
+    import logging
+
+    from postgres_cdc_reconciliation_spark.operators.apply import (
+        apply_stream,
+        read_target,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "0/10", "u", "a"), (2, "bad-lsn", "u", "b"), (3, "0/30", "u", "c")],
+        "order_id long, source_lsn string, op string, payload string",
+    ).write.json(src)
+    stream = spark.readStream.schema(
+        "order_id long, source_lsn string, op string, payload string"
+    ).json(src)
+    with caplog.at_level(
+        logging.WARNING, logger="postgres_cdc_reconciliation_spark.operators.apply"
+    ):
+        q = apply_stream(
+            stream,
+            str(tmp_path / "target"),
+            ["order_id"],
+            str(tmp_path / "ckpt"),
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+    applied = read_target(spark, str(tmp_path / "target"))
+    assert sorted(r["order_id"] for r in applied.collect()) == [1, 3]
+    msgs = [r.getMessage() for r in caplog.records if "dropped" in r.getMessage()]
+    assert msgs and "dropped 1 of 3 events" in msgs[0]

@@ -116,3 +116,38 @@ def test_trained_centroids_drive_ivf(spark, sf_dir):
     topk = S.ivf_topk_multiprobe(queries, emb, cdf, k=5, nprobe=4)
     per_q = topk.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in per_q)
+
+
+def test_dim_inference_survives_oversized_vector(spark):
+    """Dimensionality is the MODAL vector size, not the max (ADVICE r7):
+    one over-length row (e.g. two embeddings concatenated upstream) must
+    not become the inferred dim — that would flip the size==dim
+    well-formed filter to dropping every CLEAN row and training on the
+    garbage. The oversized row costs itself; the fit runs on the rest."""
+    import numpy as np
+
+    from postgres_cdc_reconciliation_spark.operators.clustering import (
+        _dim_of,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rows = [(i, [float(i % 3), float((i * 7) % 5), 1.0, 0.0]) for i in range(30)]
+    rows.append((99, [0.1] * 8))  # concatenated double-length vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert _dim_of(df, "embedding") == 4
+    cents, _ = kmeans_fit(df, k=2, max_iter=3)
+    assert all(len(c) == 4 for c in cents)
+    assigned = kmeans_assign(df, cents)
+    assert assigned.count() == 30  # every clean row kept, oversized dropped
+
+
+def test_dim_inference_tie_breaks_deterministically(spark):
+    """Equal-frequency sizes tie to the LARGER — any deterministic rule
+    works, it just must not depend on partitioning."""
+    from postgres_cdc_reconciliation_spark.operators.clustering import _dim_of
+
+    rows = [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert _dim_of(df, "embedding") == 3
+    assert _dim_of(df.repartition(7), "embedding") == 3

@@ -330,3 +330,46 @@ def test_tie_break_hashes_tolerate_map_columns(spark):
         "order_id long, source_lsn string, op string, props map<string,string>",
     )
     assert latest_per_key(ev, ["order_id"]).count() == 1
+
+
+def test_tie_break_hashes_tolerate_nested_map_columns(spark):
+    """xxhash64 refuses a map ANYWHERE in the type tree, not just at the
+    top level — array<map<...>> and struct-with-map-field columns must be
+    excluded from the payload hash too (ADVICE r7), or analysis raises
+    DATATYPE_MISMATCH on feeds the docstring promised to tolerate."""
+    from postgres_cdc_reconciliation_spark.operators.apply import (
+        hash_safe_cols,
+        latest_per_key,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "0/10", "u", [{"m": "1"}], (1, {"n": "2"}))],
+        "order_id long, source_lsn string, op string, "
+        "amaps array<map<string,string>>, "
+        "smap struct<a: long, m: map<string,string>>",
+    )
+    assert hash_safe_cols(ev, ev.columns) == ["order_id", "source_lsn", "op"]
+    # end-to-end: analysis + execution survive the nested maps
+    assert latest_per_key(ev, ["order_id"]).count() == 1
+
+
+def test_cast_null_audit_counts_silent_exclusions(spark):
+    """cast_null_audit names the column and count of values try_cast
+    would silently null (non-NULL source, NULL result) — zero on clean
+    columns, and a true NULL does NOT count (nothing was lost)."""
+    from postgres_cdc_reconciliation_spark.operators.recon import cast_null_audit
+
+    df = spark.createDataFrame(
+        [("1.5", 2.0), ("garbage", float("nan")), (None, 1e300), ("2.25", 3.0)],
+        "txt string, dbl double",
+    )
+    out = {
+        r["column"]: r
+        for r in cast_null_audit(
+            df, {"txt": "decimal(12,2)", "dbl": "decimal(12,2)"}
+        ).collect()
+    }
+    assert out["txt"]["silently_nulled"] == 1  # 'garbage'; NULL row not counted
+    assert out["dbl"]["silently_nulled"] == 2  # NaN and 1e300 overflow
+    assert out["txt"]["n_rows"] == 4
+    assert out["txt"]["target_type"] == "decimal(12,2)"
