@@ -272,27 +272,69 @@ def read_target(spark: SparkSession, target_path: str) -> DataFrame:
     return df.drop("_bucket") if "_bucket" in df.columns else df
 
 
-def _warn_dropped_events(observation, batch_id: int) -> None:
+def _drop_lsn_keyable_exprs(key_cols: list[str], lsn_col: str, lsn_is_text: bool):
+    """(lsn_long, keyable) — the exact pair of expressions latest_per_key
+    filters on, shared so the drop accounting can never drift from the
+    drop itself."""
+    lsn_long = (
+        lsn_to_long(lsn_col) if lsn_is_text else F.col(lsn_col).cast("long")
+    )
+    keyable = F.lit(True)
+    for k in key_cols:
+        keyable = keyable & F.col(k).isNotNull()
+    return lsn_long, keyable
+
+
+def drop_metrics(
+    events: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = "source_lsn",
+    lsn_is_text: bool = True,
+) -> dict:
+    """Exact drop accounting for one event frame: how many events the
+    latest_per_key dirty-feed guards will discard (unparseable LSN /
+    NULL key), as a plain dict — one small all-map-side aggregate job.
+
+    This is the form ``apply_stream`` uses per micro-batch. The
+    Observation-based zero-extra-pass variant (``latest_per_key(...,
+    observation=)``) is kept for BATCH callers, but must not be read
+    inside ``foreachBatch``: ``Observation.get`` blocks until the metrics
+    listener fires, and for micro-batch plans that join a batch file scan
+    (every batch after the first — the target parquet read) the listener
+    never fires, deadlocking the stream until awaitTermination's timeout
+    (found round 9; the round-8 e2e test only covered batch 1, the one
+    plan shape where it works). The micro-batch is pinned by the streaming
+    engine, so this extra pass is O(delta) with no file re-read."""
+    lsn_long, keyable = _drop_lsn_keyable_exprs(key_cols, lsn_col, lsn_is_text)
+    droppable = lsn_long.isNull() | ~keyable
+    row = events.agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.when(lsn_long.isNull(), 1).otherwise(0)).alias(
+            "unorderable_lsn"
+        ),
+        F.sum(F.when(~keyable, 1).otherwise(0)).alias("unkeyable"),
+        F.sum(F.when(droppable, 1).otherwise(0)).alias("dropped"),
+    ).first()
+    return {k: (row[k] or 0) for k in
+            ("events", "unorderable_lsn", "unkeyable", "dropped")}
+
+
+def _warn_dropped_events(metrics: dict, batch_id: int) -> None:
     """Log loudly when a micro-batch silently discarded events (unparseable
     LSN / NULL key — the latest_per_key dirty-feed guards). The drop itself
     is the documented contract (one mangled event must cost itself, not the
-    job); this makes it OBSERVABLE instead of silent (ADVICE r7). Reads the
-    Observation the merge action already materialized — no extra pass."""
+    job); this makes it OBSERVABLE instead of silent (ADVICE r7)."""
     import logging
 
-    try:
-        m = observation.get
-    except Exception:
-        return  # metrics never materialized (no action ran) — nothing to say
-    if m.get("dropped"):
+    if metrics.get("dropped"):
         logging.getLogger(__name__).warning(
             "apply batch %s dropped %s of %s events "
             "(unorderable_lsn=%s, unkeyable=%s) — dirty feed upstream",
             batch_id,
-            m["dropped"],
-            m["events"],
-            m["unorderable_lsn"],
-            m["unkeyable"],
+            metrics["dropped"],
+            metrics["events"],
+            metrics["unorderable_lsn"],
+            metrics["unkeyable"],
         )
 
 
@@ -340,20 +382,17 @@ def latest_per_key(
     Pass a ``pyspark.sql.Observation`` as ``observation`` to get drop
     accounting for free (metrics ``events`` / ``unorderable_lsn`` /
     ``unkeyable`` / ``dropped`` materialize with the caller's first action
-    over the result — no extra scan). ``apply_stream`` wires this per
-    micro-batch and logs loudly when a batch discards anything.
+    over the result — no extra scan). BATCH callers only: inside a
+    streaming ``foreachBatch``, ``Observation.get`` deadlocks for plans
+    that join a batch file scan (the listener never fires — round 9);
+    use :func:`drop_metrics` there, as ``apply_stream`` does.
     """
-    lsn_long = (
-        lsn_to_long(lsn_col) if lsn_is_text else F.col(lsn_col).cast("long")
-    )
+    lsn_long, keyable = _drop_lsn_keyable_exprs(key_cols, lsn_col, lsn_is_text)
     payload = F.struct(*[F.col(c) for c in events.columns])
     order = F.struct(
         lsn_long.alias("_l"),
         payload_hash(events, events.columns).alias("_h"),
     )
-    keyable = F.lit(True)
-    for k in key_cols:
-        keyable = keyable & F.col(k).isNotNull()
     if observation is not None:
         # zero-extra-pass drop accounting (ADVICE r7: malformed LSNs now
         # parse to NULL instead of failing loud, so the discard must be
@@ -532,24 +571,17 @@ def apply_stream(
             target = batch_df.limit(0).drop(
                 "op", "source_lsn", "ts_ms", "__deleted"
             )
-        from pyspark.sql import Observation
-
-        obs = Observation()
         merged = apply_batch(
-            target, batch_df, key_cols, evolve_schema=evolve_schema,
-            observation=obs,
+            target, batch_df, key_cols, evolve_schema=evolve_schema
         ).localCheckpoint(eager=True)
-        _warn_dropped_events(obs, batch_id)
+        _warn_dropped_events(drop_metrics(batch_df, key_cols), batch_id)
         commit_delta(merged, target_path, key_cols, touched, n_buckets)
         if frontier_path is not None:
             append_frontier(batch_df, frontier_path, batch_id)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Observation
-
         if batch_df.isEmpty():
             return
-        obs = Observation()
         dynamic = True
         delta_buckets: list[int] = []
         payload_cols = [
@@ -596,19 +628,17 @@ def apply_stream(
                 # one-time O(target) migration into the bucketed layout
                 target, dynamic = raw, False
             new_target = apply_batch(
-                target, batch_df, key_cols, evolve_schema=evolve_schema,
-                observation=obs,
+                target, batch_df, key_cols, evolve_schema=evolve_schema
             )
         else:  # first batch: empty target with the delta's payload schema
             new_target = apply_batch(
                 batch_df.limit(0).drop("op", "source_lsn", "ts_ms", "__deleted"),
                 batch_df,
                 key_cols,
-                observation=obs,
             )
         # materialize, then dynamic-overwrite only the touched buckets
         new_target = new_target.localCheckpoint(eager=True)
-        _warn_dropped_events(obs, batch_id)
+        _warn_dropped_events(drop_metrics(batch_df, key_cols), batch_id)
         write_bucketed_target(
             new_target, target_path, key_cols, n_buckets, dynamic=dynamic
         )

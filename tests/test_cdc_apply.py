@@ -331,3 +331,32 @@ def test_apply_stream_logs_dropped_events(spark, tmp_path, caplog):
     assert sorted(r["order_id"] for r in applied.collect()) == [1, 3]
     msgs = [r.getMessage() for r in caplog.records if "dropped" in r.getMessage()]
     assert msgs and "dropped 1 of 3 events" in msgs[0]
+
+    # SECOND batch against the now-existing target — the plan shape that
+    # deadlocked the round-8 Observation wiring (target parquet scan joined
+    # into the micro-batch plan -> Observation.get blocked forever; the
+    # round-9 drop_metrics agg must complete promptly and still warn).
+    import time
+
+    spark.createDataFrame(
+        [(4, "0/40", "u", "d"), (5, "worse-lsn", "u", "e")],
+        "order_id long, source_lsn string, op string, payload string",
+    ).write.mode("append").json(src)
+    caplog.clear()
+    t0 = time.time()
+    with caplog.at_level(
+        logging.WARNING, logger="postgres_cdc_reconciliation_spark.operators.apply"
+    ):
+        q = apply_stream(
+            stream,
+            str(tmp_path / "target"),
+            ["order_id"],
+            str(tmp_path / "ckpt"),
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+    assert time.time() - t0 < 60  # a deadlock here surfaces as a hang
+    applied = read_target(spark, str(tmp_path / "target"))
+    assert sorted(r["order_id"] for r in applied.collect()) == [1, 3, 4]
+    msgs = [r.getMessage() for r in caplog.records if "dropped" in r.getMessage()]
+    assert msgs and "dropped 1 of 2 events" in msgs[0]
