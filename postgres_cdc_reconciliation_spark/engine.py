@@ -213,7 +213,7 @@ class Engine:
                 .select("query_id", "neighbor_id", "rank", "cos"))
 
     def near_dup_pairs(
-        self, vectors, dim, threshold=0.3, n_tables=4, n_planes=4,
+        self, vectors, dim, threshold=0.3, n_tables=4, n_planes="auto",
         max_bucket_size=None,
     ) -> DataFrame:
         """Embedding near-duplicate pairs via multi-table sign-LSH blocking

@@ -181,6 +181,55 @@ def assign_rp_buckets(
     return vectors.withColumn(bucket_col, bucket.cast("int"))
 
 
+def auto_n_planes(n_rows: int, target_bucket_size: int = 64) -> int:
+    """PRIMARY blocking plane count sized to a measured corpus count:
+    ``ceil(log2(n_rows / target_bucket_size))``, clamped to [1, 24].
+
+    The corpus-tracking twin of :func:`_auto_split_planes` (which sizes the
+    CAP's refinement planes from the measured hottest bucket). A fixed
+    primary plane count is the one remaining way the near-dup tier goes
+    quadratic-ish at scale (VERDICT r7 #3): expected bucket size is
+    n/2^planes, so candidates per table ≈ n·bucket/2 — at a fixed count a
+    10× corpus means 10× buckets' SIZE, hence ~100× candidates (measured at
+    sf1: `q_dedup_embed_rp_multi` grew ~100× at 4 fixed planes). Growing
+    planes with log2(n/target) pins the EXPECTED bucket at ~target, so
+    candidate volume stays ~(target/2)·n — linear in the corpus — and the
+    matrix scorer's s×s gemm stays executor-sized.
+
+    Pure arithmetic on a count the caller already has (or one cheap
+    ``count()`` — parquet footer metadata at rest); deterministic, mirrored
+    by the `q_rp_plane_sizing` DuckDB oracle. Clamp floor 1 keeps a tiny
+    corpus in one or two buckets (the pair join is trivially safe there);
+    ceiling 24 keeps the bucket id an int and is ~16M buckets — past any
+    realistic blocking need (2^24 × target=64 ≈ 10^9 rows per LSH table
+    before the ceiling binds).
+    """
+    import math
+
+    if n_rows <= 0:
+        return 1
+    return min(
+        24, max(1, math.ceil(math.log2(max(1.0, n_rows / target_bucket_size))))
+    )
+
+
+def rp_plane_sizing(vectors: DataFrame, target_bucket_size: int = 64) -> DataFrame:
+    """1-row sizing report for the auto plane count: (n_rows,
+    target_bucket_size, n_planes, expected_bucket_size). Runs the REAL
+    resolver (:func:`auto_n_planes`) on the corpus count — the same call
+    ``rp_near_dup_pairs_multi(n_planes="auto")`` makes — so a driver oracle
+    over this frame verifies the shipped sizing rule, not a reimplementation.
+    """
+    n = vectors.count()
+    p = auto_n_planes(n, target_bucket_size)
+    return vectors.sparkSession.range(1).select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(int(target_bucket_size)).alias("target_bucket_size"),
+        F.lit(p).alias("n_planes"),
+        (F.lit(float(n)) / F.lit(float(1 << p))).alias("expected_bucket_size"),
+    )
+
+
 def hot_buckets(
     vectors: DataFrame, max_bucket_size: int, bucket_col: str
 ) -> DataFrame:
@@ -554,7 +603,7 @@ def rp_near_dup_pairs_multi(
     vectors: DataFrame,
     dim: int,
     threshold: float = 0.3,
-    n_planes: int = 4,
+    n_planes: int | str = "auto",
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -602,7 +651,31 @@ def rp_near_dup_pairs_multi(
     residually dropped, independently per table: a vector cut from one
     table's degenerate bucket still pairs via its other tables. Surface
     what was cut with :func:`hot_buckets`; run exact dedup upstream so
-    identical vectors (unsplittable by construction) never form a mode."""
+    identical vectors (unsplittable by construction) never form a mode.
+
+    ``n_planes="auto"`` (default): size the primary plane count from the
+    measured corpus — one ``count()`` then :func:`auto_n_planes` with
+    target bucket ``max_bucket_size`` when the cap is set (the two knobs
+    then agree: expected bucket ≈ cap, so the cap machinery only fires on
+    genuine skew) else 64. A fixed count is the remaining quadratic-ish
+    knob at scale: candidates/table ≈ n·(n/2^planes)/2, so 10× data at
+    fixed planes is ~100× candidates (measured, SCALING.md sf1), while
+    auto holds candidates ~linear in n. Pass an explicit int to pin the
+    blocking geometry (oracle-mirrored queries do — the plane LITERALS
+    depend on the count, which a fixed SQL string can't track).
+    """
+    if n_planes == "auto":
+        n_planes = auto_n_planes(
+            vectors.count(),
+            target_bucket_size=(
+                max_bucket_size if max_bucket_size is not None else 64
+            ),
+        )
+    elif not isinstance(n_planes, int) or n_planes < 1:
+        raise ValueError(
+            f"rp_near_dup_pairs_multi: n_planes must be 'auto' or an int >= 1,"
+            f" got {n_planes!r}"
+        )
     if scorer not in ("sql", "numpy", "matrix"):
         raise ValueError(
             f"rp_near_dup_pairs_multi: unknown scorer {scorer!r} "

@@ -83,6 +83,19 @@ _CHECK_PRIORITY: list[str] = [
     # evidence. Most of this set is r5/r6-green, so the r8 staleness tier
     # fronts it NATURALLY — no pins should be needed; verify rotation as
     # usual rather than hand-pinning 40 queries.
+    #
+    # -- round 9 window: rp_near_dup_pairs_multi gained the count-sized
+    # n_planes="auto" default (VERDICT r7 #3). The registered queries pin
+    # n_planes=4 explicitly (a fixed oracle string can't track a
+    # data-dependent plane set), so their values are provably unchanged —
+    # but the function they run through changed, and the r7 verdict's done-
+    # criterion for this item names a driver re-drive of both rp queries.
+    # Two slots; the two r5-stale rows they displace front first at r10.
+    # The new q_rp_plane_sizing / q_cast_audit rows are never-checked and
+    # front automatically. Round 8's _dim_of modal-size change (clustering)
+    # is value-identical on well-formed corpora (modal == max when every
+    # vector has the true dim — driver data does); its consumers q_kmeans /
+    # q_ann_ivf_probe are r5-green and front by staleness anyway.
     "q_dedup_embed_rp",
     "q_dedup_embed_rp_multi",
 ]
@@ -94,7 +107,7 @@ _CHECK_PRIORITY: list[str] = [
 # while stale rows get buried (the exact failure mode VERDICT r5 #1
 # flagged). Retired pins fall back into the staleness tier like any other
 # query, so the next round's window self-corrects with no list edit.
-_CHECK_PRIORITY_ROUND = 7
+_CHECK_PRIORITY_ROUND = 9
 
 
 import functools

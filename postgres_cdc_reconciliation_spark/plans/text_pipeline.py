@@ -647,9 +647,42 @@ def q_dedup_embed_rp_multi(spark, sf_dir):
 
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = rp_near_dup_pairs_multi(
-        v, dim=64, threshold=0.3, n_tables=4, scorer="matrix"
+        # n_planes pinned: the oracle embeds exactly these 16 plane literals.
+        # Production callers take the "auto" default (count-sized planes —
+        # the SQL string can't track a data-dependent plane set); the auto
+        # resolution itself is driver-oracled by q_rp_plane_sizing and
+        # auto≡explicit equivalence is pinned in tests/test_similarity_fast.py.
+        v, dim=64, threshold=0.3, n_planes=4, n_tables=4, scorer="matrix"
     )
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+
+
+_SIZING_N_PLANES_SQL = (
+    "LEAST(24, GREATEST(1, CAST(CEIL(LOG2(GREATEST(1.0, count(*) / 64.0)))"
+    " AS INT)))"
+)
+
+
+@register(
+    "q_rp_plane_sizing",
+    f"""WITH c AS (SELECT count(*) AS n, {_SIZING_N_PLANES_SQL} AS p FROM embeddings)
+SELECT n AS n_rows, 64 AS target_bucket_size, p AS n_planes,
+       n / POWER(2.0, p) AS expected_bucket_size
+FROM c""",
+    doc="[EXT] auto-sized PRIMARY blocking plane count (similarity.py::"
+    "auto_n_planes via rp_plane_sizing): ceil(log2(n/target_bucket)) "
+    "clamped to [1,24], from the MEASURED corpus count — the corpus-"
+    "tracking default of rp_near_dup_pairs_multi (VERDICT r7 #3: a fixed "
+    "plane count means candidates/table ~ n²/2^planes, ~100x growth at "
+    "10x data; count-sized planes hold the expected bucket at ~target so "
+    "candidates stay ~linear). The Spark side runs the REAL resolver on "
+    "the real count; the oracle mirrors the arithmetic in SQL.",
+)
+def q_rp_plane_sizing(spark, sf_dir):
+    from ..operators.similarity import rp_plane_sizing
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rp_plane_sizing(v, target_bucket_size=64)
 
 
 @register(
