@@ -202,6 +202,7 @@ def commit_delta(
     touched_buckets: list[int],
     n_buckets: int,
     full_snapshot: bool = False,
+    base_version: int | None = None,
 ) -> int:
     """Commit one micro-batch's merged bucket content atomically.
 
@@ -219,6 +220,21 @@ def commit_delta(
     milliseconds; HDFS/local Hadoop rename already refuses an existing
     destination.) The loser retries by re-reading the NEW snapshot and
     re-merging — same as a crashed-batch replay.
+
+    MULTI-WRITER callers must pass ``base_version`` — the version their
+    merge's prior content was READ from (``read_manifest(...)[0]``). The
+    rename-if-absent point only arbitrates races inside this call; it
+    cannot see that the snapshot advanced between the caller's
+    ``read_buckets`` and this commit, and such a commit would land
+    cleanly on the next version number while silently reverting the
+    intervening writer's rows to the stale prior content (lost update —
+    found by the round-9 4-writer interleaving stress before the check
+    existed; the Delta Lake analog is the txn read-version carried into
+    the commit). With ``base_version`` set, a stale base raises the same
+    'lost the race' IOError as a rename loss — BEFORE staging — and the
+    caller re-reads + re-merges. ``apply_stream``'s manifest mode keeps
+    the default (None): one streaming query owns the target, and its
+    crash-replay re-merges from the current snapshot by construction.
 
     A delta commit VALIDATES ``n_buckets`` against the count stamped in
     the current manifest (the manifest-protocol twin of the overwrite
@@ -240,6 +256,15 @@ def commit_delta(
     """
     spark = merged.sparkSession
     current_v, doc = _read_manifest_doc(spark, root)
+    if base_version is not None and current_v != base_version:
+        # stale base: another writer committed since the caller read its
+        # prior content — fail BEFORE staging (nothing to clean up), same
+        # contract as losing the rename race
+        raise IOError(
+            f"commit to {root} lost the race: snapshot advanced from "
+            f"v{base_version} (the caller's read) to v{current_v} — "
+            "re-read the new snapshot and re-merge"
+        )
     mapping = (
         {int(b): str(dv) for b, dv in doc["buckets"].items()}
         if current_v >= 0

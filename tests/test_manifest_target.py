@@ -4,6 +4,7 @@ convergence, delete handling, vacuum GC."""
 from __future__ import annotations
 
 import json
+import time
 
 from pyspark.sql import functions as F
 
@@ -946,3 +947,115 @@ def test_concurrent_writers_loser_fails_loud_winner_intact(spark, tmp_path):
     vacuum(spark, target, keep_manifests=1, min_attempt_age_seconds=0)
     assert not os.path.exists(orphans[0])
     assert {r["id"]: r["v"] for r in read_snapshot(spark, target).collect()} == rows
+
+
+def test_n_writer_interleaved_commits_linearize(spark, tmp_path):
+    """4 REAL concurrent writers x 4 commits each against one manifest root
+    (VERDICT r7 #5: the two-writer test pins one deterministic
+    interleaving; true thread-parallel writers with randomized delays hit
+    rename-race windows two writers can't). Each writer owns a disjoint
+    key set but the keys COLLIDE on buckets, so a lost update (a winner's
+    rows clobbered by a loser's stale re-merge) would surface as a wrong
+    final value. Asserts: exactly one manifest json per version with no
+    gaps (linearizable history), every commit observed its predecessor
+    (each writer's retry loop re-reads + re-merges on 'lost the race'),
+    the final snapshot holds every writer's LAST value for every key, and
+    vacuum afterwards leaves the snapshot bit-identical."""
+    import glob as _glob
+    import os
+    import random
+    import threading
+
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        read_buckets,
+    )
+
+    target = str(tmp_path / "target")
+    n_buckets = 4
+    base = spark.createDataFrame(
+        [(i, "base", -1) for i in range(16)], "id long, v string, round int"
+    )
+    commit_delta(base, target, ["id"], list(range(n_buckets)), n_buckets)
+
+    n_writers, n_rounds = 4, 4
+    errors: list[Exception] = []
+    committed_versions: list[int] = []
+    lock = threading.Lock()
+
+    def writer(w: int) -> None:
+        rng = random.Random(1000 + w)
+        try:
+            for rnd in range(n_rounds):
+                # each writer updates its own 4 keys: w, w+4, w+8, w+12 —
+                # every bucket sees every writer (id % n_buckets collides)
+                keys = [w + 4 * j for j in range(4)]
+                delta = spark.createDataFrame(
+                    [(k, f"w{w}", rnd) for k in keys], "id long, v string, round int"
+                )
+                touched = sorted(
+                    r[0]
+                    for r in delta.select(
+                        bucket_expr(["id"], n_buckets).alias("_b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                while True:
+                    # base_version carries the read version into the commit
+                    # (without it the read->commit gap admits lost updates —
+                    # this very test found that before the check existed)
+                    base_v, _ = read_manifest(spark, target)
+                    prior = read_buckets(spark, target, touched)
+                    merged = (
+                        prior.join(delta.select("id"), "id", "left_anti")
+                        .unionByName(delta)
+                        .localCheckpoint(eager=True)
+                    )
+                    time.sleep(rng.random() * 0.05)  # randomize the window
+                    try:
+                        v = commit_delta(
+                            merged, target, ["id"], touched, n_buckets,
+                            base_version=base_v,
+                        )
+                        with lock:
+                            committed_versions.append(v)
+                        break
+                    except IOError as e:
+                        if "lost the race" not in str(e):
+                            raise
+                        time.sleep(rng.random() * 0.02)  # backoff, re-merge
+        except Exception as e:  # surface thread failures in the main assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    total = n_writers * n_rounds
+    # linearizable history: versions 1..total+0 committed exactly once, no
+    # gaps, no duplicates (base was v0)
+    assert sorted(committed_versions) == list(range(1, total + 1))
+    for v in range(0, total + 1):
+        assert len(_glob.glob(f"{target}/_manifests/v{v}.json")) == 1
+    assert _glob.glob(f"{target}/_manifests/.v*.json.tmp") == []
+
+    # no lost updates: every key carries its writer's FINAL round value
+    rows = {
+        r["id"]: (r["v"], r["round"])
+        for r in read_snapshot(spark, target).collect()
+    }
+    assert len(rows) == 16
+    for w in range(n_writers):
+        for j in range(4):
+            assert rows[w + 4 * j] == (f"w{w}", n_rounds - 1), (w, j, rows)
+
+    # orphan attempt dirs from losers are GC'd; the snapshot is untouched
+    vacuum(spark, target, keep_manifests=2, min_attempt_age_seconds=0)
+    after = {
+        r["id"]: (r["v"], r["round"])
+        for r in read_snapshot(spark, target).collect()
+    }
+    assert after == rows
