@@ -285,6 +285,28 @@ def _drop_lsn_keyable_exprs(key_cols: list[str], lsn_col: str, lsn_is_text: bool
     return lsn_long, keyable
 
 
+def drop_metrics_df(
+    events: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = "source_lsn",
+    lsn_is_text: bool = True,
+) -> DataFrame:
+    """1-row frame (events, unorderable_lsn, unkeyable, dropped) — the
+    relational form of :func:`drop_metrics`, for scheduled feed audits
+    (driver-oracled as `q_apply_drop_audit`; the try_cast twin is
+    `q_cast_audit`). Zero everywhere on a well-formed feed."""
+    lsn_long, keyable = _drop_lsn_keyable_exprs(key_cols, lsn_col, lsn_is_text)
+    droppable = lsn_long.isNull() | ~keyable
+    return events.agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.when(lsn_long.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("unorderable_lsn"),
+        F.sum(F.when(~keyable, 1).otherwise(0)).cast("long").alias("unkeyable"),
+        F.sum(F.when(droppable, 1).otherwise(0)).cast("long").alias("dropped"),
+    )
+
+
 def drop_metrics(
     events: DataFrame,
     key_cols: list[str],
@@ -305,16 +327,7 @@ def drop_metrics(
     (found round 9; the round-8 e2e test only covered batch 1, the one
     plan shape where it works). The micro-batch is pinned by the streaming
     engine, so this extra pass is O(delta) with no file re-read."""
-    lsn_long, keyable = _drop_lsn_keyable_exprs(key_cols, lsn_col, lsn_is_text)
-    droppable = lsn_long.isNull() | ~keyable
-    row = events.agg(
-        F.count(F.lit(1)).alias("events"),
-        F.sum(F.when(lsn_long.isNull(), 1).otherwise(0)).alias(
-            "unorderable_lsn"
-        ),
-        F.sum(F.when(~keyable, 1).otherwise(0)).alias("unkeyable"),
-        F.sum(F.when(droppable, 1).otherwise(0)).alias("dropped"),
-    ).first()
+    row = drop_metrics_df(events, key_cols, lsn_col, lsn_is_text).first()
     return {k: (row[k] or 0) for k in
             ("events", "unorderable_lsn", "unkeyable", "dropped")}
 

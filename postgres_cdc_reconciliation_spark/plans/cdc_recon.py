@@ -859,3 +859,31 @@ def q_profile_diff(spark, sf_dir):
 
     src, tgt = fx.recon_pair(spark, sf_dir)
     return profile_diff(src, tgt)
+
+
+@register(
+    "q_apply_drop_audit",
+    f"""WITH {fx.oracle_cdc_events_cte()}
+SELECT CAST(count(*) AS BIGINT) AS events,
+       CAST(SUM(CASE WHEN lsn_long IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS unorderable_lsn,
+       CAST(SUM(CASE WHEN order_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS unkeyable,
+       CAST(SUM(CASE WHEN lsn_long IS NULL OR order_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS dropped
+FROM cdc_events""",
+    doc="[EXT] apply-path drop audit (operators/apply.py::drop_metrics_df): "
+    "how many events of a feed the latest_per_key dirty-feed guards will "
+    "discard (unparseable pg_lsn / NULL key) — the relational form of the "
+    "per-batch accounting apply_stream logs, for scheduled feed audits; "
+    "the try_cast twin is q_cast_audit. Zero everywhere on the clean "
+    "driver feed (both engines agree the guards are no-ops there); the "
+    "non-zero path is exercised by the dirty-feed sweeps and the "
+    "apply_stream e2e warn test. One all-map-side aggregate, no shuffle "
+    "beyond the final combine.",
+)
+def q_apply_drop_audit(spark, sf_dir):
+    from ..operators.apply import drop_metrics_df
+
+    ev = fx.cdc_events_df(spark, sf_dir)
+    return drop_metrics_df(ev, ["order_id"], lsn_col="source_lsn")
