@@ -223,7 +223,10 @@ class Engine:
         contain a dense embedding mode; pair the job with
         ``similarity.rp_hot_bucket_report`` (same plane sets, same cap) to
         report exactly which (table, bucket) modes the guard split or
-        dropped."""
+        dropped. Both default ``n_planes="auto"`` and resolve it with the
+        same ``auto_n_planes(count, target_bucket_size=max_bucket_size)``
+        call, so defaults stay aligned; if you pin an explicit plane
+        count here, pin the same value on the report."""
         from .operators.similarity import rp_near_dup_pairs_multi
 
         return rp_near_dup_pairs_multi(

@@ -520,7 +520,7 @@ def rp_hot_bucket_report(
     vectors: DataFrame,
     dim: int,
     max_bucket_size: int,
-    n_planes: int = 4,
+    n_planes: int | str = "auto",
     n_tables: int = 4,
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -530,7 +530,28 @@ def rp_hot_bucket_report(
     names exactly the modes the guard acts on. The multi operator's
     internal bucket columns never leave it, so this is the loud-reporting
     companion the engine facade points callers at (run it alongside any
-    capped job; empty result = the cap changed nothing)."""
+    capped job; empty result = the cap changed nothing).
+
+    ``n_planes="auto"`` (default) resolves through the SAME
+    ``auto_n_planes(count, target_bucket_size=max_bucket_size)`` call
+    ``rp_near_dup_pairs_multi(n_planes="auto", max_bucket_size=...)``
+    makes, so a default-for-default pairing reports the exact bucket ids
+    the capped job blocks on (ADVICE r9: the old fixed default of 4
+    silently diverged from the job's auto-resolved plane count). Pin the
+    same explicit int on both calls to audit a pinned-geometry job."""
+    if n_planes == "auto":
+        n_planes = auto_n_planes(
+            vectors.count(), target_bucket_size=max_bucket_size
+        )
+    elif (
+        isinstance(n_planes, bool)
+        or not isinstance(n_planes, int)
+        or n_planes < 1
+    ):
+        raise ValueError(
+            f"rp_hot_bucket_report: n_planes must be 'auto' or an int >= 1,"
+            f" got {n_planes!r}"
+        )
     bucketed = vectors
     for t in range(n_tables):
         bucketed = assign_rp_buckets(
@@ -671,7 +692,11 @@ def rp_near_dup_pairs_multi(
                 max_bucket_size if max_bucket_size is not None else 64
             ),
         )
-    elif not isinstance(n_planes, int) or n_planes < 1:
+    elif (
+        isinstance(n_planes, bool)  # bool is an int subclass: True would
+        or not isinstance(n_planes, int)  # silently run a 1-plane pass
+        or n_planes < 1
+    ):
         raise ValueError(
             f"rp_near_dup_pairs_multi: n_planes must be 'auto' or an int >= 1,"
             f" got {n_planes!r}"
@@ -682,7 +707,11 @@ def rp_near_dup_pairs_multi(
             "(expected 'sql', 'numpy' or 'matrix')"
         )
     if max_bucket_size is not None and cap_split_planes != "auto":
-        if not isinstance(cap_split_planes, int) or cap_split_planes < 1:
+        if (
+            isinstance(cap_split_planes, bool)
+            or not isinstance(cap_split_planes, int)
+            or cap_split_planes < 1
+        ):
             raise ValueError(
                 "rp_near_dup_pairs_multi: cap_split_planes must be >= 1 or "
                 "'auto' (per-table drop-without-split is not offered — the "

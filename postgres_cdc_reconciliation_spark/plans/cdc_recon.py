@@ -585,6 +585,54 @@ def q_recon_diff(spark, sf_dir):
 
 
 @register(
+    "q_recon_positional",
+    f"""WITH {fx.oracle_recon_cte()},
+s AS (
+  SELECT row_number() OVER (ORDER BY order_id, amount, status) AS _pos,
+         order_id AS src_order_id, CAST(amount AS DOUBLE) AS src_amount,
+         status AS src_status
+  FROM recon_src),
+t AS (
+  SELECT row_number() OVER (ORDER BY order_id, amount, status) AS _pos,
+         order_id AS tgt_order_id, CAST(amount AS DOUBLE) AS tgt_amount,
+         status AS tgt_status
+  FROM recon_tgt)
+SELECT CAST(_pos AS BIGINT) AS _pos,
+       src_order_id, src_amount, src_status,
+       tgt_order_id, tgt_amount, tgt_status
+FROM s FULL OUTER JOIN t USING (_pos)
+WHERE src_order_id IS DISTINCT FROM tgt_order_id
+   OR src_amount IS DISTINCT FROM tgt_amount
+   OR src_status IS DISTINCT FROM tgt_status""",
+    doc="J7 positional zip-diff, bug-compatible with the reference's "
+    "verify_replication.py:125-133 (rows compared by sort POSITION, not "
+    "key, so one missing row misaligns every subsequent comparison — kept "
+    "for parity; q_recon_diff is the keyed fix). row_number over a total "
+    "order on both sides, full-outer joined on position, null-safe "
+    "any-column inequality filter (operators/recon.py::"
+    "diff_rows_positional). The global sort is the semantics, not an "
+    "accident — this mode is O(sort) and single-frontier by definition; "
+    "at 100 TB you use q_recon_fingerprint/q_recon_diff instead. "
+    "Deterministic under ties: the only tied sort keys are exact "
+    "duplicate rows (interchangeable positions, identical values).",
+)
+def q_recon_positional(spark, sf_dir):
+    from ..operators.recon import diff_rows_positional
+
+    src, tgt = fx.recon_pair(spark, sf_dir)
+    out = diff_rows_positional(src, tgt, ["order_id", "amount", "status"])
+    return out.select(
+        F.col("_pos").cast("long").alias("_pos"),
+        "src_order_id",
+        F.col("src_amount").try_cast("double").alias("src_amount"),
+        "src_status",
+        "tgt_order_id",
+        F.col("tgt_amount").try_cast("double").alias("tgt_amount"),
+        "tgt_status",
+    )
+
+
+@register(
     "q_recon_fingerprint",
     f"""WITH {fx.oracle_recon_cte()},
 s AS (

@@ -226,6 +226,44 @@ def test_rp_hot_bucket_report_names_the_modes(spark):
     assert all(r["bucket_size"] >= 30 for r in rep)
 
 
+def test_rp_hot_bucket_report_auto_matches_multi(spark):
+    """ADVICE r9 (medium): the report's default n_planes must resolve to
+    the SAME plane count rp_near_dup_pairs_multi(n_planes='auto') uses for
+    the same corpus + cap — otherwise the report names buckets the capped
+    job never blocked on. Both defaults now route through
+    auto_n_planes(count, target_bucket_size=max_bucket_size); witness the
+    alignment on a corpus where auto resolves != the old fixed 4."""
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        auto_n_planes,
+        rp_hot_bucket_report,
+    )
+
+    rows = [(i, _vec(i, 8)) for i in range(40)]
+    rows += [(1000 + i, _vec(7, 8)) for i in range(12)]  # dense mode
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cap = 8
+    resolved = auto_n_planes(df.count(), target_bucket_size=cap)
+    assert resolved != 4  # otherwise this test can't tell auto from legacy
+    auto_rep = {
+        (r["table"], r["bucket"], r["bucket_size"])
+        for r in rp_hot_bucket_report(
+            df, dim=8, max_bucket_size=cap, n_tables=2
+        ).collect()
+    }
+    pinned_rep = {
+        (r["table"], r["bucket"], r["bucket_size"])
+        for r in rp_hot_bucket_report(
+            df, dim=8, max_bucket_size=cap, n_planes=resolved, n_tables=2
+        ).collect()
+    }
+    assert auto_rep == pinned_rep and auto_rep  # mode must show up
+    # bool is an int subclass — n_planes=True must raise, not run 1-plane
+    with pytest.raises(ValueError):
+        rp_hot_bucket_report(df, dim=8, max_bucket_size=cap, n_planes=True)
+
+
 def test_scorers_agree_on_null_buckets_and_zero_norms(spark):
     """Review-pass edge cases: NULL bucket keys pair with nothing in EITHER
     scorer (the SQL equality join is null-rejecting; the matrix path must

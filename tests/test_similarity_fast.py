@@ -166,9 +166,15 @@ def test_rp_multi_rejects_bad_n_planes(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
     )
-    for bad in (0, -3, "automatic", 2.5):
+    # True included: bool is an int subclass, so without an explicit guard
+    # n_planes=True would silently run a 1-plane blocking pass (ADVICE r9)
+    for bad in (0, -3, "automatic", 2.5, True):
         with pytest.raises(ValueError, match="n_planes"):
             rp_near_dup_pairs_multi(df, dim=2, n_planes=bad)
+    with pytest.raises(ValueError, match="cap_split_planes"):
+        rp_near_dup_pairs_multi(
+            df, dim=2, n_planes=2, max_bucket_size=5, cap_split_planes=True
+        )
 
 
 def test_auto_planes_bound_candidate_growth(spark):
