@@ -487,6 +487,7 @@ def apply_stream(
     n_buckets: int = DEFAULT_TARGET_BUCKETS,
     protocol: str = "overwrite",
     evolve_schema: bool = False,
+    drop_audit: int | str = "always",
 ):
     """Continuous apply: foreachBatch merge + frontier advance (T2+T5).
 
@@ -529,8 +530,36 @@ def apply_stream(
       fails loud without touching the winner's committed data (the
       dynamic-overwrite path remains strictly single-writer). Read such
       targets with ``manifest_target.read_snapshot``.
+    - ``drop_audit`` controls the per-batch dirty-feed accounting
+      (:func:`drop_metrics` + loud warn). It is one extra all-map-side
+      aggregate job per micro-batch — exact and observable, but latency
+      paid forever even on perfectly clean feeds (ADVICE r9). ``"always"``
+      (default) keeps the exact audit; an int N samples every Nth batch
+      (``batch_id % N == 0`` — batch ids are contiguous, so a dirty feed
+      is still detected within N batches); ``"never"`` disables it for
+      latency-critical deployments (drops then happen per the documented
+      latest_per_key contract, silently — run :func:`drop_metrics_df` as
+      a scheduled feed audit instead, as `q_apply_drop_audit` does).
     """
     from ..streaming.frontier import append_frontier
+
+    if drop_audit != "always" and drop_audit != "never":
+        if (
+            isinstance(drop_audit, bool)
+            or not isinstance(drop_audit, int)
+            or drop_audit < 1
+        ):
+            raise ValueError(
+                f"apply_stream: drop_audit must be 'always', 'never', or an "
+                f"int >= 1 (sample every Nth batch), got {drop_audit!r}"
+            )
+
+    def _audit_drops(batch_df: DataFrame, batch_id: int) -> None:
+        if drop_audit == "never":
+            return
+        if drop_audit != "always" and batch_id % drop_audit != 0:
+            return
+        _warn_dropped_events(drop_metrics(batch_df, key_cols), batch_id)
 
     spark = parsed_unwrapped.sparkSession
 
@@ -587,7 +616,7 @@ def apply_stream(
         merged = apply_batch(
             target, batch_df, key_cols, evolve_schema=evolve_schema
         ).localCheckpoint(eager=True)
-        _warn_dropped_events(drop_metrics(batch_df, key_cols), batch_id)
+        _audit_drops(batch_df, batch_id)
         commit_delta(merged, target_path, key_cols, touched, n_buckets)
         if frontier_path is not None:
             append_frontier(batch_df, frontier_path, batch_id)
@@ -651,7 +680,7 @@ def apply_stream(
             )
         # materialize, then dynamic-overwrite only the touched buckets
         new_target = new_target.localCheckpoint(eager=True)
-        _warn_dropped_events(drop_metrics(batch_df, key_cols), batch_id)
+        _audit_drops(batch_df, batch_id)
         write_bucketed_target(
             new_target, target_path, key_cols, n_buckets, dynamic=dynamic
         )

@@ -445,3 +445,47 @@ def test_stream_apply_survives_dirty_feed(spark, tmp_path):
     assert final == {1: 10.0, 2: 22.0, 3: 30.0}
     f = current_frontier(spark, frontier).collect()[0]
     assert f["frontier_lsn"] == "0/20"
+
+
+def test_drop_audit_flag_validates_and_silences(spark, tmp_path, caplog):
+    """ADVICE r9: the per-batch drop audit is an extra aggregate job paid
+    on every micro-batch; latency-sensitive deployments can sample
+    (drop_audit=N) or disable ('never'). Contract: bad values raise
+    BEFORE the stream starts (bool included — int subclass), and 'never'
+    still applies the dirty feed correctly, just without the per-batch
+    warning."""
+    import logging
+
+    import pytest
+
+    for bad in (0, -1, True, 2.5, "sometimes"):
+        with pytest.raises(ValueError, match="drop_audit"):
+            apply_stream(
+                spark.readStream.format("rate").load(),
+                str(tmp_path / "t"),
+                ["order_id"],
+                str(tmp_path / "c"),
+                drop_audit=bad,
+            )
+
+    src = tmp_path / "na_in"
+    src.mkdir()
+    null_key_row = dict(_row(9, 90.0), order_id=None)
+    with open(src / "batch1.json", "w") as f:
+        f.write(json.dumps({"key": "1", "value": json.dumps(_env("r", None, _row(1, 10.0), "0/1"))}) + "\n")
+        f.write(json.dumps({"key": "x", "value": json.dumps(_env("u", None, null_key_row, "0/2"))}) + "\n")
+    target = str(tmp_path / "na_target")
+    q = apply_stream(
+        unwrap(parse_stream(read_cdc_stream(spark, file_path=str(src)))),
+        target,
+        ["order_id"],
+        str(tmp_path / "na_ckpt"),
+        drop_audit="never",
+    ).trigger(availableNow=True).start()
+    with caplog.at_level(
+        logging.WARNING, logger="postgres_cdc_reconciliation_spark.operators.apply"
+    ):
+        q.awaitTermination(120)
+    assert not [r for r in caplog.records if "dropped" in r.getMessage()]
+    final = {r["order_id"]: float(r["amount"]) for r in spark.read.parquet(target).collect()}
+    assert final == {1: 10.0}  # the null-key event cost itself, silently
