@@ -96,6 +96,18 @@ _CHECK_PRIORITY: list[str] = [
     # is value-identical on well-formed corpora (modal == max when every
     # vector has the true dim — driver data does); its consumers q_kmeans /
     # q_ann_ivf_probe are r5-green and front by staleness anyway.
+    # -- round 10 window: NO pins. Changed implementations this round are
+    # value-identical by construction and proven by two full sf0.01 drives
+    # (152/152 MATCH each): catalog fixtures moved from Python-RDD
+    # createDataFrame to JVM VALUES LocalRelations (same literal rows, new
+    # physical plan — affects every slots/pubs/roles consumer), the health
+    # report's global orderBy became repartition(1)+sortWithinPartitions
+    # (same total order), and the manifest commit swapped rename-if-absent
+    # for create-exclusive (lakehouse queries re-driven MATCH). The one new
+    # registration (q_recon_positional) is never-checked and fronts
+    # automatically; the r10 window otherwise holds the 50 stalest rows
+    # (r5/r6 evidence), which is exactly what the feasibility-bounded
+    # rotation invariant wants (tests/test_registry_rotation.py).
     "q_dedup_embed_rp",
     "q_dedup_embed_rp_multi",
 ]
