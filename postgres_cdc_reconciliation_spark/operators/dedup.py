@@ -19,7 +19,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,10 +133,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    method: str = "index",
 ) -> DataFrame:
     """Exact Jaccard over k-shingle sets for pairs sharing ≥1 shingle.
 
-    Inverted-index join on shingle (keyed shuffle); |A|,|B| precomputed.
+    Two physically different, value-identical plans (equivalence pinned in
+    tests/test_dedup_prefix_filter.py):
+
+    - ``method="prefix"``: prefix-filtered similarity join —
+      the public SSJoin/PPJoin prefix-filtering principle (Chaudhuri,
+      Ganti & Kaushik, ICDE 2006; Xiao, Wang, Lin & Yu, WWW 2008). Order
+      every doc's shingles by a GLOBAL total order (document frequency
+      asc, then shingle — rarest first), keep only each doc's first
+      ``|d| - ceil(t·|d|) + 1`` shingles, and inverted-index join on that
+      prefix alone: any pair with Jaccard ≥ t must share ≥1 prefix
+      element (lossless), while the join buckets now key on RARE
+      shingles, collapsing candidate volume. Exact Jaccard is then
+      computed only for surviving candidate pairs via per-doc shingle
+      arrays (``array_intersect`` — JVM-native, docs are bounded-size).
+    - ``method="index"`` (default): plain inverted-index self-join on
+      every shingle with a co-occurrence count — fewer stages, and
+      measurably faster while the corpus is small enough that candidate
+      volume isn't the bottleneck.
+
+    Measured crossover (local[32], warm): sf0.1 documents (5k docs)
+    index 4.3 s vs prefix 6.1 s — the prefix plan's extra shuffles
+    (df lookup, per-doc rank, candidate distinct, two array joins)
+    dominate. At the 10x corpus (50k docs) index 39.5 s vs prefix
+    30.7 s — candidate volume now dominates and the prefix cut wins,
+    widening with scale/overlap. Default is the small-corpus plan;
+    switch to "prefix" for corpus-scale runs (q_dedup_ngram_prefix
+    carries its driver evidence).
+
     common/(|A|+|B|-common) — integer inputs, double division (bit-stable
     across engines).
 
@@ -147,11 +175,12 @@ def ngram_jaccard_pairs(
     intersections are both computed over the capped shingle universe, so
     the Jaccard stays self-consistent (it ranks similarity over
     *discriminative* shingles; near-dup docs still share most of them)."""
+    if method not in ("prefix", "index"):
+        raise ValueError(f"method must be 'prefix' or 'index', got {method!r}")
+    dfm = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     if max_doc_freq is not None:
         hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_doc_freq)
+            dfm.filter(F.col("_df") > max_doc_freq)
             .select("shingle")
             # materialized once: the capped frame feeds THREE branches
             # (sizes + both self-join sides), and without this each branch
@@ -164,6 +193,8 @@ def ngram_jaccard_pairs(
         # it at runtime) but can be corpus-scale in degenerate inputs, where
         # a forced broadcast would OOM the driver
         sh = sh.join(hot, "shingle", "left_anti")
+    if method == "prefix":
+        return _ngram_jaccard_prefix(sh, dfm, id_col, threshold)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -183,6 +214,84 @@ def ngram_jaccard_pairs(
     j = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "common", "jaccard"
+    )
+
+
+def _ngram_jaccard_prefix(
+    sh: DataFrame, dfm: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (see ngram_jaccard_pairs).
+
+    Candidate generation joins only on each doc's |d| - ceil(t·|d|) + 1
+    RAREST shingles (global order: df asc, shingle asc — total, so ties
+    are deterministic). Lossless for Jaccard ≥ t: suppose the prefixes of
+    A and B are disjoint, and wlog A's last prefix element a* precedes
+    B's. Any common element ≤ a* would sit in BOTH prefixes (each prefix
+    is exactly its doc's elements up to the boundary) — so every common
+    element is > a*, i.e. inside A's suffix of ceil(t·|A|) - 1 elements,
+    giving |A∩B| < ceil(t·|A|) ≤ the overlap J ≥ t requires. Hence any
+    pair with J ≥ t shares a prefix element (the SSJoin prefix-filtering
+    bound, exact — no false negatives). Verification
+    joins the surviving pairs back to per-doc shingle arrays and computes
+    |A∩B| with array_intersect, so the expensive co-occurrence explosion
+    of the plain inverted-index plan never happens.
+
+    Scale shape: one df-lookup shuffle (on shingle), one per-doc window
+    sort (docs are bounded-size), a prefix×prefix equality join whose
+    buckets key on RARE shingles (bucket sizes shrink exactly where the
+    index plan's blow up), and two keyed joins of the candidate pairs
+    against bounded per-doc arrays. Every shuffle is keyed; nothing is
+    quadratic outside candidate buckets."""
+    ranked = sh.join(dfm, "shingle")
+    w_order = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    w_all = Window.partitionBy(id_col)
+    prefix = (
+        ranked.withColumn("_pos", F.row_number().over(w_order))
+        .withColumn("_sz", F.count("*").over(w_all))
+        .filter(
+            F.col("_pos")
+            <= F.col("_sz")
+            - F.ceil(F.lit(threshold) * F.col("_sz")).cast("long")
+            + F.lit(1)
+        )
+        .select(F.col(id_col), "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    arrs = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_arr"))
+    sa = arrs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_arr").alias("_arr_a"),
+        F.size("_arr").alias("sz_a"),
+    )
+    sb = arrs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_arr").alias("_arr_b"),
+        F.size("_arr").alias("sz_b"),
+    )
+    j = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("_arr_a", "_arr_b")))
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
