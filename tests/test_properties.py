@@ -547,3 +547,41 @@ def test_cap_hot_buckets_invariants(spark, corpus, cap, split_planes):
     for r in out:
         if r["vec_id"] in cold_ids:
             assert r["label"] == keymap[r["vec_id"]]
+
+
+# random docs over a tiny vocabulary (high collision/overlap pressure);
+# texts short enough that the per-example Spark round-trip stays cheap
+_DOC_TEXT = st.lists(
+    st.sampled_from([f"t{i}" for i in range(12)]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_DOC_TEXT, min_size=2, max_size=12),
+    st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+    st.sampled_from([None, 3]),
+)
+def test_ngram_prefix_join_equals_index_join_property(spark, texts, t, cap):
+    """The prefix-filtered similarity join is LOSSLESS: for arbitrary
+    corpora, thresholds, and df-caps it emits exactly the pairs (and
+    bit-identical Jaccard) of the plain inverted-index plan."""
+    from postgres_cdc_reconciliation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sh = shingles(docs, k=2).localCheckpoint()  # evaluated once, two plans
+
+    def got(method):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["common"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                sh, threshold=t, max_doc_freq=cap, method=method
+            ).collect()
+        )
+
+    assert got("prefix") == got("index")
