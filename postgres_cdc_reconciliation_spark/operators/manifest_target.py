@@ -223,6 +223,76 @@ def read_buckets(
     return spark.read.parquet(*paths)
 
 
+def read_keys(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    keys: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Key-routed point lookup: read ONLY the buckets the requested keys
+    hash to, then filter to exactly those keys.
+
+    The hash-bucketed layout makes the bucket id a function of the key
+    (``bucket_expr`` — the same expression every commit used), so a point
+    read never touches the rest of the target: IO is O(|distinct buckets
+    of the requested keys|), bounded by len(keys) and by the bucket count,
+    never O(target). This is the lakehouse answer to the reference's
+    row-level verification reads (verify_replication.py selects individual
+    rows back from the target database by primary key; here the manifest +
+    hash routing replace the B-tree).
+
+    ``keys``: scalar values for a single-column key, or tuples matching
+    ``key_cols`` for a composite key. len(keys) is expected to be
+    lookup-sized (the key list is folded into the plan as literals and
+    broadcast to the scan as an IN / semi-join predicate — thousands, not
+    millions; for bulk subsets join against ``read_snapshot`` instead).
+    ``version`` pins a committed manifest (time travel), default latest.
+
+    Returns an empty frame with the snapshot's schema when no requested
+    bucket is live (all keys absent)."""
+    if not keys:
+        raise ValueError("keys must be non-empty — for a full read use read_snapshot")
+    doc = _doc_at(spark, root, version)
+    n_buckets = doc.get("n_buckets")
+    if n_buckets is None:
+        raise ValueError(
+            f"manifest at {root} predates the n_buckets stamp — key routing "
+            "cannot be derived; re-commit once (any delta) to stamp it"
+        )
+    n_buckets = int(n_buckets)
+    mapping = {int(b): str(dv) for b, dv in doc["buckets"].items()}
+    rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+    if any(len(r) != len(key_cols) for r in rows):
+        raise ValueError(f"every key must carry {len(key_cols)} value(s)")
+    keys_df = spark.createDataFrame(rows, key_cols)
+    # bounded collect: ≤ len(keys) ids, deduped — this is the routing step
+    wanted = {
+        r["_b"]
+        for r in keys_df.select(
+            bucket_expr(key_cols, n_buckets).alias("_b")
+        ).distinct().collect()
+    }
+    paths = [_bucket_path(root, b, mapping[b]) for b in sorted(wanted) if b in mapping]
+    if not paths:
+        schema_doc = doc.get("schema")
+        if schema_doc is None:
+            raise FileNotFoundError(
+                f"no live bucket for the requested keys at {root} and the "
+                "manifest predates schema stamping — cannot shape the empty "
+                "result"
+            )
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(schema_doc))
+    scanned = spark.read.parquet(*paths)
+    if len(key_cols) == 1:
+        # literal IN predicate: pushes into the parquet scan (row-group
+        # min/max + dictionary filtering), no join at all
+        return scanned.filter(F.col(key_cols[0]).isin([r[0] for r in rows]))
+    return scanned.join(F.broadcast(keys_df), key_cols, "left_semi")
+
+
 def commit_delta(
     merged: DataFrame,
     root: str,

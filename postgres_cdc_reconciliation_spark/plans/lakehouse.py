@@ -53,32 +53,10 @@ def _rm_cdf_roots() -> None:
 atexit.register(_rm_cdf_roots)
 
 
-@register(
-    "q_snapshot_cdf",
-    """WITH v0 AS (
-         SELECT o_orderkey, o_custkey, o_totalprice
-         FROM orders WHERE o_orderkey % 7 <> 0
-       )
-       SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
-              'insert' AS _change_type
-       FROM orders
-       WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0
-       UNION ALL
-       SELECT o_orderkey, o_custkey, o_totalprice + 1.0, 'update'
-       FROM orders
-       WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0 AND o_orderkey % 7 <> 0
-       UNION ALL
-       SELECT o_orderkey, o_custkey, o_totalprice, 'delete'
-       FROM orders
-       WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0""",
-    doc="change-data-feed between two committed manifest versions "
-    "(operators/manifest_target.py::snapshot_changes): v0 = keys k%7≠0; the "
-    "delta deletes k%11=0 and upserts k%5=0∧k%11≠0 at price+1.0. Inserts/"
-    "updates carry the v1 image, deletes the v0 before-image (the CDC unwrap "
-    "contract). Manifest pruning reads only buckets whose data version "
-    "changed — adjacent versions of a 100 TB target diff GBs, not TBs.",
-)
-def q_snapshot_cdf(spark, sf_dir):
+def _ensure_cdf_root(spark, sf_dir) -> str:
+    """Build (once per session × sf_dir) the two-version manifest target the
+    lakehouse queries share: v0 = orders keys k%7≠0; v1 applies deletes
+    (k%11=0) and upserts (+1.0 price, k%5=0 ∧ k%11≠0)."""
     cache_key = (id(spark), sf_dir)
     root = _CDF_ROOTS.get(cache_key)
     if root is None:
@@ -113,10 +91,80 @@ def q_snapshot_cdf(spark, sf_dir):
         )
         commit_delta(merged, root, ["o_orderkey"], touched, _N_BUCKETS)
         _CDF_ROOTS[cache_key] = root
+    return root
 
+
+@register(
+    "q_snapshot_cdf",
+    """WITH v0 AS (
+         SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 7 <> 0
+       )
+       SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+              'insert' AS _change_type
+       FROM orders
+       WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0
+       UNION ALL
+       SELECT o_orderkey, o_custkey, o_totalprice + 1.0, 'update'
+       FROM orders
+       WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0 AND o_orderkey % 7 <> 0
+       UNION ALL
+       SELECT o_orderkey, o_custkey, o_totalprice, 'delete'
+       FROM orders
+       WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0""",
+    doc="change-data-feed between two committed manifest versions "
+    "(operators/manifest_target.py::snapshot_changes): v0 = keys k%7≠0; the "
+    "delta deletes k%11=0 and upserts k%5=0∧k%11≠0 at price+1.0. Inserts/"
+    "updates carry the v1 image, deletes the v0 before-image (the CDC unwrap "
+    "contract). Manifest pruning reads only buckets whose data version "
+    "changed — adjacent versions of a 100 TB target diff GBs, not TBs.",
+)
+def q_snapshot_cdf(spark, sf_dir):
+    root = _ensure_cdf_root(spark, sf_dir)
     return snapshot_changes(spark, root, ["o_orderkey"], 0, 1).select(
         "o_orderkey", "o_custkey", "o_totalprice", "_change_type"
     )
+
+
+@register(
+    "q_manifest_point_lookup",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders
+       WHERE o_orderkey % 97 = 0 AND o_orderkey % 7 <> 0
+         AND o_orderkey % 5 <> 0 AND o_orderkey % 11 <> 0
+       UNION ALL
+       SELECT o_orderkey, o_custkey, o_totalprice + 1.0
+       FROM orders
+       WHERE o_orderkey % 97 = 0 AND o_orderkey % 5 = 0
+         AND o_orderkey % 11 <> 0""",
+    doc="key-routed point lookup over the committed v1 manifest snapshot "
+    "(operators/manifest_target.py::read_keys): the probe keys (orders "
+    "k%97=0 — present, upserted, deleted, and never-inserted keys alike) "
+    "hash to their buckets via bucket_expr, ONLY those bucket dirs are "
+    "read, and the key list pushes into the parquet scan as an IN "
+    "predicate — IO is O(touched buckets), never O(target). The "
+    "reference's analog is verify_replication.py's per-primary-key "
+    "row reads from the target database; here manifest + hash routing "
+    "replace the B-tree. Oracle reconstructs v1 relationally (v0=k%7≠0, "
+    "deletes k%11=0, upserts k%5=0∧k%11≠0 at +1.0) restricted to the "
+    "probe keys.",
+)
+def q_manifest_point_lookup(spark, sf_dir):
+    from ..operators.manifest_target import read_keys
+
+    from ..operators.manifest_target import read_snapshot
+
+    root = _ensure_cdf_root(spark, sf_dir)
+    probe = [
+        r["o_orderkey"]
+        for r in load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey")
+        .collect()  # lookup-sized by construction: ~1% of orders keys
+    ]
+    if not probe:  # nothing to look up (empty corpus) — empty result, same shape
+        return read_snapshot(spark, root).limit(0)
+    return read_keys(spark, root, ["o_orderkey"], probe)
 
 
 @register(
