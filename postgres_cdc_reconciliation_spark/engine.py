@@ -264,6 +264,16 @@ class Engine:
 
         return snapshot_changes(self.spark, root, key_cols, v_from, v_to)
 
+    def point_lookup(self, root, key_cols, keys, version=None) -> DataFrame:
+        """Key-routed point read from a manifest apply target: the keys
+        hash to their buckets, only those bucket dirs are read, and the
+        key list pushes into the scan — IO is O(touched buckets), never
+        O(target). The reference's verify_replication.py reads rows back
+        by primary key; this is that read on the lakehouse target."""
+        from .operators.manifest_target import read_keys
+
+        return read_keys(self.spark, root, key_cols, keys, version=version)
+
     def dedup_components(self, pairs, algorithm="auto"):
         """Connected components over a candidate-pair graph: 'auto' =
         hybrid union-find/label-propagation; 'star' = large-star/small-star

@@ -135,3 +135,12 @@ def test_all_keys_route_to_dead_buckets(spark, tmp_path_factory):
     out = read_keys(spark, root, ["k"], [probe])
     assert out.columns == ["k", "v"]
     assert out.count() == 0
+
+
+def test_engine_facade_point_lookup(spark, tmp_path_factory):
+    from postgres_cdc_reconciliation_spark.engine import Engine
+
+    root = str(tmp_path_factory.mktemp("pl"))
+    _commit_range(spark, root, n=30)
+    got = {r["k"]: r["v"] for r in Engine(spark).point_lookup(root, ["k"], [4, 9]).collect()}
+    assert got == {4: 8.0, 9: 18.0}
