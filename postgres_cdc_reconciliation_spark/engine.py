@@ -264,6 +264,14 @@ class Engine:
 
         return snapshot_changes(self.spark, root, key_cols, v_from, v_to)
 
+    def target_history(self, root) -> DataFrame:
+        """DESCRIBE HISTORY analog for a manifest apply target: one row
+        per retained committed version (operation kind, buckets rewritten,
+        live buckets, bucket-count stamp, commit wall clock)."""
+        from .operators.manifest_target import describe_history
+
+        return describe_history(self.spark, root)
+
     def point_lookup(self, root, key_cols, keys, version=None) -> DataFrame:
         """Key-routed point read from a manifest apply target: the keys
         hash to their buckets, only those bucket dirs are read, and the

@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import json
 import secrets
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -430,6 +431,15 @@ def commit_delta(
             # snapshot has zero live buckets (empty first commit, or every
             # key deleted) — read_snapshot rebuilds the empty frame from it
             "schema": json.loads(merged.schema.json()),
+            # audit stamps (describe_history): what kind of commit, how
+            # many buckets it rewrote, and when. committed_at is the
+            # writer's wall clock — informational (ordering authority is
+            # the version number, never the clock)
+            "operation": "full" if full_snapshot else "delta",
+            "touched": sorted(int(b) for b in touched_buckets)
+            if not full_snapshot
+            else sorted(mapping),
+            "committed_at": round(time.time(), 3),
         }
     )
     _commit_manifest_doc(spark, root, new_v, label, doc)
@@ -560,6 +570,43 @@ def changed_buckets(
         b
         for b in set(map_from) | set(map_to)
         if map_from.get(b) != map_to.get(b)
+    )
+
+
+def describe_history(spark: SparkSession, root: str) -> DataFrame:
+    """One row per RETAINED committed version (DESCRIBE HISTORY analog):
+    version, operation (delta/full), buckets rewritten by that commit,
+    live-bucket count, bucket-count stamp, committed_at (writer wall
+    clock — informational; the version number is the ordering authority,
+    and vacuumed versions no longer appear).
+
+    Driver-side JSON reads of the retained manifests — O(retained
+    versions) tiny files, no data IO; the result is manifest-sized by
+    construction (vacuum bounds it), so building it as local rows is the
+    right plan at any target size."""
+    versions = _manifest_versions(spark, root)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    rows = []
+    for v in sorted(versions):
+        doc = _doc_at(spark, root, v)
+        touched = doc.get("touched")
+        rows.append(
+            (
+                v,
+                doc.get("operation"),
+                len(touched) if touched is not None else None,
+                len(doc.get("buckets", {})),
+                int(doc["n_buckets"]) if doc.get("n_buckets") is not None else None,
+                float(doc["committed_at"])
+                if doc.get("committed_at") is not None
+                else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, buckets_rewritten int, "
+        "live_buckets int, n_buckets int, committed_at double",
     )
 
 
