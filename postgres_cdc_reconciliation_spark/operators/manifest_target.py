@@ -434,11 +434,16 @@ def commit_delta(
             # audit stamps (describe_history): what kind of commit, how
             # many buckets it rewrote, and when. committed_at is the
             # writer's wall clock — informational (ordering authority is
-            # the version number, never the clock)
+            # the version number, never the clock). A full commit rewrote
+            # exactly the live buckets already listed in "buckets", so
+            # "touched" is stamped only for deltas (at 64k-bucket scale a
+            # duplicate list would double every compaction manifest)
             "operation": "full" if full_snapshot else "delta",
-            "touched": sorted(int(b) for b in touched_buckets)
-            if not full_snapshot
-            else sorted(mapping),
+            **(
+                {}
+                if full_snapshot
+                else {"touched": sorted(int(b) for b in touched_buckets)}
+            ),
             "committed_at": round(time.time(), 3),
         }
     )
@@ -590,13 +595,21 @@ def describe_history(spark: SparkSession, root: str) -> DataFrame:
     rows = []
     for v in sorted(versions):
         doc = _doc_at(spark, root, v)
+        op = doc.get("operation")
         touched = doc.get("touched")
+        live = len(doc.get("buckets", {}))
+        if touched is not None:
+            rewritten = len(touched)
+        elif op == "full":
+            rewritten = live  # a full commit rewrote every live bucket
+        else:
+            rewritten = None  # legacy pre-stamp manifest
         rows.append(
             (
                 v,
-                doc.get("operation"),
-                len(touched) if touched is not None else None,
-                len(doc.get("buckets", {})),
+                op,
+                rewritten,
+                live,
                 int(doc["n_buckets"]) if doc.get("n_buckets") is not None else None,
                 float(doc["committed_at"])
                 if doc.get("committed_at") is not None

@@ -61,7 +61,7 @@ def test_history_tolerates_legacy_manifests(spark, tmp_path_factory):
     mpath = f"{root}/{MANIFEST_DIR}/v0.json"
     doc = json.load(open(mpath))
     for k in ("operation", "committed_at", "touched"):
-        del doc[k]
+        doc.pop(k, None)
     with open(mpath, "w") as f:
         json.dump(doc, f)
     crc = f"{root}/{MANIFEST_DIR}/.v0.json.crc"
