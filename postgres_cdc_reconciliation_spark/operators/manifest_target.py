@@ -287,9 +287,12 @@ def read_keys(
 
         return spark.createDataFrame([], StructType.fromJson(schema_doc))
     scanned = spark.read.parquet(*paths)
-    if len(key_cols) == 1:
+    if len(key_cols) == 1 and len(rows) <= 2048:
         # literal IN predicate: pushes into the parquet scan (row-group
-        # min/max + dictionary filtering), no join at all
+        # min/max + dictionary filtering), no join at all. Above ~2k keys
+        # a literal list bloats the plan (and the driver's plan-serialize
+        # time) past what the pushdown buys — the broadcast semi-join
+        # below does the same bucket-local filtering at any key count
         return scanned.filter(F.col(key_cols[0]).isin([r[0] for r in rows]))
     return scanned.join(F.broadcast(keys_df), key_cols, "left_semi")
 

@@ -144,3 +144,18 @@ def test_engine_facade_point_lookup(spark, tmp_path_factory):
     _commit_range(spark, root, n=30)
     got = {r["k"]: r["v"] for r in Engine(spark).point_lookup(root, ["k"], [4, 9]).collect()}
     assert got == {4: 8.0, 9: 18.0}
+
+
+def test_large_key_list_switches_to_semi_join(spark, tmp_path_factory):
+    """Above the IN-list threshold the lookup answers identically through
+    the broadcast semi-join path (plan-size protection)."""
+    root = str(tmp_path_factory.mktemp("pl"))
+    _commit_range(spark, root, n=5000)
+    keys = list(range(0, 5000, 2)) + [999999]  # 2501 keys > 2048 threshold
+    df = read_keys(spark, root, ["k"], keys)
+    plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "leftsemi" in plan  # join path, not a 2501-literal IN list
+    assert df.count() == 2500
+    # and a small list still takes the IN path
+    small = read_keys(spark, root, ["k"], [2, 4])
+    assert small.count() == 2
