@@ -272,6 +272,99 @@ def hot_ngrams(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic output-shard assignment: md5(salt || id) % n_shards.
+
+    The last step of a training-data pipeline — route every document to a
+    fixed output shard so the writer can emit ``n_shards`` stable files.
+    Same properties as ``hash_split``: map-only (no shuffle), stable under
+    corpus growth (new docs never move existing ones between shards), and
+    reproducible in any engine (md5, not RNG or an engine-private hash).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    return df.withColumn(
+        "shard_id", hash_bucket(F.col(id_col), salt + ":", n_shards)
+    )
+
+
+def shard_stats(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Per-shard balance report for a planned training-data write:
+    (shard_id, n_docs, shard_tokens, shard_chars, token_share).
+
+    Trainers read shards round-robin, so a token-skewed shard becomes the
+    epoch's straggler — this is the check run before committing a layout
+    (and the evidence ``n_shards``/salt choices are sized right). One
+    map-side-combinable agg over the corpus; the share division happens on
+    the ``n_shards``-row aggregate, so the window is trivially small.
+    token_share is a ratio of two exact BIGINTs — one IEEE division, no
+    summation-order nondeterminism (registry convention)."""
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per = (
+        shard_assign(docs, n_shards, id_col=id_col, salt=salt)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(toks).cast("long").alias("shard_tokens"),
+            F.sum(F.length(text_col).cast("long")).cast("long").alias("shard_chars"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "shard_id",
+        "n_docs",
+        "shard_tokens",
+        "shard_chars",
+        (
+            F.col("shard_tokens").cast("double")
+            / F.sum("shard_tokens").over(w).cast("double")
+        ).alias("token_share"),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard-v1",
+) -> None:
+    """Write the corpus as ``n_shards`` deterministic parquet shards —
+    ``{path}/shard_id=<s>/`` with EXACTLY ONE file per shard, rows in
+    ascending ``id_col`` order inside each file.
+
+    Repartitioning on the shard column routes each shard id to exactly one
+    task, so the partitioned write emits one file per shard dir (the shape
+    a dataloader wants: seekable, shard-addressable, no small-file spray).
+    Determinism: assignment is md5-derived (``shard_assign``) and in-file
+    order is a sort on the globally-unique id, so two runs over the same
+    corpus produce byte-identical shard contents. Scale: one hash-partition
+    shuffle of the corpus — the minimum any resharding write pays; shard
+    sizing is the caller's knob (keep shards ≲ a few GB so the per-task
+    sort fits executor memory; check balance with ``shard_stats`` first).
+    """
+    (
+        shard_assign(docs, n_shards, id_col=id_col, salt=salt)
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
 def quality_budget_select(
     docs: DataFrame,
     budget: int = 2000,

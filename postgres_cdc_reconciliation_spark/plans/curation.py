@@ -399,3 +399,40 @@ def q_weighted_sample(spark, sf_dir):
         .orderBy(F.desc("key_r"), "doc_id")
         .limit(100)
     )
+
+
+_SHARD_BUCKET_SQL = (
+    "CAST(CAST('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 16 AS BIGINT)"
+)
+
+
+@register(
+    "q_training_shards",
+    f"""WITH s AS (
+  SELECT {_SHARD_BUCKET_SQL} AS shard_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents),
+per AS (
+  SELECT shard_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS shard_chars
+  FROM s GROUP BY shard_id)
+SELECT shard_id, n_docs, shard_tokens, shard_chars,
+       CAST(shard_tokens AS DOUBLE) / CAST(sum(shard_tokens) OVER () AS DOUBLE)
+         AS token_share
+FROM per""",
+    doc="[EXT] training-shard balance plan (operators/curation.py::"
+    "shard_stats): md5-deterministic shard routing (the dataloader-facing "
+    "final layout — write_training_shards emits one file per shard in id "
+    "order) with per-shard doc/token/char counts and token share. The "
+    "skew check run BEFORE committing a 100 TB reshard: one map-side-"
+    "combinable agg; the share window runs on the n_shards-row aggregate. "
+    "token_share is one IEEE division of exact BIGINTs.",
+)
+def q_training_shards(spark, sf_dir):
+    from ..operators.curation import shard_stats
+
+    return shard_stats(_docs(spark, sf_dir), n_shards=16)

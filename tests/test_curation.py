@@ -172,3 +172,59 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[3]["redacted"] == "host <IP> clean <IP>" and out[3]["n_ips"] == 2
     assert out[4]["redacted"] == "no pii here at all"
     assert out[4]["n_emails"] == out[4]["n_phones"] == out[4]["n_ips"] == 0
+
+
+def test_shard_stats_partition_and_share(spark):
+    from postgres_cdc_reconciliation_spark.operators.curation import shard_stats
+
+    stats = shard_stats(_docs(spark, n=400), n_shards=8).collect()
+    assert {r["shard_id"] for r in stats} <= set(range(8))
+    assert sum(r["n_docs"] for r in stats) == 400
+    assert abs(sum(r["token_share"] for r in stats) - 1.0) < 1e-9
+    # md5 routing is uniform: no shard should hold a wildly skewed share
+    assert max(r["token_share"] for r in stats) < 0.35
+
+
+def test_write_training_shards_one_file_per_shard(spark, tmp_path):
+    import glob
+
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        shard_assign,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    docs = _docs(spark, n=300)
+    write_training_shards(docs, out, n_shards=8)
+    for s in range(8):
+        files = glob.glob(f"{out}/shard_id={s}/*.parquet")
+        assert len(files) == 1, f"shard {s}: {len(files)} files (want exactly 1)"
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    # routing matches shard_assign, and in-file order is ascending doc_id
+    expect = {
+        r["doc_id"]: r["shard_id"]
+        for r in shard_assign(docs, 8).select("doc_id", "shard_id").collect()
+    }
+    import pandas as pd  # noqa: F401
+
+    for s in range(8):
+        pdf = spark.read.parquet(f"{out}/shard_id={s}").toPandas()
+        ids = pdf["doc_id"].tolist()
+        assert ids == sorted(ids)
+        assert all(expect[i] == s for i in ids)
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        write_training_shards,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    docs = _docs(spark, n=200)
+    write_training_shards(docs, a, n_shards=4)
+    write_training_shards(docs, b, n_shards=4)
+    for s in range(4):
+        pa = spark.read.parquet(f"{a}/shard_id={s}").toPandas()
+        pb = spark.read.parquet(f"{b}/shard_id={s}").toPandas()
+        assert pa.equals(pb)
