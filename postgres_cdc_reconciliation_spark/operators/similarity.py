@@ -836,6 +836,141 @@ def rp_near_dup_pairs_multi(
                          & (F.col("cos") >= threshold))
 
 
+# --- SemDeDup: cluster-then-prune semantic deduplication --------------------
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.7,
+    k: int | None = None,
+    target_cluster_size: int = 128,
+    max_iter: int = 3,
+    max_cluster_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "hash",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): k-means the
+    embedding space, then within each cluster prune every vector that has a
+    smaller-id neighbor at cosine >= ``threshold``. Returns one row per
+    well-formed vector: (id_col, cent_id, keep).
+
+    The semantic tier of the dedup ladder — exact (byte dup) →
+    MinHash/n-gram (lexical near-dup) → THIS (same content, different
+    words): clustering makes the O(n²) cosine comparison local, and k
+    scales with the corpus (``k = ceil(n / target_cluster_size)`` when not
+    given) so expected cluster size — and therefore per-cluster pair cost —
+    stays CONSTANT as n grows: total work ~ n × target_cluster_size, the
+    published design's linearity argument. Keep-smallest-id is the
+    deterministic representative rule (the paper keeps low
+    centroid-similarity examples; id order makes the result reproducible
+    and oracle-checkable).
+
+    Skew guard: a mode-collapsed embedding region can produce one huge
+    cluster regardless of k. ``max_cluster_size`` opts into the module's
+    :func:`cap_hot_buckets` guard on the cluster key (sign-LSH sub-split +
+    residual drop, same trade as rp_near_dup_pairs: a vector separated
+    from its witness by the split stays kept — dedup RECALL degrades on
+    the capped mode, never correctness, and still-over-cap residues are
+    dropped from pruning, i.e. kept). Run :func:`hot_buckets` on the
+    result's cent_id alongside, per the capped-job convention.
+
+    Scale shape: kmeans_fit is iterative scan + tiny keyed agg (its own
+    docstring); assignment is map-only literal-folded; the pair step is a
+    keyed self-join on the cluster id (never a cross join) with the cos
+    fold inside; the prune set is a distinct on the loser ids. No driver
+    collect beyond the k×dim centroid list. ``init`` defaults to "hash"
+    (one-pass seeded-uniform sample) rather than kmeans_fit's
+    farthest-first: here k GROWS with the corpus (k = n/target), and
+    Gonzalez seeding is k sequential driver rounds — a 40-cluster sf0.1
+    run would pay 40 scans before the first iteration. Dedup needs
+    locality, not optimal inertia, so the cheap seeding is the right
+    default; pass init="farthest" for small fixed k.
+    """
+    from .clustering import kmeans_assign, kmeans_fit
+
+    if not (isinstance(threshold, (int, float)) and not isinstance(threshold, bool)):
+        raise ValueError(f"threshold must be a number, got {threshold!r}")
+    if k is None:
+        import math
+
+        # bounded driver value: one count() to size k, the same corpus-
+        # tracking rule as auto_n_planes (target_cluster_size is the knob
+        # that fixes per-cluster pair cost at any n)
+        n = vectors.count()
+        if n == 0:
+            return vectors.select(
+                F.col(id_col),
+                F.lit(0).alias("cent_id"),
+                F.lit(True).alias("keep"),
+            ).limit(0)
+        k = max(1, math.ceil(n / target_cluster_size))
+    cents, _iters = kmeans_fit(
+        vectors, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+        init=init,
+    )
+    assigned = kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    # the base frame feeds both sides of the self-join and the final keep
+    # join — materialize once (the r6 bounded-intermediates rule for
+    # reused multi-stage frames)
+    tbl = with_norm(
+        vectors.join(assigned.select(id_col, "cent_id"), id_col), vec_col
+    ).select(
+        F.col(id_col),
+        F.col("cent_id").cast("string").alias("cent_id"),
+        F.col(vec_col).alias("_vec"),
+        "_norm",
+    ).localCheckpoint()
+    # capping narrows the PAIR-JOIN SOURCE only — the output base stays the
+    # full corpus, so a row the guard splits away from (or residually drops
+    # with) its bucket loses its witnesses and comes back KEPT, never
+    # absent (dedup must return a verdict for every well-formed vector)
+    pair_src = tbl
+    if max_cluster_size is not None:
+        from .clustering import _dim_of
+
+        pair_src = cap_hot_buckets(
+            tbl,
+            max_cluster_size,
+            "cent_id",
+            dim=_dim_of(vectors, vec_col),
+            vec_col="_vec",
+        ).localCheckpoint()
+    a = pair_src.select(
+        F.col("cent_id"),
+        F.col(id_col).alias("_id_a"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = pair_src.select(
+        F.col("cent_id"),
+        F.col(id_col).alias("_id_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    # try_divide + NaN guard: zero-norm vectors have undefined cosine and
+    # must never witness a prune (embedding_near_dup_pairs convention)
+    cos = F.try_divide(_dot("_va", "_vb"), F.col("_na") * F.col("_nb"))
+    pruned = (
+        a.join(b, "cent_id")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .select("_id_b", cos.alias("_cos"))
+        .filter(F.col("_cos").isNotNull() & ~F.isnan("_cos")
+                & (F.col("_cos") >= threshold))
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        tbl.join(pruned, id_col, "left")
+        .select(
+            id_col,
+            "cent_id",
+            F.col("_pruned").isNull().alias("keep"),
+        )
+    )
+
+
 # --- centroid-based multi-probe IVF (real coarse quantizer) -----------------
 
 

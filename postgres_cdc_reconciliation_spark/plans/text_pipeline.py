@@ -1603,3 +1603,171 @@ def q_unigram_logprob(spark, sf_dir):
             F.round(F.col("total") / F.col("n_tokens"), 6).alias("mean_logprob_r"),
         )
     )
+
+
+@register(
+    "q_perplexity_buckets",
+    """WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, u.pos, u.token FROM tokd,
+  unnest([{'pos': i, 'token': w[i]} for i in range(1, len(w)+1)]) AS t(u)),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+lp AS (
+  SELECT tok.doc_id, tok.pos,
+         ln(CAST(vocab.freq AS DOUBLE) / tot.t) AS logp
+  FROM tok JOIN vocab USING (token) CROSS JOIN tot),
+cum AS (
+  SELECT doc_id, pos,
+         sum(logp) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM lp),
+fin AS (
+  SELECT doc_id, max_by(c, pos) AS total, CAST(count(*) AS BIGINT) AS n
+  FROM cum GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id, d.lang, fin.n AS n_tokens,
+         round(fin.total / fin.n, 6) AS mean_logprob_r
+  FROM fin JOIN documents d USING (doc_id)),
+b AS (
+  SELECT doc_id, lang, n_tokens, mean_logprob_r,
+         CAST(ntile(3) OVER (PARTITION BY lang
+                             ORDER BY mean_logprob_r DESC, doc_id) AS BIGINT)
+           AS tercile
+  FROM scored)
+SELECT doc_id, lang, n_tokens, mean_logprob_r, tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM b""",
+    doc="[EXT] CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 — "
+    "public): per-doc unigram-LM mean logprob (exactly the q_unigram_logprob "
+    "running-frame idiom, so the doubles are sequence-deterministic), then "
+    "per-language terciles — head (best-scoring third under the LM), middle, "
+    "tail — the quality tiers CCNet keeps/samples/drops. Ordering uses the "
+    "ROUNDED score (margins proven for q_unigram_logprob) with doc_id "
+    "tie-break, so ntile is fully deterministic cross-engine. Scale: vocab "
+    "agg + broadcast join + one window per doc + one window per language; "
+    "the per-lang sort distributes by partition key.",
+)
+def q_perplexity_buckets(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("freq"))
+    tot = tok.agg(F.count("*").cast("long").alias("t"))
+    lp = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(F.col("freq").cast("double") / F.col("t")).alias("logp"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fin = (
+        lp.select("doc_id", "pos", F.sum("logp").over(w_run).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.max_by("c", "pos").alias("total"),
+        )
+    )
+    scored = fin.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.col("total") / F.col("n_tokens"), 6).alias("mean_logprob_r"),
+    )
+    w_lang = Window.partitionBy("lang").orderBy(
+        F.desc("mean_logprob_r"), "doc_id"
+    )
+    tercile = F.ntile(3).over(w_lang).cast("long")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "mean_logprob_r",
+        tercile.alias("tercile"),
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+@register(
+    "q_semantic_dedup",
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(0 AS BIGINT) AS n_pruned_without_witness,
+       CAST(0 AS BIGINT) AS n_kept_with_witness,
+       TRUE AS prune_nonvacuous
+FROM embeddings""",
+    doc="[EXT] SemDeDup semantic dedup (operators/similarity.py::"
+    "semantic_dedup; Abbas et al. 2023, arXiv:2303.09540): k-means the "
+    "embeddings (k = ceil(n/target_cluster_size) — per-cluster pair cost "
+    "constant in n), then within each cluster prune vectors with a "
+    "smaller-id neighbor at cosine >= 0.3. Oracle-able by construction "
+    "(the q_kmeans precedent — distributed fp centroids aren't bit-"
+    "stable): the result surfaces invariants verified through an "
+    "INDEPENDENT numeric path (numpy pandas-UDF cosine vs the operator's "
+    "SQL fold): n_vectors (exact corpus count), pruned-without-witness "
+    "and kept-with-witness counts (each with a 1e-9 boundary band so "
+    "scorer noise can't flip a count; both must be 0 — a broken "
+    "cluster-join, prune rule, or tie-break flips one), and "
+    "prune_nonvacuous (both kept and pruned non-empty at this sf/"
+    "threshold, so the zeros aren't trivial). Cluster-quality and "
+    "capped-mode semantics are pytest-witnessed (tests/"
+    "test_semantic_dedup.py).",
+)
+def q_semantic_dedup(spark, sf_dir):
+    from ..operators.similarity import _pair_cos_udf, semantic_dedup
+
+    thr = 0.3
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = semantic_dedup(
+        emb, threshold=thr, target_cluster_size=128
+    ).localCheckpoint()  # feeds the witness join twice (r6 rule)
+    t = res.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = t.select(
+        "cent_id", F.col("vec_id").alias("_a"), F.col("embedding").alias("_ea")
+    )
+    b = t.select(
+        "cent_id", F.col("vec_id").alias("_b"), F.col("embedding").alias("_eb")
+    )
+    # independent scorer: Arrow-batched numpy einsum, NOT the SQL fold the
+    # operator used (evaluate-once marker — the q_series_dtw Catalyst trap)
+    cos = _pair_cos_udf().asNondeterministic()("_ea", "_eb")
+    wit = (
+        a.join(b, "cent_id")
+        .filter(F.col("_a") < F.col("_b"))
+        .select("_b", cos.alias("_cos"))
+        .groupBy("_b")
+        .agg(F.max("_cos").alias("_best"))
+    )
+    per = res.join(wit, res["vec_id"] == wit["_b"], "left")
+    pruned_bad = (
+        ~F.col("keep")
+        & (F.col("_best").isNull() | (F.col("_best") < thr - 1e-9))
+    ).cast("long")
+    kept_bad = (
+        F.col("keep") & (F.col("_best") >= thr + 1e-9)
+    ).cast("long")
+    return per.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum(pruned_bad).cast("long").alias("n_pruned_without_witness"),
+        F.sum(kept_bad).cast("long").alias("n_kept_with_witness"),
+        (
+            (F.sum((~F.col("keep")).cast("long")) > 0)
+            & (F.sum(F.col("keep").cast("long")) > 0)
+        ).alias("prune_nonvacuous"),
+    )

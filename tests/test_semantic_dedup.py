@@ -1,0 +1,116 @@
+"""Semantic-dedup (SemDeDup) semantics: the oracle query proves the
+invariants cross-engine; these prove the operator does its job on planted
+corpora — duplicates pruned toward the smallest id, distinct content kept,
+degenerate inputs survive, and the capped mode only ever degrades recall."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.similarity import semantic_dedup
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _planted(n_groups=6, dupes=4, dim=8):
+    """n_groups well-separated directions, each repeated `dupes` times with
+    a tiny deterministic wiggle — cosine within a group ~1.0, across ~0."""
+    rows = []
+    vid = 0
+    for g in range(n_groups):
+        base = [0.0] * dim
+        base[g % dim] = 1.0
+        for d in range(dupes):
+            v = list(base)
+            v[(g + 1) % dim] += 0.01 * d  # wiggle, cosine stays > 0.99
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_planted_groups_keep_exactly_smallest(spark):
+    rows = _planted()
+    out = semantic_dedup(
+        _vecs(spark, rows), threshold=0.9, k=3, max_iter=4
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == len(rows)
+    # group g holds ids [4g, 4g+3]; all four land in one k-means cluster
+    # (cosine ~1), so exactly the smallest id of each group survives
+    for g in range(6):
+        ids = [4 * g + i for i in range(4)]
+        kept = [i for i in ids if by_id[i]["keep"]]
+        assert kept == [ids[0]], f"group {g}: kept {kept}"
+
+
+def test_distinct_content_all_kept(spark):
+    # orthogonal vectors: nothing reaches threshold, everything kept
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(8)]
+    out = semantic_dedup(_vecs(spark, rows), threshold=0.5, k=2).collect()
+    assert all(r["keep"] for r in out)
+    assert len(out) == 8
+
+
+def test_auto_k_scales_with_corpus(spark):
+    rows = _planted(n_groups=8, dupes=8)  # n=64
+    out = semantic_dedup(
+        _vecs(spark, rows), threshold=0.9, target_cluster_size=16
+    )
+    # ceil(64/16)=4 clusters requested; result covers every vector
+    assert out.count() == 64
+    n_cent = out.select("cent_id").distinct().count()
+    assert 1 <= n_cent <= 4
+
+
+def test_zero_norm_vector_never_witnesses_a_prune(spark):
+    rows = [
+        (0, [0.0] * 4),  # zero vector: cosine undefined against anything
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0] * 4),
+    ]
+    out = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+        _vecs(spark, rows), threshold=0.1, k=1
+    ).collect()}
+    # nothing has a valid witness: all kept (zero-norm cos is NULL/NaN)
+    assert out == {0: True, 1: True, 2: True}
+
+
+def test_empty_corpus(spark):
+    out = semantic_dedup(_vecs(spark, []), threshold=0.5)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "cent_id", "keep"}
+
+
+def test_capped_mode_only_degrades_recall(spark):
+    rows = _planted(n_groups=4, dupes=10)  # one hot 40-row mass per group
+    uncapped = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            _vecs(spark, rows), threshold=0.9, k=2, max_iter=2
+        ).collect()
+    }
+    capped = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            _vecs(spark, rows), threshold=0.9, k=2, max_iter=2,
+            max_cluster_size=8,
+        ).collect()
+    }
+    assert set(capped) == set(uncapped)
+    # capping can only LOSE witnesses (split separates pairs; residual drop
+    # keeps rows) — so every vector kept by the uncapped run stays kept
+    for vid, keep in uncapped.items():
+        if keep:
+            assert capped[vid], f"capped run pruned {vid} the uncapped kept"
+
+
+def test_bool_threshold_rejected(spark):
+    try:
+        semantic_dedup(_vecs(spark, [(0, [1.0])]), threshold=True)
+    except ValueError:
+        return
+    raise AssertionError("threshold=True must raise")
