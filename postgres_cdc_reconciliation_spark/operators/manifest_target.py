@@ -782,3 +782,87 @@ def vacuum(
             ):
                 fs.delete(vstat.getPath(), True)
     return deleted
+
+
+def snapshot_files(
+    spark: SparkSession, root: str, version: int | None = None
+) -> list[tuple[int, str]]:
+    """(bucket, file path) for every data file a committed manifest lists —
+    the file-level inventory behind the metadata-only stats readers.
+    O(live buckets) dir listings, no data IO."""
+    mapping = _mapping_at(spark, root, version)
+    fs, _ = _fs(spark, root)
+    out: list[tuple[int, str]] = []
+    for b, dv in sorted(mapping.items()):
+        _, bdir = _fs(spark, _bucket_path(root, b, dv))
+        for st_ in fs.listStatus(bdir):
+            name = st_.getPath().getName()
+            if name.endswith(".parquet"):
+                out.append((b, str(st_.getPath())))
+    return out
+
+
+def target_stats(
+    spark: SparkSession,
+    root: str,
+    cols: list[str] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot-level table stats WITHOUT scanning a row: one row with
+    n_files, n_rows, n_bytes, and min_<c>/max_<c> for each requested
+    column — all from parquet FOOTERS (layout.footer_stats, a distributed
+    metadata job over the manifest's file list).
+
+    The lakehouse answer to ``SELECT count(*)``/``min``/``max`` health
+    probes against a 100 TB target (the reference's row-count checks,
+    verify_replication.py:61-69, re-read whole tables through Postgres;
+    footers answer exactly + instantly). count is exact; min/max are exact
+    for numeric columns (string footer stats may be truncated — bounds,
+    not exact extremes; see footer_stats). Cost: O(files) footer reads —
+    KBs each — regardless of table size."""
+    from .layout import footer_stats
+
+    files = snapshot_files(spark, root, version)
+    cols = list(cols or [])
+    stats = footer_stats(spark, [f for _, f in files], cols)
+    n_files = len(stats)
+    n_rows = sum(p["rows"] for p in stats.values())
+    n_bytes = sum(p["bytes"] for p in stats.values())
+    row: dict = {"n_files": n_files, "n_rows": n_rows, "n_bytes": n_bytes}
+    fields = "n_files long, n_rows long, n_bytes long"
+    for c in cols:
+        zones = [p["cols"][c] for p in stats.values() if c in p["cols"]]
+        row[f"min_{c}"] = min((z[0] for z in zones), default=None)
+        row[f"max_{c}"] = max((z[1] for z in zones), default=None)
+    df = spark.createDataFrame([tuple(row.values())[:3]], fields)
+    for c in cols:
+        # literal columns keep each stat's native type (createDataFrame
+        # over mixed None/typed tuples would need explicit schemas per type)
+        df = df.withColumn(f"min_{c}", F.lit(row[f"min_{c}"]))
+        df = df.withColumn(f"max_{c}", F.lit(row[f"max_{c}"]))
+    return df
+
+
+def bucket_stats(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Per-bucket (bucket, n_files, n_rows, n_bytes) from parquet footers —
+    the skew/maintenance view of a committed snapshot: hot buckets show up
+    as row/byte outliers (salt or re-bucket via compact), file-count
+    outliers mean compaction is due. Metadata IO only."""
+    from .layout import footer_stats
+
+    files = snapshot_files(spark, root, version)
+    by_file = dict(files and [(f, b) for b, f in files] or [])
+    stats = footer_stats(spark, [f for _, f in files], [])
+    agg: dict[int, list[int]] = {}
+    for f, per in stats.items():
+        b = by_file[f]
+        cur = agg.setdefault(b, [0, 0, 0])
+        cur[0] += 1
+        cur[1] += per["rows"]
+        cur[2] += per["bytes"]
+    return spark.createDataFrame(
+        [(b, *v) for b, v in sorted(agg.items())],
+        "bucket int, n_files long, n_rows long, n_bytes long",
+    )

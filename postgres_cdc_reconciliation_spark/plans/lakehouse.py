@@ -208,3 +208,105 @@ def q_schema_evolution(spark, sf_dir):
         drop_cols=("op", "source_lsn"),
         evolve_schema=True,
     )
+
+
+# One range-clustered lineitem copy per (session, sf_dir), removed at exit
+# (the _CDF_ROOTS idiom — the bench's reps must not re-cluster per run).
+_ZONE_ROOTS: dict[tuple[int, str], str] = {}
+
+
+def _rm_zone_roots() -> None:
+    for root in _ZONE_ROOTS.values():
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_rm_zone_roots)
+
+
+def _ensure_zone_root(spark, sf_dir) -> str:
+    """Build (once per session × sf_dir) the zone-mapped lineitem layout:
+    range-clustered by l_shipdate into 24 files with stamped file zones."""
+    from ..operators.layout import write_range_clustered
+
+    cache_key = (id(spark), sf_dir)
+    root = _ZONE_ROOTS.get(cache_key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="pcr_zone_")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+        )
+        write_range_clustered(
+            li, root, "l_shipdate", n_files=24, extra_stats_cols=["l_orderkey"]
+        )
+        _ZONE_ROOTS[cache_key] = root
+    return root
+
+
+@register(
+    "q_range_pruned_scan",
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+         AND l_shipdate <= TIMESTAMP '1995-09-30 00:00:00'""",
+    doc="zone-map-pruned range scan (operators/layout.py::"
+    "write_range_clustered + read_range): lineitem range-clustered by "
+    "l_shipdate into 24 files, each file's [min,max] stamped in a "
+    "_pcr_zonemap.json sidecar from PARQUET FOOTERS (no data re-scan); a "
+    "4-month window then opens ONLY the overlapping files — Delta/Iceberg "
+    "file skipping on plain parquet. Residual BETWEEN re-checks survivors, "
+    "so pruning can only skip IO, never change results (the oracle is the "
+    "plain full-scan filter). tests/test_layout.py pins files-opened < "
+    "files-written; at 100 TB a narrow time window reads a handful of "
+    "files and the prune decision is one tiny JSON read.",
+)
+def q_range_pruned_scan(spark, sf_dir):
+    from ..operators.layout import read_range
+
+    root = _ensure_zone_root(spark, sf_dir)
+    return read_range(
+        spark, root, "l_shipdate",
+        "1995-06-01 00:00:00", "1995-09-30 00:00:00",
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+@register(
+    "q_target_stats",
+    """WITH v1 AS (
+         SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+           AND o_orderkey % 5 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice + 1.0
+         FROM orders
+         WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+       )
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(min(o_orderkey) AS BIGINT) AS min_o_orderkey,
+              CAST(max(o_orderkey) AS BIGINT) AS max_o_orderkey,
+              min(o_totalprice) AS min_o_totalprice,
+              max(o_totalprice) AS max_o_totalprice
+       FROM v1""",
+    doc="metadata-only table stats over the committed v1 manifest snapshot "
+    "(operators/manifest_target.py::target_stats): exact row count and "
+    "numeric min/max read from parquet FOOTERS — zero data IO, O(files) "
+    "KB-sized footer reads at any table size. The reference re-reads whole "
+    "tables through Postgres for its row-count checks "
+    "(verify_replication.py:61-69); the oracle reconstructs v1 "
+    "relationally and full-scans it — footer stats must agree exactly "
+    "(count always; min/max exact for numerics). min/max o_totalprice "
+    "arithmetic is +1.0 on doubles — IEEE-exact in both engines.",
+)
+def q_target_stats(spark, sf_dir):
+    from ..operators.manifest_target import target_stats
+
+    root = _ensure_cdf_root(spark, sf_dir)
+    return target_stats(
+        spark, root, cols=["o_orderkey", "o_totalprice"]
+    ).select(
+        "n_rows",
+        F.col("min_o_orderkey").cast("long").alias("min_o_orderkey"),
+        F.col("max_o_orderkey").cast("long").alias("max_o_orderkey"),
+        "min_o_totalprice",
+        "max_o_totalprice",
+    )

@@ -273,3 +273,131 @@ def test_dynamic_write_validates_layout_first(spark, tmp_path):
     # static rewrite re-buckets legitimately and re-stamps
     write_bucketed_target(df, fresh, ["k"], n_buckets=4, dynamic=False)
     assert _read_layout_n_buckets(spark, fresh) == 4
+
+
+def _zone_table(spark, tmp_path, n=2000, n_files=10):
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        write_range_clustered,
+    )
+
+    path = str(tmp_path / "zoned")
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        F.concat(F.lit("s"), (F.col("id") % 50).cast("string")).alias("tag"),
+    )
+    written = write_range_clustered(
+        df, path, "k", n_files=n_files, extra_stats_cols=["v"]
+    )
+    return path, df, written
+
+
+def test_range_clustered_write_stamps_zones(spark, tmp_path):
+    import glob
+    import json
+
+    path, _df, written = _zone_table(spark, tmp_path)
+    assert written == len(glob.glob(f"{path}/*.parquet")) == 10
+    doc = json.load(open(f"{path}/_pcr_zonemap.json"))
+    assert doc["cluster_col"] == "k"
+    assert len(doc["files"]) == 10
+    # every file has zones for both stat columns, and the k zones are
+    # (nearly) disjoint contiguous ranges — the clustering property
+    zones = sorted(z["k"] for z in doc["files"].values())
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(zones, zones[1:]):
+        assert lo_a <= hi_a < lo_b
+
+
+def test_read_range_prunes_files_and_matches_full_scan(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import read_range
+
+    path, df, written = _zone_table(spark, tmp_path)
+    out = read_range(spark, path, "k", 100, 299)
+    expect = df.filter((F.col("k") >= 100) & (F.col("k") <= 299))
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in expect.collect()
+    )
+    # the pruning claim itself: the scan's file list is a strict subset
+    assert 1 <= len(out.inputFiles()) < written
+
+
+def test_read_range_secondary_column_and_open_bounds(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import read_range
+
+    path, df, _w = _zone_table(spark, tmp_path)
+    # v = 3k is also clustered (correlated with k): pruning works on the
+    # extra stats column too
+    out = read_range(spark, path, "v", None, 300)
+    assert len(out.inputFiles()) < 10
+    assert out.count() == df.filter(F.col("v") <= 300).count()
+    # half-open lower bound
+    hi = read_range(spark, path, "k", 1900, None)
+    assert hi.count() == 100
+    assert len(hi.inputFiles()) == 1
+
+
+def test_read_range_empty_window_keeps_schema(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import read_range
+
+    path, df, _w = _zone_table(spark, tmp_path)
+    out = read_range(spark, path, "k", 10_000, 20_000)
+    assert out.count() == 0
+    assert out.columns == df.columns
+
+
+def test_read_range_unstamped_column_reads_everything_correctly(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import read_range
+
+    path, df, written = _zone_table(spark, tmp_path)
+    # tag has no stamped zone: no pruning, but results stay exact
+    out = read_range(spark, path, "tag", "s1", "s1")
+    assert len(out.inputFiles()) == written
+    assert out.count() == df.filter(F.col("tag") == "s1").count()
+
+
+def test_read_range_timestamp_iso_bounds(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        read_range,
+        write_range_clustered,
+    )
+
+    path = str(tmp_path / "ts_zoned")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "cast('2024-01-01 00:00:00' as timestamp_ntz) "
+            "+ make_interval(0, 0, 0, 0, cast(id as int), 0, 0)"
+        ).alias("ts"),
+    )
+    write_range_clustered(df, path, "ts", n_files=8)
+    out = read_range(
+        spark, path, "ts", "2024-01-03 00:00:00", "2024-01-05 00:00:00"
+    )
+    assert len(out.inputFiles()) < 8
+    assert out.count() == 49  # hours 48..96 inclusive
+
+
+def test_target_stats_and_bucket_stats_footer_only(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.apply import bucket_expr
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        bucket_stats,
+        commit_delta,
+        target_stats,
+    )
+
+    root = str(tmp_path / "tgt")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("x")
+    )
+    commit_delta(df, root, ["k"], list(range(8)), 8)
+    stats = target_stats(spark, root, cols=["k", "x"]).collect()[0]
+    assert stats["n_rows"] == 1000
+    assert stats["min_k"] == 0 and stats["max_k"] == 999
+    assert stats["min_x"] == 0.0 and stats["max_x"] == 1998.0
+    assert stats["n_files"] >= 8 and stats["n_bytes"] > 0
+
+    per = bucket_stats(spark, root).collect()
+    assert sum(r["n_rows"] for r in per) == 1000
+    assert {r["bucket"] for r in per} == set(
+        r["_b"] for r in df.select(bucket_expr(["k"], 8).alias("_b")).distinct().collect()
+    )
