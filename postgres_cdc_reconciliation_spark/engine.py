@@ -240,6 +240,35 @@ class Engine:
 
         return quality_budget_select(docs, budget=budget, group_col=group_col)
 
+    def semantic_dedup(self, vectors, threshold=0.7, target_cluster_size=128,
+                       max_cluster_size=None) -> DataFrame:
+        """SemDeDup: k-means-localized cosine dedup over an embedding
+        corpus — (vec_id, cent_id, keep) with keep-smallest-id semantics.
+        k auto-scales with the corpus so per-cluster pair cost is constant;
+        ``max_cluster_size`` opts into the hot-cluster guard (recall-only
+        degradation on capped modes)."""
+        from .operators.similarity import semantic_dedup
+
+        return semantic_dedup(
+            vectors, threshold=threshold,
+            target_cluster_size=target_cluster_size,
+            max_cluster_size=max_cluster_size,
+        )
+
+    def shard_stats(self, docs, n_shards=16) -> DataFrame:
+        """Per-shard balance report (docs/tokens/chars + token share) for a
+        planned training-data reshard — run before write_shards."""
+        from .operators.curation import shard_stats
+
+        return shard_stats(docs, n_shards=n_shards)
+
+    def write_shards(self, docs, path, n_shards=16) -> None:
+        """Write the corpus as n_shards deterministic parquet shards (one
+        file per shard, id-ordered — the dataloader-facing final layout)."""
+        from .operators.curation import write_training_shards
+
+        write_training_shards(docs, path, n_shards=n_shards)
+
     # --- physical layout / table maintenance ---
 
     def zorder_write(self, df, path, cols, n_files=32) -> None:
@@ -271,6 +300,38 @@ class Engine:
         from .operators.manifest_target import describe_history
 
         return describe_history(self.spark, root)
+
+    def target_stats(self, root, cols=None, version=None) -> DataFrame:
+        """Metadata-only snapshot stats (row count, bytes, per-column
+        min/max) from parquet footers — zero data IO at any table size."""
+        from .operators.manifest_target import target_stats
+
+        return target_stats(self.spark, root, cols=cols, version=version)
+
+    def bucket_stats(self, root, version=None) -> DataFrame:
+        """Per-bucket file/row/byte counts from parquet footers — the
+        skew + compaction-due view of a manifest target."""
+        from .operators.manifest_target import bucket_stats
+
+        return bucket_stats(self.spark, root, version=version)
+
+    def cluster_write(self, df, path, cluster_col, n_files=32,
+                      extra_stats_cols=None) -> int:
+        """Range-clustered parquet write with stamped file-level zone maps
+        (the data-skipping layout for time/range-scanned tables)."""
+        from .operators.layout import write_range_clustered
+
+        return write_range_clustered(
+            df, path, cluster_col, n_files=n_files,
+            extra_stats_cols=extra_stats_cols,
+        )
+
+    def range_scan(self, path, col, lower=None, upper=None) -> DataFrame:
+        """Zone-map-pruned range read over a cluster_write table: opens
+        only files whose stamped [min,max] overlaps the window."""
+        from .operators.layout import read_range
+
+        return read_range(self.spark, path, col, lower, upper)
 
     def point_lookup(self, root, key_cols, keys, version=None) -> DataFrame:
         """Key-routed point read from a manifest apply target: the keys

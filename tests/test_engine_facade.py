@@ -166,3 +166,23 @@ def test_pq_rerank_tolerates_zero_norm_vectors(spark):
     assert out
     assert all(r["neighbor_id"] != 99 for r in out)
     assert all(r["cos"] == r["cos"] for r in out)  # no NaN survives
+
+
+def test_semantic_dedup_and_shards_facade(spark, sf_dir, tmp_path):
+    """Round-10 facade methods delegate correctly (smoke + shape checks)."""
+    from postgres_cdc_reconciliation_spark.engine import Engine
+
+    eng = Engine(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sd = eng.semantic_dedup(emb, threshold=0.3, target_cluster_size=64)
+    assert set(sd.columns) == {"vec_id", "cent_id", "keep"}
+    assert sd.count() == emb.count()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = eng.shard_stats(docs, n_shards=4)
+    assert st.count() == 4
+    assert abs(sum(r["token_share"] for r in st.collect()) - 1.0) < 1e-9
+
+    out = str(tmp_path / "shards")
+    eng.write_shards(docs, out, n_shards=4)
+    assert spark.read.parquet(out).count() == docs.count()

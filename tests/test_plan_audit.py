@@ -311,3 +311,29 @@ def test_prefix_join_and_point_lookup_plans(spark, sf_dir):
 
     root = _ensure_cdf_root(spark, sf_dir)
     assert len(df.inputFiles()) < len(read_snapshot(spark, root).inputFiles())
+
+
+def test_round10b_registrations_plan_shapes(spark, sf_dir):
+    """Second round-10 batch: the zone-map range scan must open strictly
+    fewer files than the clustered layout holds (file skipping is the
+    point); semantic dedup and perplexity bucketing stay cartesian-free
+    (cluster-keyed / lang-keyed joins only); target stats touch parquet
+    footers, not data (its plan is a pure local relation — no scan node)."""
+    qs = all_queries()
+
+    df = qs["q_range_pruned_scan"].fn(spark, sf_dir)
+    assert "CartesianProduct" not in _plan(df)
+    from postgres_cdc_reconciliation_spark.plans.lakehouse import (
+        _ensure_zone_root,
+    )
+
+    root = _ensure_zone_root(spark, sf_dir)
+    assert len(df.inputFiles()) < len(spark.read.parquet(root).inputFiles())
+
+    for name in ("q_semantic_dedup", "q_perplexity_buckets",
+                 "q_training_shards"):
+        assert "CartesianProduct" not in _plan(qs[name].fn(spark, sf_dir)), name
+
+    stats = qs["q_target_stats"].fn(spark, sf_dir)
+    plan = _plan(stats)
+    assert "Scan parquet" not in plan  # footer-derived: zero data IO
