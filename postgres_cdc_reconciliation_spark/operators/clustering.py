@@ -175,32 +175,99 @@ def _nearest_expr(centroids: list[list[float]]):
     return F.expr(f"array_min(array({','.join(structs)}))")
 
 
+#: above this k×dim, assignment switches from the literal-folded SQL
+#: expression to the Arrow-batched numpy E-step: Catalyst's analysis/
+#: codegen cost on a k-centroid literal plan grows with the expression
+#: tree (a 300-centroid × 64-dim plan takes longer to COMPILE than to
+#: run), while the numpy closure ships k×dim doubles once per stage and
+#: the per-batch gemm is flat in plan size. Both paths use the same
+#: tie rule (argmin → first index = smallest cent_id).
+_LITERAL_ASSIGN_MAX_TERMS = 4096
+
+
+def _assign_mode(assign: str, k: int, dim: int) -> str:
+    if assign not in ("auto", "literal", "numpy"):
+        raise ValueError(f"assign must be auto|literal|numpy, got {assign!r}")
+    if assign != "auto":
+        return assign
+    return "literal" if k * dim <= _LITERAL_ASSIGN_MAX_TERMS else "numpy"
+
+
+def _assign_pandas(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Vectorized E-step: per-Arrow-batch ``argmin_k ||v - c_k||²`` via one
+    numpy gemm (the expanded ||v||² - 2v·C + ||c||² identity). Input must
+    carry a ``_v`` array<double> column of well-formed vectors; output is
+    the input columns + (cent_id int, dist double). Plan-size-flat in k —
+    the scale path when k grows with the corpus (semantic_dedup's
+    k = n/target regime). Ties go to the first (smallest) cent_id,
+    matching _nearest_expr's struct-compare rule."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cents = [list(c) for c in centroids]
+    # fresh StructType: .add() MUTATES the (cached) df.schema in place,
+    # which corrupts the source frame's visible schema
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("cent_id", IntegerType()), StructField("dist", DoubleType())]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        C = np.asarray(cents, dtype=np.float64)  # k×d
+        cn = (C * C).sum(axis=1)  # ||c||²
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["_v"].to_numpy())  # b×d
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
+            m = d2.argmin(axis=1)
+            out = pdf.copy()
+            out["cent_id"] = m.astype("int32")
+            # clamp tiny negative cancellation residue like a true sq-dist
+            out["dist"] = np.maximum(d2[np.arange(len(m)), m], 0.0)
+            yield out
+
+    return df.mapInPandas(fn, out_schema)
+
+
 def kmeans_assign(
     corpus: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
-    """(id, cent_id, dist): nearest centroid per vector. Map-only — the
-    centroid list rides into the plan as folded literals (k×dim doubles,
-    same scale bound as any broadcast), so there is no join and no shuffle;
-    downstream grouping is the caller's choice."""
-    return (
+    """(id, cent_id, dist): nearest centroid per vector. Map-only either
+    way: ``assign="literal"`` folds the centroid list into the plan as
+    literals (no join, no shuffle, whole-stage codegen); ``"numpy"`` runs
+    the Arrow-batched gemm E-step (plan-size-flat — the large-k path);
+    ``"auto"`` picks by k×dim (see _LITERAL_ASSIGN_MAX_TERMS). Downstream
+    grouping is the caller's choice."""
+    mode = _assign_mode(assign, len(centroids), len(centroids[0]))
+    base = (
         # malformed vectors (size != centroid dim, non-finite components)
         # drop out: their padded distances are NULL/NaN, which would
         # otherwise win array_min's struct compare and mis-assign every
-        # dirty row to centroid 0
+        # dirty row to centroid 0 (and crash the numpy vstack)
         corpus.filter(_well_formed(vec_col, len(centroids[0])))
         .select(
             F.col(id_col),
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
         )
-        .withColumn("_m", _nearest_expr(centroids))
-        .select(
-            id_col,
-            F.col("_m.cent_id").alias("cent_id"),
-            F.col("_m.dist").alias("dist"),
-        )
+    )
+    if mode == "numpy":
+        return _assign_pandas(base, centroids).select(id_col, "cent_id", "dist")
+    return base.withColumn("_m", _nearest_expr(centroids)).select(
+        id_col,
+        F.col("_m.cent_id").alias("cent_id"),
+        F.col("_m.dist").alias("dist"),
     )
 
 
@@ -213,11 +280,18 @@ def kmeans_fit(
     vec_col: str = "embedding",
     init: str = "farthest",
     seeds: list[list[float]] | None = None,
+    assign: str = "auto",
 ) -> tuple[list[list[float]], int]:
     """Lloyd's iterations until the max centroid displacement² < tol or
     max_iter. Returns (centroids, iterations_run). ``init``: "farthest"
     (Gonzalez, default — spreads seeds across modes) or "hash" (one-pass
-    seeded-uniform sample).
+    seeded-uniform sample). ``assign``: E-step strategy per
+    :func:`kmeans_assign` — "auto" keeps the codegen'd literal expression
+    for small k×dim and switches to the Arrow-batched numpy gemm when k
+    grows with the corpus (plan compile time on a many-centroid literal
+    expression otherwise dominates the fit; both paths share the
+    smallest-cent_id tie rule, so results differ only by gemm-vs-fold
+    summation order — ~1e-15 relative).
 
     Each iteration: one scan + one keyed shuffle whose volume is ≤
     k × partitions partial rows (map-side combine on the dim avg() columns)
@@ -250,11 +324,15 @@ def kmeans_fit(
     # standard k-means trade (MLlib does the same); at cluster scale the
     # blocks spill to executor disk rather than re-scanning the source
     # per iteration.
+    mode = _assign_mode(assign, k, dim)
     it = 0
     for it in range(1, max_iter + 1):
-        assigned = vecs.withColumn("_m", _nearest_expr(cents)).select(
-            F.col("_m.cent_id").alias("cent_id"), "_v"
-        )
+        if mode == "numpy":
+            assigned = _assign_pandas(vecs, cents).select("cent_id", "_v")
+        else:
+            assigned = vecs.withColumn("_m", _nearest_expr(cents)).select(
+                F.col("_m.cent_id").alias("cent_id"), "_v"
+            )
         means = (
             assigned.groupBy("cent_id")
             .agg(*[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)])

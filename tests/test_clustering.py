@@ -151,3 +151,59 @@ def test_dim_inference_tie_breaks_deterministically(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     assert _dim_of(df, "embedding") == 3
     assert _dim_of(df.repartition(7), "embedding") == 3
+
+
+def test_numpy_assignment_agrees_with_literal(spark):
+    """The Arrow-batched gemm E-step and the literal-folded SQL expression
+    must assign identically (same tie rule, fp-identical on clear-margin
+    data) and both must drop malformed vectors."""
+    from postgres_cdc_reconciliation_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    rows = [(i, [float((i * 13) % 7), float((i * 5) % 11), 1.0]) for i in range(200)]
+    rows.append((900, None))  # malformed: NULL vector
+    rows.append((901, [1.0]))  # malformed: truncated
+    rows.append((902, [float("nan"), 0.0, 0.0]))  # malformed: non-finite
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0, 1.0], [3.0, 5.0, 1.0], [6.0, 9.0, 1.0]]
+    lit = {r["vec_id"]: (r["cent_id"], r["dist"]) for r in
+           kmeans_assign(df, cents, assign="literal").collect()}
+    npy = {r["vec_id"]: (r["cent_id"], r["dist"]) for r in
+           kmeans_assign(df, cents, assign="numpy").collect()}
+    assert set(lit) == set(npy) == set(range(200))  # malformed dropped both
+    for vid in lit:
+        assert lit[vid][0] == npy[vid][0], vid
+        assert abs(lit[vid][1] - npy[vid][1]) < 1e-9 * (1 + lit[vid][1])
+
+
+def test_fit_numpy_estep_matches_literal_centroids(spark):
+    from postgres_cdc_reconciliation_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    rows = [
+        (i, [float(10 * (i % 3)) + 0.01 * i, float(i % 5)]) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a, _ = kmeans_fit(df, k=3, max_iter=4, init="hash", assign="literal")
+    b, _ = kmeans_fit(df, k=3, max_iter=4, init="hash", assign="numpy")
+    for ca, cb in zip(a, b):
+        for xa, xb in zip(ca, cb):
+            assert abs(xa - xb) < 1e-9 * (1 + abs(xa))
+
+
+def test_assign_auto_switches_on_k_times_dim(spark):
+    from postgres_cdc_reconciliation_spark.operators.clustering import (
+        _assign_mode,
+    )
+
+    assert _assign_mode("auto", 16, 64) == "literal"  # 1024 terms
+    assert _assign_mode("auto", 300, 64) == "numpy"  # 19200 terms
+    assert _assign_mode("literal", 300, 64) == "literal"
+    try:
+        _assign_mode("gemm", 2, 2)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("bad mode must raise")
