@@ -271,12 +271,16 @@ class Engine:
 
     # --- physical layout / table maintenance ---
 
-    def zorder_write(self, df, path, cols, n_files=32) -> None:
+    def zorder_write(self, df, path, cols, n_files=32,
+                     stamp_zones=False) -> None:
         """Write parquet clustered by Z-order over `cols` (multi-dim
-        data skipping via row-group min/max stats)."""
+        data skipping via row-group min/max stats); ``stamp_zones=True``
+        adds the file-level zone-map sidecar so ``range_scan`` file-skips
+        on ANY z-ordered column."""
         from .operators.layout import write_zordered
 
-        write_zordered(df, path, cols, n_files=n_files)
+        write_zordered(df, path, cols, n_files=n_files,
+                       stamp_zones=stamp_zones)
 
     def compact_target(self, root, key_cols, n_buckets) -> int:
         """Compact a manifest apply target to one file per bucket

@@ -340,25 +340,39 @@ def write_training_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "shard-v1",
+    shuffle_salt: str | None = None,
 ) -> None:
     """Write the corpus as ``n_shards`` deterministic parquet shards —
     ``{path}/shard_id=<s>/`` with EXACTLY ONE file per shard, rows in
-    ascending ``id_col`` order inside each file.
+    ascending ``id_col`` order inside each file (or in seeded-shuffled
+    order when ``shuffle_salt`` is set).
 
     Repartitioning on the shard column routes each shard id to exactly one
     task, so the partitioned write emits one file per shard dir (the shape
     a dataloader wants: seekable, shard-addressable, no small-file spray).
     Determinism: assignment is md5-derived (``shard_assign``) and in-file
     order is a sort on the globally-unique id, so two runs over the same
-    corpus produce byte-identical shard contents. Scale: one hash-partition
+    corpus produce byte-identical shard contents. ``shuffle_salt`` orders
+    each file by ``md5(shuffle_salt || id)`` instead — the global training
+    shuffle done AT WRITE TIME (sequential reads at train time, no
+    shuffle-buffer approximation), reproducible from the salt alone and
+    re-shuffleable per epoch by changing it. Scale: one hash-partition
     shuffle of the corpus — the minimum any resharding write pays; shard
     sizing is the caller's knob (keep shards ≲ a few GB so the per-task
     sort fits executor memory; check balance with ``shard_stats`` first).
     """
+    assigned = shard_assign(docs, n_shards, id_col=id_col, salt=salt)
+    if shuffle_salt is not None:
+        order = F.md5(
+            F.concat(F.lit(shuffle_salt + ":"), F.col(id_col).cast("string"))
+        )
+    else:
+        order = F.col(id_col)
     (
-        shard_assign(docs, n_shards, id_col=id_col, salt=salt)
+        assigned.withColumn("_ord", order)
         .repartition(n_shards, "shard_id")
-        .sortWithinPartitions("shard_id", id_col)
+        .sortWithinPartitions("shard_id", "_ord", id_col)
+        .drop("_ord")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(path)

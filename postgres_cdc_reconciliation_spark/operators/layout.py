@@ -93,6 +93,7 @@ def write_zordered(
     zorder_cols: list[str],
     bits: int = 12,
     n_files: int = 32,
+    stamp_zones: bool = False,
 ) -> None:
     """Write parquet clustered by Z-order over ``zorder_cols``.
 
@@ -110,6 +111,13 @@ def write_zordered(
     - repartitionByRange on the z-value gives each file a contiguous
       z-range (range exchange + sample pass, one shuffle);
     - sortWithinPartitions tightens per-row-group stats inside each file.
+
+    ``stamp_zones=True`` additionally writes the ``_pcr_zonemap.json``
+    sidecar (one footer-only pass, :func:`stamp_zonemap`) with per-file
+    zones for EVERY z-ordered column — :func:`read_range` then file-skips
+    on any of them (the OPTIMIZE ZORDER BY + data-skipping combination:
+    each file covers a small hyper-rectangle, so every dimension's zones
+    are narrow).
     """
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"_lo_{c}") for c in zorder_cols],
@@ -138,6 +146,8 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+    if stamp_zones:
+        stamp_zonemap(df.sparkSession, path, list(zorder_cols), schema=df.schema)
 
 
 # --- file-level zone maps: clustered writes + pruned range reads ------------
@@ -290,27 +300,50 @@ def write_range_clustered(
     written. (Hash-bucketed CDC targets route POINT lookups by key —
     ``manifest_target.read_keys``; this layout serves RANGE scans, where
     hash routing cannot prune.)"""
-    import json
-
     (
         df.repartitionByRange(n_files, F.col(cluster_col))
         .sortWithinPartitions(cluster_col)
         .write.mode("overwrite")
         .parquet(path)
     )
+    return stamp_zonemap(
+        df.sparkSession,
+        path,
+        [cluster_col, *(extra_stats_cols or [])],
+        cluster_col=cluster_col,
+        schema=df.schema,
+    )
+
+
+def stamp_zonemap(
+    spark,
+    path: str,
+    stats_cols: list[str],
+    cluster_col: str | None = None,
+    schema=None,
+) -> int:
+    """Build the ``_pcr_zonemap.json`` sidecar for an existing parquet dir:
+    one footer-only pass over its files, per-file [min, max] zones for
+    ``stats_cols``. Shared by :func:`write_range_clustered` and
+    :func:`write_zordered` (any clustered layout can stamp zones — what
+    changes between them is WHICH columns the layout makes prunable).
+    Returns the number of data files stamped."""
+    import json
+
     from .manifest_target import _fs
 
-    fs, pdir = _fs(df.sparkSession, path)
+    fs, pdir = _fs(spark, path)
     files = [
         str(st.getPath())
         for st in fs.listStatus(pdir)
         if st.getPath().getName().endswith(".parquet")
     ]
-    stats_cols = [cluster_col, *(extra_stats_cols or [])]
-    zones = footer_stats(df.sparkSession, files, stats_cols)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    zones = footer_stats(spark, files, stats_cols)
     doc = {
         "cluster_col": cluster_col,
-        "schema": json.loads(df.schema.json()),
+        "schema": json.loads(schema.json()),
         "files": {
             f.rsplit("/", 1)[-1]: {
                 c: [_enc_stat(lo), _enc_stat(hi)]
@@ -321,8 +354,8 @@ def write_range_clustered(
     }
     # tmp + delete + rename (the layout-sidecar idiom, apply.py): single
     # writer owns a clustered copy; torn sidecars must not survive a crash
-    _, tmp = _fs(df.sparkSession, f"{path}/.{_ZONEMAP_SIDECAR}.tmp")
-    _, final = _fs(df.sparkSession, f"{path}/{_ZONEMAP_SIDECAR}")
+    _, tmp = _fs(spark, f"{path}/.{_ZONEMAP_SIDECAR}.tmp")
+    _, final = _fs(spark, f"{path}/{_ZONEMAP_SIDECAR}")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(doc).encode("utf-8")))

@@ -853,7 +853,7 @@ def bucket_stats(
     from .layout import footer_stats
 
     files = snapshot_files(spark, root, version)
-    by_file = dict(files and [(f, b) for b, f in files] or [])
+    by_file = {f: b for b, f in files}
     stats = footer_stats(spark, [f for _, f in files], [])
     agg: dict[int, list[int]] = {}
     for f, per in stats.items():

@@ -228,3 +228,23 @@ def test_write_training_shards_deterministic(spark, tmp_path):
         pa = spark.read.parquet(f"{a}/shard_id={s}").toPandas()
         pb = spark.read.parquet(f"{b}/shard_id={s}").toPandas()
         assert pa.equals(pb)
+
+
+def test_write_training_shards_seeded_shuffle(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        write_training_shards,
+    )
+
+    docs = _docs(spark, n=200)
+    a, b, c = (str(tmp_path / x) for x in "abc")
+    write_training_shards(docs, a, n_shards=4, shuffle_salt="epoch-0")
+    write_training_shards(docs, b, n_shards=4, shuffle_salt="epoch-0")
+    write_training_shards(docs, c, n_shards=4, shuffle_salt="epoch-1")
+    ids = lambda p, s: spark.read.parquet(  # noqa: E731
+        f"{p}/shard_id={s}"
+    ).toPandas()["doc_id"].tolist()
+    for s in range(4):
+        assert ids(a, s) == ids(b, s)  # same salt → byte-stable order
+        assert sorted(ids(a, s)) == sorted(ids(c, s))  # same membership…
+    assert any(ids(a, s) != ids(c, s) for s in range(4))  # …different order
+    assert any(ids(a, s) != sorted(ids(a, s)) for s in range(4))  # shuffled

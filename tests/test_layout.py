@@ -401,3 +401,24 @@ def test_target_stats_and_bucket_stats_footer_only(spark, tmp_path):
     assert {r["bucket"] for r in per} == set(
         r["_b"] for r in df.select(bucket_expr(["k"], 8).alias("_b")).distinct().collect()
     )
+
+
+def test_zordered_zone_skipping_both_dimensions(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        read_range,
+        write_zordered,
+    )
+
+    path = str(tmp_path / "z_zoned")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    write_zordered(df, path, ["x", "y"], bits=6, n_files=16, stamp_zones=True)
+    total = len(spark.read.parquet(path).inputFiles())
+    assert total == 16
+    # BOTH dimensions prune — the z-order property a single-column sort
+    # lacks — and results stay exact
+    for col in ("x", "y"):
+        out = read_range(spark, path, col, 0, 7)
+        assert len(out.inputFiles()) < total, col
+        assert out.count() == df.filter(F.col(col).between(0, 7)).count()
