@@ -108,6 +108,12 @@ _CHECK_PRIORITY: list[str] = [
     # automatically; the r10 window otherwise holds the 50 stalest rows
     # (r5/r6 evidence), which is exactly what the feasibility-bounded
     # rotation invariant wants (tests/test_registry_rotation.py).
+    # Round-10 session 2 added five more registrations (q_training_shards,
+    # q_perplexity_buckets, q_semantic_dedup, q_range_pruned_scan,
+    # q_target_stats — registry 154→159), all never-checked and fronting
+    # automatically; the feasible staleness ceiling moves to
+    # ceil(159/50)=4 rounds, which the invariant test derives from the
+    # registry size rather than pinning.
     "q_dedup_embed_rp",
     "q_dedup_embed_rp_multi",
 ]
