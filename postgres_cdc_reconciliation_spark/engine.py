@@ -241,18 +241,20 @@ class Engine:
         return quality_budget_select(docs, budget=budget, group_col=group_col)
 
     def semantic_dedup(self, vectors, threshold=0.7, target_cluster_size=128,
-                       max_cluster_size=None) -> DataFrame:
+                       max_cluster_size=None, keep="first") -> DataFrame:
         """SemDeDup: k-means-localized cosine dedup over an embedding
-        corpus — (vec_id, cent_id, keep) with keep-smallest-id semantics.
-        k auto-scales with the corpus so per-cluster pair cost is constant;
-        ``max_cluster_size`` opts into the hot-cluster guard (recall-only
-        degradation on capped modes)."""
+        corpus — (vec_id, cent_id, keep). ``keep``: "first" (smallest id
+        per duplicate neighborhood) or "central" (the paper's rule — keep
+        the member farthest from its centroid). k auto-scales with the
+        corpus so per-cluster pair cost is constant; ``max_cluster_size``
+        opts into the hot-cluster guard (recall-only degradation on
+        capped modes)."""
         from .operators.similarity import semantic_dedup
 
         return semantic_dedup(
             vectors, threshold=threshold,
             target_cluster_size=target_cluster_size,
-            max_cluster_size=max_cluster_size,
+            max_cluster_size=max_cluster_size, keep=keep,
         )
 
     def shard_stats(self, docs, n_shards=16) -> DataFrame:
@@ -336,6 +338,15 @@ class Engine:
         from .operators.layout import read_range
 
         return read_range(self.spark, path, col, lower, upper)
+
+    def box_scan(self, path, predicates) -> DataFrame:
+        """Multi-dimensional zone-map-pruned read ({col: (lo, hi), ...}) —
+        pairs with zorder_write(stamp_zones=True): a z-ordered file covers
+        a small hyper-rectangle, so a box intersects far fewer files than
+        any single-column window."""
+        from .operators.layout import read_box
+
+        return read_box(self.spark, path, predicates)
 
     def point_lookup(self, root, key_cols, keys, version=None) -> DataFrame:
         """Key-routed point read from a manifest apply target: the keys

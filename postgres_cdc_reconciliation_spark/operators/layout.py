@@ -385,16 +385,37 @@ def read_range(
     Returns an empty frame with the stamped schema when nothing overlaps.
     Bounds accept the column's native Python type or ISO strings for
     date/timestamp zones."""
+    return read_box(spark, path, {col: (lower, upper)})
+
+
+def read_box(
+    spark,
+    path: str,
+    predicates: dict,
+):
+    """Zone-map-pruned scan under a conjunction of range predicates:
+    ``predicates = {col: (lower, upper), ...}`` — a file survives only if
+    EVERY predicate's window overlaps its stamped zone for that column.
+    The multi-dimensional read that pairs with
+    ``write_zordered(stamp_zones=True)``: a z-ordered file covers a small
+    hyper-rectangle, so a 2-D box intersects far fewer files than either
+    1-D window alone. Same soundness contract as :func:`read_range`
+    (missing zones are unprunable; residual predicates re-check every
+    surviving row)."""
     import json
 
     from pyspark.sql.types import StructType
 
     from .manifest_target import _fs
 
+    if not predicates:
+        raise ValueError("predicates must be non-empty — use spark.read.parquet "
+                         "for a full scan")
     fs, spath = _fs(spark, f"{path}/{_ZONEMAP_SIDECAR}")
     if not fs.exists(spath):
         raise FileNotFoundError(
-            f"no zone-map sidecar at {path} — write with write_range_clustered"
+            f"no zone-map sidecar at {path} — write with write_range_clustered "
+            "or stamp_zonemap"
         )
     stream = fs.open(spath)
     try:
@@ -403,14 +424,18 @@ def read_range(
         stream.close()
     keep = []
     for fname, per in doc["files"].items():
-        zone = per.get(col)
-        if zone is None:
-            keep.append(fname)  # unprunable: must read
-            continue
-        lo, hi = _dec_stat(zone[0]), _dec_stat(zone[1])
-        lo_b = _coerce_bound(lower, lo)
-        hi_b = _coerce_bound(upper, hi)
-        if (hi_b is None or lo <= hi_b) and (lo_b is None or hi >= lo_b):
+        ok = True
+        for col, (lower, upper) in predicates.items():
+            zone = per.get(col)
+            if zone is None:
+                continue  # unprunable on this column
+            lo, hi = _dec_stat(zone[0]), _dec_stat(zone[1])
+            lo_b = _coerce_bound(lower, lo)
+            hi_b = _coerce_bound(upper, hi)
+            if not ((hi_b is None or lo <= hi_b) and (lo_b is None or hi >= lo_b)):
+                ok = False
+                break
+        if ok:
             keep.append(fname)
     schema = StructType.fromJson(doc["schema"])
     if not keep:
@@ -420,18 +445,19 @@ def read_range(
     # columns pass ISO strings, which cast session-timezone-independently
     # (a bare python datetime lit is LTZ and would shift under a non-UTC
     # driver session; the repo-wide NTZ gotcha)
-    field_dt = {f.name: f.dataType for f in schema.fields}[col]
+    field_dt = {f.name: f.dataType for f in schema.fields}
 
-    def _lit(b):
+    def _lit(b, dt):
         import datetime
 
         if isinstance(b, (datetime.date, datetime.datetime)):
             b = b.isoformat()
-        return F.lit(b).cast(field_dt)
+        return F.lit(b).cast(dt)
 
     pred = F.lit(True)
-    if lower is not None:
-        pred = pred & (F.col(col) >= _lit(lower))
-    if upper is not None:
-        pred = pred & (F.col(col) <= _lit(upper))
+    for col, (lower, upper) in predicates.items():
+        if lower is not None:
+            pred = pred & (F.col(col) >= _lit(lower, field_dt[col]))
+        if upper is not None:
+            pred = pred & (F.col(col) <= _lit(upper, field_dt[col]))
     return scan.filter(pred)

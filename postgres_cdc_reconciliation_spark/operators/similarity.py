@@ -849,11 +849,19 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "hash",
+    keep: str = "first",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): k-means the
     embedding space, then within each cluster prune every vector that has a
-    smaller-id neighbor at cosine >= ``threshold``. Returns one row per
-    well-formed vector: (id_col, cent_id, keep).
+    HIGHER-PRIORITY neighbor at cosine >= ``threshold``. Returns one row
+    per well-formed vector: (id_col, cent_id, keep).
+
+    ``keep`` picks the representative rule (both total orders, so results
+    are deterministic): "first" keeps the smallest id per duplicate
+    neighborhood; "central" keeps the member FARTHEST from its cluster
+    centroid (largest assignment distance, id tie-break) — the paper's
+    rule (it keeps the LOW centroid-cosine example of each group, which
+    preserves boundary/diverse examples over mode-typical ones).
 
     The semantic tier of the dedup ladder — exact (byte dup) →
     MinHash/n-gram (lexical near-dup) → THIS (same content, different
@@ -891,6 +899,8 @@ def semantic_dedup(
 
     if not (isinstance(threshold, (int, float)) and not isinstance(threshold, bool)):
         raise ValueError(f"threshold must be a number, got {threshold!r}")
+    if keep not in ("first", "central"):
+        raise ValueError(f"keep must be 'first' or 'central', got {keep!r}")
     if k is None:
         import math
 
@@ -910,14 +920,26 @@ def semantic_dedup(
         init=init,
     )
     assigned = kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    # priority: a vector is pruned only by a STRICTLY higher-priority
+    # neighbor, so the order must be total — both rules tie-break on the
+    # globally-unique id ("first": priority is just the id; "central":
+    # centroid distance first, the paper's keep-low-centroid-cosine rule)
+    if keep == "central":
+        pri = F.struct(
+            F.col("dist").alias("d"), (-F.col(id_col)).alias("i")
+        )
+    else:
+        pri = F.struct((-F.col(id_col)).alias("i"))
     # the base frame feeds both sides of the self-join and the final keep
     # join — materialize once (the r6 bounded-intermediates rule for
     # reused multi-stage frames)
     tbl = with_norm(
-        vectors.join(assigned.select(id_col, "cent_id"), id_col), vec_col
+        vectors.join(assigned.select(id_col, "cent_id", "dist"), id_col),
+        vec_col,
     ).select(
         F.col(id_col),
         F.col("cent_id").cast("string").alias("cent_id"),
+        pri.alias("_pri"),
         F.col(vec_col).alias("_vec"),
         "_norm",
     ).localCheckpoint()
@@ -939,12 +961,14 @@ def semantic_dedup(
     a = pair_src.select(
         F.col("cent_id"),
         F.col(id_col).alias("_id_a"),
+        F.col("_pri").alias("_pri_a"),
         F.col("_vec").alias("_va"),
         F.col("_norm").alias("_na"),
     )
     b = pair_src.select(
         F.col("cent_id"),
         F.col(id_col).alias("_id_b"),
+        F.col("_pri").alias("_pri_b"),
         F.col("_vec").alias("_vb"),
         F.col("_norm").alias("_nb"),
     )
@@ -953,7 +977,7 @@ def semantic_dedup(
     cos = F.try_divide(_dot("_va", "_vb"), F.col("_na") * F.col("_nb"))
     pruned = (
         a.join(b, "cent_id")
-        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(F.col("_pri_a") > F.col("_pri_b"))
         .select("_id_b", cos.alias("_cos"))
         .filter(F.col("_cos").isNotNull() & ~F.isnan("_cos")
                 & (F.col("_cos") >= threshold))

@@ -422,3 +422,39 @@ def test_zordered_zone_skipping_both_dimensions(spark, tmp_path):
         out = read_range(spark, path, col, 0, 7)
         assert len(out.inputFiles()) < total, col
         assert out.count() == df.filter(F.col(col).between(0, 7)).count()
+
+
+def test_read_box_2d_prunes_tighter_than_either_dimension(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        read_box,
+        read_range,
+        write_zordered,
+    )
+
+    path = str(tmp_path / "box_zoned")
+    df = spark.range(8192).select(
+        (F.col("id") % 128).alias("x"),
+        (F.col("id") / 128).cast("long").alias("y"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_zordered(df, path, ["x", "y"], bits=7, n_files=16, stamp_zones=True)
+    fx = len(read_range(spark, path, "x", 0, 15).inputFiles())
+    fy = len(read_range(spark, path, "y", 0, 7).inputFiles())
+    box = read_box(spark, path, {"x": (0, 15), "y": (0, 7)})
+    fbox = len(box.inputFiles())
+    assert fbox <= min(fx, fy)
+    assert fbox < 16
+    want = df.filter(
+        F.col("x").between(0, 15) & F.col("y").between(0, 7)
+    ).count()
+    assert box.count() == want
+
+
+def test_read_box_empty_predicates_rejected(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.layout import read_box
+
+    path, _df, _w = _zone_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="non-empty"):
+        read_box(spark, path, {})

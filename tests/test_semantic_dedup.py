@@ -114,3 +114,33 @@ def test_bool_threshold_rejected(spark):
     except ValueError:
         return
     raise AssertionError("threshold=True must raise")
+
+
+def test_keep_central_keeps_farthest_from_centroid(spark):
+    # one tight family + one far outlier member: "central" must keep the
+    # member farthest from the cluster centroid, "first" the smallest id
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),
+        (2, [1.0, 0.002, 0.0, 0.0]),
+        (3, [0.9, 0.3, 0.0, 0.0]),  # same direction-ish, farthest out
+    ]
+    first = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+        _vecs(spark, rows), threshold=0.9, k=1, max_iter=2, keep="first"
+    ).collect()}
+    central = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+        _vecs(spark, rows), threshold=0.9, k=1, max_iter=2, keep="central"
+    ).collect()}
+    assert first == {0: True, 1: False, 2: False, 3: False}
+    # the outlier (3) is farthest from the 1-cluster centroid → kept
+    assert central[3] and not central[0] and not central[1] and not central[2]
+    # both rules keep exactly one representative of the fully-connected group
+    assert sum(central.values()) == 1
+
+
+def test_keep_rule_validation(spark):
+    try:
+        semantic_dedup(_vecs(spark, [(0, [1.0])]), keep="median")
+    except ValueError:
+        return
+    raise AssertionError("bad keep rule must raise")
