@@ -257,6 +257,30 @@ class Engine:
             max_cluster_size=max_cluster_size, keep=keep,
         )
 
+    def semantic_index(self, vectors, path, target_cluster_size=128,
+                       max_iter=3) -> int:
+        """Persist the corpus side of incremental semantic dedup: k-means
+        the vectors (the semantic_dedup sizing rule), write them
+        PARTITIONED BY cluster id with the centroids in a sidecar.
+        Returns k. Pair with :meth:`semantic_dedup_incremental`."""
+        from .operators.similarity import semantic_index_build
+
+        return semantic_index_build(
+            vectors, path, target_cluster_size=target_cluster_size,
+            max_iter=max_iter,
+        )
+
+    def semantic_dedup_incremental(self, batch, path,
+                                   threshold=0.7) -> DataFrame:
+        """Semantic near-dup verdicts for an ingest batch against a
+        persisted :meth:`semantic_index` WITHOUT rescanning the corpus —
+        reads only the batch's touched cluster dirs; (id, cent_id, keep,
+        match_src ∈ corpus|batch|NULL). Admission = append the kept rows
+        under their cluster dirs."""
+        from .operators.similarity import semantic_dedup_incremental
+
+        return semantic_dedup_incremental(batch, path, threshold=threshold)
+
     def shard_stats(self, docs, n_shards=16) -> DataFrame:
         """Per-shard balance report (docs/tokens/chars + token share) for a
         planned training-data reshard — run before write_shards."""

@@ -995,6 +995,274 @@ def semantic_dedup(
     )
 
 
+#: sidecar holding the trained centroids (+ layout params) of a persisted
+#: semantic-dedup index. Underscore-prefixed so parquet readers ignore it.
+_SEMINDEX_SIDECAR = "_pcr_semindex.json"
+
+
+def semantic_index_build(
+    vectors: DataFrame,
+    path: str,
+    k: int | None = None,
+    target_cluster_size: int = 128,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "hash",
+) -> int:
+    """Persist the corpus side of incremental semantic dedup: k-means the
+    corpus (the :func:`semantic_dedup` sizing rule), write the vectors
+    PARTITIONED BY cluster id, and stamp the trained centroids in a
+    sidecar. Returns k.
+
+    The cluster dirs make later probes partition-pruned: a batch touches
+    at most |batch| clusters, so an incremental dedup reads O(touched
+    clusters) of a corpus index that can hold billions of vectors — the
+    same O(batch) shape as the MinHash band index
+    (``dedup.lsh_band_index``), with k-means cells instead of hash bands
+    as the blocking structure.
+
+    Layout: ``{path}/batch=-1/cent_id=K/`` — the seed corpus lives in the
+    reserved ``batch=-1`` partition (the streaming/dedup.py
+    snapshot-then-stream convention: micro-batch ids start at 0, and the
+    stream's replay-exclusion drops the partition matching the CURRENT
+    batch id, so a seed at batch=0 would be invisible to the first
+    micro-batch — the round-4 probe lesson). Admission
+    (:func:`semantic_index_admit`) adds ``batch=N`` partitions without
+    refitting; refit + rebuild on drift is the caller's periodic
+    compaction, exactly like re-clustering an IVF index."""
+    from .clustering import kmeans_assign, kmeans_fit
+
+    if k is None:
+        import math
+
+        n = vectors.count()
+        if n == 0:
+            raise ValueError("cannot build a semantic index from an empty corpus")
+        k = max(1, math.ceil(n / target_cluster_size))
+    cents, _ = kmeans_fit(
+        vectors, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+        init=init,
+    )
+    assigned = kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    (
+        vectors.join(assigned.select(id_col, "cent_id"), id_col)
+        .select(id_col, vec_col, "cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{path}/batch=-1")
+    )
+    import json
+
+    from .manifest_target import _fs
+
+    doc = json.dumps(
+        {
+            "centroids": cents,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "dim": len(cents[0]),
+        }
+    )
+    fs, _ = _fs(vectors.sparkSession, path)
+    _, tmp = _fs(vectors.sparkSession, f"{path}/.{_SEMINDEX_SIDECAR}.tmp")
+    _, final = _fs(vectors.sparkSession, f"{path}/{_SEMINDEX_SIDECAR}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(doc.encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+    return k
+
+
+def _read_semindex_doc(spark, path: str) -> dict:
+    import json
+
+    from .manifest_target import _fs
+
+    fs, spath = _fs(spark, f"{path}/{_SEMINDEX_SIDECAR}")
+    if not fs.exists(spath):
+        raise FileNotFoundError(
+            f"no semantic-index sidecar at {path} — build with "
+            "semantic_index_build"
+        )
+    stream = fs.open(spath)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.7,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """Semantic near-dup verdicts for an ingest batch WITHOUT rescanning
+    the corpus: batch vectors assign to the PERSISTED centroids (the
+    index's sidecar), and each compares only against (a) index members of
+    its own cluster — a partition-pruned read of the touched cluster dirs
+    — and (b) the batch's own members in that cluster (intra-batch dups
+    arrive together). Cost O(|batch| × cluster size), never O(corpus).
+
+    Returns one row per well-formed batch vector: (id, cent_id, keep,
+    match_src ∈ corpus|batch|NULL). Index members are canonical — ANY
+    corpus witness at cosine >= threshold prunes a batch vector; among
+    batch-only duplicates the smallest id survives (the
+    :func:`semantic_dedup` "first" rule). match_src reports the strongest
+    evidence class (corpus over batch) for admission/audit pipelines; a
+    kept row has NULL match_src. Admit kept rows with
+    :func:`semantic_index_admit` (same contract as
+    ``dedup.incremental_near_dups``).
+
+    ``exclude_batch``: skip the index's ``batch=<exclude_batch>``
+    partition at DIRECTORY-LISTING time — under an at-least-once replay
+    of streaming micro-batch N the index already holds batch=N, and
+    probing against it would turn every vector into a duplicate of its
+    own previous admission (the streaming/dedup.py replay-exclusion
+    rule, enforced here before any file is opened)."""
+    spark = batch.sparkSession
+    doc = _read_semindex_doc(spark, path)
+    cents = [list(c) for c in doc["centroids"]]
+    id_col, vec_col = doc["id_col"], doc["vec_col"]
+    from .clustering import kmeans_assign
+
+    assigned = kmeans_assign(batch, cents, id_col=id_col, vec_col=vec_col)
+    probe = with_norm(
+        batch.join(assigned.select(id_col, "cent_id"), id_col), vec_col
+    ).select(
+        F.col(id_col), "cent_id", F.col(vec_col).alias("_vec"), "_norm"
+    ).localCheckpoint()  # feeds routing collect + two joins + final verdict
+    # bounded collect: ≤ min(|batch|, k) cluster ids — the routing step,
+    # same shape as manifest_target.read_keys
+    touched = [r["cent_id"] for r in probe.select("cent_id").distinct().collect()]
+    if not touched:
+        return probe.select(
+            id_col, "cent_id", F.lit(True).alias("keep"),
+            F.lit(None).cast("string").alias("match_src"),
+        ).limit(0)
+    # list ONLY the touched cluster dirs across all admitted batch=
+    # partitions (skip clusters k-means left empty): no full-table file
+    # listing, and inputFiles() honestly reflects the pruned read
+    # (read_keys pattern, manifest_target.py). Listing cost is
+    # O(touched clusters × admitted batches), never O(index files).
+    from .manifest_target import _fs
+
+    fs, _ = _fs(spark, path)
+    skip = None if exclude_batch is None else f"batch={exclude_batch}"
+    touched_dirs = []
+    for c in touched:
+        _, gpath = _fs(spark, f"{path}/batch=*/cent_id={c}")
+        for st in fs.globStatus(gpath) or []:
+            batch_dir = st.getPath().getParent().getName()
+            if batch_dir == skip:
+                continue
+            touched_dirs.append(f"{path}/{batch_dir}/cent_id={c}")
+    cos = F.try_divide(_dot("_va", "_vb"), F.col("_na") * F.col("_nb"))
+    p = probe.select(
+        "cent_id",
+        F.col(id_col).alias("_pid"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = probe.select(
+        "cent_id",
+        F.col(id_col).alias("_bid"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    batch_hits = (
+        p.join(b, "cent_id")
+        .filter(F.col("_bid") < F.col("_pid"))  # smaller batch id wins
+        .select("_pid", cos.alias("_cos"))
+        .filter(F.col("_cos").isNotNull() & ~F.isnan("_cos")
+                & (F.col("_cos") >= threshold))
+        .select("_pid")
+        .distinct()
+        .withColumn("_src", F.lit("batch"))
+    )
+    all_hits = batch_hits
+    if touched_dirs:
+        members = spark.read.option("basePath", path).parquet(*touched_dirs)
+        corpus_side = with_norm(members, vec_col).select(
+            F.col("cent_id"),
+            F.col(vec_col).alias("_vb"),
+            F.col("_norm").alias("_nb"),
+        )
+        corpus_hits = (
+            p.join(corpus_side, "cent_id")
+            .select("_pid", cos.alias("_cos"))
+            .filter(F.col("_cos").isNotNull() & ~F.isnan("_cos")
+                    & (F.col("_cos") >= threshold))
+            .select("_pid")
+            .distinct()
+            .withColumn("_src", F.lit("corpus"))
+        )
+        all_hits = corpus_hits.unionByName(batch_hits)
+    # else: every touched cluster is brand-new — no corpus competitors,
+    # intra-batch dedup above still applies
+    # strongest evidence class per id: corpus beats batch — explicit
+    # priority (min over 0/1), not lexicographic min over the labels
+    hits = all_hits.groupBy("_pid").agg(
+        F.min(F.when(F.col("_src") == "corpus", 0).otherwise(1)).alias("_p")
+    ).select(
+        F.col("_pid").alias(id_col),
+        F.when(F.col("_p") == 0, "corpus").otherwise("batch").alias("match_src"),
+    )
+    return probe.join(hits, id_col, "left").select(
+        id_col,
+        "cent_id",
+        F.col("match_src").isNull().alias("keep"),
+        "match_src",
+    )
+
+
+def semantic_index_admit(
+    vectors: DataFrame,
+    path: str,
+    batch_id: int,
+) -> int:
+    """Admit vectors (typically an ingest batch's KEPT rows) into the
+    persisted semantic index as the ``batch=<batch_id>`` partition.
+    Returns the number admitted.
+
+    Never refits: rows assign to the sidecar centroids — unless the frame
+    already carries a ``cent_id`` column (e.g. joined back from a
+    :func:`semantic_dedup_incremental` verdict), which is trusted as-is
+    so the assignment isn't recomputed. Replay-idempotent by
+    construction: the batch partition is written in overwrite mode, so an
+    at-least-once replay rewrites the same content into the same dir
+    (the streaming/dedup.py admission contract). ``batch_id`` must be a
+    non-negative int — ``batch=-1`` is reserved for the
+    :func:`semantic_index_build` seed."""
+    if isinstance(batch_id, bool) or not isinstance(batch_id, int) or batch_id < 0:
+        raise ValueError(
+            f"batch_id must be a non-negative int (batch=-1 is the "
+            f"reserved seed partition), got {batch_id!r}"
+        )
+    doc = _read_semindex_doc(vectors.sparkSession, path)
+    id_col, vec_col = doc["id_col"], doc["vec_col"]
+    if "cent_id" in vectors.columns:
+        adm = vectors.select(id_col, vec_col, "cent_id")
+    else:
+        from .clustering import kmeans_assign
+
+        cents = [list(c) for c in doc["centroids"]]
+        assigned = kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+        adm = vectors.join(assigned.select(id_col, "cent_id"), id_col).select(
+            id_col, vec_col, "cent_id"
+        )
+    adm = adm.localCheckpoint()  # one computation for count + write
+    n = adm.count()
+    adm.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{path}/batch={batch_id}"
+    )
+    return n
+
+
 # --- centroid-based multi-probe IVF (real coarse quantizer) -----------------
 
 

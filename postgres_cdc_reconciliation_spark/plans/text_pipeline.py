@@ -1771,3 +1771,132 @@ def q_semantic_dedup(spark, sf_dir):
             & (F.sum(F.col("keep").cast("long")) > 0)
         ).alias("prune_nonvacuous"),
     )
+
+
+# One persisted semantic index per (session, sf_dir), removed at process
+# exit (the lakehouse _CDF_ROOTS idiom — the bench's reps must not refit
+# k-means per run).
+_SEMINDEX_ROOTS: dict[tuple[int, str], str] = {}
+
+
+def _rm_semindex_roots() -> None:
+    import shutil
+
+    for root in _SEMINDEX_ROOTS.values():
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _ensure_semindex_root(spark, sf_dir) -> str:
+    """Build (once per session × sf_dir) the persisted semantic-dedup
+    index over the corpus slice (vec_id % 4 != 1) of embeddings."""
+    import atexit
+    import tempfile
+
+    from ..operators.similarity import semantic_index_build
+
+    cache_key = (id(spark), sf_dir)
+    root = _SEMINDEX_ROOTS.get(cache_key)
+    if root is None:
+        if not _SEMINDEX_ROOTS:
+            atexit.register(_rm_semindex_roots)
+        root = tempfile.mkdtemp(prefix="pcr_semindex_") + "/idx"
+        corpus = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") % 4 != 1)
+        )
+        semantic_index_build(corpus, root, target_cluster_size=128, max_iter=3)
+        _SEMINDEX_ROOTS[cache_key] = root
+    return root
+
+
+@register(
+    "q_semantic_dedup_incremental",
+    """SELECT CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(0 AS BIGINT) AS n_pruned_without_witness,
+       CAST(0 AS BIGINT) AS n_kept_with_witness,
+       CAST(0 AS BIGINT) AS n_src_misordered,
+       TRUE AS prune_nonvacuous
+FROM embeddings WHERE vec_id % 4 = 1""",
+    doc="[EXT] incremental SemDeDup — the O(delta) semantic-ingest shape "
+    "(operators/similarity.py::semantic_index_build / "
+    "semantic_dedup_incremental): the corpus slice (vec_id%4≠1) is "
+    "k-means-fit once and persisted PARTITIONED BY cluster id with the "
+    "centroids in a sidecar; the batch (vec_id%4=1) assigns to the "
+    "persisted centroids and reads ONLY its touched cluster dirs — cost "
+    "O(|batch| × cluster size), never O(corpus), the semantic analog of "
+    "q_dedup_incremental's band-index probe. Oracle-able by construction "
+    "(the q_semantic_dedup invariant pattern): an INDEPENDENT numpy "
+    "pandas-UDF cosine re-scores every verdict — pruned rows must hold a "
+    "witness of their claimed class (corpus member, or smaller-id batch "
+    "sibling) in their cluster at cos >= thr-1e-9; kept rows must hold "
+    "none at thr+1e-9; match_src='batch' rows must lack a strong corpus "
+    "witness (corpus evidence outranks batch). All three violation "
+    "counts must be 0; prune_nonvacuous pins corpus-pruned, batch-pruned "
+    "and kept all non-empty at this sf/threshold so the zeros aren't "
+    "trivial. Partition-pruned IO and novel-cluster semantics are "
+    "pytest-witnessed (tests/test_semantic_dedup.py).",
+)
+def q_semantic_dedup_incremental(spark, sf_dir):
+    from ..operators.similarity import (
+        _pair_cos_udf,
+        semantic_dedup_incremental,
+    )
+
+    thr = 0.3
+    root = _ensure_semindex_root(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = emb.filter(F.col("vec_id") % 4 == 1)
+    res = semantic_dedup_incremental(
+        batch, root, threshold=thr
+    ).localCheckpoint()  # feeds two witness joins + the final agg (r6 rule)
+    t = res.join(emb.select("vec_id", "embedding"), "vec_id")
+    # independent scorer: Arrow-batched numpy einsum, NOT the SQL fold the
+    # operator used (evaluate-once marker — the q_series_dtw Catalyst trap)
+    cos = _pair_cos_udf().asNondeterministic()
+    members = spark.read.parquet(root).select(
+        "cent_id", F.col("embedding").alias("_ec")
+    )
+    wit_c = (
+        t.select("cent_id", F.col("vec_id").alias("_p"),
+                 F.col("embedding").alias("_ep"))
+        .join(members, "cent_id")
+        .select("_p", cos("_ep", "_ec").alias("_cos"))
+        .groupBy("_p")
+        .agg(F.max("_cos").alias("_best_c"))
+    )
+    a = t.select("cent_id", F.col("vec_id").alias("_p"),
+                 F.col("embedding").alias("_ep"))
+    b = t.select("cent_id", F.col("vec_id").alias("_b"),
+                 F.col("embedding").alias("_eb"))
+    wit_b = (
+        a.join(b, "cent_id")
+        .filter(F.col("_b") < F.col("_p"))
+        .select("_p", cos("_ep", "_eb").alias("_cos"))
+        .groupBy("_p")
+        .agg(F.max("_cos").alias("_best_b"))
+    )
+    per = (
+        res.join(wit_c, res["vec_id"] == wit_c["_p"], "left").drop("_p")
+        .join(wit_b, res["vec_id"] == wit_b["_p"], "left").drop("_p")
+    )
+    has_c = F.col("_best_c").isNotNull() & (F.col("_best_c") >= thr - 1e-9)
+    has_b = F.col("_best_b").isNotNull() & (F.col("_best_b") >= thr - 1e-9)
+    strong_c = F.col("_best_c").isNotNull() & (F.col("_best_c") >= thr + 1e-9)
+    strong_b = F.col("_best_b").isNotNull() & (F.col("_best_b") >= thr + 1e-9)
+    pruned_bad = (
+        ((F.col("match_src") == "corpus") & ~has_c)
+        | ((F.col("match_src") == "batch") & ~has_b)
+    ).cast("long")
+    kept_bad = (F.col("keep") & (strong_c | strong_b)).cast("long")
+    misordered = ((F.col("match_src") == "batch") & strong_c).cast("long")
+    return per.agg(
+        F.count("*").cast("long").alias("n_batch"),
+        F.sum(pruned_bad).cast("long").alias("n_pruned_without_witness"),
+        F.sum(kept_bad).cast("long").alias("n_kept_with_witness"),
+        F.sum(misordered).cast("long").alias("n_src_misordered"),
+        (
+            (F.sum((F.col("match_src") == "corpus").cast("long")) > 0)
+            & (F.sum((F.col("match_src") == "batch").cast("long")) > 0)
+            & (F.sum(F.col("keep").cast("long")) > 0)
+        ).alias("prune_nonvacuous"),
+    )

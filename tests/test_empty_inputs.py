@@ -27,6 +27,9 @@ _DOCUMENTED_PRECONDITIONS = {
     # the DTW query pivots on ONE driver-chosen query series; with no rows
     # there is no query key to band against
     "q_series_dtw": "query series",
+    # an incremental probe needs a fitted index; fitting one from zero
+    # vectors is meaningless and semantic_index_build says so loudly
+    "q_semantic_dedup_incremental": "empty corpus",
 }
 
 

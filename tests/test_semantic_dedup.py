@@ -144,3 +144,167 @@ def test_keep_rule_validation(spark):
     except ValueError:
         return
     raise AssertionError("bad keep rule must raise")
+
+
+def _build_index(spark, tmp_path, rows, **kw):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_index_build,
+    )
+
+    path = str(tmp_path / "semindex")
+    semantic_index_build(_vecs(spark, rows), path, **kw)
+    return path
+
+
+def test_incremental_corpus_batch_and_novel(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    corpus = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    path = _build_index(spark, tmp_path, corpus, k=2, max_iter=2)
+    batch = [
+        (100, [1.0, 0.001, 0.0, 0.0]),   # dup of corpus 0 → pruned (corpus)
+        (101, [0.0, 0.0, 0.0, 1.0]),     # novel direction → kept
+        (102, [0.0, 0.0, 0.0, 0.999]),   # dup of 101 (batch) → pruned (batch)
+        (103, [0.0, 1.0, 0.001, 0.0]),   # dup of corpus 1 → pruned (corpus)
+    ]
+    out = {r["vec_id"]: (r["keep"], r["match_src"]) for r in
+           semantic_dedup_incremental(
+               _vecs(spark, batch), path, threshold=0.9
+           ).collect()}
+    assert out[100] == (False, "corpus")
+    assert out[101] == (True, None)
+    assert out[102] == (False, "batch")
+    assert out[103] == (False, "corpus")
+
+
+def test_incremental_reads_only_touched_clusters(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    # 4 well-separated corpus directions → force k=4 distinct clusters
+    corpus = [(i, [1.0 if j == i % 8 else 0.0 for j in range(8)])
+              for i in range(40)]
+    path = _build_index(spark, tmp_path, corpus, k=4, max_iter=3)
+    total_files = len(spark.read.parquet(path).inputFiles())
+    # a one-vector batch touches ONE cluster: the pruned read must open
+    # strictly fewer files than the index holds
+    batch = [(500, [1.0, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])]
+    out = semantic_dedup_incremental(_vecs(spark, batch), path, threshold=0.99)
+    rows = out.collect()
+    assert len(rows) == 1
+    # directed read: only the touched cluster dir's files appear in the plan
+    touched_files = out.inputFiles()
+    assert 1 <= len(touched_files) < total_files
+    assert len({f.rsplit("/", 2)[-2] for f in touched_files}) == 1
+
+
+def test_incremental_novel_clusters_still_dedup_within_batch(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    # corpus occupies two directions; force tight centroids so a far-away
+    # batch lands in a cluster whose dir may be empty of corpus rows
+    corpus = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(8)]
+    path = _build_index(spark, tmp_path, corpus, k=1, max_iter=2)
+    batch = [
+        (200, [0.0, 0.0, 1.0, 0.0]),
+        (201, [0.0, 0.0, 0.999, 0.001]),  # intra-batch dup of 200
+    ]
+    out = {r["vec_id"]: (r["keep"], r["match_src"]) for r in
+           semantic_dedup_incremental(
+               _vecs(spark, batch), path, threshold=0.95
+           ).collect()}
+    assert out[200] == (True, None)
+    assert out[201] == (False, "batch")
+
+
+def test_incremental_missing_sidecar_fails_loud(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    with pytest.raises(FileNotFoundError, match="semantic-index sidecar"):
+        semantic_dedup_incremental(
+            _vecs(spark, [(0, [1.0])]), str(tmp_path / "nope")
+        )
+
+
+def test_admit_then_reprobe_prunes_as_corpus(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_dedup_incremental,
+        semantic_index_admit,
+    )
+
+    corpus = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    path = _build_index(spark, tmp_path, corpus, k=2, max_iter=2)
+    # batch 0: a novel direction survives, then is admitted
+    b0 = _vecs(spark, [(10, [0.0, 0.0, 0.0, 1.0])])
+    v0 = semantic_dedup_incremental(b0, path, threshold=0.9)
+    kept = b0.join(v0.filter("keep").select("vec_id", "cent_id"), "vec_id")
+    assert semantic_index_admit(kept, path, 0) == 1
+    # batch 1: a dup of the admitted vector must now prune as CORPUS
+    v1 = {r["vec_id"]: (r["keep"], r["match_src"]) for r in
+          semantic_dedup_incremental(
+              _vecs(spark, [(20, [0.0, 0.0, 0.001, 0.999])]),
+              path, threshold=0.9,
+          ).collect()}
+    assert v1[20] == (False, "corpus")
+
+
+def test_admit_replay_idempotent_and_exclusion(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_dedup_incremental,
+        semantic_index_admit,
+    )
+
+    corpus = [(0, [1.0, 0.0, 0.0, 0.0])]
+    path = _build_index(spark, tmp_path, corpus, k=1, max_iter=1)
+    batch = _vecs(spark, [(10, [0.0, 1.0, 0.0, 0.0])])
+    assert semantic_index_admit(batch, path, 3) == 1
+    # replay of the SAME micro-batch: exclusion hides its own admission —
+    # the vector must still read as kept, not as a dup of itself
+    v = semantic_dedup_incremental(
+        batch, path, threshold=0.9, exclude_batch=3
+    ).collect()
+    assert v[0]["keep"] is True
+    # re-admission overwrites the same partition: index row count stable
+    assert semantic_index_admit(batch, path, 3) == 1
+    n = spark.read.parquet(path).filter("vec_id = 10").count()
+    assert n == 1
+    # without exclusion the admitted copy IS corpus evidence
+    v2 = semantic_dedup_incremental(batch, path, threshold=0.9).collect()
+    assert (v2[0]["keep"], v2[0]["match_src"]) == (False, "corpus")
+
+
+def test_admit_rejects_bad_batch_id(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_index_admit,
+    )
+
+    path = _build_index(spark, tmp_path, [(0, [1.0, 0.0])], k=1, max_iter=1)
+    for bad in (-1, True, "0"):
+        with pytest.raises(ValueError, match="non-negative int"):
+            semantic_index_admit(_vecs(spark, [(1, [0.0, 1.0])]), path, bad)
+
+
+def test_index_build_rejects_empty(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_index_build,
+    )
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        semantic_index_build(_vecs(spark, []), str(tmp_path / "x"))
