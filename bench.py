@@ -10,6 +10,15 @@ attributed to the first query.
 Per-query time is the MEDIAN of $SPARK_GRAFT_BENCH_REPS (default 3)
 back-to-back runs — single-run timings in this container swing ±30%, which
 would drown round-over-round comparisons against BASELINE.md.
+
+Between queries (OUTSIDE the timed region) the harness drops Python-side
+references and nudges a JVM GC: localCheckpoint blocks are only reclaimed
+when ContextCleaner sees their RDDs collected, so a 160-query session
+otherwise accumulates executor-memory pressure that inflates late-position
+queries ~2x vs the same query standalone (measured round 10:
+q_dedup_ngram_prefix 12.8 s at position ~150 vs 6.7 s standalone, same
+code). Isolating queries from each other's garbage is what makes a
+per-query anchor comparable across rounds as the registry grows.
 """
 
 from __future__ import annotations
@@ -121,6 +130,14 @@ def main() -> None:
         except Exception as e:  # a failing query must not kill the bench
             timings[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
+        # outside the timed region: drop the query's RDD references and
+        # nudge the JVM so ContextCleaner reclaims localCheckpoint blocks
+        # before the NEXT query is timed (see module docstring)
+        df = None
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")

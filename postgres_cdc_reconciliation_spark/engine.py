@@ -270,6 +270,25 @@ class Engine:
             max_iter=max_iter,
         )
 
+    def ivf_index(self, vectors, path, centroids) -> int:
+        """Persist an IVF ANN index: assign vectors to the given coarse-
+        quantizer centroids (list of vectors, e.g. collected from
+        similarity.ivf_centroids) and write them PARTITIONED BY inverted
+        list with the quantizer in a sidecar. Returns the list count.
+        Serve with :meth:`ann_search`."""
+        from .operators.similarity import semantic_index_build
+
+        return semantic_index_build(vectors, path, centroids=centroids)
+
+    def ann_search(self, queries, path, k=5, nprobe=4) -> DataFrame:
+        """Multi-probe IVF top-k against a persisted :meth:`ivf_index`
+        (or a fitted :meth:`semantic_index`): each query batch opens ONLY
+        its nprobe probed inverted-list dirs — (query_id, neighbor_id,
+        rank, cos)."""
+        from .operators.similarity import ivf_topk_persisted
+
+        return ivf_topk_persisted(queries, path, k=k, nprobe=nprobe)
+
     def semantic_dedup_incremental(self, batch, path,
                                    threshold=0.7) -> DataFrame:
         """Semantic near-dup verdicts for an ingest batch against a

@@ -1009,6 +1009,7 @@ def semantic_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "hash",
+    centroids: list[list[float]] | None = None,
 ) -> int:
     """Persist the corpus side of incremental semantic dedup: k-means the
     corpus (the :func:`semantic_dedup` sizing rule), write the vectors
@@ -1030,20 +1031,33 @@ def semantic_index_build(
     micro-batch — the round-4 probe lesson). Admission
     (:func:`semantic_index_admit`) adds ``batch=N`` partitions without
     refitting; refit + rebuild on drift is the caller's periodic
-    compaction, exactly like re-clustering an IVF index."""
+    compaction, exactly like re-clustering an IVF index.
+
+    ``centroids`` (list of vectors, index = cent_id) skips the k-means
+    fit and partitions by nearest-given-centroid instead — this IS a
+    persisted IVF index (the coarse quantizer is whatever you pass, e.g.
+    :func:`ivf_centroids`), served by :func:`ivf_topk_persisted`. One
+    layout, two read paths: dedup probes and ANN probes both ride the
+    same cluster-dir pruning."""
     from .clustering import kmeans_assign, kmeans_fit
 
-    if k is None:
+    if centroids is not None:
+        if not centroids:
+            raise ValueError("centroids must be non-empty when given")
+        cents = [list(c) for c in centroids]
+        k = len(cents)
+    elif k is None:
         import math
 
         n = vectors.count()
         if n == 0:
             raise ValueError("cannot build a semantic index from an empty corpus")
         k = max(1, math.ceil(n / target_cluster_size))
-    cents, _ = kmeans_fit(
-        vectors, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
-        init=init,
-    )
+    if centroids is None:
+        cents, _ = kmeans_fit(
+            vectors, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+            init=init,
+        )
     assigned = kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
     (
         vectors.join(assigned.select(id_col, "cent_id"), id_col)
@@ -1261,6 +1275,92 @@ def semantic_index_admit(
         f"{path}/batch={batch_id}"
     )
     return n
+
+
+def ivf_topk_persisted(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Multi-probe IVF top-k against a PERSISTED index
+    (:func:`semantic_index_build`, typically with
+    ``centroids=ivf_centroids(...)`` as the coarse quantizer):
+    (query_id, neighbor_id, rank, cos), value-identical to
+    :func:`ivf_topk_multiprobe` over the same corpus + centroids
+    (tested), but the serving shape — the in-memory variant re-assigns
+    the whole corpus per call, while this reads the ingest-time
+    assignment it persisted and opens ONLY the probed cluster dirs.
+    Per-query-batch IO is |probed lists| × cluster size; at a
+    billion-vector index a 16-query batch with nprobe=4 opens ≤64
+    cluster dirs, never the corpus. Query-side math is the multiprobe
+    fold (broadcast centroid ranking + exact cosine on candidates)."""
+    spark = queries.sparkSession
+    doc = _read_semindex_doc(spark, path)
+    id_col, vec_col = doc["id_col"], doc["vec_col"]
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(doc["centroids"])],
+        "cent_id int, cent array<double>",
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_q"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy("dist", "cent_id")
+    probes = (
+        qs.join(F.broadcast(cent_df))
+        .withColumn("dist", _sqdist("_q", "cent"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "cent_id")
+        .localCheckpoint()  # feeds the routing collect + candidate join
+    )
+    # bounded collect: ≤ n_cent cluster ids (the routing step)
+    touched = sorted(
+        r["cent_id"] for r in probes.select("cent_id").distinct().collect()
+    )
+    from .manifest_target import _fs
+
+    fs, _ = _fs(spark, path)
+    dirs = []
+    for c in touched:
+        _, gpath = _fs(spark, f"{path}/batch=*/cent_id={c}")
+        for st in fs.globStatus(gpath) or []:
+            dirs.append(f"{path}/{st.getPath().getParent().getName()}/cent_id={c}")
+    empty = queries.sparkSession.createDataFrame(
+        [], qs.schema
+    ).select(
+        "query_id",
+        F.col("query_id").alias("neighbor_id"),
+        F.lit(0).cast("int").alias("rank"),
+        F.lit(0.0).alias("cos"),
+    )
+    if not dirs:
+        return empty
+    members = spark.read.option("basePath", path).parquet(*dirs)
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    ).join(probes, "query_id")
+    c = with_norm(members, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+        "cent_id",
+    )
+    scored = c.join(F.broadcast(q), "cent_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn(
+        "cos",
+        F.try_divide(_dot("q_vec", "c_vec"), F.col("q_norm") * F.col("c_norm")),
+    ).filter(F.col("cos").isNotNull())  # zero-norm: see cosine_topk
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
 
 
 # --- centroid-based multi-probe IVF (real coarse quantizer) -----------------

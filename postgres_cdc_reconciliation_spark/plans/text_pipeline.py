@@ -346,9 +346,10 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
-@register(
-    "q_ann_ivf_probe",
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+# shared by q_ann_ivf_probe (in-memory) and q_ann_ivf_persisted (persisted
+# index, directory-routed reads): the two operators are value-identical by
+# contract, so they answer to the SAME relational mirror
+_IVF_ORACLE = """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
                 sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                       list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS n
            FROM embeddings),
@@ -378,7 +379,12 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored)
 SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
-FROM ranked WHERE rank <= 5""",
+FROM ranked WHERE rank <= 5"""
+
+
+@register(
+    "q_ann_ivf_probe",
+    _IVF_ORACLE,
     doc="[EXT] multi-probe IVF ANN with a real data-derived coarse quantizer "
     "(16 deterministic seed centroids disjoint from the query set, nearest-"
     "centroid inverted lists, 4-probe candidate scan = 1/4 of the corpus). "
@@ -395,6 +401,87 @@ def q_ann_ivf_probe(spark, sf_dir):
     cents = ivf_centroids(v, n_cent=16, seed_lo=16)
     q = v.filter(F.col("vec_id") < 16)
     top = ivf_topk_multiprobe(q, v, cents, k=5, nprobe=4)
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos_r"),
+    )
+
+
+# One persisted IVF index per (session, sf_dir), removed at process exit
+# (the _SEMINDEX_ROOTS idiom; same quantizer as q_ann_ivf_probe).
+_IVFINDEX_ROOTS: dict[tuple[int, str], str] = {}
+
+
+def _rm_ivfindex_roots() -> None:
+    import shutil
+
+    for root in _IVFINDEX_ROOTS.values():
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _ensure_ivfindex_root(spark, sf_dir) -> str:
+    import atexit
+    import tempfile
+
+    from ..operators.similarity import ivf_centroids, semantic_index_build
+
+    cache_key = (id(spark), sf_dir)
+    root = _IVFINDEX_ROOTS.get(cache_key)
+    if root is None:
+        if not _IVFINDEX_ROOTS:
+            atexit.register(_rm_ivfindex_roots)
+        root = tempfile.mkdtemp(prefix="pcr_ivfidx_") + "/idx"
+        v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        raw = [
+            r["cent"]
+            for r in ivf_centroids(v, n_cent=16, seed_lo=16)
+            .orderBy("cent_id")
+            .collect()  # bounded: n_cent=16 rows
+        ]
+        # a dirty corpus can plant NULL/truncated/non-finite seed vectors
+        # (the in-memory probe tolerates them — NULL dists never win the
+        # argmin); a PERSISTED quantizer drops them instead, same
+        # recall-only trade as every other dirty-row rule
+        import math
+
+        good = [
+            c for c in raw
+            if c is not None
+            and all(x is not None and math.isfinite(x) for x in c)
+        ]
+        if good:
+            sizes = sorted(len(c) for c in good)
+            modal = max(set(sizes), key=lambda s: (sizes.count(s), -s))
+            good = [c for c in good if len(c) == modal]
+        semantic_index_build(v, root, centroids=good)
+        _IVFINDEX_ROOTS[cache_key] = root
+    return root
+
+
+@register(
+    "q_ann_ivf_persisted",
+    _IVF_ORACLE,
+    doc="[EXT] multi-probe IVF ANN served from a PERSISTED index "
+    "(operators/similarity.py::semantic_index_build with the same 16 "
+    "deterministic seed centroids as q_ann_ivf_probe, then "
+    "ivf_topk_persisted): the corpus is assigned ONCE at build time and "
+    "written PARTITIONED BY inverted list; each query batch ranks the "
+    "sidecar centroids and opens ONLY its nprobe probed cluster dirs — "
+    "per-call IO is probed-lists × cluster size, never the corpus (the "
+    "serving shape at 100 TB; the in-memory q_ann_ivf_probe re-assigns "
+    "the corpus per call). Value-identical to q_ann_ivf_probe by "
+    "contract — both answer to the SAME relational oracle; the "
+    "pruned-read property is pinned in tests/test_similarity_fast.py.",
+)
+def q_ann_ivf_persisted(spark, sf_dir):
+    from ..operators.similarity import ivf_topk_persisted
+
+    root = _ensure_ivfindex_root(spark, sf_dir)
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = v.filter(F.col("vec_id") < 16)
+    top = ivf_topk_persisted(q, root, k=5, nprobe=4)
     return top.select(
         "query_id",
         "neighbor_id",

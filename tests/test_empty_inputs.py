@@ -30,6 +30,9 @@ _DOCUMENTED_PRECONDITIONS = {
     # an incremental probe needs a fitted index; fitting one from zero
     # vectors is meaningless and semantic_index_build says so loudly
     "q_semantic_dedup_incremental": "empty corpus",
+    # a persisted IVF needs a coarse quantizer; an empty corpus yields
+    # zero seed centroids and the build says so loudly
+    "q_ann_ivf_persisted": "centroids must be non-empty",
 }
 
 

@@ -228,3 +228,58 @@ def test_auto_planes_bound_candidate_growth(spark):
     assert fixed >= 50.0, fixed
     assert auto <= 30.0, auto
     assert auto <= fixed / 3.0, (auto, fixed)
+
+
+def test_ivf_persisted_matches_multiprobe_and_prunes(spark, sf_dir, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk_multiprobe,
+        ivf_topk_persisted,
+        semantic_index_build,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents_df = ivf_centroids(v, n_cent=16, seed_lo=16)
+    cents = [r["cent"] for r in cents_df.orderBy("cent_id").collect()]
+    path = str(tmp_path / "ivfidx")
+    assert semantic_index_build(v, path, centroids=cents) == 16
+    q = v.filter(F.col("vec_id") < 16)
+
+    mem = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+           for r in ivf_topk_multiprobe(q, v, cents_df, k=5, nprobe=4).collect()}
+    out = ivf_topk_persisted(q, path, k=5, nprobe=4)
+    per = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+           for r in out.collect()}
+    assert set(mem) == set(per)
+    for key in mem:
+        assert mem[key][0] == per[key][0]
+        assert abs(mem[key][1] - per[key][1]) < 1e-9
+
+    # the persisted path opens index files only via probed-list dirs
+    # (out.inputFiles() also carries the query-side embeddings scan)
+    idx_files = [f for f in out.inputFiles() if "/ivfidx/" in f]
+    probed_dirs = {f.rsplit("/", 2)[-2] for f in idx_files}
+    assert probed_dirs <= {f"cent_id={i}" for i in range(16)}
+
+
+def test_ivf_persisted_one_query_reads_nprobe_lists(spark, sf_dir, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk_persisted,
+        semantic_index_build,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [r["cent"] for r in ivf_centroids(v, n_cent=16, seed_lo=16)
+             .orderBy("cent_id").collect()]
+    path = str(tmp_path / "ivfidx1")
+    semantic_index_build(v, path, centroids=cents)
+    q1 = v.filter(F.col("vec_id") == 0)
+    out = ivf_topk_persisted(q1, path, k=5, nprobe=2)
+    assert out.count() == 5
+    # a single query with nprobe=2 opens at most 2 inverted-list dirs
+    idx_files = [f for f in out.inputFiles() if "/ivfidx1/" in f]
+    probed_dirs = {f.rsplit("/", 2)[-2] for f in idx_files}
+    assert 1 <= len(probed_dirs) <= 2
+    # and strictly fewer index files than the index holds
+    assert len(idx_files) < len(spark.read.parquet(path).inputFiles())
