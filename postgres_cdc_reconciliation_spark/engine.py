@@ -289,6 +289,18 @@ class Engine:
 
         return ivf_topk_persisted(queries, path, k=k, nprobe=nprobe)
 
+    def compact_index(self, src_path, dst_path,
+                      files_per_cluster=1) -> int:
+        """Rewrite a semantic/IVF index's accumulated batch partitions
+        into a fresh single-seed index at dst_path (no refit; caller
+        swaps the path). Returns rows carried over."""
+        from .operators.similarity import semantic_index_compact
+
+        return semantic_index_compact(
+            self.spark, src_path, dst_path,
+            files_per_cluster=files_per_cluster,
+        )
+
     def semantic_dedup_incremental(self, batch, path,
                                    threshold=0.7) -> DataFrame:
         """Semantic near-dup verdicts for an ingest batch against a

@@ -1277,6 +1277,72 @@ def semantic_index_admit(
     return n
 
 
+def semantic_index_compact(
+    spark,
+    src_path: str,
+    dst_path: str,
+    files_per_cluster: int = 1,
+) -> int:
+    """Rewrite a semantic/IVF index's accumulated ``batch=N`` partitions
+    into a fresh single-seed index at ``dst_path`` (batch=-1 only, at most
+    ``files_per_cluster`` files per cluster dir, same sidecar centroids —
+    no refit). Returns the number of rows carried over.
+
+    The maintenance op for the incremental lifecycle: every admitted
+    micro-batch adds one file per touched cluster, so a long-running
+    stream makes probes open O(admitted batches) files per touched
+    cluster; compaction restores O(files_per_cluster). Offline by
+    design — it writes a NEW index and the caller swaps the path (the
+    safe pattern on overwrite-by-rename filesystems; an in-place
+    overwrite under live readers is exactly the race
+    manifest_target.py's versioned commits exist to prevent, and this
+    index deliberately stays manifest-free/cheap). Probe results before
+    and after are identical (tested)."""
+    if src_path.rstrip("/") == dst_path.rstrip("/"):
+        raise ValueError("compact writes a NEW index: dst must differ from src")
+    doc = _read_semindex_doc(spark, src_path)
+    id_col, vec_col = doc["id_col"], doc["vec_col"]
+    if isinstance(files_per_cluster, bool) or not isinstance(
+        files_per_cluster, int
+    ) or files_per_cluster < 1:
+        raise ValueError(
+            f"files_per_cluster must be a positive int, got {files_per_cluster!r}"
+        )
+    members = spark.read.parquet(src_path).select(id_col, vec_col, "cent_id")
+    # each (cluster, salt) group lands in exactly one shuffle partition →
+    # each cluster dir gets ≤ files_per_cluster files; salt only exists
+    # when >1 is asked for (files_per_cluster sizes row groups for very
+    # hot clusters at scale)
+    if files_per_cluster == 1:
+        members = members.repartition("cent_id")
+    else:
+        members = members.withColumn(
+            "_salt", F.pmod(F.hash(id_col), F.lit(files_per_cluster))
+        ).repartition("cent_id", "_salt").drop("_salt")
+    members = members.localCheckpoint()  # one computation: count + write
+    n = members.count()
+    (
+        members.write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{dst_path}/batch=-1")
+    )
+    import json
+
+    from .manifest_target import _fs
+
+    fs, _ = _fs(spark, dst_path)
+    _, tmp = _fs(spark, f"{dst_path}/.{_SEMINDEX_SIDECAR}.tmp")
+    _, final = _fs(spark, f"{dst_path}/{_SEMINDEX_SIDECAR}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+    return n
+
+
 def ivf_topk_persisted(
     queries: DataFrame,
     path: str,

@@ -308,3 +308,52 @@ def test_index_build_rejects_empty(spark, tmp_path):
 
     with pytest.raises(ValueError, match="empty corpus"):
         semantic_index_build(_vecs(spark, []), str(tmp_path / "x"))
+
+
+def test_compact_preserves_probe_results_and_shrinks_files(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_dedup_incremental,
+        semantic_index_admit,
+        semantic_index_compact,
+    )
+
+    corpus = [(i, [1.0 if j == i % 4 else 0.0 for j in range(4)])
+              for i in range(20)]
+    src = _build_index(spark, tmp_path, corpus, k=4, max_iter=3)
+    # three admitted micro-batches → extra files per touched cluster
+    for b in range(3):
+        semantic_index_admit(
+            _vecs(spark, [(100 + b, [0.5, 0.5, 0.1 * b, 0.0])]), src, b
+        )
+    probe = _vecs(spark, [(500, [1.0, 0.001, 0.0, 0.0]),
+                          (501, [0.45, 0.55, 0.0, 0.0])])
+    before = sorted((r["vec_id"], r["keep"], r["match_src"]) for r in
+                    semantic_dedup_incremental(probe, src, 0.9).collect())
+
+    dst = str(tmp_path / "compacted")
+    n = semantic_index_compact(spark, src, dst)
+    assert n == spark.read.parquet(src).count() == 23
+    after = sorted((r["vec_id"], r["keep"], r["match_src"]) for r in
+                   semantic_dedup_incremental(probe, dst, 0.9).collect())
+    assert after == before
+    # single batch=-1 partition, at most one file per cluster dir
+    files = spark.read.parquet(dst).inputFiles()
+    assert all("/batch=-1/" in f for f in files)
+    dirs = [f.rsplit("/", 2)[-2] for f in files]
+    assert len(dirs) == len(set(dirs))
+    assert len(files) < len(spark.read.parquet(src).inputFiles())
+
+
+def test_compact_rejects_in_place_and_bad_fanout(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_index_compact,
+    )
+
+    src = _build_index(spark, tmp_path, [(0, [1.0, 0.0])], k=1, max_iter=1)
+    with pytest.raises(ValueError, match="dst must differ"):
+        semantic_index_compact(spark, src, src + "/")
+    with pytest.raises(ValueError, match="positive int"):
+        semantic_index_compact(spark, src, str(tmp_path / "d"),
+                               files_per_cluster=0)
