@@ -110,6 +110,70 @@ def contamination_report(
     )
 
 
+def semantic_contamination_report(
+    train_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-train-vector overlap with the eval set in EMBEDDING space:
+    (id, n_eval_hits, max_cos_r, contaminated) for every well-formed
+    train vector — the semantic sibling of :func:`contamination_report`,
+    catching the paraphrase-level eval leaks k-gram shingle overlap
+    can't see (reworded benchmark questions score near-zero n-gram
+    overlap but high embedding cosine).
+
+    ``contaminated`` flags train vectors with ANY eval neighbor at
+    cosine >= threshold; ``max_cos_r`` is the strongest eval similarity
+    (4dp, NULL when no eval pair scores — the q_ann_cosine rounding
+    convention, applied after all comparisons). Zero-norm/NaN pairs
+    never hit (cosine undefined), matching cosine_topk.
+
+    Scale shape: the eval side is broadcast — benchmark suites are MBs
+    against a corpus of TBs — so scoring is a map-side broadcast
+    nested-loop join (|train| × |eval| dot products, embarrassingly
+    parallel, ZERO corpus shuffle) followed by a map-side-combinable
+    per-id agg, exactly :func:`contamination_report`'s shape. For an
+    eval set too large to broadcast, block both sides with
+    similarity.rp_near_dup_pairs_multi and aggregate its pairs instead
+    (recall curve documented there)."""
+    from .similarity import _dot, with_norm
+
+    if isinstance(threshold, bool) or not isinstance(threshold, (int, float)):
+        raise ValueError(f"threshold must be a number, got {threshold!r}")
+    t = with_norm(train_vecs, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_vt"),
+        F.col("_norm").alias("_nt"),
+    )
+    e = with_norm(eval_vecs, vec_col).select(
+        F.col(vec_col).alias("_ve"),
+        F.col("_norm").alias("_ne"),
+    )
+    cos = F.try_divide(_dot("_vt", "_ve"), F.col("_nt") * F.col("_ne"))
+    hits = (
+        t.join(F.broadcast(e))
+        .select(id_col, cos.alias("_cos"))
+        .filter(
+            F.col("_cos").isNotNull()
+            & ~F.isnan("_cos")
+            & (F.col("_cos") >= threshold)
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.max("_cos").alias("_max"),
+        )
+    )
+    return t.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_eval_hits"),
+        F.round("_max", 4).alias("max_cos_r"),
+        (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def pack_chunks(
     docs: DataFrame,
     budget: int = 512,

@@ -248,3 +248,51 @@ def test_write_training_shards_seeded_shuffle(spark, tmp_path):
         assert sorted(ids(a, s)) == sorted(ids(c, s))  # same membership…
     assert any(ids(a, s) != ids(c, s) for s in range(4))  # …different order
     assert any(ids(a, s) != sorted(ids(a, s)) for s in range(4))  # shuffled
+
+
+def test_semantic_contamination_planted(spark):
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    ev = vecs([(1000, [1.0, 0.0, 0.0, 0.0]), (1001, [0.0, 1.0, 0.0, 0.0])])
+    train = vecs([
+        (0, [0.999, 0.001, 0.0, 0.0]),   # near-dup of eval 1000
+        (1, [0.7, 0.7, 0.0, 0.0]),       # hits BOTH eval vectors at 0.35
+        (2, [0.0, 0.0, 1.0, 0.0]),       # orthogonal to every eval → clean
+        (3, [0.0, 0.0, 0.0, 0.0]),       # zero norm: cosine undefined → clean
+    ])
+    out = {r["vec_id"]: r for r in semantic_contamination_report(
+        train, ev, threshold=0.35
+    ).collect()}
+    assert len(out) == 4
+    assert out[0]["contaminated"] and out[0]["n_eval_hits"] == 1
+    assert abs(out[0]["max_cos_r"] - 0.999) < 0.01
+    assert out[1]["contaminated"] and out[1]["n_eval_hits"] == 2
+    assert not out[2]["contaminated"] and out[2]["n_eval_hits"] == 0
+    assert out[2]["max_cos_r"] is None
+    assert not out[3]["contaminated"]
+
+
+def test_semantic_contamination_empty_eval_and_bad_threshold(spark):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    train = vecs([(0, [1.0, 0.0])])
+    out = semantic_contamination_report(train, vecs([]), 0.5).collect()
+    assert len(out) == 1 and not out[0]["contaminated"]
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_contamination_report(train, train, threshold=True)
