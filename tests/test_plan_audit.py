@@ -337,3 +337,43 @@ def test_round10b_registrations_plan_shapes(spark, sf_dir):
     stats = qs["q_target_stats"].fn(spark, sf_dir)
     plan = _plan(stats)
     assert "Scan parquet" not in plan  # footer-derived: zero data IO
+
+
+def test_round10c_registrations_plan_shapes(spark, sf_dir):
+    """Third round-10 batch. q_semantic_dedup_incremental and
+    q_ann_ivf_persisted read index files ONLY through their routed
+    cluster-dir lists (never more than the index holds — at sf0.001 the
+    registered probes are large enough relative to k that they may
+    legitimately touch every cluster; STRICT pruning for small probes is
+    pinned in test_semantic_dedup / test_similarity_fast).
+    q_semantic_contamination's eval side must be broadcast (a
+    BroadcastNestedLoopJoin — the corpus side never shuffles)."""
+    qs = all_queries()
+
+    from postgres_cdc_reconciliation_spark.plans.text_pipeline import (
+        _ensure_ivfindex_root,
+        _ensure_semindex_root,
+    )
+
+    df = qs["q_semantic_dedup_incremental"].fn(spark, sf_dir)
+    sem_root = _ensure_semindex_root(spark, sf_dir)
+    sem_files = [f for f in df.inputFiles() if "/idx/" in f]
+    assert 0 < len(sem_files) <= len(
+        spark.read.parquet(sem_root).inputFiles()
+    )
+    assert all("/cent_id=" in f for f in sem_files)
+    assert "CartesianProduct" not in _plan(df)
+
+    df = qs["q_ann_ivf_persisted"].fn(spark, sf_dir)
+    ivf_root = _ensure_ivfindex_root(spark, sf_dir)
+    ivf_files = [f for f in df.inputFiles() if "/idx/" in f
+                 and f not in set(sem_files)]
+    assert 0 < len(ivf_files) <= len(
+        spark.read.parquet(ivf_root).inputFiles()
+    )
+    assert all("/cent_id=" in f for f in ivf_files)
+    assert "CartesianProduct" not in _plan(df)
+
+    plan = _plan(qs["q_semantic_contamination"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
