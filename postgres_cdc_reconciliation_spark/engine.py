@@ -289,6 +289,14 @@ class Engine:
 
         return ivf_topk_persisted(queries, path, k=k, nprobe=nprobe)
 
+    def index_stats(self, path) -> DataFrame:
+        """Per-cluster (cent_id, n_batches, n_files, n_rows, n_bytes)
+        for a persisted semantic/IVF index from parquet footers — zero
+        data IO; the hot-cluster / compaction-due monitor."""
+        from .operators.similarity import semantic_index_stats
+
+        return semantic_index_stats(self.spark, path)
+
     def compact_index(self, src_path, dst_path,
                       files_per_cluster=1) -> int:
         """Rewrite a semantic/IVF index's accumulated batch partitions

@@ -1343,6 +1343,51 @@ def semantic_index_compact(
     return n
 
 
+def semantic_index_stats(spark, path: str) -> DataFrame:
+    """Per-cluster (cent_id, n_batches, n_files, n_rows, n_bytes) for a
+    persisted semantic/IVF index, from parquet FOOTERS only — zero data
+    IO at any index size (the ``manifest_target.bucket_stats`` shape).
+    The maintenance view of the incremental lifecycle: hot clusters show
+    up as row outliers (arm ``max_cluster_size`` on the batch dedup, or
+    refit with a larger k), file-count/batch-count outliers mean
+    :func:`semantic_index_compact` is due."""
+    from .layout import footer_stats
+    from .manifest_target import _fs
+
+    _read_semindex_doc(spark, path)  # fail loud on a non-index path
+    fs, _ = _fs(spark, path)
+    _, gpath = _fs(spark, f"{path}/batch=*/cent_id=*/*")
+    per_file: dict[str, tuple[int, str]] = {}
+    for st in fs.globStatus(gpath) or []:
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith(("_", ".")):
+            continue
+        cent = int(p.getParent().getName().split("=", 1)[1])
+        batch = p.getParent().getParent().getName()
+        per_file[p.toString()] = (cent, batch)
+    if not per_file:
+        return spark.createDataFrame(
+            [],
+            "cent_id int, n_batches long, n_files long, n_rows long, "
+            "n_bytes long",
+        )
+    stats = footer_stats(spark, list(per_file), [])
+    agg: dict[int, list] = {}
+    for f, per in stats.items():
+        cent, batch = per_file[f]
+        cur = agg.setdefault(cent, [set(), 0, 0, 0])
+        cur[0].add(batch)
+        cur[1] += 1
+        cur[2] += per["rows"]
+        cur[3] += per["bytes"]
+    return spark.createDataFrame(
+        [(c, len(v[0]), v[1], v[2], v[3]) for c, v in sorted(agg.items())],
+        "cent_id int, n_batches long, n_files long, n_rows long, "
+        "n_bytes long",
+    )
+
+
 def ivf_topk_persisted(
     queries: DataFrame,
     path: str,

@@ -357,3 +357,41 @@ def test_compact_rejects_in_place_and_bad_fanout(spark, tmp_path):
     with pytest.raises(ValueError, match="positive int"):
         semantic_index_compact(spark, src, str(tmp_path / "d"),
                                files_per_cluster=0)
+
+
+def test_index_stats_footer_only(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_index_admit,
+        semantic_index_stats,
+    )
+
+    corpus = [(i, [1.0 if j == i % 2 else 0.0 for j in range(4)])
+              for i in range(10)]
+    path = _build_index(spark, tmp_path, corpus, k=2, max_iter=3)
+    semantic_index_admit(_vecs(spark, [(100, [1.0, 0.001, 0.0, 0.0])]),
+                         path, 0)
+    stats = semantic_index_stats(spark, path)
+    rows = {r["cent_id"]: r for r in stats.collect()}
+    # footer totals must reconcile exactly with the data
+    assert sum(r["n_rows"] for r in rows.values()) == 11
+    assert all(r["n_bytes"] > 0 and r["n_files"] >= 1 for r in rows.values())
+    # the admitted cluster saw two batches (seed + batch 0)
+    assert max(r["n_batches"] for r in rows.values()) == 2
+    # per-cluster rows reconcile against a real groupBy
+    real = {r["cent_id"]: r["n"] for r in
+            spark.read.parquet(path).groupBy("cent_id").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert {c: r["n_rows"] for c, r in rows.items()} == real
+    # metadata only: the stats plan has no parquet scan node
+    assert "Scan parquet" not in stats._jdf.queryExecution().executedPlan().toString()
+
+
+def test_index_stats_requires_an_index(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_index_stats,
+    )
+
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        semantic_index_stats(spark, str(tmp_path / "not_an_index"))
