@@ -309,16 +309,21 @@ class Engine:
             files_per_cluster=files_per_cluster,
         )
 
-    def semantic_dedup_incremental(self, batch, path,
-                                   threshold=0.7) -> DataFrame:
+    def semantic_dedup_incremental(self, batch, path, threshold=0.7,
+                                   max_cluster_members=None) -> DataFrame:
         """Semantic near-dup verdicts for an ingest batch against a
         persisted :meth:`semantic_index` WITHOUT rescanning the corpus —
         reads only the batch's touched cluster dirs; (id, cent_id, keep,
         match_src ∈ corpus|batch|NULL). Admission = append the kept rows
-        under their cluster dirs."""
+        under their cluster dirs. ``max_cluster_members`` arms the
+        hot-cluster guard (recall-only degradation; pair with
+        :meth:`index_stats`)."""
         from .operators.similarity import semantic_dedup_incremental
 
-        return semantic_dedup_incremental(batch, path, threshold=threshold)
+        return semantic_dedup_incremental(
+            batch, path, threshold=threshold,
+            max_cluster_members=max_cluster_members,
+        )
 
     def shard_stats(self, docs, n_shards=16) -> DataFrame:
         """Per-shard balance report (docs/tokens/chars + token share) for a

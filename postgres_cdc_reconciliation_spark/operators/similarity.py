@@ -1114,6 +1114,7 @@ def semantic_dedup_incremental(
     path: str,
     threshold: float = 0.7,
     exclude_batch: int | None = None,
+    max_cluster_members: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup verdicts for an ingest batch WITHOUT rescanning
     the corpus: batch vectors assign to the PERSISTED centroids (the
@@ -1137,7 +1138,19 @@ def semantic_dedup_incremental(
     of streaming micro-batch N the index already holds batch=N, and
     probing against it would turn every vector into a duplicate of its
     own previous admission (the streaming/dedup.py replay-exclusion
-    rule, enforced here before any file is opened)."""
+    rule, enforced here before any file is opened).
+
+    ``max_cluster_members`` arms the hot-cluster guard: a mode-collapsed
+    embedding region can put millions of corpus rows in ONE cluster,
+    making every batch that touches it pay O(hot) forever. The cap keeps
+    only the ``max_cluster_members`` smallest-id corpus members per
+    touched cluster (deterministic; one bounded window over the touched
+    members only). Same trade as ``semantic_dedup(max_cluster_size=)``:
+    dropping corpus members can only LOSE witnesses, so capped verdicts
+    degrade RECALL only — every capped prune still carries a genuine
+    witness, and capped keep ⊇ uncapped keep (tested). Run
+    :func:`semantic_index_stats` alongside to see which clusters are
+    hot; refit with a larger k (or compact) to fix the layout."""
     spark = batch.sparkSession
     doc = _read_semindex_doc(spark, path)
     cents = [list(c) for c in doc["centroids"]]
@@ -1198,9 +1211,27 @@ def semantic_dedup_incremental(
         .distinct()
         .withColumn("_src", F.lit("batch"))
     )
+    if max_cluster_members is not None and (
+        isinstance(max_cluster_members, bool)
+        or not isinstance(max_cluster_members, int)
+        or max_cluster_members < 1
+    ):
+        raise ValueError(
+            f"max_cluster_members must be a positive int or None, "
+            f"got {max_cluster_members!r}"
+        )
     all_hits = batch_hits
     if touched_dirs:
         members = spark.read.option("basePath", path).parquet(*touched_dirs)
+        if max_cluster_members is not None:
+            # hot-cluster guard: bounded window over TOUCHED members only
+            # (smallest ids win — deterministic, replay-stable)
+            cap_w = Window.partitionBy("cent_id").orderBy(id_col)
+            members = (
+                members.withColumn("_rn", F.row_number().over(cap_w))
+                .filter(F.col("_rn") <= max_cluster_members)
+                .drop("_rn")
+            )
         corpus_side = with_norm(members, vec_col).select(
             F.col("cent_id"),
             F.col(vec_col).alias("_vb"),

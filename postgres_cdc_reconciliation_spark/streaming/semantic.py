@@ -44,6 +44,7 @@ def semantic_dedup_stream(
     verdicts_path: str,
     checkpoint_dir: str,
     threshold: float = 0.7,
+    max_cluster_members: int | None = None,
 ):
     """writeStream wiring: returns a DataStreamWriter; call .start().
 
@@ -61,6 +62,7 @@ def semantic_dedup_stream(
         verdicts = semantic_dedup_incremental(
             batch_df, index_path, threshold=threshold,
             exclude_batch=batch_id,
+            max_cluster_members=max_cluster_members,
         ).localCheckpoint()  # one computation for verdict write + admission
         verdicts.write.mode("overwrite").parquet(
             f"{verdicts_path}/batch={batch_id}"

@@ -395,3 +395,49 @@ def test_index_stats_requires_an_index(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="sidecar"):
         semantic_index_stats(spark, str(tmp_path / "not_an_index"))
+
+
+def test_incremental_hot_cluster_cap_degrades_recall_only(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    # one hot cluster: ids 0..19 share a direction; id 19 carries a twist
+    # component only the probe's second vector matches
+    corpus = [(i, [1.0, 0.0005 * i, 0.0, 0.0]) for i in range(19)]
+    corpus.append((19, [0.6, 0.0, 0.8, 0.0]))  # high-id outlier member
+    path = _build_index(spark, tmp_path, corpus, k=1, max_iter=2)
+    probe = _vecs(spark, [
+        (500, [1.0, 0.001, 0.0, 0.0]),   # witnessed by LOW-id members
+        (501, [0.6, 0.001, 0.8, 0.0]),   # witnessed ONLY by id 19
+    ])
+
+    def verdicts(**kw):
+        return {r["vec_id"]: r["keep"] for r in semantic_dedup_incremental(
+            probe, path, threshold=0.95, **kw
+        ).collect()}
+
+    full = verdicts()
+    capped = verdicts(max_cluster_members=5)  # keeps ids 0..4 only
+    assert full == {500: False, 501: False}
+    # 500's witness survives the cap; 501's (id 19) is capped away —
+    # recall-only: capped keep set is a superset of the uncapped one
+    assert capped == {500: False, 501: True}
+    for vid, keep in full.items():
+        if keep:
+            assert capped[vid]
+
+
+def test_incremental_cap_validation(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    path = _build_index(spark, tmp_path, [(0, [1.0, 0.0])], k=1, max_iter=1)
+    batch = _vecs(spark, [(1, [0.0, 1.0])])
+    for bad in (0, -3, True, 2.5):
+        with pytest.raises(ValueError, match="max_cluster_members"):
+            semantic_dedup_incremental(batch, path,
+                                       max_cluster_members=bad).collect()
