@@ -116,6 +116,7 @@ def semantic_contamination_report(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "matrix",
 ) -> DataFrame:
     """Per-train-vector overlap with the eval set in EMBEDDING space:
     (id, n_eval_hits, max_cos_r, contaminated) for every well-formed
@@ -130,18 +131,34 @@ def semantic_contamination_report(
     convention, applied after all comparisons). Zero-norm/NaN pairs
     never hit (cosine undefined), matching cosine_topk.
 
-    Scale shape: the eval side is broadcast — benchmark suites are MBs
-    against a corpus of TBs — so scoring is a map-side broadcast
-    nested-loop join (|train| × |eval| dot products, embarrassingly
-    parallel, ZERO corpus shuffle) followed by a map-side-combinable
-    per-id agg, exactly :func:`contamination_report`'s shape. For an
-    eval set too large to broadcast, block both sides with
-    similarity.rp_near_dup_pairs_multi and aggregate its pairs instead
-    (recall curve documented there)."""
+    Scale shape: the eval side ships whole to every executor — benchmark
+    suites are MBs against a corpus of TBs — so scoring is map-only
+    (|train| × |eval| dot products, embarrassingly parallel, ZERO corpus
+    shuffle), exactly :func:`contamination_report`'s shape. Two scorers
+    with identical results (agreement-tested on clean AND dirty corpora):
+
+    - ``scorer="matrix"`` (default, the production path): one BLAS gemm
+      per Arrow batch against the collected eval matrix (per length
+      group — mixed-length vectors never pair, the
+      similarity._matrix_score_fn dirty-row contract). ~|eval|× less
+      interpreted work than the fold; at sf0.1 measured 7.7 s → ~1 s.
+    - ``scorer="fold"``: the in-plan SQL broadcast nested-loop — the
+      reference semantics, kept for environments where the Arrow path
+      is unavailable and as the agreement witness.
+
+    For an eval set too large to ship per-executor, block both sides
+    with similarity.rp_near_dup_pairs_multi and aggregate its pairs
+    instead (recall curve documented there)."""
     from .similarity import _dot, with_norm
 
     if isinstance(threshold, bool) or not isinstance(threshold, (int, float)):
         raise ValueError(f"threshold must be a number, got {threshold!r}")
+    if scorer not in ("matrix", "fold"):
+        raise ValueError(f"scorer must be 'matrix' or 'fold', got {scorer!r}")
+    if scorer == "matrix":
+        return _semantic_contamination_matrix(
+            train_vecs, eval_vecs, threshold, id_col, vec_col
+        )
     t = with_norm(train_vecs, vec_col).select(
         F.col(id_col),
         F.col(vec_col).alias("_vt"),
@@ -171,6 +188,100 @@ def semantic_contamination_report(
         F.coalesce("_n", F.lit(0)).cast("long").alias("n_eval_hits"),
         F.round("_max", 4).alias("max_cos_r"),
         (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def _semantic_contamination_matrix(
+    train_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The gemm scorer behind :func:`semantic_contamination_report`.
+
+    The eval vectors collect once on the driver (bounded by the same
+    MBs-of-benchmarks contract that lets the fold broadcast them),
+    group by length, and ship in the mapInPandas closure; each train
+    Arrow batch computes one (batch × eval) gemm per length group.
+    Dirty-row parity with the fold: eval vectors with NULL components
+    drop at collect (their fold dot is NULL for every pair); train
+    rows always emit (malformed → 0 hits); cross-length pairs never
+    score; zero-norm / non-finite cosines are NaN under
+    errstate-ignore and NaN >= t is False — all exactly the fold's
+    isNotNull & ~isnan & >= filter."""
+    import numpy as np
+
+    ev = [
+        list(r["_e"])
+        for r in eval_vecs.select(F.col(vec_col).alias("_e")).collect()
+        if r["_e"] is not None and all(x is not None for x in r["_e"])
+    ]
+    groups = {}
+    for v in ev:
+        groups.setdefault(len(v), []).append(v)
+    eval_groups = {
+        n: (np.asarray(vs, dtype=np.float64),
+            np.linalg.norm(np.asarray(vs, dtype=np.float64), axis=1))
+        for n, vs in groups.items()
+    }
+    id_field = train_vecs.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "n_eval_hits long, _max double"
+    )
+
+    def _score(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            ids = pdf[id_col]
+            vecs = pdf[vec_col]
+            n_hits = np.zeros(len(pdf), dtype=np.int64)
+            max_cos = np.full(len(pdf), np.nan)
+            ok = vecs.map(
+                lambda v: v is not None and all(x is not None for x in v)
+            ).values
+            lens = vecs.map(lambda v: len(v) if v is not None else -1).values
+            for n, (E, ne) in eval_groups.items():
+                sel = ok & (lens == n)
+                if not sel.any():
+                    continue
+                X = np.asarray(
+                    [list(v) for v in vecs[sel]], dtype=np.float64
+                )
+                nx = np.linalg.norm(X, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = (X @ E.T) / np.outer(nx, ne)
+                with np.errstate(invalid="ignore"):
+                    hit = sim >= threshold
+                idx = np.flatnonzero(sel)
+                n_hits[idx] += hit.sum(axis=1)
+                # -inf encodes "no hit yet" so plain max needs no NaN
+                # special-casing (hit rows never carry NaN cosines —
+                # NaN >= t is already False)
+                best_new = np.max(
+                    np.where(hit, sim, -np.inf), axis=1
+                ) if hit.size else np.full(len(idx), -np.inf)
+                cur = np.where(np.isnan(max_cos[idx]), -np.inf, max_cos[idx])
+                combined = np.maximum(cur, best_new)
+                max_cos[idx] = np.where(
+                    np.isneginf(combined), np.nan, combined
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids.values,
+                    "n_eval_hits": n_hits,
+                    "_max": [None if np.isnan(m) else m for m in max_cos],
+                }
+            )
+
+    return train_vecs.mapInPandas(_score, out_schema).select(
+        F.col(id_col),
+        F.col("n_eval_hits").cast("long").alias("n_eval_hits"),
+        # round IN THE PLAN so both scorers share Spark's round semantics
+        F.round("_max", 4).alias("max_cos_r"),
+        (F.col("n_eval_hits") > 0).alias("contaminated"),
     )
 
 

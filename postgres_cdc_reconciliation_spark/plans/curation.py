@@ -120,10 +120,13 @@ FROM t LEFT JOIN hits USING (vec_id)""",
     "(operators/curation.py::semantic_contamination_report): per-train-"
     "vector overlap with the eval slice (vec_id%4=1 — the incremental-"
     "dedup batch convention) in embedding space, catching paraphrase-"
-    "level leaks k-gram overlap can't see. Eval side broadcast (MBs of "
-    "benchmarks vs TBs of corpus), scoring is a map-only broadcast "
-    "nested-loop — zero corpus shuffle — then one map-side-combinable "
-    "agg. Cosine is the bit-stable q_ann_cosine fold; max_cos_r rounds "
+    "level leaks k-gram overlap can't see. Eval side ships whole to "
+    "every executor (MBs of benchmarks vs TBs of corpus); the PRODUCTION "
+    "scorer drives this query: one Arrow-batched BLAS gemm per corpus "
+    "batch against the eval matrix — map-only, zero corpus shuffle "
+    "(8.4x the in-plan fold at sf0.1: 7.7 s -> 0.92 s; the fold is the "
+    "agreement-tested reference path, tests/test_curation.py). "
+    "Cosine semantics follow the bit-stable q_ann_cosine fold; max_cos_r rounds "
     "AFTER all comparisons. Margins measured at sf0.001/0.01: nearest "
     "pair >= 3.8e-5 from the 0.35 cut, every per-row max >= 1.8e-7 from "
     "its 4dp rounding half-boundary (engine noise ~1e-13); non-vacuous "

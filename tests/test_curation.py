@@ -296,3 +296,52 @@ def test_semantic_contamination_empty_eval_and_bad_threshold(spark):
     assert len(out) == 1 and not out[0]["contaminated"]
     with pytest.raises(ValueError, match="threshold"):
         semantic_contamination_report(train, train, threshold=True)
+
+
+def test_semantic_contamination_scorers_agree_clean_and_dirty(spark):
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    ev = vecs([
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.5, 0.5, 0.5]),
+        (2, None),                    # NULL eval vector: pairs with nothing
+        (3, [1.0, 0.0]),              # short eval: pairs only with len-2
+    ])
+    train = vecs([
+        (10, [0.99, 0.01, 0.0]),
+        (11, [0.0, 0.0, 1.0]),
+        (12, None),                   # NULL train vector: emitted, 0 hits
+        (13, [0.0, 0.0, 0.0]),        # zero norm: cosine undefined, 0 hits
+        (14, [0.9, 0.1]),             # len-2: pairs only with eval 3
+    ])
+    for thr in (0.3, 0.8):
+        fold = sorted(map(tuple, semantic_contamination_report(
+            train, ev, thr, scorer="fold").collect()))
+        mat = sorted(map(tuple, semantic_contamination_report(
+            train, ev, thr, scorer="matrix").collect()))
+        assert len(mat) == 5
+        assert fold == mat, (thr, fold, mat)
+    # cross-length pair really scored: train 14 hits eval 3
+    out = {r["vec_id"]: r for r in semantic_contamination_report(
+        train, ev, 0.8, scorer="matrix").collect()}
+    assert out[14]["contaminated"] and out[14]["n_eval_hits"] == 1
+    assert not out[12]["contaminated"] and not out[13]["contaminated"]
+
+
+def test_semantic_contamination_rejects_bad_scorer(spark):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+
+    v = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="scorer"):
+        semantic_contamination_report(v, v, scorer="blas")

@@ -6,6 +6,8 @@ key, a renamed column) silently degrades the join strategy."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from postgres_cdc_reconciliation_spark.plans.registry import all_queries
 
 # TPC-H-shaped queries joining fact tables to small dims: nation/region/
@@ -374,6 +376,26 @@ def test_round10c_registrations_plan_shapes(spark, sf_dir):
     assert all("/cent_id=" in f for f in ivf_files)
     assert "CartesianProduct" not in _plan(df)
 
+    # production scorer: one Arrow-batched gemm map over the corpus —
+    # no join, no shuffle, no row-at-a-time Python
     plan = _plan(qs["q_semantic_contamination"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan.split("MapInPandas")[0]
+
+    # reference scorer: the eval side must be broadcast (a
+    # BroadcastNestedLoopJoin — the corpus side never shuffles)
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fold = semantic_contamination_report(
+        v.filter(F.col("vec_id") % 4 != 1),
+        v.filter(F.col("vec_id") % 4 == 1),
+        scorer="fold",
+    )
+    plan = _plan(fold)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
