@@ -1076,6 +1076,11 @@ def semantic_index_build(
             "id_col": id_col,
             "vec_col": vec_col,
             "dim": len(cents[0]),
+            # the index's on-disk vector type: admission CASTS batches to
+            # it — mixed parquet physical types across batch files (float
+            # seed + double batch) make every later read crash (found by
+            # the round-10 lifecycle probe)
+            "vec_type": vectors.schema[vec_col].dataType.simpleString(),
         }
     )
     fs, _ = _fs(vectors.sparkSession, path)
@@ -1300,6 +1305,13 @@ def semantic_index_admit(
         adm = vectors.join(assigned.select(id_col, "cent_id"), id_col).select(
             id_col, vec_col, "cent_id"
         )
+    vec_type = doc.get("vec_type")
+    if vec_type is not None:
+        # enforce the index's on-disk vector type: a double-typed batch
+        # admitted into a float-typed index leaves mixed parquet physical
+        # types across files, and every later read crashes (lifecycle
+        # probe). Legacy sidecars without vec_type keep old behavior.
+        adm = adm.withColumn(vec_col, F.col(vec_col).cast(vec_type))
     adm = adm.localCheckpoint()  # one computation for count + write
     n = adm.count()
     adm.write.mode("overwrite").partitionBy("cent_id").parquet(

@@ -441,3 +441,29 @@ def test_incremental_cap_validation(spark, tmp_path):
         with pytest.raises(ValueError, match="max_cluster_members"):
             semantic_dedup_incremental(batch, path,
                                        max_cluster_members=bad).collect()
+
+
+def test_admit_casts_to_index_vector_type(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_dedup_incremental,
+        semantic_index_admit,
+        semantic_index_build,
+    )
+
+    # float-typed seed index + DOUBLE-typed batch: admission must cast,
+    # or the mixed parquet physical types crash every later read
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "fidx")
+    semantic_index_build(seed, path, k=1, max_iter=1)
+    dbl = spark.createDataFrame(
+        [(10, [0.6, 0.8])], "vec_id long, embedding array<double>"
+    )
+    semantic_index_admit(dbl, path, 0)
+    full = spark.read.parquet(path)
+    assert full.count() == 3
+    assert full.schema["embedding"].dataType.simpleString() == "array<float>"
+    v = semantic_dedup_incremental(dbl, path, threshold=0.99).collect()
+    assert len(v) == 1 and v[0]["keep"] is False  # its own admitted copy
