@@ -585,3 +585,45 @@ def test_ngram_prefix_join_equals_index_join_property(spark, texts, t, cap):
         )
 
     assert got("prefix") == got("index")
+
+
+VEC = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0,
+                      allow_nan=False, allow_infinity=False, width=32),
+            min_size=0, max_size=6,
+        ),
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(train=VEC, ev=VEC, thr=st.floats(min_value=-0.5, max_value=0.99))
+def test_contamination_scorers_agree_property(spark, train, ev, thr):
+    """The gemm scorer and the in-plan fold are the SAME function on any
+    corpus shape hypothesis can invent — ragged lengths, empty and NULL
+    vectors, zero norms, any threshold."""
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rows)],
+            "vec_id long, embedding array<double>",
+        )
+
+    fold = sorted(map(tuple, semantic_contamination_report(
+        df(train), df(ev), thr, scorer="fold").collect()))
+    mat = sorted(map(tuple, semantic_contamination_report(
+        df(train), df(ev), thr, scorer="matrix").collect()))
+    assert len(mat) == len(train)
+    for (fid, fn_, fmax, fc), (mid, mn, mmax, mc) in zip(fold, mat):
+        assert (fid, fn_, fc) == (mid, mn, mc)
+        if fmax is None or mmax is None:
+            assert fmax == mmax
+        else:
+            assert abs(fmax - mmax) < 1e-9
