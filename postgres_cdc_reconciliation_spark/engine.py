@@ -75,6 +75,13 @@ class Engine:
     def diff(self, src, tgt, key_cols, **kw) -> DataFrame:
         return _recon.diff_rows(src, tgt, key_cols, **kw)
 
+    def repair(self, src, tgt, key_cols, **kw) -> DataFrame:
+        """The corrective change batch that converges tgt onto src —
+        feed it to apply_batch to heal the drift diff() reported;
+        apply_batch(tgt, repair(src, tgt, keys), keys) == src for
+        unique-keyed sources."""
+        return _recon.repair_batch(src, tgt, key_cols, **kw)
+
     def compare_counts(self, pairs) -> DataFrame:
         return _recon.compare_counts(pairs)
 

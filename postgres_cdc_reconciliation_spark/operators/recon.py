@@ -94,6 +94,53 @@ def diff_rows(
     return out
 
 
+def repair_batch(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    lsn: str = "0/0",
+) -> DataFrame:
+    """The corrective change batch that converges the target onto the
+    source — the apply-shaped event set (key + source image + op +
+    source_lsn) a reconciliation run needs to HEAL the drift
+    :func:`diff_rows` reported. The reference stops at reporting
+    (verify_replication.py prints the first mismatches and exits);
+    this closes the loop:
+
+        apply_batch(tgt, repair_batch(src, tgt, keys), keys)
+
+    equals the source exactly when keys are unique (the reference's
+    primary-key contract); a duplicate-keyed source converges to its
+    per-key max image (diff_rows' cardinality convention) — tested both
+    ways. missing_in_target / value_mismatch / cardinality_mismatch
+    keys upsert the source image ('u'); extra_in_target keys delete
+    ('d', NULL payload — apply ignores delete payloads).
+
+    Scale shape: one keyed diff (two map-side-combinable groupBys + a
+    full-outer join on the key) — the batch is O(|drift|), and applying
+    it costs O(touched keys), never O(table)."""
+    if compare_cols is None:
+        compare_cols = [c for c in src.columns if c not in key_cols]
+    d = diff_rows(src, tgt, key_cols, compare_cols)
+    upserts = d.filter(F.col("diff_type") != "extra_in_target").select(
+        *key_cols,
+        *[F.col(f"src_{c}").alias(c) for c in compare_cols],
+        F.lit("u").alias("op"),
+        F.lit(lsn).alias("source_lsn"),
+    )
+    deletes = d.filter(F.col("diff_type") == "extra_in_target").select(
+        *key_cols,
+        *[
+            F.lit(None).cast(src.schema[c].dataType).alias(c)
+            for c in compare_cols
+        ],
+        F.lit("d").alias("op"),
+        F.lit(lsn).alias("source_lsn"),
+    )
+    return upserts.unionByName(deletes)
+
+
 def diff_rows_positional(
     src: DataFrame, tgt: DataFrame, order_cols: list[str]
 ) -> DataFrame:

@@ -935,3 +935,49 @@ def q_apply_drop_audit(spark, sf_dir):
 
     ev = fx.cdc_events_df(spark, sf_dir)
     return drop_metrics_df(ev, ["order_id"], lsn_col="source_lsn")
+
+
+@register(
+    "q_recon_repair",
+    """WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+SELECT o_orderkey, o_custkey, o_totalprice, 'u' AS op
+FROM base WHERE o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey + 10000000000000,
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 'd'
+FROM base WHERE o_orderkey % 11 = 0""",
+    doc="[EXT] reconciliation REPAIR (operators/recon.py::repair_batch): "
+    "the corrective change batch that converges a drifted target onto "
+    "the source — the reference's verifier stops at reporting "
+    "(verify_replication.py:99-146 prints mismatches); this closes the "
+    "loop so apply_batch(tgt, repair) == src (convergence pytest-pinned, "
+    "tests/test_recon.py). Planted drift: keys k%13=0 dropped from the "
+    "target (missing -> upsert), k%7=0 survivors at price+5.0 "
+    "(value_mismatch -> upsert with the SOURCE image), phantom keys "
+    "k+1e13 for k%11=0 (extra_in_target -> delete, NULL payload). Batch "
+    "is O(|drift|): one keyed diff — two map-side-combinable groupBys + "
+    "a full-outer join on the key; doubles compare via eqNullSafe so "
+    "+5.0 flips every planted row in both engines (IEEE-exact).",
+)
+def q_recon_repair(spark, sf_dir):
+    from ..operators.recon import repair_batch
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    tgt = (
+        src.filter(key % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 7 == 0, F.col("o_totalprice") + F.lit(5.0))
+            .otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            src.filter(key % 11 == 0).withColumn(
+                "o_orderkey", key + F.lit(10_000_000_000_000)
+            )
+        )
+    )
+    return repair_batch(src, tgt, ["o_orderkey"]).drop("source_lsn")

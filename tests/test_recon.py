@@ -193,3 +193,42 @@ def test_diff_rows_key_only_tables(spark):
         2: "cardinality_mismatch",
         3: "extra_in_target",
     }
+
+
+def test_repair_batch_converges_target_onto_source(spark):
+    from postgres_cdc_reconciliation_spark.operators.apply import apply_batch
+    from postgres_cdc_reconciliation_spark.operators.recon import repair_batch
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, amount double",
+    )
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0),          # identical: untouched
+         (2, "b", 99.0),          # value drift -> upsert
+         (5, "x", 1.0)],          # phantom -> delete     (3,4 missing)
+        "id long, name string, amount double",
+    )
+    batch = repair_batch(src, tgt, ["id"])
+    ops = {(r["id"], r["op"]) for r in batch.collect()}
+    assert ops == {(2, "u"), (3, "u"), (4, "u"), (5, "d")}
+    healed = apply_batch(tgt, batch, ["id"])
+    assert sorted(map(tuple, healed.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    # a healed target needs no further repair: the loop is a fixpoint
+    assert repair_batch(src, healed, ["id"]).count() == 0
+
+
+def test_repair_batch_duplicate_keys_converge_to_max_image(spark):
+    from postgres_cdc_reconciliation_spark.operators.apply import apply_batch
+    from postgres_cdc_reconciliation_spark.operators.recon import repair_batch
+
+    src = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0), (2, 1.0)], "id long, amount double"
+    )
+    tgt = spark.createDataFrame([(2, 1.0)], "id long, amount double")
+    healed = apply_batch(tgt, repair_batch(src, tgt, ["id"]), ["id"])
+    # the documented convention: duplicate-keyed sources converge to the
+    # per-key MAX image (diff_rows' cardinality aggregation)
+    assert sorted(map(tuple, healed.collect())) == [(1, 7.0), (2, 1.0)]
