@@ -467,3 +467,29 @@ def test_admit_casts_to_index_vector_type(spark, tmp_path):
     assert full.schema["embedding"].dataType.simpleString() == "array<float>"
     v = semantic_dedup_incremental(dbl, path, threshold=0.99).collect()
     assert len(v) == 1 and v[0]["keep"] is False  # its own admitted copy
+
+
+def test_compact_preserves_vec_type_contract(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_index_admit,
+        semantic_index_build,
+        semantic_index_compact,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    src = str(tmp_path / "f1")
+    semantic_index_build(seed, src, k=1, max_iter=1)
+    dst = str(tmp_path / "f2")
+    semantic_index_compact(spark, src, dst)
+    # the compacted sidecar still carries the float contract: a DOUBLE
+    # batch admitted into the NEW index must cast, keeping reads uniform
+    dbl = spark.createDataFrame(
+        [(10, [0.6, 0.8])], "vec_id long, embedding array<double>"
+    )
+    semantic_index_admit(dbl, dst, 0)
+    full = spark.read.parquet(dst)
+    assert full.count() == 3
+    assert full.schema["embedding"].dataType.simpleString() == "array<float>"
