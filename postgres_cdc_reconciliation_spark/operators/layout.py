@@ -220,11 +220,24 @@ def footer_stats(spark, files: list[str], cols: list[str]) -> dict:
         import pandas as pd
         import pyarrow.parquet as pq
 
+        def _meta(path):
+            # resolve non-local URIs (hdfs://, s3a://, file://) through a
+            # pyarrow filesystem — a bare ParquetFile(path) only reads the
+            # local FS, which breaks exactly at the object-store scale this
+            # module targets (ADVICE r10). s3a is Hadoop's scheme name for
+            # what pyarrow calls s3.
+            if "://" in path:
+                from pyarrow import fs as pafs
+
+                uri = path.replace("s3a://", "s3://", 1)
+                filesystem, rel = pafs.FileSystem.from_uri(uri)
+                return pq.ParquetFile(filesystem.open_input_file(rel)).metadata
+            return pq.ParquetFile(path).metadata
+
         for pdf in iterator:
             out = []
             for path in pdf["path"]:
-                local = path[7:] if path.startswith("file://") else path
-                meta = pq.ParquetFile(local).metadata
+                meta = _meta(path)
                 idx = {
                     meta.schema.column(i).name: i
                     for i in range(meta.num_columns)
@@ -411,6 +424,12 @@ def read_box(
     if not predicates:
         raise ValueError("predicates must be non-empty — use spark.read.parquet "
                          "for a full scan")
+    for col, bounds in predicates.items():
+        if not (isinstance(bounds, (tuple, list)) and len(bounds) == 2):
+            raise ValueError(
+                f"predicate for column {col!r} must be a (lower, upper) "
+                f"pair, got {bounds!r}"
+            )
     fs, spath = _fs(spark, f"{path}/{_ZONEMAP_SIDECAR}")
     if not fs.exists(spath):
         raise FileNotFoundError(
@@ -422,6 +441,17 @@ def read_box(
         doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
     finally:
         stream.close()
+    schema = StructType.fromJson(doc["schema"])
+    # fail up front with the offending column, not a KeyError/TypeError
+    # mid-prune (ADVICE r10): every predicate column must exist in the
+    # stamped schema, and bounds must be comparable with its zones
+    stamped = {f.name for f in schema.fields}
+    for col in predicates:
+        if col not in stamped:
+            raise ValueError(
+                f"predicate column {col!r} is not in the stamped schema; "
+                f"stamped columns: {sorted(stamped)}"
+            )
     keep = []
     for fname, per in doc["files"].items():
         ok = True
@@ -430,14 +460,22 @@ def read_box(
             if zone is None:
                 continue  # unprunable on this column
             lo, hi = _dec_stat(zone[0]), _dec_stat(zone[1])
-            lo_b = _coerce_bound(lower, lo)
-            hi_b = _coerce_bound(upper, hi)
-            if not ((hi_b is None or lo <= hi_b) and (lo_b is None or hi >= lo_b)):
-                ok = False
+            try:
+                lo_b = _coerce_bound(lower, lo)
+                hi_b = _coerce_bound(upper, hi)
+                ok = (hi_b is None or lo <= hi_b) and \
+                    (lo_b is None or hi >= lo_b)
+            except (TypeError, ValueError) as exc:
+                bad = lower if upper is None else (lower, upper)
+                raise ValueError(
+                    f"predicate bound {bad!r} for column {col!r} is not "
+                    f"comparable with its {type(lo).__name__} zone values "
+                    f"({exc})"
+                ) from None
+            if not ok:
                 break
         if ok:
             keep.append(fname)
-    schema = StructType.fromJson(doc["schema"])
     if not keep:
         return spark.createDataFrame([], schema).filter(F.lit(True))
     scan = spark.read.parquet(*[f"{path}/{f}" for f in keep])
@@ -445,7 +483,7 @@ def read_box(
     # columns pass ISO strings, which cast session-timezone-independently
     # (a bare python datetime lit is LTZ and would shift under a non-UTC
     # driver session; the repo-wide NTZ gotcha)
-    field_dt = {f.name: f.dataType for f in schema.fields}
+    field_dt = {f.name: f.dataType for f in schema.fields}  # validated above
 
     def _lit(b, dt):
         import datetime

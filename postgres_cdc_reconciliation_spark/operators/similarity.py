@@ -924,12 +924,10 @@ def semantic_dedup(
     # neighbor, so the order must be total — both rules tie-break on the
     # globally-unique id ("first": priority is just the id; "central":
     # centroid distance first, the paper's keep-low-centroid-cosine rule)
-    if keep == "central":
-        pri = F.struct(
-            F.col("dist").alias("d"), (-F.col(id_col)).alias("i")
-        )
-    else:
-        pri = F.struct((-F.col(id_col)).alias("i"))
+    # carry the raw ordering columns and compare them directly below —
+    # an arithmetic-negation encoding (-id) would restrict id_col to
+    # numeric types (ANSI CAST error on string ids), while
+    # semantic_dedup_incremental already accepts any orderable id
     # the base frame feeds both sides of the self-join and the final keep
     # join — materialize once (the r6 bounded-intermediates rule for
     # reused multi-stage frames)
@@ -939,7 +937,7 @@ def semantic_dedup(
     ).select(
         F.col(id_col),
         F.col("cent_id").cast("string").alias("cent_id"),
-        pri.alias("_pri"),
+        F.col("dist").alias("_dist"),
         F.col(vec_col).alias("_vec"),
         "_norm",
     ).localCheckpoint()
@@ -961,23 +959,33 @@ def semantic_dedup(
     a = pair_src.select(
         F.col("cent_id"),
         F.col(id_col).alias("_id_a"),
-        F.col("_pri").alias("_pri_a"),
+        F.col("_dist").alias("_dist_a"),
         F.col("_vec").alias("_va"),
         F.col("_norm").alias("_na"),
     )
     b = pair_src.select(
         F.col("cent_id"),
         F.col(id_col).alias("_id_b"),
-        F.col("_pri").alias("_pri_b"),
+        F.col("_dist").alias("_dist_b"),
         F.col("_vec").alias("_vb"),
         F.col("_norm").alias("_nb"),
     )
+    # a STRICTLY outranks b — "first": smaller id wins; "central": larger
+    # centroid distance wins (the paper's keep-low-centroid-cosine rule),
+    # id tie-break. Both total orders, both id-type-agnostic.
+    if keep == "central":
+        outranks = (F.col("_dist_a") > F.col("_dist_b")) | (
+            (F.col("_dist_a") == F.col("_dist_b"))
+            & (F.col("_id_a") < F.col("_id_b"))
+        )
+    else:
+        outranks = F.col("_id_a") < F.col("_id_b")
     # try_divide + NaN guard: zero-norm vectors have undefined cosine and
     # must never witness a prune (embedding_near_dup_pairs convention)
     cos = F.try_divide(_dot("_va", "_vb"), F.col("_na") * F.col("_nb"))
     pruned = (
         a.join(b, "cent_id")
-        .filter(F.col("_pri_a") > F.col("_pri_b"))
+        .filter(outranks)
         .select("_id_b", cos.alias("_cos"))
         .filter(F.col("_cos").isNotNull() & ~F.isnan("_cos")
                 & (F.col("_cos") >= threshold))
@@ -1010,6 +1018,7 @@ def semantic_index_build(
     vec_col: str = "embedding",
     init: str = "hash",
     centroids: list[list[float]] | None = None,
+    overwrite_batches: bool = False,
 ) -> int:
     """Persist the corpus side of incremental semantic dedup: k-means the
     corpus (the :func:`semantic_dedup` sizing rule), write the vectors
@@ -1022,6 +1031,14 @@ def semantic_index_build(
     same O(batch) shape as the MinHash band index
     (``dedup.lsh_band_index``), with k-means cells instead of hash bands
     as the blocking structure.
+
+    Refit safety: the seed write only overwrites ``batch=-1``, so
+    rebuilding IN PLACE over an index that has admitted ``batch=N``
+    partitions would leave those rows assigned under the OLD centroids —
+    duplicate/mis-routed cluster members next to the new sidecar. The
+    build therefore REFUSES a path holding batch>=0 partitions unless
+    ``overwrite_batches=True`` (which deletes them first); the
+    no-data-loss refit is :func:`semantic_index_compact` to a NEW path.
 
     Layout: ``{path}/batch=-1/cent_id=K/`` — the seed corpus lives in the
     reserved ``batch=-1`` partition (the streaming/dedup.py
@@ -1040,6 +1057,29 @@ def semantic_index_build(
     layout, two read paths: dedup probes and ANN probes both ride the
     same cluster-dir pruning."""
     from .clustering import kmeans_assign, kmeans_fit
+    from .manifest_target import _fs
+
+    # fail fast on an in-place refit over admitted batches (stale batch=N
+    # rows would sit mis-assigned under the NEW centroids — ADVICE r10)
+    fs0, root = _fs(vectors.sparkSession, path)
+    if fs0.exists(root):
+        stale = [
+            st.getPath()
+            for st in fs0.listStatus(root)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("batch=")
+            and st.getPath().getName() != "batch=-1"
+        ]
+        if stale and not overwrite_batches:
+            raise ValueError(
+                f"{path} already holds {len(stale)} admitted batch "
+                "partition(s); rebuilding in place would strand them under "
+                "the old centroids. Compact to a NEW path with "
+                "semantic_index_compact, or pass overwrite_batches=True to "
+                "discard the admitted batches."
+            )
+        for p in stale:
+            fs0.delete(p, True)
 
     if centroids is not None:
         if not centroids:

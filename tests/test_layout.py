@@ -458,3 +458,23 @@ def test_read_box_empty_predicates_rejected(spark, tmp_path):
     path, _df, _w = _zone_table(spark, tmp_path)
     with pytest.raises(ValueError, match="non-empty"):
         read_box(spark, path, {})
+
+
+def test_read_box_unknown_column_and_bad_bound_fail_loud(spark, tmp_path):
+    # ADVICE r10: a predicate naming an unstamped-schema column used to
+    # surface as a bare KeyError, and a type-mismatched bound as a
+    # TypeError mid-prune — both must be ValueErrors naming the column
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        read_box,
+        read_range,
+    )
+
+    path, _df, _w = _zone_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="'nope'.*not in the stamped schema"):
+        read_box(spark, path, {"nope": (0, 10)})
+    with pytest.raises(ValueError, match="'k'.*not comparable"):
+        read_range(spark, path, "k", "abc", "def")
+    with pytest.raises(ValueError, match="'k'.*lower, upper"):
+        read_box(spark, path, {"k": 5})

@@ -493,3 +493,59 @@ def test_compact_preserves_vec_type_contract(spark, tmp_path):
     full = spark.read.parquet(dst)
     assert full.count() == 3
     assert full.schema["embedding"].dataType.simpleString() == "array<float>"
+
+
+def test_string_ids_both_keep_rules(spark):
+    # ADVICE r10: the old tie-break negated the id arithmetically, so any
+    # non-numeric id crashed under ANSI mode — string ids must work, with
+    # the same smallest-id ("first") / farthest-then-smallest ("central")
+    # total orders the numeric path uses
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0, 0.0]),
+        ("doc-b", [1.0, 0.001, 0.0, 0.0]),
+        ("doc-c", [1.0, 0.002, 0.0, 0.0]),
+        ("doc-d", [0.9, 0.3, 0.0, 0.0]),  # farthest from the centroid
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    first = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+        df, threshold=0.9, k=1, max_iter=2, keep="first"
+    ).collect()}
+    assert first == {
+        "doc-a": True, "doc-b": False, "doc-c": False, "doc-d": False,
+    }
+    central = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+        df, threshold=0.9, k=1, max_iter=2, keep="central"
+    ).collect()}
+    # same geometry as the numeric central test: the outlier survives
+    assert central == {
+        "doc-a": False, "doc-b": False, "doc-c": False, "doc-d": True,
+    }
+
+
+def test_rebuild_over_admitted_batches_refuses_then_overwrites(spark, tmp_path):
+    # ADVICE r10: an in-place refit over admitted batch=N partitions would
+    # strand them under the OLD centroids (duplicate/mis-routed members) —
+    # the build must refuse, and overwrite_batches=True must discard them
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.similarity import (
+        semantic_index_admit,
+        semantic_index_build,
+    )
+
+    rows = [(i, [1.0 if j == i % 4 else 0.0 for j in range(4)])
+            for i in range(8)]
+    path = _build_index(spark, tmp_path, rows, k=2, max_iter=2)
+    assert semantic_index_admit(
+        _vecs(spark, [(100, [0.0, 0.0, 0.0, 1.0])]), path, 0
+    ) == 1
+    with pytest.raises(ValueError, match="admitted batch"):
+        semantic_index_build(_vecs(spark, rows), path, k=2, max_iter=2)
+    # rebuild into a FRESH seed discards the stale batch partitions
+    semantic_index_build(
+        _vecs(spark, rows), path, k=2, max_iter=2, overwrite_batches=True
+    )
+    full = spark.read.parquet(path)
+    assert full.count() == len(rows)
+    assert [r["batch"] for r in full.select("batch").distinct().collect()] \
+        == [-1]
