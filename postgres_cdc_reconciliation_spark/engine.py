@@ -423,6 +423,35 @@ class Engine:
 
         return read_box(self.spark, path, predicates)
 
+    def bloom_stamp(self, path, cols, fpp=0.01) -> int:
+        """Stamp per-file bloom filters on cols of an existing parquet
+        dir (one column-pruned distributed pass) — point-probe skipping
+        on columns the layout does NOT cluster."""
+        from .operators.layout import stamp_bloom
+
+        return stamp_bloom(self.spark, path, cols, fpp=fpp)
+
+    def point_scan(self, path, eq) -> DataFrame:
+        """Bloom-pruned equality read ({col: value, ...}): opens only
+        files whose stamped bloom may contain every value; residual
+        filter re-checks survivors (false positives cost IO, never
+        wrong rows)."""
+        from .operators.layout import read_point
+
+        return read_point(self.spark, path, eq)
+
+    def dup_span_stats(self, docs, k=8, id_col="doc_id", text_col="text",
+                       max_gram_freq=None) -> DataFrame:
+        """Per-doc exact duplicated-span coverage: fraction of tokens in
+        a k-token window repeated corpus-wide — the span-level dedup
+        tier (boilerplate/templates doc-level MinHash cannot see)."""
+        from .operators.dedup import duplicate_span_stats
+
+        return duplicate_span_stats(
+            docs, k=k, id_col=id_col, text_col=text_col,
+            max_gram_freq=max_gram_freq,
+        )
+
     def point_lookup(self, root, key_cols, keys, version=None) -> DataFrame:
         """Key-routed point read from a manifest apply target: the keys
         hash to their buckets, only those bucket dirs are read, and the

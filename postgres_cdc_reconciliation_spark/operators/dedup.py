@@ -442,3 +442,104 @@ def near_dups_from_bands(
         .groupBy("new_id", "match_id", "match_src")
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-SPAN coverage per document: the fraction of each
+    doc's tokens lying inside a k-token window that occurs >= ``min_count``
+    times corpus-wide. Returns one row per doc:
+    (id_col, n_tokens, dup_tokens, dup_fraction).
+
+    The span-level tier of the dedup ladder — the published
+    train-data-dedup result this mirrors finds EXACT substrings repeated
+    across a corpus (boilerplate, licenses, templated text) that
+    doc-level MinHash/Jaccard cannot see because the enclosing documents
+    differ (reference analog: none — the reference verifies row
+    equality, verify_replication.py; this is the [EXT] corpus surface).
+    Suffix arrays (the paper's structure) don't distribute; the
+    Spark-first shape is positional k-grams:
+
+    1. posexplode each doc into (id, pos, gram) — linear in corpus
+       tokens, partition-local (the explode IS the data, there is no
+       sub-linear exact answer);
+    2. gram occurrence counts via groupBy(gram) — ONE keyed shuffle with
+       map-side partial aggregation; only grams reaching min_count
+       survive the HAVING, so the join-back side is the duplicated tail,
+       not the corpus;
+    3. join hits back and union the per-doc [pos, pos+k) intervals with
+       one running-max window (the interval-union idiom,
+       plans/analytics.py) — duplicated windows overlap heavily, the
+       union counts each token once.
+
+    ``max_gram_freq`` is the hot-key guard (the df-cap twin of
+    ngram_jaccard_pairs): a stopword-run gram occurring millions of times
+    joins back millions of hits; capping drops grams with count >
+    max_gram_freq from the DUPLICATE set (under-counts coverage for
+    pathological grams, never over-counts — documented recall-only
+    degradation, same trade as every other capped operator here).
+
+    Docs shorter than k tokens have no windows: dup_tokens = 0 by
+    definition (they can still BE duplicates at doc level — that's
+    exact_dedup's job, not this operator's).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    t = tokens(docs, text_col).select(
+        F.col(id_col), "_tokens", F.size("_tokens").alias("_n")
+    )
+    grams = t.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.col("_n") >= k,
+                F.expr(
+                    f"transform(sequence(0, size(_tokens) - {k}),"
+                    f" i -> concat_ws(' ', slice(_tokens, i + 1, {k})))"
+                ),
+            ).otherwise(F.array())
+        ).alias("pos", "gram"),
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("_cnt"))
+    dup = counts.filter(F.col("_cnt") >= min_count)
+    if max_gram_freq is not None:
+        dup = dup.filter(F.col("_cnt") <= max_gram_freq)
+    hits = grams.join(dup.select("gram"), "gram").select(id_col, "pos")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + k).over(w)
+    inc = F.greatest(
+        F.lit(0),
+        (F.col("pos") + k)
+        - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+    )
+    per_doc = (
+        hits.select(F.col(id_col), inc.alias("_inc"))
+        .groupBy(id_col)
+        .agg(F.sum("_inc").alias("dup_tokens"))
+    )
+    return (
+        t.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("_n").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -499,3 +499,235 @@ def read_box(
         if upper is not None:
             pred = pred & (F.col(col) <= _lit(upper, field_dt[col]))
     return scan.filter(pred)
+
+
+#: per-file bloom-filter sidecar — the membership twin of the zone map
+#: (zones prune RANGE predicates on clustered columns; blooms prune
+#: EQUALITY predicates on columns the layout does NOT cluster)
+_BLOOM_SIDECAR = "_pcr_bloom.json"
+
+
+def _bloom_key(v) -> bytes:
+    """Canonical hash bytes for a bloom member: integers normalize through
+    int() (int8/int16/../numpy widths all hash alike), everything else
+    hashes its str(). Floats/temporals work best-effort via str parity;
+    the supported contract is int and string key columns."""
+    import numpy as np
+
+    if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+        return str(int(v)).encode("utf-8")
+    return str(v).encode("utf-8")
+
+
+def _bloom_bit_positions(key: bytes, m: int, k: int) -> list[int]:
+    """k bit indexes via double hashing over one md5 (Kirsch-Mitzenmacher:
+    h1 + i*h2 preserves the fpp bound with two base hashes)."""
+    import hashlib
+
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_params(n: int, fpp: float, max_bits: int) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for n members at fpp, m byte-aligned and
+    capped (a cap only raises the file's fpp — pruning stays sound)."""
+    import math
+
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, min(max_bits, m))
+    m = (m + 7) // 8 * 8
+    k = max(1, min(16, round(m / max(n, 1) * math.log(2))))
+    return m, k
+
+
+def stamp_bloom(
+    spark,
+    path: str,
+    cols: list[str],
+    fpp: float = 0.01,
+    max_bits: int = 1 << 23,
+) -> int:
+    """Stamp a ``_pcr_bloom.json`` sidecar on an existing parquet dir: one
+    distributed pass reads ONLY ``cols`` from each file (column-pruned, no
+    full scan) and records a per-file bloom filter of each column's
+    distinct values. Returns the number of data files stamped.
+
+    The point-lookup analog of :func:`stamp_zonemap` for columns the
+    layout does NOT cluster: on a time-clustered table every file spans
+    the full key range, so zones cannot prune ``key = X`` — but each file
+    only CONTAINS ~rows/file distinct keys, so a bloom sized at ``fpp``
+    skips ~(1-fpp) of the non-matching files. This is Parquet's own
+    column-index bloom idea lifted to FILE granularity with the decision
+    made from one tiny JSON read — at 100 TB a point probe on a
+    secondary column opens O(matching files + fpp x files) instead of
+    every file. NULLs are not members (equality never matches NULL, so
+    skipping them is sound). Capped at ``max_bits`` per column per file —
+    a saturated bloom degrades toward fpp=1 (reads everything), never
+    toward a wrong skip."""
+    import base64
+    import json
+
+    from .manifest_target import _fs
+
+    fs, pdir = _fs(spark, path)
+    files = [
+        str(st.getPath())
+        for st in fs.listStatus(pdir)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    schema = spark.read.parquet(path).schema
+    missing = [c for c in cols if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(
+            f"bloom columns {missing} not in the table schema; "
+            f"columns: {schema.fieldNames()}"
+        )
+    cols = list(cols)
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string")
+
+    def _build(iterator):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def _open(p):
+            if "://" in p:
+                from pyarrow import fs as pafs
+
+                uri = p.replace("s3a://", "s3://", 1)
+                filesystem, rel = pafs.FileSystem.from_uri(uri)
+                return pq.ParquetFile(filesystem.open_input_file(rel))
+            return pq.ParquetFile(p)
+
+        for pdf in iterator:
+            out = []
+            for p in pdf["path"]:
+                pf = _open(p)
+                present = [c for c in cols if c in pf.schema_arrow.names]
+                if not present:
+                    continue
+                tbl = pf.read(columns=present)
+                for c in present:
+                    vals = tbl.column(c).drop_null().unique().to_pylist()
+                    m, k = _bloom_params(max(len(vals), 1), fpp, max_bits)
+                    bits = bytearray(m // 8)
+                    for v in vals:
+                        for pos in _bloom_bit_positions(_bloom_key(v), m, k):
+                            bits[pos >> 3] |= 1 << (pos & 7)
+                    out.append((
+                        p, c, m, k,
+                        base64.b64encode(bytes(bits)).decode("ascii"),
+                    ))
+            yield pd.DataFrame(
+                out, columns=["path", "col", "m", "k", "b64"]
+            )
+
+    rows = paths_df.mapInPandas(
+        _build, "path string, col string, m long, k long, b64 string"
+    ).collect()  # bounded: |files| x |cols| rows of m/8-byte blobs
+    per_file: dict = {}
+    for r in rows:
+        per_file.setdefault(r["path"].rsplit("/", 1)[-1], {})[r["col"]] = {
+            "m": int(r["m"]), "k": int(r["k"]), "b64": r["b64"],
+        }
+    doc = {
+        "fpp": fpp,
+        "schema": json.loads(schema.json()),
+        "files": per_file,
+    }
+    _, tmp = _fs(spark, f"{path}/.{_BLOOM_SIDECAR}.tmp")
+    _, final = _fs(spark, f"{path}/{_BLOOM_SIDECAR}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+    return len(files)
+
+
+def read_point(
+    spark,
+    path: str,
+    eq: dict,
+):
+    """Bloom-pruned point scan: ``eq = {col: value, ...}`` opens only the
+    files whose stamped bloom filter MAY contain every value, then
+    re-checks survivors with the residual equality filter.
+
+    Soundness is one-directional by construction: a bloom answers
+    "definitely absent" or "maybe present", so pruning only ever SKIPS
+    files that cannot hold a match (false positives cost extra IO at the
+    stamped fpp, never wrong results); a file with no stamped bloom for a
+    column is always read. Returns an empty frame with the stamped schema
+    when every file is excluded. NULL probes are rejected — equality
+    never matches NULL, so the query is statically empty."""
+    import base64
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from .manifest_target import _fs
+
+    if not eq:
+        raise ValueError("eq must be non-empty — use spark.read.parquet "
+                         "for a full scan")
+    for col, v in eq.items():
+        if v is None:
+            raise ValueError(
+                f"probe value for column {col!r} is None — equality never "
+                "matches NULL; filter IS NULL on a plain scan instead"
+            )
+    fs, spath = _fs(spark, f"{path}/{_BLOOM_SIDECAR}")
+    if not fs.exists(spath):
+        raise FileNotFoundError(
+            f"no bloom sidecar at {path} — stamp with stamp_bloom"
+        )
+    stream = fs.open(spath)
+    try:
+        doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+    schema = StructType.fromJson(doc["schema"])
+    stamped = {f.name for f in schema.fields}
+    for col in eq:
+        if col not in stamped:
+            raise ValueError(
+                f"probe column {col!r} is not in the stamped schema; "
+                f"stamped columns: {sorted(stamped)}"
+            )
+
+    def _may_contain(bloom, v) -> bool:
+        m, k = bloom["m"], bloom["k"]
+        bits = base64.b64decode(bloom["b64"])
+        return all(
+            bits[pos >> 3] & (1 << (pos & 7))
+            for pos in _bloom_bit_positions(_bloom_key(v), m, k)
+        )
+
+    keep = []
+    for fname, per in doc["files"].items():
+        ok = True
+        for col, v in eq.items():
+            bloom = per.get(col)
+            if bloom is None:
+                continue  # unprunable on this column
+            if not _may_contain(bloom, v):
+                ok = False
+                break
+        if ok:
+            keep.append(fname)
+    if not keep:
+        return spark.createDataFrame([], schema).filter(F.lit(True))
+    scan = spark.read.parquet(*[f"{path}/{f}" for f in keep])
+    field_dt = {f.name: f.dataType for f in schema.fields}
+    pred = F.lit(True)
+    for col, v in eq.items():
+        import datetime
+
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            v = v.isoformat()
+        pred = pred & (F.col(col) == F.lit(v).cast(field_dt[col]))
+    return scan.filter(pred)

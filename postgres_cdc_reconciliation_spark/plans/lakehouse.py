@@ -310,3 +310,55 @@ def q_target_stats(spark, sf_dir):
         "min_o_totalprice",
         "max_o_totalprice",
     )
+
+
+_BLOOM_STAMPED: set[tuple[int, str]] = set()
+
+
+def _ensure_bloom_root(spark, sf_dir) -> str:
+    """The zone root (lineitem range-clustered by l_shipdate) with a bloom
+    sidecar additionally stamped on l_orderkey — the column the layout
+    does NOT cluster, so zones cannot prune point probes on it."""
+    from ..operators.layout import stamp_bloom
+
+    root = _ensure_zone_root(spark, sf_dir)
+    cache_key = (id(spark), sf_dir)
+    if cache_key not in _BLOOM_STAMPED:
+        stamp_bloom(spark, root, ["l_orderkey"], fpp=0.01)
+        _BLOOM_STAMPED.add(cache_key)
+    return root
+
+
+@register(
+    "q_bloom_pruned_scan",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+       FROM lineitem
+       WHERE l_orderkey IN (1, 2, 3, 5, 7)""",
+    doc="bloom-filter file skipping (operators/layout.py::stamp_bloom + "
+    "read_point): lineitem is range-clustered by l_shipdate, so every "
+    "file spans the full l_orderkey range and zone maps CANNOT prune a "
+    "key probe — but each file only contains ~rows/file distinct keys, "
+    "and a per-file bloom (fpp=0.01, stamped from one column-pruned "
+    "distributed pass) skips ~99% of non-matching files. Five point "
+    "probes union'd; each opens only bloom-surviving files + residual "
+    "equality re-check, so false positives cost IO, never wrong rows "
+    "(the oracle is the plain full-scan IN filter). "
+    "tests/test_layout.py pins files-opened < files-written; at 100 TB "
+    "a secondary-key probe reads O(matching + fpp x files) instead of "
+    "the table.",
+)
+def q_bloom_pruned_scan(spark, sf_dir):
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from ..operators.layout import read_point
+
+    root = _ensure_bloom_root(spark, sf_dir)
+    parts = [
+        read_point(spark, root, {"l_orderkey": key})
+        for key in (1, 2, 3, 5, 7)
+    ]
+    return reduce(DataFrame.union, parts).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

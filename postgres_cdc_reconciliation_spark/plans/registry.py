@@ -114,6 +114,14 @@ _CHECK_PRIORITY: list[str] = [
     # automatically; the feasible staleness ceiling moves to
     # ceil(159/50)=4 rounds, which the invariant test derives from the
     # registry size rather than pinning.
+    # -- round 11 window: NO pins. Changed implementations this round are
+    # value-identical on driver data and were re-driven MATCH at sf0.01
+    # immediately after the change (q_semantic_dedup — the id tie-break
+    # now compares ids directly instead of negating them, same total
+    # order for numeric ids; q_range_pruned_scan / q_target_stats — the
+    # read_box up-front validation and footer URI resolution are no-ops
+    # on valid local paths). The two new registrations (q_bloom_pruned_
+    # scan, q_dup_spans) are never-checked and front automatically.
     "q_dedup_embed_rp",
     "q_dedup_embed_rp_multi",
 ]

@@ -1987,3 +1987,48 @@ def q_semantic_dedup_incremental(spark, sf_dir):
             & (F.sum(F.col("keep").cast("long")) > 0)
         ).alias("prune_nonvacuous"),
     )
+
+
+@register(
+    "q_dup_spans",
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       ), grams AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                array_to_string(tk[i+1:i+8], ' ') AS gram
+         FROM toks, UNNEST(range(CAST(len(tk) - 8 + 1 AS BIGINT))) AS u(i)
+       ), dup AS (
+         SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+       ), hits AS (
+         SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+       ), cov AS (
+         SELECT doc_id,
+                greatest(0, pos + 8 - greatest(pos,
+                  coalesce(max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos)
+                )) AS inc
+         FROM hits
+       ), per AS (
+         SELECT doc_id, sum(inc) AS dup_tokens FROM cov GROUP BY doc_id
+       )
+       SELECT t.doc_id,
+              CAST(len(t.tk) AS BIGINT) AS n_tokens,
+              CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
+                / CAST(len(t.tk) AS DOUBLE) AS dup_fraction
+       FROM toks t LEFT JOIN per p USING (doc_id)""",
+    doc="[EXT] exact duplicated-SPAN coverage per document "
+    "(operators/dedup.py::duplicate_span_stats): fraction of each doc's "
+    "tokens inside an 8-token window occurring >=2 times corpus-wide — "
+    "the span-level dedup tier (boilerplate/license/templated text that "
+    "doc-level MinHash cannot see). Positional k-grams -> ONE keyed "
+    "count shuffle -> join-back of the duplicated tail -> per-doc "
+    "interval union via a running-max window. Linear in corpus tokens; "
+    "max_gram_freq caps stopword-run hot grams at scale. The "
+    "BIGINT/BIGINT -> DOUBLE division is IEEE-identical cross-engine.",
+)
+def q_dup_spans(spark, sf_dir):
+    from ..operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir), k=8)

@@ -478,3 +478,93 @@ def test_read_box_unknown_column_and_bad_bound_fail_loud(spark, tmp_path):
         read_range(spark, path, "k", "abc", "def")
     with pytest.raises(ValueError, match="'k'.*lower, upper"):
         read_box(spark, path, {"k": 5})
+
+
+def _bloom_table(spark, tmp_path):
+    """Range-clustered by k (10 files) + bloom stamped on the UNclustered
+    id column — zones can't prune id probes, blooms can."""
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        stamp_bloom,
+        write_range_clustered,
+    )
+
+    path = str(tmp_path / "bloomed")
+    # id is a pseudo-random permutation-ish mapping so each file holds a
+    # scattered, file-local set of ids
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919) % 2000).alias("uid"),
+        F.concat(F.lit("tag"), (F.col("id") % 5)).alias("tag"),
+    )
+    written = write_range_clustered(df, path, "k", n_files=10)
+    stamp_bloom(spark, path, ["uid", "tag"], fpp=0.01)
+    return path, df, written
+
+
+def test_bloom_point_probe_exact_and_pruned(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import read_point
+
+    path, df, written = _bloom_table(spark, tmp_path)
+    out = read_point(spark, path, {"uid": 777})
+    expect = df.filter(F.col("uid") == 777).collect()
+    got = out.collect()
+    assert sorted(r["k"] for r in got) == sorted(r["k"] for r in expect)
+    assert len(got) == 1
+    # the skipping claim: uid 777 lives in ONE file; fpp=0.01 over 10
+    # files makes false positives rare — strictly fewer files than written
+    assert 1 <= len(out.inputFiles()) < written
+
+
+def test_bloom_absent_key_returns_empty(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import read_point
+
+    path, df, _w = _bloom_table(spark, tmp_path)
+    out = read_point(spark, path, {"uid": 999_999})
+    assert out.count() == 0
+    assert out.columns == df.columns
+
+
+def test_bloom_string_column_and_conjunction(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import read_point
+
+    path, df, _w = _bloom_table(spark, tmp_path)
+    out = read_point(spark, path, {"tag": "tag3", "uid": 1})
+    expect = df.filter((F.col("tag") == "tag3") & (F.col("uid") == 1))
+    assert [r["k"] for r in out.collect()] == [
+        r["k"] for r in expect.collect()
+    ]
+
+
+def test_bloom_unstamped_column_reads_everything_correctly(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import read_point
+
+    path, df, written = _bloom_table(spark, tmp_path)
+    # k has no bloom: unprunable on that column, results stay exact
+    out = read_point(spark, path, {"k": 42})
+    assert len(out.inputFiles()) == written
+    assert [r["uid"] for r in out.collect()] == [
+        r["uid"] for r in df.filter(F.col("k") == 42).collect()
+    ]
+
+
+def test_bloom_validation_and_missing_sidecar(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        read_point,
+        stamp_bloom,
+    )
+
+    path, _df, _w = _bloom_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="'nope'.*not in the stamped"):
+        read_point(spark, path, {"nope": 1})
+    with pytest.raises(ValueError, match="never matches NULL"):
+        read_point(spark, path, {"uid": None})
+    with pytest.raises(ValueError, match="non-empty"):
+        read_point(spark, path, {})
+    with pytest.raises(ValueError, match="\\['ghost'\\] not in"):
+        stamp_bloom(spark, path, ["ghost"])
+    bare = str(tmp_path / "bare")
+    spark.range(5).write.parquet(bare)
+    with pytest.raises(FileNotFoundError, match="no bloom sidecar"):
+        read_point(spark, bare, {"id": 1})

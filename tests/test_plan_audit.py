@@ -399,3 +399,28 @@ def test_round10c_registrations_plan_shapes(spark, sf_dir):
     plan = _plan(fold)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round11_registrations_plan_shapes(spark, sf_dir):
+    """Round-11 batch: the bloom point probe must open strictly fewer
+    files than the clustered layout holds (membership skipping on an
+    UNclustered column is the point); the span-coverage query stays
+    cartesian-free (one gram-keyed shuffle + the duplicated-tail
+    join-back, interval union in a window)."""
+    qs = all_queries()
+
+    df = qs["q_bloom_pruned_scan"].fn(spark, sf_dir)
+    assert "CartesianProduct" not in _plan(df)
+    from postgres_cdc_reconciliation_spark.plans.lakehouse import (
+        _ensure_zone_root,
+    )
+
+    root = _ensure_zone_root(spark, sf_dir)
+    assert 0 < len(df.inputFiles()) < len(
+        spark.read.parquet(root).inputFiles()
+    )
+
+    df = qs["q_dup_spans"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # stays JVM-side
