@@ -452,6 +452,16 @@ class Engine:
             max_gram_freq=max_gram_freq,
         )
 
+    def heavy_hitters(self, df, value_col, min_fraction=0.01,
+                      width=2048, depth=4) -> DataFrame:
+        """Frequent values via the two-pass count-min sketch: no exact
+        groupBy on the value universe, no false negatives, bounded
+        false positives (est >= true always)."""
+        from .operators.sketches import heavy_hitters
+
+        return heavy_hitters(df, value_col, min_fraction=min_fraction,
+                             width=width, depth=depth)
+
     def point_lookup(self, root, key_cols, keys, version=None) -> DataFrame:
         """Key-routed point read from a manifest apply target: the keys
         hash to their buckets, only those bucket dirs are read, and the

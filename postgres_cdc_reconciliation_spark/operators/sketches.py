@@ -124,3 +124,144 @@ def kll_group_quantiles(
             )
         )
     return sk.select(*cols)
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch of ``value_col`` as a SMALL relational sketch:
+    one row per (hash_row, cell) with the cell's total count — at most
+    ``depth x width`` rows regardless of input size.
+
+    The frequency twin of the HLL/theta/KLL family above, and the same
+    100 TB argument: the groupBy's map-side partial aggregation caps each
+    task's contribution at depth x width cells, so a frequency summary of
+    a trillion-row column shuffles KBs per partition, never the value
+    set. The sketch is MERGEABLE by construction (:func:`cms_merge` is
+    union + re-sum — associative, commutative), so per-day/per-shard
+    sketches roll up without re-scanning raw data. Estimates are
+    one-sided: est >= true count always; est <= true + e/width x N with
+    probability 1-(1/2)^depth (Cormode-Muthukrishnan bounds). Hashing is
+    xxhash64(value, row) — JVM-side, deterministic, cross-run stable.
+    (Spark ships a binary `count_min_sketch` aggregate; this relational
+    form is used instead because the sketch stays queryable/mergeable
+    with plain SQL and oracle-checkable cross-engine.) NULLs are not
+    counted (frequency of NULL is a COUNT filter, not a sketch lookup).
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    rows = F.explode(
+        F.array([F.lit(r) for r in range(depth)])
+    ).alias("r")
+    return (
+        df.select(F.col(value_col).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select(rows, "_v")
+        .select(
+            "r",
+            F.pmod(F.xxhash64("_v", F.col("r")), F.lit(width)).alias("cell"),
+        )
+        .groupBy("r", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the SAME (width, depth): cell-wise
+    sum. Exactly equals the sketch of the concatenated inputs."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate the frequency of each distinct value in ``values``
+    from a :func:`cms_build` sketch: min over the value's depth cells
+    (missing cell = 0). Returns (value_col, est). The sketch side is
+    broadcast (<= depth x width rows), so estimation is map-shaped on the
+    values side — no shuffle of the probe set."""
+    cand = values.select(F.col(value_col)).where(
+        F.col(value_col).isNotNull()
+    ).distinct()
+    expanded = cand.select(
+        value_col,
+        F.explode(F.array([F.lit(r) for r in range(depth)])).alias("r"),
+    ).withColumn(
+        "cell", F.pmod(F.xxhash64(value_col, F.col("r")), F.lit(width))
+    )
+    return (
+        expanded.join(F.broadcast(cms), ["r", "cell"], "left")
+        .select(value_col, F.coalesce("cnt", F.lit(0)).alias("_c"))
+        .groupBy(value_col)
+        .agg(F.min("_c").cast("long").alias("est"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_fraction: float = 0.01,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Values whose estimated frequency reaches ``min_fraction`` of the
+    non-null rows, WITHOUT an exact full groupBy on the value — the CMS
+    two-pass heavy-hitters (Cormode-Muthukrishnan): build the sketch
+    (pass 1), then re-scan filtering each row through its ``depth``
+    broadcast cell lookups (pass 2, map-shaped — the only shuffle is the
+    final distinct over SURVIVORS). Returns (value_col, est,
+    est_fraction), est = the CMS estimate.
+
+    Guarantees (both one-sided, both inherited from est >= true):
+    - **no false negatives**: every value with true frequency >=
+      min_fraction x N is returned (its est can only be higher);
+    - **bounded false positives**: a returned value has true frequency
+      > min_fraction x N - e/width x N with probability 1-(1/2)^depth —
+      near-hitters inflated by collisions, never arbitrary values.
+
+    Why this scales where groupBy(value) doesn't: the shuffle after
+    pass 2 carries only values whose EVERY cell reached the threshold —
+    O(depth x width / min_fraction)-bounded in expectation — while an
+    exact top-k must shuffle the full distinct universe. Deterministic
+    end-to-end (xxhash64), so same data = same answer, any cluster
+    layout."""
+    if not 0 < min_fraction <= 1:
+        raise ValueError(f"min_fraction must be in (0, 1], got {min_fraction}")
+    n = df.where(F.col(value_col).isNotNull()).count()  # bounded: one scalar
+    sketch = cms_build(df, value_col, width, depth).localCheckpoint()
+    threshold = float(min_fraction) * float(n)
+    probe = df.select(F.col(value_col)).where(F.col(value_col).isNotNull())
+    # depth broadcast lookups, each a map-side hash join against <= width
+    # cells of one sketch row — no shuffle of the data side
+    for r in range(depth):
+        row_r = sketch.where(F.col("r") == r).select(
+            F.col("cell").alias(f"_cell{r}"), F.col("cnt").alias(f"_cnt{r}")
+        )
+        probe = probe.withColumn(
+            f"_cell{r}", F.pmod(F.xxhash64(value_col, F.lit(r)), F.lit(width))
+        ).join(F.broadcast(row_r), f"_cell{r}", "left")
+    est = F.least(*[F.coalesce(F.col(f"_cnt{r}"), F.lit(0)) for r in range(depth)])
+    return (
+        probe.select(value_col, est.alias("est"))
+        .where(F.col("est") >= F.lit(threshold))
+        .groupBy(value_col)
+        .agg(F.max("est").cast("long").alias("est"))
+        .select(
+            value_col,
+            "est",
+            (F.col("est").cast("double") / F.lit(float(max(n, 1)))).alias(
+                "est_fraction"
+            ),
+        )
+    )

@@ -777,3 +777,52 @@ def q_salted_join(spark, sf_dir):
             .alias("total_qty"),
         )
     )
+
+
+@register(
+    "q_heavy_hitters",
+    """SELECT user_id,
+              CAST(count(*) AS BIGINT) AS cnt,
+              false AS missed_by_sketch,
+              false AS underestimated
+       FROM events
+       WHERE user_id IS NOT NULL
+       GROUP BY user_id
+       HAVING count(*) >= 0.007 * (SELECT count(*) FROM events
+                                   WHERE user_id IS NOT NULL)""",
+    doc="A6 [EXT] count-min-sketch heavy hitters "
+    "(operators/sketches.py::heavy_hitters): users covering >=0.7%% of "
+    "events, found via the CMS two-pass (build the depth x width "
+    "mergeable sketch with ONE partially-aggregated shuffle, then a "
+    "map-shaped re-scan through broadcast cell lookups — the survivor "
+    "distinct is the only value shuffle, never the full universe). "
+    "Oracle-able by the certificate pattern: the output lists the EXACT "
+    "hitters (DuckDB mirrors the HAVING) plus two in-plan invariant "
+    "booleans that are mathematically false for every row — "
+    "missed_by_sketch (CMS est >= true count, so a true hitter always "
+    "passes the threshold) and underestimated (min-of-cells can only "
+    "overcount). Error-band and merge tests stay in "
+    "tests/test_sketches.py.",
+)
+def q_heavy_hitters(spark, sf_dir):
+    from ..operators.sketches import heavy_hitters
+
+    ev = events_df(spark, sf_dir).where(F.col("user_id").isNotNull())
+    n = ev.count()
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= F.lit(0.007) * F.lit(float(n)))
+    )
+    hh = heavy_hitters(ev, "user_id", min_fraction=0.007)
+    return (
+        exact.join(F.broadcast(hh), "user_id", "left")
+        .select(
+            "user_id",
+            "cnt",
+            F.col("est").isNull().alias("missed_by_sketch"),
+            F.coalesce(F.col("est") < F.col("cnt"), F.lit(False)).alias(
+                "underestimated"
+            ),
+        )
+    )

@@ -120,8 +120,9 @@ _CHECK_PRIORITY: list[str] = [
     # now compares ids directly instead of negating them, same total
     # order for numeric ids; q_range_pruned_scan / q_target_stats — the
     # read_box up-front validation and footer URI resolution are no-ops
-    # on valid local paths). The two new registrations (q_bloom_pruned_
-    # scan, q_dup_spans) are never-checked and front automatically.
+    # on valid local paths). The three new registrations (q_bloom_pruned_
+    # scan, q_dup_spans, q_heavy_hitters) are never-checked and front
+    # automatically.
     "q_dedup_embed_rp",
     "q_dedup_embed_rp_multi",
 ]

@@ -424,3 +424,11 @@ def test_round11_registrations_plan_shapes(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # stays JVM-side
+
+    # heavy hitters: every sketch-cell lookup must be a broadcast join
+    # (the data side never shuffles for estimation) and stay JVM-side
+    df = qs["q_heavy_hitters"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
