@@ -334,35 +334,71 @@ def stamp_zonemap(
     stats_cols: list[str],
     cluster_col: str | None = None,
     schema=None,
+    mode: str = "rebuild",
 ) -> int:
     """Build the ``_pcr_zonemap.json`` sidecar for an existing parquet dir:
     one footer-only pass over its files, per-file [min, max] zones for
     ``stats_cols``. Shared by :func:`write_range_clustered` and
     :func:`write_zordered` (any clustered layout can stamp zones — what
     changes between them is WHICH columns the layout makes prunable).
-    Returns the number of data files stamped."""
+    Returns the number of data files whose footers were read.
+
+    ``mode="append"`` is the growing-table path: only files NOT yet in
+    the existing sidecar get a footer read (new batches of a continuously
+    appended table), their zones merge in, and entries for files that no
+    longer exist (compacted/vacuumed away) drop out. Stamping cost is
+    O(new files) per maintenance call instead of O(table) — the
+    difference between a cheap post-append hook and a daily full restamp
+    at 100 TB. The stamped schema and cluster_col are kept from the
+    existing sidecar (an appended file with evolved columns is simply
+    unprunable on them — the read path's missing-zone rule)."""
     import json
 
     from .manifest_target import _fs
 
+    if mode not in ("rebuild", "append"):
+        raise ValueError(f"mode must be 'rebuild' or 'append', got {mode!r}")
     fs, pdir = _fs(spark, path)
     files = [
         str(st.getPath())
         for st in fs.listStatus(pdir)
         if st.getPath().getName().endswith(".parquet")
     ]
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-    zones = footer_stats(spark, files, stats_cols)
+    prior: dict = {}
+    if mode == "append":
+        _, spath = _fs(spark, f"{path}/{_ZONEMAP_SIDECAR}")
+        if not fs.exists(spath):
+            raise FileNotFoundError(
+                f"no zone-map sidecar at {path} to append to — stamp with "
+                "mode='rebuild' first"
+            )
+        stream = fs.open(spath)
+        try:
+            old = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+        finally:
+            stream.close()
+        live = {f.rsplit("/", 1)[-1] for f in files}
+        prior = {f: z for f, z in old["files"].items() if f in live}
+        cluster_col = old.get("cluster_col")
+        schema_doc = old["schema"]
+        files = [f for f in files if f.rsplit("/", 1)[-1] not in prior]
+    else:
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+        schema_doc = json.loads(schema.json())
+    zones = footer_stats(spark, files, stats_cols) if files else {}
     doc = {
         "cluster_col": cluster_col,
-        "schema": json.loads(schema.json()),
+        "schema": schema_doc,
         "files": {
-            f.rsplit("/", 1)[-1]: {
-                c: [_enc_stat(lo), _enc_stat(hi)]
-                for c, (lo, hi) in per["cols"].items()
-            }
-            for f, per in zones.items()
+            **prior,
+            **{
+                f.rsplit("/", 1)[-1]: {
+                    c: [_enc_stat(lo), _enc_stat(hi)]
+                    for c, (lo, hi) in per["cols"].items()
+                }
+                for f, per in zones.items()
+            },
         },
     }
     # tmp + delete + rename (the layout-sidecar idiom, apply.py): single
@@ -548,6 +584,7 @@ def stamp_bloom(
     cols: list[str],
     fpp: float = 0.01,
     max_bits: int = 1 << 23,
+    mode: str = "rebuild",
 ) -> int:
     """Stamp a ``_pcr_bloom.json`` sidecar on an existing parquet dir: one
     distributed pass reads ONLY ``cols`` from each file (column-pruned, no
@@ -565,25 +602,52 @@ def stamp_bloom(
     every file. NULLs are not members (equality never matches NULL, so
     skipping them is sound). Capped at ``max_bits`` per column per file —
     a saturated bloom degrades toward fpp=1 (reads everything), never
-    toward a wrong skip."""
+    toward a wrong skip.
+
+    ``mode="append"``: only files NOT yet in the existing sidecar are
+    read and bloomed (O(new files) per maintenance call on a growing
+    table); entries for vacuumed/compacted-away files drop out; fpp and
+    the stamped schema are kept from the existing sidecar."""
     import base64
     import json
 
     from .manifest_target import _fs
 
+    if mode not in ("rebuild", "append"):
+        raise ValueError(f"mode must be 'rebuild' or 'append', got {mode!r}")
     fs, pdir = _fs(spark, path)
     files = [
         str(st.getPath())
         for st in fs.listStatus(pdir)
         if st.getPath().getName().endswith(".parquet")
     ]
-    schema = spark.read.parquet(path).schema
-    missing = [c for c in cols if c not in schema.fieldNames()]
-    if missing:
-        raise ValueError(
-            f"bloom columns {missing} not in the table schema; "
-            f"columns: {schema.fieldNames()}"
-        )
+    prior: dict = {}
+    if mode == "append":
+        _, spath = _fs(spark, f"{path}/{_BLOOM_SIDECAR}")
+        if not fs.exists(spath):
+            raise FileNotFoundError(
+                f"no bloom sidecar at {path} to append to — stamp with "
+                "mode='rebuild' first"
+            )
+        stream = fs.open(spath)
+        try:
+            old = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+        finally:
+            stream.close()
+        live = {f.rsplit("/", 1)[-1] for f in files}
+        prior = {f: b for f, b in old["files"].items() if f in live}
+        fpp = old.get("fpp", fpp)
+        schema_doc = old["schema"]
+        files = [f for f in files if f.rsplit("/", 1)[-1] not in prior]
+    else:
+        schema = spark.read.parquet(path).schema
+        missing = [c for c in cols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"bloom columns {missing} not in the table schema; "
+                f"columns: {schema.fieldNames()}"
+            )
+        schema_doc = json.loads(schema.json())
     cols = list(cols)
     paths_df = spark.createDataFrame([(f,) for f in files], "path string")
 
@@ -623,17 +687,21 @@ def stamp_bloom(
                 out, columns=["path", "col", "m", "k", "b64"]
             )
 
-    rows = paths_df.mapInPandas(
-        _build, "path string, col string, m long, k long, b64 string"
-    ).collect()  # bounded: |files| x |cols| rows of m/8-byte blobs
-    per_file: dict = {}
+    rows = (
+        paths_df.mapInPandas(
+            _build, "path string, col string, m long, k long, b64 string"
+        ).collect()  # bounded: |files| x |cols| rows of m/8-byte blobs
+        if files
+        else []
+    )
+    per_file: dict = dict(prior)
     for r in rows:
         per_file.setdefault(r["path"].rsplit("/", 1)[-1], {})[r["col"]] = {
             "m": int(r["m"]), "k": int(r["k"]), "b64": r["b64"],
         }
     doc = {
         "fpp": fpp,
-        "schema": json.loads(schema.json()),
+        "schema": schema_doc,
         "files": per_file,
     }
     _, tmp = _fs(spark, f"{path}/.{_BLOOM_SIDECAR}.tmp")

@@ -568,3 +568,84 @@ def test_bloom_validation_and_missing_sidecar(spark, tmp_path):
     spark.range(5).write.parquet(bare)
     with pytest.raises(FileNotFoundError, match="no bloom sidecar"):
         read_point(spark, bare, {"id": 1})
+
+
+def test_zonemap_append_mode_stamps_only_new_files(spark, tmp_path):
+    import json
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        read_range,
+        stamp_zonemap,
+    )
+
+    path, df, written = _zone_table(spark, tmp_path)
+    before = json.load(open(f"{path}/_pcr_zonemap.json"))["files"]
+    # append a new batch beyond the existing k range
+    extra = spark.range(2000, 2400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+        F.concat(F.lit("s"), (F.col("id") % 7)).alias("tag"),
+    )
+    extra.coalesce(2).write.mode("append").parquet(path)
+    n_new = stamp_zonemap(spark, path, ["k", "v"], mode="append")
+    assert n_new == 2  # only the appended files paid a footer read
+    after = json.load(open(f"{path}/_pcr_zonemap.json"))["files"]
+    assert len(after) == written + 2
+    for f, z in before.items():  # old entries preserved byte-for-byte
+        assert after[f] == z
+    # pruning covers the appended range and stays exact
+    out = read_range(spark, path, "k", 2100, 2200)
+    assert sorted(r["k"] for r in out.collect()) == list(range(2100, 2201))
+    assert len(out.inputFiles()) <= 2
+
+
+def test_zonemap_append_drops_vacuumed_files_and_validates(spark, tmp_path):
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        stamp_zonemap,
+    )
+
+    path, _df, written = _zone_table(spark, tmp_path)
+    victim = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    os.remove(victim)
+    assert stamp_zonemap(spark, path, ["k"], mode="append") == 0
+    after = json.load(open(f"{path}/_pcr_zonemap.json"))["files"]
+    assert len(after) == written - 1
+    assert os.path.basename(victim) not in after
+    with pytest.raises(ValueError, match="mode must be"):
+        stamp_zonemap(spark, path, ["k"], mode="merge")
+    bare = str(tmp_path / "bare_zone")
+    spark.range(5).write.parquet(bare)
+    with pytest.raises(FileNotFoundError, match="to append to"):
+        stamp_zonemap(spark, bare, ["id"], mode="append")
+
+
+def test_bloom_append_mode(spark, tmp_path):
+    import json
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        read_point,
+        stamp_bloom,
+    )
+
+    path, df, written = _bloom_table(spark, tmp_path)
+    before = json.load(open(f"{path}/_pcr_bloom.json"))["files"]
+    extra = spark.range(2000, 2200).select(
+        F.col("id").alias("k"), (F.col("id") + 100_000).alias("uid"),
+        F.lit("tagX").alias("tag"),
+    )
+    extra.coalesce(1).write.mode("append").parquet(path)
+    n_new = stamp_bloom(spark, path, ["uid", "tag"], mode="append")
+    assert n_new == 1
+    after = json.load(open(f"{path}/_pcr_bloom.json"))["files"]
+    assert len(after) == written + 1
+    for f, b in before.items():
+        assert after[f] == b
+    # a key that only exists in the appended file is found and pruned-to
+    out = read_point(spark, path, {"uid": 102_050})
+    assert [r["k"] for r in out.collect()] == [2050]
+    assert len(out.inputFiles()) < written + 1
