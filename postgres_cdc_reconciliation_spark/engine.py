@@ -546,6 +546,17 @@ class Engine:
         return hybrid_rrf_topk(docs, embeddings, terms, query_vec_id,
                                shortlist=shortlist, k=k)
 
+    def asof(self, left, right, on, left_ts, right_ts,
+             direction="backward", tolerance=None) -> DataFrame:
+        """Point-in-time join (pandas merge_asof surface): newest right
+        at-or-before ('backward') or earliest at-or-after ('forward')
+        each left timestamp per key, optionally nulled beyond
+        ``tolerance`` — one keyed shuffle, no candidate blowup."""
+        from .operators.temporal import asof_join
+
+        return asof_join(left, right, on, left_ts, right_ts,
+                         direction=direction, tolerance=tolerance)
+
     def scd2(self, changelog, key, seq, attrs, op_col="op",
              delete_op="d") -> DataFrame:
         """SCD type-2 history from an ordered changelog (one keyed window;

@@ -29,11 +29,44 @@ def asof_join(
     on: str,
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: attach the newest right row with right_ts <= left_ts.
+    """Left as-of join: attach the newest right row with right_ts <=
+    left_ts (``direction="backward"``, default) or the earliest right row
+    with right_ts >= left_ts (``"forward"``) — the pandas ``merge_asof``
+    surface, at the union + fill-window cost (one keyed shuffle + sort,
+    no candidate blowup; the forward pass just iterates the same window
+    in descending time).
+
+    ``tolerance`` bounds the match gap: a filled right row farther than
+    ``tolerance`` from left_ts (seconds for timestamp/date columns —
+    dates count as midnight; native units for numeric "timestamps")
+    nulls back out, exactly merge_asof's contract. Applied AFTER the
+    fill, so it costs one projection, not a different join.
 
     Right value/ts columns must not collide with left column names (alias
-    beforehand). Left rows with no prior right row keep nulls."""
+    beforehand). Left rows with no matching right row keep nulls."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
+    if tolerance is not None and not (
+        isinstance(tolerance, (int, float))
+        and not isinstance(tolerance, bool)
+        and tolerance >= 0
+    ):
+        raise ValueError(f"tolerance must be a number >= 0, got {tolerance!r}")
+    _TEMPORAL = ("timestamp", "timestamp_ntz", "date")
+    _l_temporal = left.schema[left_ts].dataType.typeName() in _TEMPORAL
+    _r_temporal = right.schema[right_ts].dataType.typeName() in _TEMPORAL
+    if tolerance is not None and _l_temporal != _r_temporal:
+        raise ValueError(
+            "tolerance needs both timestamp columns to be the same kind "
+            f"(temporal vs numeric); got {left_ts}/"
+            f"{left.schema[left_ts].dataType.simpleString()} and "
+            f"{right_ts}/{right.schema[right_ts].dataType.simpleString()}"
+        )
     right_cols = [c for c in right.columns if c not in (on, right_ts)]
     l_tag = left.select(
         F.col(on),
@@ -60,9 +93,13 @@ def asof_join(
     # no-op when right timestamps are unique per key.
     from .apply import payload_hash
 
+    # forward = the same fill iterated in DESCENDING time: right rows
+    # still sort before left at equal ts (side asc), so right_ts == left_ts
+    # stays eligible in both directions
+    ts_key = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side", payload_hash(right, right_cols + [right_ts]))
+        .orderBy(ts_key, "_side", payload_hash(right, right_cols + [right_ts]))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
@@ -72,11 +109,30 @@ def asof_join(
             for c in right_cols + [right_ts]
         ],
     )
-    out_cols = (
-        [on]
-        + [c for c in left.columns if c != on]
-        + [F.col(f"_ff_{c}").alias(c) for c in right_cols + [right_ts]]
-    )
+
+    if tolerance is None:
+        ff = [F.col(f"_ff_{c}").alias(c) for c in right_cols + [right_ts]]
+    else:
+        frm, to = (f"`_ff_{right_ts}`", f"`{left_ts}`")
+        if direction == "forward":
+            frm, to = to, frm
+        if _l_temporal:
+            # naive-calendar seconds (timestampdiff), NOT epoch doubles:
+            # an epoch diff shifts across a DST transition under a
+            # non-UTC driver session, while NTZ data and the DuckDB
+            # oracle's date_diff are both naive (measured: 342000 vs the
+            # correct 345600 naive seconds across the 1995-04-02 US jump)
+            gap = F.expr(f"timestampdiff(SECOND, {frm}, {to})")
+        else:
+            gap = F.expr(f"{to} - {frm}").cast("double")
+        keep = F.col(f"_ff_{right_ts}").isNotNull() & (
+            gap <= F.lit(float(tolerance))
+        )
+        ff = [
+            F.when(keep, F.col(f"_ff_{c}")).alias(c)
+            for c in right_cols + [right_ts]
+        ]
+    out_cols = [on] + [c for c in left.columns if c != on] + ff
     return filled.filter(F.col("_side") == 1).select(*out_cols)
 
 

@@ -162,6 +162,54 @@ def q_asof_join(spark, sf_dir):
 
 
 @register(
+    "q_asof_forward",
+    f"""WITH {_VERSIONS_CTE},
+j AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, v.vts, v.vprice
+  FROM lineitem l
+  ASOF LEFT JOIN versions v
+    ON l.l_orderkey = v.vkey AND l.l_shipdate <= v.vts
+)
+SELECT l_orderkey, l_linenumber, l_shipdate,
+       CASE WHEN vts IS NOT NULL
+             AND date_diff('second', l_shipdate, vts) <= 864000
+            THEN vts END AS vts,
+       CASE WHEN vts IS NOT NULL
+             AND date_diff('second', l_shipdate, vts) <= 864000
+            THEN vprice END AS vprice
+FROM j""",
+    doc="[EXT] FORWARD as-of join with tolerance (pandas merge_asof "
+    "parity, operators/temporal.py::asof_join direction='forward'): "
+    "each lineitem attaches the EARLIEST version at-or-after its "
+    "shipdate, nulled back out beyond a 10-day tolerance. Same union + "
+    "fill-window plan iterated in descending time (one keyed shuffle, "
+    "no candidate blowup); tolerance is one post-fill projection using "
+    "naive-calendar seconds (timestampdiff), which matches DuckDB's "
+    "date_diff and stays session-timezone-independent across DST. "
+    "Oracle: DuckDB's native forward ASOF JOIN + the same CASE cut.",
+)
+def q_asof_forward(spark, sf_dir):
+    from ..operators.temporal import asof_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders")
+    offs = spark.createDataFrame([(0,), (10,), (20,)], "off int")
+    versions = o.crossJoin(F.broadcast(offs)).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("timestampadd(DAY, off, o_orderdate)").alias("vts"),
+        F.expr("cast(cast(o_totalprice as decimal(12,2)) + off as double)").alias(
+            "vprice"
+        ),
+    )
+    return asof_join(
+        li, versions, "l_orderkey", "l_shipdate", "vts",
+        direction="forward", tolerance=10 * 86400,
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "vts", "vprice")
+
+
+@register(
     "q_range_join",
     """SELECT o.o_orderstatus, COUNT(*) AS n,
               CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty

@@ -432,3 +432,10 @@ def test_round11_registrations_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+    # forward as-of: same union + fill-window shape as backward — one
+    # keyed exchange, no join node at all, no Python
+    df = qs["q_asof_forward"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

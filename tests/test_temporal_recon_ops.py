@@ -373,3 +373,116 @@ def test_cast_null_audit_counts_silent_exclusions(spark):
     assert out["dbl"]["silently_nulled"] == 2  # NaN and 1e300 overflow
     assert out["txt"]["n_rows"] == 4
     assert out["txt"]["target_type"] == "decimal(12,2)"
+
+
+def _asof_frames(spark):
+    from pyspark.sql import Row
+
+    left = spark.createDataFrame(
+        [Row(k=1, lts=t) for t in (5.0, 12.0, 30.0)]
+        + [Row(k=2, lts=7.0)],
+        "k long, lts double",
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=4.0, val="a"), Row(k=1, rts=10.0, val="b"),
+         Row(k=1, rts=20.0, val="c")],
+        "k long, rts double, val string",
+    )
+    return left, right
+
+
+def test_asof_forward_and_tolerance_numeric(spark):
+    from postgres_cdc_reconciliation_spark.operators.temporal import asof_join
+
+    left, right = _asof_frames(spark)
+    fwd = {
+        (r["k"], r["lts"]): (r["val"], r["rts"])
+        for r in asof_join(
+            left, right, "k", "lts", "rts", direction="forward"
+        ).collect()
+    }
+    # earliest right at-or-after each left ts; no following row -> nulls
+    assert fwd[(1, 5.0)] == ("b", 10.0)
+    assert fwd[(1, 12.0)] == ("c", 20.0)
+    assert fwd[(1, 30.0)] == (None, None)
+    assert fwd[(2, 7.0)] == (None, None)
+
+    tol = {
+        (r["k"], r["lts"]): (r["val"], r["rts"])
+        for r in asof_join(
+            left, right, "k", "lts", "rts", direction="forward", tolerance=5
+        ).collect()
+    }
+    # gap 10-5=5 within tolerance, gap 20-12=8 nulls back out
+    assert tol[(1, 5.0)] == ("b", 10.0)
+    assert tol[(1, 12.0)] == (None, None)
+
+    back = {
+        (r["k"], r["lts"]): (r["val"], r["rts"])
+        for r in asof_join(
+            left, right, "k", "lts", "rts", tolerance=2
+        ).collect()
+    }
+    # backward gaps: 5-4=1 keeps, 12-10=2 keeps (<=), 30-20=10 nulls
+    assert back[(1, 5.0)] == ("a", 4.0)
+    assert back[(1, 12.0)] == ("b", 10.0)
+    assert back[(1, 30.0)] == (None, None)
+
+
+def test_asof_forward_equal_ts_eligible_and_validation(spark):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.temporal import asof_join
+
+    left, right = _asof_frames(spark)
+    eq = spark.createDataFrame([(1, 10.0)], "k long, lts double")
+    got = asof_join(eq, right, "k", "lts", "rts",
+                    direction="forward").collect()[0]
+    assert (got["val"], got["rts"]) == ("b", 10.0)  # >= includes equality
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "lts", "rts", direction="nearest")
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, "k", "lts", "rts", tolerance=-1)
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, "k", "lts", "rts", tolerance=True)
+
+
+def test_asof_tolerance_temporal_is_naive_calendar(spark):
+    # the DST trap: under a non-UTC session, epoch-seconds diffs shift
+    # across a transition while NTZ data is naive — tolerance must use
+    # naive-calendar seconds (4 days across 1995-04-02 US = 345600 s,
+    # not 342000)
+    from postgres_cdc_reconciliation_spark.operators.temporal import asof_join
+
+    left = spark.sql(
+        "SELECT 1 AS k, cast('1995-04-03 12:00:00' as timestamp_ntz) AS lts"
+    )
+    right = spark.sql(
+        "SELECT 1 AS k, cast('1995-03-30 12:00:00' as timestamp_ntz) AS rts,"
+        " 'x' AS val"
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        kept = asof_join(left, right, "k", "lts", "rts",
+                         tolerance=345600).collect()[0]
+        assert kept["val"] == "x"  # exactly at tolerance: kept
+        cut = asof_join(left, right, "k", "lts", "rts",
+                        tolerance=345599).collect()[0]
+        assert cut["val"] is None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_asof_tolerance_mixed_kind_rejected(spark):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.temporal import asof_join
+
+    left = spark.sql(
+        "SELECT 1 AS k, cast('1995-04-03' as timestamp_ntz) AS lts"
+    )
+    right = spark.createDataFrame([(1, 5.0, "x")],
+                                  "k long, rts double, val string")
+    with pytest.raises(ValueError, match="same\\s+kind"):
+        asof_join(left, right, "k", "lts", "rts", tolerance=10)
