@@ -208,6 +208,212 @@ def cms_estimate(
     )
 
 
+#: KMV hash space: md5's first 15 hex digits as a non-negative 60-bit long.
+#: md5 is the cross-engine bridge (identical in Spark `conv(substr(md5(..)))`
+#: and DuckDB `CAST('0x'||substr(md5(..)) AS BIGINT)` — the q_hash_sample
+#: precedent), so unlike the HLL/theta binary sketches above, a KMV sketch
+#: is value-identical in ANY engine and therefore fully oracle-checkable.
+KMV_SPACE = 1 << 60
+
+
+def kmv_hash(value_col: str, salt: str = "kmv-v1"):
+    """The shared KMV hash expression: uniform in [0, 2^60) — deterministic,
+    engine-portable (md5 over the salted string form), JVM-side."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(value_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmv-v1",
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch: the k smallest
+    DISTINCT hash values of ``value_col`` as a <=k-row DataFrame (column
+    ``h``). Mergeable by construction (:func:`kmv_merge` = bottom-k of the
+    union — associative, commutative, idempotent), and DETERMINISTIC: same
+    data gives byte-identical sketches on any cluster layout, which is what
+    lets :func:`kmv_distinct` / :func:`kmv_jaccard` carry full cross-engine
+    oracles where the binary HLL/theta sketches can only be
+    tolerance-tested.
+
+    Scale path: the naive build is distinct-then-take-k — a shuffle of the
+    FULL distinct universe to find k survivors. This build instead
+    pre-filters the hash line: one pass estimates n (HLL, merge-order
+    independent), then only hashes below ~4k/n of the space enter the
+    distinct — an O(k)-expected shuffle. The filter cannot produce a wrong
+    sketch: a threshold is a prefix of the hash line, so if >=k distinct
+    hashes survive it, the k smallest of the survivors ARE the k smallest
+    overall; if fewer survive (astronomically unlikely at 4x headroom, but
+    possible), the build falls back to the unfiltered distinct. NULLs are
+    not members (a NULL contributes nothing to a distinct count).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashed = (
+        df.select(F.col(value_col))
+        .where(F.col(value_col).isNotNull())
+        .select(kmv_hash(value_col, salt).alias("h"))
+    )
+    bottom = None
+    n_est = hashed.agg(F.approx_count_distinct("h").alias("n")).first()["n"]
+    if n_est > 4 * k:
+        threshold = int(KMV_SPACE * (4.0 * k / float(n_est)))
+        filtered = (
+            hashed.where(F.col("h") < threshold)
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .localCheckpoint()  # bounded: <= k rows
+        )
+        if filtered.count() >= k:
+            bottom = filtered
+    if bottom is None:
+        bottom = hashed.distinct().orderBy("h").limit(k).localCheckpoint()
+    return bottom
+
+
+def kmv_build_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmv-v1",
+) -> DataFrame:
+    """Per-group KMV sketch: (group, h) with the k smallest distinct hashes
+    of ``value_col`` within each group — "distinct users per segment" as a
+    bounded, mergeable, re-aggregatable summary.
+
+    One keyed shuffle: groupBy(group, h) deduplicates with map-side partial
+    aggregation (each task ships at most its per-partition distinct hashes),
+    then a per-group window keeps the bottom k. The shuffle is bounded by
+    the per-group distinct universe — the grouped trade-off; for a single
+    global sketch use :func:`kmv_build`, whose threshold pre-filter makes
+    the shuffle O(k)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    dedup = (
+        df.select(F.col(group_col), F.col(value_col))
+        .where(F.col(value_col).isNotNull())
+        .select(group_col, kmv_hash(value_col, salt).alias("h"))
+        .groupBy(group_col, "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        dedup.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(group_col, "h")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two sketches built with the SAME (salt, k): bottom-k of the
+    distinct union. Exactly equals the sketch of the concatenated inputs —
+    the property that makes per-day/per-shard sketches roll up without
+    re-scanning raw data. Inputs are <=k rows each, so this is driver-cheap."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def _kmv_estimate_expr(k: int):
+    """The KMV estimator as a deterministic aggregate expression:
+    exact count when the sketch holds fewer than k hashes (the sketch IS
+    the distinct hash set), else the classic (k-1)/U_k with U_k = max_hash
+    normalized to the 2^60 space. Pure double arithmetic in a fixed
+    operation order, so an oracle writing the same expression hashes
+    identically (IEEE semantics are shared)."""
+    n = F.count("*")
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(KMV_SPACE))
+        / F.max("h").cast("double")
+    )
+
+
+def kmv_distinct(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_build` sketch alone:
+    one row (n_hashes, kth_hash, est_distinct). Standard error is
+    ~1/sqrt(k-2) (Beyer et al.); k=256 → ~6%. Exact (not an estimate) when
+    the universe had fewer than k members."""
+    return sketch.agg(
+        F.count("*").cast("long").alias("n_hashes"),
+        F.max("h").cast("long").alias("kth_hash"),
+        _kmv_estimate_expr(k).alias("est_distinct"),
+    )
+
+
+def kmv_distinct_grouped(
+    sketch: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group distinct estimates from a :func:`kmv_build_grouped`
+    sketch: (group, n_hashes, kth_hash, est_distinct)."""
+    return sketch.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_hashes"),
+        F.max("h").cast("long").alias("kth_hash"),
+        _kmv_estimate_expr(k).alias("est_distinct"),
+    )
+
+
+def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame, k: int = 256) -> DataFrame:
+    """Jaccard / union / intersection estimates for two sets from their
+    KMV sketches ALONE — corpus-overlap measurement (train/eval shingle
+    contamination, vocabulary drift between sources) without ever
+    co-shuffling the raw membership lists.
+
+    The estimator (Beyer et al. / the theta-sketch construction): take the
+    k smallest hashes of the sketch UNION — a uniform sample of the union —
+    and count how many lie in BOTH input sketches: est_jaccard = shared /
+    |union_k|; est_union = the KMV count estimate on the union sketch;
+    est_intersection = est_jaccard x est_union. All arithmetic is
+    fixed-order double math over deterministic hashes, so the whole row is
+    oracle-checkable cross-engine. Returns one row:
+    (k_used, shared, est_jaccard, est_union, est_intersection)."""
+    a = sk_a.select(F.col("h"), F.lit(True).alias("_in_a"))
+    b = sk_b.select(F.col("h"), F.lit(True).alias("_in_b"))
+    union_k = (
+        sk_a.select("h")
+        .unionByName(sk_b.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    tagged = (
+        union_k.join(a, "h", "left")
+        .join(b, "h", "left")
+        .select(
+            "h",
+            (
+                F.coalesce(F.col("_in_a"), F.lit(False))
+                & F.coalesce(F.col("_in_b"), F.lit(False))
+            ).alias("_both"),
+        )
+    )
+    return tagged.agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.sum(F.col("_both").cast("long")).cast("long").alias("shared"),
+        (
+            F.sum(F.col("_both").cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("est_jaccard"),
+        _kmv_estimate_expr(k).alias("est_union"),
+        (
+            F.sum(F.col("_both").cast("long")).cast("double")
+            / F.count("*").cast("double")
+            * _kmv_estimate_expr(k)
+        ).alias("est_intersection"),
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     value_col: str,

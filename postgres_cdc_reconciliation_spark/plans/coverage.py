@@ -826,3 +826,121 @@ def q_heavy_hitters(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_kmv_distinct",
+    """WITH h AS (
+         SELECT DISTINCT o_orderpriority,
+                CAST('0x' || substr(md5('kmv-v1:' || CAST(o_custkey AS VARCHAR)),
+                                    1, 15) AS BIGINT) AS h
+         FROM orders WHERE o_custkey IS NOT NULL
+       ), rk AS (
+         SELECT o_orderpriority, h,
+                row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+         FROM h
+       ), sk AS (
+         SELECT o_orderpriority, h FROM rk WHERE rn <= 64
+       )
+       SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_hashes,
+              CAST(max(h) AS BIGINT) AS kth_hash,
+              CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                   ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                        / CAST(max(h) AS DOUBLE)
+              END AS est_distinct
+       FROM sk GROUP BY o_orderpriority""",
+    doc="A6 [EXT] per-group KMV (bottom-k) distinct sketch "
+    "(operators/sketches.py::kmv_build_grouped/kmv_distinct_grouped): "
+    "distinct customers per order priority estimated from the 64 smallest "
+    "md5 hashes per group — the DETERMINISTIC, engine-portable member of "
+    "the sketch family (HLL/theta are binary and tolerance-tested; a KMV "
+    "sketch is value-identical in any engine, so this row carries a FULL "
+    "hash-match oracle, sketch construction and estimator both). One "
+    "keyed dedup shuffle with map-side partials + a per-group bottom-k "
+    "window; mergeable by bottom-k-of-union for per-day rollups. "
+    "Estimator is fixed-order double math ((k-1)*2^60/max_h), "
+    "IEEE-identical cross-engine.",
+)
+def q_kmv_distinct(spark, sf_dir):
+    from ..operators.sketches import kmv_build_grouped, kmv_distinct_grouped
+
+    o = _t(spark, sf_dir, "orders")
+    sk = kmv_build_grouped(o, "o_orderpriority", "o_custkey", k=64)
+    return kmv_distinct_grouped(sk, "o_orderpriority", k=64)
+
+
+@register(
+    "q_kmv_overlap",
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       ), grams AS (
+         SELECT doc_id, array_to_string(tk[i+1:i+3], ' ') AS g
+         FROM toks, UNNEST(range(CAST(len(tk) - 3 + 1 AS BIGINT))) AS u(i)
+       ), ha AS (
+         SELECT DISTINCT CAST('0x' || substr(md5('kmv-v1:' || g), 1, 15)
+                              AS BIGINT) AS h
+         FROM grams WHERE doc_id % 2 = 0
+       ), hb AS (
+         SELECT DISTINCT CAST('0x' || substr(md5('kmv-v1:' || g), 1, 15)
+                              AS BIGINT) AS h
+         FROM grams WHERE doc_id % 2 = 1
+       ), ska AS (
+         SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)
+         WHERE rn <= 256
+       ), skb AS (
+         SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)
+         WHERE rn <= 256
+       ), uni AS (
+         SELECT h FROM (
+           SELECT h, row_number() OVER (ORDER BY h) AS rn
+           FROM (SELECT DISTINCT h FROM (
+                   SELECT h FROM ska UNION ALL SELECT h FROM skb))
+         ) WHERE rn <= 256
+       ), tag AS (
+         SELECT u.h,
+                (a.h IS NOT NULL AND b.h IS NOT NULL) AS in_both
+         FROM uni u LEFT JOIN ska a USING (h) LEFT JOIN skb b USING (h)
+       )
+       SELECT CAST(count(*) AS BIGINT) AS k_used,
+              CAST(sum(CAST(in_both AS BIGINT)) AS BIGINT) AS shared,
+              CAST(sum(CAST(in_both AS BIGINT)) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS est_jaccard,
+              CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                   ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                        / CAST(max(h) AS DOUBLE)
+              END AS est_union,
+              CAST(sum(CAST(in_both AS BIGINT)) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)
+                * (CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                        ELSE CAST(255 AS DOUBLE)
+                             * CAST(1152921504606846976 AS DOUBLE)
+                             / CAST(max(h) AS DOUBLE)
+                   END) AS est_intersection
+       FROM tag""",
+    doc="A6 [EXT] corpus-overlap estimation from KMV sketches alone "
+    "(operators/sketches.py::kmv_build/kmv_jaccard): Jaccard / union / "
+    "intersection of the two corpus halves' 3-gram shingle sets, "
+    "estimated from 256 hashes per side — train/eval contamination and "
+    "source-drift measurement WITHOUT co-shuffling the raw shingle "
+    "lists (each side reduces to a <=k-row sketch; the compare is "
+    "driver-cheap). The global build pre-filters the hash line at "
+    "~4k/n of the space (n from one HLL pass), so the dedup shuffle is "
+    "O(k)-expected, provably exact (a threshold is a hash-line prefix), "
+    "with an unfiltered fallback. Deterministic md5 hashing end-to-end "
+    "-> full cross-engine oracle on every output column.",
+)
+def q_kmv_overlap(spark, sf_dir):
+    from ..operators.dedup import shingles
+    from ..operators.sketches import kmv_build, kmv_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    a = shingles(d.where(F.col("doc_id") % 2 == 0), k=3).select(
+        F.col("shingle").alias("v")
+    )
+    b = shingles(d.where(F.col("doc_id") % 2 == 1), k=3).select(
+        F.col("shingle").alias("v")
+    )
+    sk_a = kmv_build(a, "v", k=256)
+    sk_b = kmv_build(b, "v", k=256)
+    return kmv_jaccard(sk_a, sk_b, k=256)

@@ -170,3 +170,149 @@ def test_heavy_hitters_validation_and_empty(spark):
     withnull = spark.createDataFrame([(1,), (None,), (1,)], "v long")
     got = heavy_hitters(withnull, "v", min_fraction=0.5).collect()
     assert [(r["v"], r["est"]) for r in got] == [(1, 2)]
+
+
+# --- KMV (bottom-k) sketches: deterministic, mergeable, engine-portable ---
+
+
+def _kmv(spark):
+    # 30k rows over exactly 1000 distinct members
+    rows = [(i % 1000,) for i in range(30000)]
+    return spark.createDataFrame(rows, "member long")
+
+
+def test_kmv_distinct_estimate_within_bounds(spark):
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_distinct,
+    )
+
+    sk = kmv_build(_kmv(spark), "member", k=256)
+    [r] = kmv_distinct(sk, k=256).collect()
+    assert r["n_hashes"] == 256
+    # SE ~ 1/sqrt(k-2) = 6.3%; 3 sigma = 19%
+    assert abs(r["est_distinct"] - 1000) / 1000 < 0.19, r["est_distinct"]
+
+
+def test_kmv_exact_when_universe_below_k(spark):
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_distinct,
+    )
+
+    small = spark.createDataFrame([(i % 100,) for i in range(5000)], "v long")
+    sk = kmv_build(small, "v", k=256)
+    [r] = kmv_distinct(sk, k=256).collect()
+    # fewer members than k: the sketch IS the distinct hash set -> exact
+    assert r["n_hashes"] == 100
+    assert r["est_distinct"] == 100.0
+
+
+def test_kmv_merge_equals_rebuild_exactly(spark):
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_merge,
+    )
+
+    df = _kmv(spark)
+    a = df.where(F.col("member") < 600)
+    b = df.where(F.col("member") >= 400)  # overlapping halves
+    merged = sorted(
+        r["h"]
+        for r in kmv_merge(
+            kmv_build(a, "member", k=128), kmv_build(b, "member", k=128), k=128
+        ).collect()
+    )
+    whole = sorted(r["h"] for r in kmv_build(df, "member", k=128).collect())
+    assert merged == whole  # deterministic sketches merge EXACTLY
+
+
+def test_kmv_threshold_path_matches_naive_bottom_k(spark):
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_hash,
+    )
+
+    df = _kmv(spark)  # 1000 distinct > 4*64 -> threshold pre-filter fires
+    got = sorted(r["h"] for r in kmv_build(df, "member", k=64).collect())
+    naive = sorted(
+        r["h"]
+        for r in df.select(kmv_hash("member").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+        .collect()
+    )
+    assert got == naive and len(got) == 64
+
+
+def test_kmv_grouped_matches_global_per_group(spark):
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_build_grouped,
+        kmv_distinct_grouped,
+    )
+
+    rows = [("a", i % 500) for i in range(8000)] + [
+        ("b", i % 40) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    grouped = kmv_build_grouped(df, "g", "v", k=64)
+    for g in ("a", "b"):
+        per = sorted(
+            r["h"] for r in grouped.where(F.col("g") == g).collect()
+        )
+        solo = sorted(
+            r["h"]
+            for r in kmv_build(df.where(F.col("g") == g), "v", k=64).collect()
+        )
+        assert per == solo, g
+    ests = {
+        r["g"]: (r["n_hashes"], r["est_distinct"])
+        for r in kmv_distinct_grouped(grouped, "g", k=64).collect()
+    }
+    assert ests["b"] == (40, 40.0)  # below k -> exact
+    assert abs(ests["a"][1] - 500) / 500 < 0.40  # k=64 -> SE ~ 13%
+
+
+def test_kmv_jaccard_planted_overlap(spark):
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_jaccard,
+    )
+
+    # A = {0..599}, B = {400..999}: J = 200/1000 = 0.2
+    a = spark.createDataFrame([(i,) for i in range(600)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(400, 1000)], "v long")
+    [r] = kmv_jaccard(
+        kmv_build(a, "v", k=256), kmv_build(b, "v", k=256), k=256
+    ).collect()
+    assert r["k_used"] == 256
+    assert 0 <= r["shared"] <= r["k_used"]
+    assert abs(r["est_jaccard"] - 0.2) < 0.09, r["est_jaccard"]
+    assert abs(r["est_union"] - 1000) / 1000 < 0.19, r["est_union"]
+    assert abs(r["est_intersection"] - 200) < 90, r["est_intersection"]
+
+
+def test_kmv_determinism_nulls_and_validation(spark):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_build_grouped,
+    )
+
+    df = _kmv(spark)
+    h1 = sorted(r["h"] for r in kmv_build(df, "member", k=32).collect())
+    h2 = sorted(
+        r["h"] for r in kmv_build(df.repartition(7), "member", k=32).collect()
+    )
+    assert h1 == h2  # layout-independent
+    withnull = spark.createDataFrame(
+        [(1,), (None,), (2,), (1,)], "v long"
+    )
+    assert kmv_build(withnull, "v", k=8).count() == 2  # NULLs not members
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_build(df, "member", k=1)
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_build_grouped(df, "member", "member", k=0)
