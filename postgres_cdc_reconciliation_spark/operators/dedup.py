@@ -444,6 +444,111 @@ def near_dups_from_bands(
     )
 
 
+def _dup_span_hits(
+    docs: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    min_count: int,
+    max_gram_freq: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared span-dedup machinery: tokenized docs ``t`` (id, _tokens, _n)
+    and the duplicated-window ``hits`` (id, pos) — positional k-grams, one
+    keyed count shuffle, join-back of only the duplicated tail (the plan
+    both :func:`duplicate_span_stats` and :func:`strip_duplicate_spans`
+    consume)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    t = tokens(docs, text_col).select(
+        F.col(id_col), "_tokens", F.size("_tokens").alias("_n")
+    )
+    grams = t.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.col("_n") >= k,
+                F.expr(
+                    f"transform(sequence(0, size(_tokens) - {k}),"
+                    f" i -> concat_ws(' ', slice(_tokens, i + 1, {k})))"
+                ),
+            ).otherwise(F.array())
+        ).alias("pos", "gram"),
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("_cnt"))
+    dup = counts.filter(F.col("_cnt") >= min_count)
+    if max_gram_freq is not None:
+        dup = dup.filter(F.col("_cnt") <= max_gram_freq)
+    hits = grams.join(dup.select("gram"), "gram").select(id_col, "pos")
+    return t, hits
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """The CLEANING transform paired with :func:`duplicate_span_stats`:
+    remove every token lying inside a k-token window that occurs >=
+    ``min_count`` times corpus-wide, and return the cleaned corpus —
+    (id_col, n_tokens, kept_tokens, clean_text). By construction
+    ``kept_tokens + duplicate_span_stats(...).dup_tokens == n_tokens``
+    (same hits, complementary sides of the interval union).
+
+    This is the published train-data substring-dedup RESULT (cut repeated
+    boilerplate/licenses/templates out of the training text, don't just
+    measure it) re-expressed Spark-first — suffix arrays don't distribute;
+    the plan here stays all-JVM and linear:
+
+    1. duplicated-window hits via the shared positional-k-gram machinery
+       (ONE keyed count shuffle, join-back of only the duplicated tail);
+    2. covered token positions = explode each hit into its k positions +
+       distinct — O(k x hits) rows keyed by (id, pos), never a per-token
+       window;
+    3. anti-join the corpus' (id, pos, token) rows against covered, then
+       rebuild each doc with an ordered array_sort(collect_list(struct)) —
+       per-doc memory bounded by doc length.
+
+    ``max_gram_freq`` keeps the recall-only hot-gram cap: a capped gram's
+    windows are NOT removed (under-cleans pathological stopword runs,
+    never over-removes). Docs shorter than ``k`` tokens pass through
+    unchanged; a fully-duplicated doc comes back with kept_tokens = 0 and
+    clean_text = '' (drop-or-keep is the caller's curation policy)."""
+    t, hits = _dup_span_hits(docs, k, id_col, text_col, min_count, max_gram_freq)
+    covered = hits.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    toks_pos = t.select(
+        F.col(id_col), F.posexplode("_tokens").alias("pos", "tok")
+    )
+    kept = toks_pos.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return t.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
+            "kept_tokens"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     k: int = 8,
@@ -489,30 +594,7 @@ def duplicate_span_stats(
     definition (they can still BE duplicates at doc level — that's
     exact_dedup's job, not this operator's).
     """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if min_count < 2:
-        raise ValueError(f"min_count must be >= 2, got {min_count}")
-    t = tokens(docs, text_col).select(
-        F.col(id_col), "_tokens", F.size("_tokens").alias("_n")
-    )
-    grams = t.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.col("_n") >= k,
-                F.expr(
-                    f"transform(sequence(0, size(_tokens) - {k}),"
-                    f" i -> concat_ws(' ', slice(_tokens, i + 1, {k})))"
-                ),
-            ).otherwise(F.array())
-        ).alias("pos", "gram"),
-    )
-    counts = grams.groupBy("gram").agg(F.count("*").alias("_cnt"))
-    dup = counts.filter(F.col("_cnt") >= min_count)
-    if max_gram_freq is not None:
-        dup = dup.filter(F.col("_cnt") <= max_gram_freq)
-    hits = grams.join(dup.select("gram"), "gram").select(id_col, "pos")
+    t, hits = _dup_span_hits(docs, k, id_col, text_col, min_count, max_gram_freq)
     w = (
         Window.partitionBy(id_col)
         .orderBy("pos")

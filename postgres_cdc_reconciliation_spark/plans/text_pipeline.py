@@ -2032,3 +2032,54 @@ def q_dup_spans(spark, sf_dir):
     from ..operators.dedup import duplicate_span_stats
 
     return duplicate_span_stats(_docs(spark, sf_dir), k=8)
+
+
+@register(
+    "q_dup_strip",
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       ), grams AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                array_to_string(tk[i+1:i+8], ' ') AS gram
+         FROM toks, UNNEST(range(CAST(len(tk) - 8 + 1 AS BIGINT))) AS u(i)
+       ), dup AS (
+         SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+       ), hits AS (
+         SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+       ), cov AS (
+         SELECT DISTINCT doc_id, pos + j AS pos
+         FROM hits, UNNEST(range(8)) AS v(j)
+       ), tp AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i+1] AS tok
+         FROM toks, UNNEST(range(CAST(len(tk) AS BIGINT))) AS u(i)
+       ), kept AS (
+         SELECT t.doc_id, t.pos, t.tok
+         FROM tp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         WHERE c.pos IS NULL
+       ), rebuilt AS (
+         SELECT doc_id, count(*) AS kept_tokens,
+                string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         FROM kept GROUP BY doc_id
+       )
+       SELECT t.doc_id,
+              CAST(len(t.tk) AS BIGINT) AS n_tokens,
+              CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+              coalesce(r.clean_text, '') AS clean_text
+       FROM toks t LEFT JOIN rebuilt r USING (doc_id)""",
+    doc="[EXT] duplicated-span REMOVAL (operators/dedup.py::"
+    "strip_duplicate_spans): the cleaning transform paired with "
+    "q_dup_spans — every token inside an 8-token window occurring >=2 "
+    "times corpus-wide is cut, and each doc is rebuilt in token order "
+    "(the published substring-dedup result as a corpus transform, not "
+    "just a measurement; kept_tokens + dup_tokens == n_tokens by "
+    "construction). Plan: the shared positional-k-gram hits -> explode "
+    "each hit into its k covered positions + distinct -> anti-join the "
+    "(doc, pos, token) corpus -> ordered per-doc rebuild via "
+    "array_sort(collect_list(struct)). All-JVM, linear in corpus "
+    "tokens; max_gram_freq stays available as the recall-only hot-gram "
+    "cap at scale.",
+)
+def q_dup_strip(spark, sf_dir):
+    from ..operators.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(_docs(spark, sf_dir), k=8)

@@ -88,3 +88,83 @@ def test_empty_corpus_schema(spark):
     out = duplicate_span_stats(_docs(spark, []), k=4)
     assert out.count() == 0
     assert out.columns == ["doc_id", "n_tokens", "dup_tokens", "dup_fraction"]
+
+
+# --- strip_duplicate_spans: the cleaning transform --------------------------
+
+
+def test_strip_removes_exactly_the_covered_tokens(spark):
+    from postgres_cdc_reconciliation_spark.operators.dedup import (
+        strip_duplicate_spans,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in strip_duplicate_spans(_docs(spark, CORPUS), k=4).collect()
+    }
+    assert len(out) == 5
+    # doc 0: "a b c d" cut, tail survives in order
+    assert (out[0]["kept_tokens"], out[0]["clean_text"]) == (3, "x1 x2 x3")
+    # doc 1: shared span is mid-doc — both flanks survive, order preserved
+    assert (out[1]["kept_tokens"], out[1]["clean_text"]) == (3, "z1 z2 z3")
+    # doc 2: fully duplicated -> empty, not NULL
+    assert (out[2]["kept_tokens"], out[2]["clean_text"]) == (0, "")
+    # docs 3/4: untouched pass-through
+    assert out[3]["clean_text"] == "q r s"
+    assert out[4]["clean_text"] == "u1 u2 u3 u4 u5"
+
+
+def test_strip_complements_stats_exactly(spark):
+    from postgres_cdc_reconciliation_spark.operators.dedup import (
+        strip_duplicate_spans,
+    )
+
+    stats = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(_docs(spark, CORPUS), k=4).collect()
+    }
+    strip = {
+        r["doc_id"]: r
+        for r in strip_duplicate_spans(_docs(spark, CORPUS), k=4).collect()
+    }
+    for d in stats:
+        # same hits, complementary sides of the interval union
+        assert stats[d]["dup_tokens"] + strip[d]["kept_tokens"] \
+            == stats[d]["n_tokens"], d
+
+
+def test_strip_hot_gram_cap_only_preserves_more(spark):
+    from postgres_cdc_reconciliation_spark.operators.dedup import (
+        strip_duplicate_spans,
+    )
+
+    # "h h h h" appears in 5 docs -> capped out at max_gram_freq=3, so its
+    # windows are NOT removed (recall-only: under-clean, never over-remove)
+    rows = [(i, f"h h h h m{i}") for i in range(5)]
+    uncapped = {
+        r["doc_id"]: r["kept_tokens"]
+        for r in strip_duplicate_spans(_docs(spark, rows), k=4).collect()
+    }
+    capped = {
+        r["doc_id"]: r["kept_tokens"]
+        for r in strip_duplicate_spans(
+            _docs(spark, rows), k=4, max_gram_freq=3
+        ).collect()
+    }
+    for d in uncapped:
+        assert uncapped[d] == 1 and capped[d] == 5, d
+
+
+def test_strip_empty_corpus_and_validation(spark):
+    from postgres_cdc_reconciliation_spark.operators.dedup import (
+        strip_duplicate_spans,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = strip_duplicate_spans(empty, k=4)
+    assert out.columns == ["doc_id", "n_tokens", "kept_tokens", "clean_text"]
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        strip_duplicate_spans(empty, k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        strip_duplicate_spans(empty, min_count=1)
