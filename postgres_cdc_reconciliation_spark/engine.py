@@ -462,6 +462,42 @@ class Engine:
         return heavy_hitters(df, value_col, min_fraction=min_fraction,
                              width=width, depth=depth)
 
+    def dup_span_strip(self, docs, k=8, id_col="doc_id", text_col="text",
+                       max_gram_freq=None) -> DataFrame:
+        """The cleaning transform paired with dup_span_stats: cut every
+        token inside a corpus-repeated k-token window and rebuild each
+        doc in order (kept_tokens + dup_tokens == n_tokens)."""
+        from .operators.dedup import strip_duplicate_spans
+
+        return strip_duplicate_spans(
+            docs, k=k, id_col=id_col, text_col=text_col,
+            max_gram_freq=max_gram_freq,
+        )
+
+    def kmv(self, df, value_col, k=256, group_col=None) -> DataFrame:
+        """Deterministic bottom-k distinct sketch (global or per-group):
+        mergeable, engine-portable (md5), ~1/sqrt(k-2) relative error."""
+        from .operators.sketches import kmv_build, kmv_build_grouped
+
+        if group_col is None:
+            return kmv_build(df, value_col, k=k)
+        return kmv_build_grouped(df, group_col, value_col, k=k)
+
+    def kmv_estimate(self, sketch, k=256, group_col=None) -> DataFrame:
+        """Distinct-count estimate from a kmv() sketch alone."""
+        from .operators.sketches import kmv_distinct, kmv_distinct_grouped
+
+        if group_col is None:
+            return kmv_distinct(sketch, k=k)
+        return kmv_distinct_grouped(sketch, group_col, k=k)
+
+    def kmv_overlap(self, sk_a, sk_b, k=256) -> DataFrame:
+        """Jaccard/union/intersection estimates for two sets from their
+        KMV sketches alone — corpus-overlap without co-shuffling members."""
+        from .operators.sketches import kmv_jaccard
+
+        return kmv_jaccard(sk_a, sk_b, k=k)
+
     def point_lookup(self, root, key_cols, keys, version=None) -> DataFrame:
         """Key-routed point read from a manifest apply target: the keys
         hash to their buckets, only those bucket dirs are read, and the

@@ -147,3 +147,70 @@ def cms_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def current_kmv(spark, path: str) -> DataFrame | None:
+    """Latest committed KMV sketch (h) — None before the first commit."""
+    versions = _committed(spark, path)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{path}/v={versions[-1]}/sketch")
+
+
+def kmv_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmv-v1",
+    keep_versions: int = 2,
+):
+    """foreachBatch writer maintaining a KMV bottom-k distinct sketch over
+    an unbounded stream — the distinct-count twin of :func:`cms_stream`,
+    with one stronger property: KMV merges are EXACT and deterministic
+    (bottom-k of the union), so the streamed sketch equals a whole-corpus
+    batch build hash-for-hash at every commit, in any batch arrival order
+    (pytest-pinned). An exact streaming distinct needs unbounded state;
+    this holds <=k rows regardless of stream length and answers with
+    ~1/sqrt(k-2) relative error (``operators.sketches.kmv_distinct``).
+
+    Same replay contract as :func:`cms_stream` (at-least-once foreachBatch):
+    full snapshot per micro-batch at ``{path}/v={batch_id}`` with a
+    ``_COMMIT`` marker, batch-id high-water replay guard (a re-delivered
+    batch merges idempotently anyway — bottom-k-of-union is idempotent —
+    but skipping keeps replays IO-free), versions pruned to the last
+    ``keep_versions``. Snapshots are <=k rows, so versioning cost is flat
+    in stream length."""
+    from ..operators.sketches import kmv_build, kmv_merge
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    spark = events.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versions = _committed(spark, path)
+        if versions and batch_id <= versions[-1]:
+            return  # at-least-once replay of an already-merged batch
+        partial = kmv_build(batch_df, value_col, k=k, salt=salt)
+        if versions:
+            prev = spark.read.parquet(f"{path}/v={versions[-1]}/sketch")
+            merged = kmv_merge(prev, partial, k=k)
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(f"{path}/v={batch_id}/sketch")
+        fs, _ = _fs(spark, path)
+        _, marker = _fs(spark, f"{path}/v={batch_id}/_COMMIT")
+        fs.create(marker, True).close()
+        for v in _committed(spark, path)[:-keep_versions]:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}"), True
+            )
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

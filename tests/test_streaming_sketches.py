@@ -103,3 +103,69 @@ def test_rising_value_readmitted(spark, tmp_path):
     # orders prune it early and must re-admit it when it re-occurs)
     assert "z" in hitters and hitters["z"] >= 12
     assert "a" not in hitters
+
+
+# --- kmv_stream: streamed bottom-k == whole-corpus build EXACTLY ------------
+
+
+def _run_kmv(spark, tmp_path, batches, ckpt="kckpt", k=16):
+    from postgres_cdc_reconciliation_spark.streaming.sketches import kmv_stream
+
+    src = tmp_path / "kin"
+    if not src.exists():
+        _write_batches(src, batches)
+    events = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = kmv_stream(
+        events, str(tmp_path / "kmv"), str(tmp_path / ckpt), "v", k=k
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+
+def test_kmv_stream_equals_batch_build_exactly(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_distinct,
+    )
+    from postgres_cdc_reconciliation_spark.streaming.sketches import current_kmv
+
+    b0 = [f"m{i}" for i in range(40)]
+    b1 = [f"m{i}" for i in range(20, 70)]  # overlaps b0
+    b2 = [f"n{i}" for i in range(30)]
+    _run_kmv(spark, tmp_path, [b0, b1, b2], k=16)
+    path = str(tmp_path / "kmv")
+    whole = spark.createDataFrame([(v,) for v in b0 + b1 + b2], "v string")
+    expect = sorted(r["h"] for r in kmv_build(whole, "v", k=16).collect())
+    got_df = current_kmv(spark, path)
+    got = sorted(r["h"] for r in got_df.collect())
+    assert got == expect  # deterministic merge: EXACT equality
+    assert len(got) == 16  # bounded state at any stream length
+    [est] = kmv_distinct(got_df, k=16).collect()
+    assert 0 < est["est_distinct"] < 1000
+
+
+def test_kmv_stream_replay_is_idempotent(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.streaming.sketches import current_kmv
+
+    b0 = [f"m{i}" for i in range(40)]
+    b1 = [f"m{i}" for i in range(20, 70)]
+    _run_kmv(spark, tmp_path, [b0, b1], k=16)
+    path = str(tmp_path / "kmv")
+    before = sorted(r["h"] for r in current_kmv(spark, path).collect())
+    # fresh checkpoint re-delivers every batch (ids <= high-water skipped)
+    _run_kmv(spark, tmp_path, [b0, b1], ckpt="kckpt2", k=16)
+    after = sorted(r["h"] for r in current_kmv(spark, path).collect())
+    assert after == before
+
+
+def test_kmv_stream_validation(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.streaming.sketches import kmv_stream
+
+    events = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_stream(events, "x", "y", "value", k=1)
