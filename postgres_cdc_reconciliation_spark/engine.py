@@ -498,6 +498,21 @@ class Engine:
 
         return kmv_jaccard(sk_a, sk_b, k=k)
 
+    def ndv_stamp(self, path, cols, k=64, mode="rebuild") -> int:
+        """Stamp per-file KMV sketches as an NDV-stats sidecar: one
+        column-pruned pass; afterwards distinct-count questions cost one
+        JSON read (mode='append' maintains it O(new files))."""
+        from .operators.layout import stamp_ndv
+
+        return stamp_ndv(self.spark, path, cols, k=k, mode=mode)
+
+    def ndv_stats(self, path, cols=None, files=None) -> DataFrame:
+        """Distinct-count estimates from the NDV sidecar alone — zero
+        data IO; files= restricts to any subset (e.g. prune survivors)."""
+        from .operators.layout import read_ndv
+
+        return read_ndv(self.spark, path, cols=cols, files=files)
+
     def point_lookup(self, root, key_cols, keys, version=None) -> DataFrame:
         """Key-routed point read from a manifest apply target: the keys
         hash to their buckets, only those bucket dirs are read, and the

@@ -799,3 +799,231 @@ def read_point(
             v = v.isoformat()
         pred = pred & (F.col(col) == F.lit(v).cast(field_dt[col]))
     return scan.filter(pred)
+
+
+#: per-file KMV (bottom-k hash) sidecar — table NDV statistics as metadata.
+#: Zones answer range prunes, blooms answer point prunes; this answers the
+#: PLANNER's question (how many distinct keys live here?) with zero data IO
+#: after stamping. Per-file bottom-k lists merge to the EXACT global
+#: bottom-k (a file's bottom-k contains every hash of that file that could
+#: reach the merged bottom-k), so table- or subset-level estimates carry
+#: the full KMV error bound (~1/sqrt(k-2)), not a merge penalty.
+_NDV_SIDECAR = "_pcr_ndv.json"
+
+
+def _kmv_py_hash(v, salt: str) -> int:
+    """Python twin of operators.sketches.kmv_hash: md5 over the salted
+    string form, first 15 hex digits as a 60-bit int. Integer widths
+    normalize through int() so int8/int64/numpy all hash like Spark's
+    cast('string'); the supported contract is int and string columns
+    (same as the bloom sidecar)."""
+    import hashlib
+
+    import numpy as np
+
+    if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+        s = str(int(v))
+    else:
+        s = str(v)
+    return int(hashlib.md5(f"{salt}:{s}".encode("utf-8")).hexdigest()[:15], 16)
+
+
+def stamp_ndv(
+    spark,
+    path: str,
+    cols: list[str],
+    k: int = 64,
+    salt: str = "kmv-v1",
+    mode: str = "rebuild",
+) -> int:
+    """Stamp a ``_pcr_ndv.json`` sidecar on an existing parquet dir: one
+    column-pruned distributed pass records each file's bottom-k distinct
+    KMV hashes per column. Returns the number of data files stamped.
+
+    The stats sidecar a query planner wants at 100 TB: after one stamping
+    pass, "how many distinct keys in this table / this partition's files /
+    the files a zone prune selected?" is answered from one tiny JSON read
+    (:func:`read_ndv`) — no scan, and the per-file lists are exactly
+    mergeable, so ANY file subset gets a sound estimate. A column absent
+    from a file's schema contributes nothing, which is CORRECT for NDV
+    (those rows hold NULL for the evolved column, and NULLs are not
+    distinct members). ``mode="append"`` mirrors the zone/bloom growing-
+    table path: only new files are read (O(new files) per maintenance
+    call), dead entries drop out, and k/salt/schema carry over from the
+    existing sidecar."""
+    import json
+
+    from .manifest_target import _fs
+
+    if mode not in ("rebuild", "append"):
+        raise ValueError(f"mode must be 'rebuild' or 'append', got {mode!r}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    fs, pdir = _fs(spark, path)
+    files = [
+        str(st.getPath())
+        for st in fs.listStatus(pdir)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    prior: dict = {}
+    if mode == "append":
+        _, spath = _fs(spark, f"{path}/{_NDV_SIDECAR}")
+        if not fs.exists(spath):
+            raise FileNotFoundError(
+                f"no NDV sidecar at {path} to append to — stamp with "
+                "mode='rebuild' first"
+            )
+        stream = fs.open(spath)
+        try:
+            old = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+        finally:
+            stream.close()
+        live = {f.rsplit("/", 1)[-1] for f in files}
+        prior = {f: e for f, e in old["files"].items() if f in live}
+        k = old["k"]
+        salt = old["salt"]
+        schema_doc = old["schema"]
+        files = [f for f in files if f.rsplit("/", 1)[-1] not in prior]
+    else:
+        schema = spark.read.parquet(path).schema
+        missing = [c for c in cols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"NDV columns {missing} not in the table schema; "
+                f"columns: {schema.fieldNames()}"
+            )
+        schema_doc = json.loads(schema.json())
+    cols = list(cols)
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string")
+    salt_b, k_b = salt, k
+
+    def _build(iterator):
+        import heapq
+        import json as _json
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def _open(p):
+            if "://" in p:
+                from pyarrow import fs as pafs
+
+                uri = p.replace("s3a://", "s3://", 1)
+                filesystem, rel = pafs.FileSystem.from_uri(uri)
+                return pq.ParquetFile(filesystem.open_input_file(rel))
+            return pq.ParquetFile(p)
+
+        for pdf in iterator:
+            out = []
+            for p in pdf["path"]:
+                pf = _open(p)
+                present = [c for c in cols if c in pf.schema_arrow.names]
+                if not present:
+                    continue
+                tbl = pf.read(columns=present)
+                for c in present:
+                    vals = tbl.column(c).drop_null().unique().to_pylist()
+                    hs = {_kmv_py_hash(v, salt_b) for v in vals}
+                    bottom = heapq.nsmallest(k_b, hs)
+                    out.append((p, c, _json.dumps(bottom)))
+            yield pd.DataFrame(out, columns=["path", "col", "hs"])
+
+    rows = (
+        paths_df.mapInPandas(
+            _build, "path string, col string, hs string"
+        ).collect()  # bounded: |files| x |cols| rows of <=k ints
+        if files
+        else []
+    )
+    per_file: dict = dict(prior)
+    for r in rows:
+        per_file.setdefault(r["path"].rsplit("/", 1)[-1], {})[r["col"]] = (
+            json.loads(r["hs"])
+        )
+    doc = {"k": k, "salt": salt, "schema": schema_doc, "files": per_file}
+    _, tmp = _fs(spark, f"{path}/.{_NDV_SIDECAR}.tmp")
+    _, final = _fs(spark, f"{path}/{_NDV_SIDECAR}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+    return len(files)
+
+
+def read_ndv(
+    spark,
+    path: str,
+    cols: list[str] | None = None,
+    files: list[str] | None = None,
+):
+    """Distinct-count estimates from the ``_pcr_ndv.json`` sidecar ALONE —
+    zero data IO. Returns one row per column: (col, n_files, n_hashes,
+    kth_hash, est_distinct), where est_distinct is the KMV estimator over
+    the merged bottom-k (exact when the merged universe held fewer than k
+    hashes). ``files`` restricts the merge to a file subset (e.g. the
+    survivors of a zone/bloom prune) — per-file lists merge exactly, so
+    subset estimates carry the same error bound. The estimator arithmetic
+    is the same fixed-order double math as operators.sketches
+    (Python float IS an IEEE double), so results are engine-portable."""
+    import heapq
+    import json
+
+    from .manifest_target import _fs
+
+    fs, spath = _fs(spark, f"{path}/{_NDV_SIDECAR}")
+    if not fs.exists(spath):
+        raise FileNotFoundError(
+            f"no NDV sidecar at {path} — stamp with stamp_ndv"
+        )
+    stream = fs.open(spath)
+    try:
+        doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+    k = doc["k"]
+    stamped_cols = sorted(
+        {c for per in doc["files"].values() for c in per}
+    )
+    use_cols = list(cols) if cols is not None else stamped_cols
+    bad = [c for c in use_cols if c not in stamped_cols]
+    if bad:
+        raise ValueError(
+            f"columns {bad} are not NDV-stamped; stamped: {stamped_cols}"
+        )
+    entries = doc["files"]
+    if files is not None:
+        missing = [f for f in files if f not in entries]
+        if missing:
+            raise ValueError(
+                f"files {missing} are not in the NDV sidecar — re-stamp "
+                "(mode='append') after appends"
+            )
+        entries = {f: entries[f] for f in files}
+    rows = []
+    for c in use_cols:
+        merged: set[int] = set()
+        n_files = 0
+        for per in entries.values():
+            if c in per:
+                n_files += 1
+                merged.update(per[c])
+        bottom = heapq.nsmallest(k, merged)
+        n = len(bottom)
+        if n == 0:
+            est = 0.0
+            kth = None
+        elif n < k:
+            est = float(n)
+            kth = bottom[-1]
+        else:
+            kth = bottom[-1]
+            est = float(k - 1) * float(1 << 60) / float(kth)
+        rows.append((c, n_files, n, kth, est))
+    return spark.createDataFrame(
+        rows,
+        "col string, n_files long, n_hashes long, kth_hash long, "
+        "est_distinct double",
+    )

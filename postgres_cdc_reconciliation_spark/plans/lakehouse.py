@@ -362,3 +362,75 @@ def q_bloom_pruned_scan(spark, sf_dir):
     return reduce(DataFrame.union, parts).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+_NDV_STAMPED: set[tuple[int, str]] = set()
+
+
+def _ensure_ndv_root(spark, sf_dir) -> str:
+    """The zone root (lineitem range-clustered by l_shipdate, 24 files)
+    with an NDV sidecar additionally stamped on l_orderkey and
+    l_linenumber — per-file bottom-64 KMV hashes as table metadata."""
+    from ..operators.layout import stamp_ndv
+
+    root = _ensure_zone_root(spark, sf_dir)
+    cache_key = (id(spark), sf_dir)
+    if cache_key not in _NDV_STAMPED:
+        stamp_ndv(spark, root, ["l_orderkey", "l_linenumber"], k=64)
+        _NDV_STAMPED.add(cache_key)
+    return root
+
+
+@register(
+    "q_ndv_stats",
+    """WITH ho AS (
+         SELECT DISTINCT CAST('0x' || substr(md5('kmv-v1:' ||
+                  CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM lineitem WHERE l_orderkey IS NOT NULL
+       ), sko AS (
+         SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ho)
+         WHERE rn <= 64
+       ), hl AS (
+         SELECT DISTINCT CAST('0x' || substr(md5('kmv-v1:' ||
+                  CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM lineitem WHERE l_linenumber IS NOT NULL
+       ), skl AS (
+         SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hl)
+         WHERE rn <= 64
+       )
+       SELECT 'l_orderkey' AS col,
+              CAST(count(*) AS BIGINT) AS n_hashes,
+              CAST(max(h) AS BIGINT) AS kth_hash,
+              CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                   ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                        / CAST(max(h) AS DOUBLE)
+              END AS est_distinct
+       FROM sko
+       UNION ALL
+       SELECT 'l_linenumber' AS col,
+              CAST(count(*) AS BIGINT) AS n_hashes,
+              CAST(max(h) AS BIGINT) AS kth_hash,
+              CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                   ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                        / CAST(max(h) AS DOUBLE)
+              END AS est_distinct
+       FROM skl""",
+    doc="[EXT] NDV statistics from per-file KMV sidecars "
+    "(operators/layout.py::stamp_ndv + read_ndv): distinct-key estimates "
+    "for the planner's questions with ZERO data IO after one "
+    "column-pruned stamping pass — per-file bottom-64 md5 hashes merge "
+    "to the EXACT global bottom-k (a file's bottom-k contains every "
+    "hash that can reach the merged bottom-k), so table- or any "
+    "file-subset-level estimates carry the full KMV bound, no merge "
+    "penalty. l_linenumber's 7-member universe exercises the exact "
+    "(n < k) branch; l_orderkey the estimator branch. The oracle "
+    "recomputes the global KMV relationally — sidecar merge and "
+    "estimator arithmetic must agree hash-for-hash.",
+)
+def q_ndv_stats(spark, sf_dir):
+    from ..operators.layout import read_ndv
+
+    root = _ensure_ndv_root(spark, sf_dir)
+    return read_ndv(spark, root, ["l_orderkey", "l_linenumber"]).select(
+        "col", "n_hashes", "kth_hash", "est_distinct"
+    )

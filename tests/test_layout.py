@@ -649,3 +649,133 @@ def test_bloom_append_mode(spark, tmp_path):
     out = read_point(spark, path, {"uid": 102_050})
     assert [r["k"] for r in out.collect()] == [2050]
     assert len(out.inputFiles()) < written + 1
+
+
+# --- NDV sidecar: per-file KMV sketches as table statistics -----------------
+
+
+def _ndv_table(spark, tmp_path, n=3000, n_files=6):
+    path = str(tmp_path / "ndv_tbl")
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 500).alias("uid"),
+        F.concat(F.lit("t"), (F.col("id") % 9)).alias("tag"),
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    from postgres_cdc_reconciliation_spark.operators.layout import stamp_ndv
+
+    written = stamp_ndv(spark, path, ["uid", "tag"], k=32)
+    return path, df, written
+
+
+def test_ndv_merged_equals_global_kmv_exactly(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import read_ndv
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_distinct,
+    )
+
+    path, df, written = _ndv_table(spark, tmp_path)
+    assert written == 6
+    out = {r["col"]: r for r in read_ndv(spark, path).collect()}
+    # the Python stamping hash and the Spark kmv_hash must agree bit-for-bit:
+    # sidecar merge == a global Spark-side sketch, estimator included
+    for col in ("uid", "tag"):
+        [expect] = kmv_distinct(kmv_build(df, col, k=32), k=32).collect()
+        got = out[col]
+        assert got["n_hashes"] == expect["n_hashes"], col
+        assert got["kth_hash"] == expect["kth_hash"], col
+        assert got["est_distinct"] == expect["est_distinct"], col
+        assert got["n_files"] == 6
+    # tag has 9 members < k=32 -> the exact branch
+    assert out["tag"]["n_hashes"] == 9 and out["tag"]["est_distinct"] == 9.0
+
+
+def test_ndv_file_subset_is_exact_for_those_files(spark, tmp_path):
+    import glob
+    import os
+
+    from postgres_cdc_reconciliation_spark.operators.layout import read_ndv
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_distinct,
+    )
+
+    path, _df, _ = _ndv_table(spark, tmp_path)
+    files = sorted(
+        os.path.basename(f) for f in glob.glob(f"{path}/*.parquet")
+    )
+    subset = files[:3]
+    sub_df = spark.read.parquet(*[f"{path}/{f}" for f in subset])
+    [expect] = kmv_distinct(kmv_build(sub_df, "uid", k=32), k=32).collect()
+    [got] = read_ndv(spark, path, ["uid"], files=subset).collect()
+    # subset merge == a sketch built over exactly those files' rows
+    assert (got["n_hashes"], got["kth_hash"], got["est_distinct"]) == (
+        expect["n_hashes"], expect["kth_hash"], expect["est_distinct"],
+    )
+    assert got["n_files"] == 3
+
+
+def test_ndv_append_mode_and_evolved_schema(spark, tmp_path):
+    import glob
+    import json
+    import os
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        read_ndv,
+        stamp_ndv,
+    )
+
+    path, _df, written = _ndv_table(spark, tmp_path)
+    before = json.load(open(f"{path}/_pcr_ndv.json"))["files"]
+    # appended batch WITHOUT the 'tag' column (evolved schema)
+    extra = spark.range(3000, 3400).select(
+        F.col("id").alias("k"), (F.col("id") % 777).alias("uid")
+    )
+    extra.coalesce(2).write.mode("append").parquet(path)
+    assert stamp_ndv(spark, path, ["uid", "tag"], mode="append") == 2
+    after = json.load(open(f"{path}/_pcr_ndv.json"))
+    assert len(after["files"]) == written + 2
+    for f, e in before.items():  # old entries preserved byte-for-byte
+        assert after["files"][f] == e
+    out = {r["col"]: r for r in read_ndv(spark, path).collect()}
+    # tag: absent from the new files -> they contribute nothing (correct:
+    # evolved rows hold NULL), n_files stays 6
+    assert out["tag"]["n_files"] == 6 and out["tag"]["est_distinct"] == 9.0
+    # uid: the appended 500..776 values must move the estimate upward
+    assert out["uid"]["n_files"] == 8
+    assert out["uid"]["est_distinct"] > 500
+    # vacuumed files drop out on the next append stamp
+    victim = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    os.remove(victim)
+    assert stamp_ndv(spark, path, ["uid"], mode="append") == 0
+    final = json.load(open(f"{path}/_pcr_ndv.json"))["files"]
+    assert os.path.basename(victim) not in final
+    assert len(final) == written + 1
+
+
+def test_ndv_validation(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        read_ndv,
+        stamp_ndv,
+    )
+
+    path, _df, _ = _ndv_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="mode must be"):
+        stamp_ndv(spark, path, ["uid"], mode="merge")
+    with pytest.raises(ValueError, match="k must be"):
+        stamp_ndv(spark, path, ["uid"], k=1)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        stamp_ndv(spark, path, ["nope"])
+    with pytest.raises(ValueError, match="not NDV-stamped"):
+        read_ndv(spark, path, ["k"])
+    with pytest.raises(ValueError, match="not in the NDV sidecar"):
+        read_ndv(spark, path, ["uid"], files=["ghost.parquet"])
+    bare = str(tmp_path / "bare_ndv")
+    spark.range(5).write.parquet(bare)
+    with pytest.raises(FileNotFoundError, match="no NDV sidecar"):
+        read_ndv(spark, bare)
+    with pytest.raises(FileNotFoundError, match="to append to"):
+        stamp_ndv(spark, bare, ["id"], mode="append")
