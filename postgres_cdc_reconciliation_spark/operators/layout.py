@@ -428,12 +428,13 @@ def read_range(
     apply the residual predicate for exactness.
 
     Pruning is sound regardless of zone quality: a file with no stamped
-    zone for ``col`` is always read, and the residual filter re-checks
-    every surviving row (zones can only skip IO, never change results —
-    all-null files are skippable because BETWEEN never matches NULL).
-    Returns an empty frame with the stamped schema when nothing overlaps.
-    Bounds accept the column's native Python type or ISO strings for
-    date/timestamp zones."""
+    zone for ``col`` is always read, a file present in the directory but
+    absent from the sidecar entirely (appended since the last stamp) is
+    always read, and the residual filter re-checks every surviving row
+    (zones can only skip IO, never change results — all-null files are
+    skippable because BETWEEN never matches NULL). Returns an empty frame
+    with the stamped schema when nothing overlaps. Bounds accept the
+    column's native Python type or ISO strings for date/timestamp zones."""
     return read_box(spark, path, {col: (lower, upper)})
 
 
@@ -488,8 +489,22 @@ def read_box(
                 f"predicate column {col!r} is not in the stamped schema; "
                 f"stamped columns: {sorted(stamped)}"
             )
-    keep = []
-    for fname, per in doc["files"].items():
+    # the missing-zone soundness rule applied at FILE level: a data file
+    # the sidecar has never seen (appended since the last stamp) is always
+    # read — pruning must only ever SKIP files it has evidence about, or a
+    # grown table silently loses its append window until the next
+    # stamp_zonemap(mode="append")
+    _, pdir = _fs(spark, path)
+    live = [
+        st.getPath().getName()
+        for st in fs.listStatus(pdir)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    stamped_files = doc["files"]
+    keep = [f for f in live if f not in stamped_files]
+    for fname, per in stamped_files.items():
+        if fname not in set(live):
+            continue  # vacuumed since the last stamp
         ok = True
         for col, (lower, upper) in predicates.items():
             zone = per.get(col)
@@ -729,9 +744,11 @@ def read_point(
     "definitely absent" or "maybe present", so pruning only ever SKIPS
     files that cannot hold a match (false positives cost extra IO at the
     stamped fpp, never wrong results); a file with no stamped bloom for a
-    column is always read. Returns an empty frame with the stamped schema
-    when every file is excluded. NULL probes are rejected — equality
-    never matches NULL, so the query is statically empty."""
+    column is always read, and so is a file the sidecar has never seen
+    (appended since the last stamp — the missing-evidence rule at file
+    level). Returns an empty frame with the stamped schema when every
+    file is excluded. NULL probes are rejected — equality never matches
+    NULL, so the query is statically empty."""
     import base64
     import json
 
@@ -775,8 +792,17 @@ def read_point(
             for pos in _bloom_bit_positions(_bloom_key(v), m, k)
         )
 
-    keep = []
-    for fname, per in doc["files"].items():
+    _, pdir = _fs(spark, path)
+    live = [
+        st.getPath().getName()
+        for st in fs.listStatus(pdir)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    stamped_files = doc["files"]
+    keep = [f for f in live if f not in stamped_files]  # unstamped: read
+    for fname, per in stamped_files.items():
+        if fname not in set(live):
+            continue  # vacuumed since the last stamp
         ok = True
         for col, v in eq.items():
             bloom = per.get(col)

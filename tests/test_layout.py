@@ -779,3 +779,34 @@ def test_ndv_validation(spark, tmp_path):
         read_ndv(spark, bare)
     with pytest.raises(FileNotFoundError, match="to append to"):
         stamp_ndv(spark, bare, ["id"], mode="append")
+
+
+def test_pruned_reads_never_skip_unstamped_appends(spark, tmp_path):
+    """The append window is sound: files added since the last stamp are
+    always read (missing-evidence rule at file level), and stamped files
+    vacuumed from disk no longer crash the scan."""
+    import glob
+    import os
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        read_point,
+        read_range,
+        stamp_bloom,
+    )
+
+    path, df, _ = _zone_table(spark, tmp_path)
+    stamp_bloom(spark, path, ["k"], fpp=0.01)
+    # append rows OUTSIDE every stamped zone, without re-stamping
+    extra = spark.range(50_000, 50_010).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+        F.lit("sX").alias("tag"),
+    )
+    extra.coalesce(1).write.mode("append").parquet(path)
+    got = sorted(r["k"] for r in read_range(spark, path, "k", 50_000, 50_005).collect())
+    assert got == list(range(50_000, 50_006))  # appended rows visible
+    [hit] = read_point(spark, path, {"k": 50_002}).collect()
+    assert hit["k"] == 50_002
+    # a stamped-but-deleted file is skipped, not crashed on
+    victim = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    os.remove(victim)
+    read_range(spark, path, "k", 0, 10).collect()  # no IOException
