@@ -498,6 +498,17 @@ class Engine:
 
         return kmv_jaccard(sk_a, sk_b, k=k)
 
+    def compact_clustered(self, src_path, dst_path, cluster_col=None,
+                          n_files=None) -> dict:
+        """Re-cluster a grown table into a new path and restamp every
+        sidecar present at the source (zones/blooms/NDV) — the
+        small-file compaction that keeps file-skipping effective on a
+        continuously-appended table."""
+        from .operators.layout import compact_clustered
+
+        return compact_clustered(self.spark, src_path, dst_path,
+                                 cluster_col=cluster_col, n_files=n_files)
+
     def ndv_stamp(self, path, cols, k=64, mode="rebuild") -> int:
         """Stamp per-file KMV sketches as an NDV-stats sidecar: one
         column-pruned pass; afterwards distinct-count questions cost one

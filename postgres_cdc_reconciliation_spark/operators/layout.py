@@ -1053,3 +1053,109 @@ def read_ndv(
         "col string, n_files long, n_hashes long, kth_hash long, "
         "est_distinct double",
     )
+
+
+def compact_clustered(
+    spark,
+    src_path: str,
+    dst_path: str,
+    cluster_col: str | None = None,
+    n_files: int | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Compact a GROWN clustered dir into ``dst_path``: re-cluster every
+    row (stamped and unstamped appends alike) by the cluster column and
+    restamp every sidecar present at the source. Returns
+    ``{"n_files": written, "zonemap": cols|None, "bloom": cols|None,
+    "ndv": cols|None}``.
+
+    The small-file answer for plain clustered parquet at 100 TB: each
+    streamed/batched append adds files that (a) each pay a task + an open
+    at read time and (b) overlap the cluster range arbitrarily, so zone
+    prunes degrade toward read-everything as appends accumulate.
+    Compaction restores the invariant the layout's pruning lives on —
+    few, large, range-disjoint files — and re-stamps zones/blooms/NDV so
+    the sidecars describe exactly the new files. Sidecar parameters
+    (cluster col, stamped columns, bloom fpp, NDV k/salt) carry over from
+    the source sidecars.
+
+    Same no-data-loss contract as semantic_index_compact: the destination
+    must be a NEW (or empty) path — compacting in place over live readers
+    has no atomic cutover on plain parquet; callers swap paths at the
+    manifest/config layer above."""
+    import json
+
+    from .manifest_target import _fs
+
+    fs, dpath = _fs(spark, dst_path)
+    if fs.exists(dpath) and fs.listStatus(dpath):
+        raise ValueError(
+            f"destination {dst_path} already exists and is non-empty — "
+            "compact to a new path and swap at the layer above"
+        )
+
+    def _sidecar(name):
+        fs_, spath = _fs(spark, f"{src_path}/{name}")
+        if not fs_.exists(spath):
+            return None
+        stream = fs_.open(spath)
+        try:
+            return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+        finally:
+            stream.close()
+
+    zdoc = _sidecar(_ZONEMAP_SIDECAR)
+    bdoc = _sidecar(_BLOOM_SIDECAR)
+    ndoc = _sidecar(_NDV_SIDECAR)
+    if cluster_col is None:
+        cluster_col = (zdoc or {}).get("cluster_col")
+        if cluster_col is None:
+            raise ValueError(
+                "cluster_col not given and no zone-map sidecar records one "
+                f"at {src_path}"
+            )
+    df = spark.read.parquet(src_path)
+    if cluster_col not in df.columns:
+        raise ValueError(
+            f"cluster column {cluster_col!r} not in the table; "
+            f"columns: {df.columns}"
+        )
+    if n_files is None:
+        _, sdir = _fs(spark, src_path)
+        total = sum(
+            st.getLen()
+            for st in fs.listStatus(sdir)
+            if st.getPath().getName().endswith(".parquet")
+        )
+        n_files = max(1, -(-total // target_file_bytes))
+    (
+        df.repartitionByRange(int(n_files), F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    out = {"n_files": None, "zonemap": None, "bloom": None, "ndv": None}
+    _, ddir = _fs(spark, dst_path)
+    out["n_files"] = sum(
+        1
+        for st in fs.listStatus(ddir)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    if zdoc is not None:
+        cols = sorted({c for per in zdoc["files"].values() for c in per})
+        cols = cols or [cluster_col]
+        stamp_zonemap(spark, dst_path, cols, cluster_col=cluster_col)
+        out["zonemap"] = cols
+    if bdoc is not None:
+        cols = sorted({c for per in bdoc["files"].values() for c in per})
+        if cols:
+            stamp_bloom(spark, dst_path, cols, fpp=bdoc.get("fpp", 0.01))
+            out["bloom"] = cols
+    if ndoc is not None:
+        cols = sorted({c for per in ndoc["files"].values() for c in per})
+        if cols:
+            stamp_ndv(
+                spark, dst_path, cols, k=ndoc["k"], salt=ndoc["salt"]
+            )
+            out["ndv"] = cols
+    return out

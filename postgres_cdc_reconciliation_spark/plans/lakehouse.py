@@ -434,3 +434,74 @@ def q_ndv_stats(spark, sf_dir):
     return read_ndv(spark, root, ["l_orderkey", "l_linenumber"]).select(
         "col", "n_hashes", "kth_hash", "est_distinct"
     )
+
+
+_COMPACT_ROOTS: dict[tuple[int, str], str] = {}
+
+
+def _rm_compact_roots() -> None:
+    for root in _COMPACT_ROOTS.values():
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_rm_compact_roots)
+
+
+def _ensure_compacted_root(spark, sf_dir) -> str:
+    """Build (once per session × sf_dir) the grown-then-compacted layout:
+    2/3 of lineitem range-clustered by l_shipdate (12 files, zones
+    stamped), the remaining 1/3 appended afterwards as two UNSTAMPED
+    small files, then compact_clustered into a fresh 8-file layout with
+    the zone sidecar restamped."""
+    from ..operators.layout import compact_clustered, write_range_clustered
+
+    cache_key = (id(spark), sf_dir)
+    root = _COMPACT_ROOTS.get(cache_key)
+    if root is None:
+        base = tempfile.mkdtemp(prefix="pcr_compact_src_")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+        )
+        write_range_clustered(
+            li.where(F.col("l_orderkey") % 3 != 0), base, "l_shipdate",
+            n_files=12, extra_stats_cols=["l_orderkey"],
+        )
+        rest = li.where(F.col("l_orderkey") % 3 == 0)
+        rest.where(F.col("l_orderkey") % 2 == 0).coalesce(1) \
+            .write.mode("append").parquet(base)
+        rest.where(F.col("l_orderkey") % 2 != 0).coalesce(1) \
+            .write.mode("append").parquet(base)
+        root = tempfile.mkdtemp(prefix="pcr_compact_dst_")
+        compact_clustered(spark, base, root, n_files=8)
+        shutil.rmtree(base, ignore_errors=True)
+        _COMPACT_ROOTS[cache_key] = root
+    return root
+
+
+@register(
+    "q_compacted_scan",
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         AND l_shipdate <= TIMESTAMP '1996-06-30 00:00:00'""",
+    doc="[EXT] grow -> compact -> pruned-read lifecycle for plain "
+    "clustered parquet (operators/layout.py::compact_clustered): a "
+    "range-clustered lineitem layout grows by two unstamped appends "
+    "(files zone pruning knows nothing about), then compacts into a "
+    "fresh 8-file range-disjoint layout with the zone sidecar "
+    "restamped; the query is a zone-pruned 4-month window over the "
+    "COMPACTED table. The oracle filters the full lineitem relation, so "
+    "a row lost (or duplicated) anywhere in grow/compact/restamp/prune "
+    "breaks the match. Small-file compaction is what keeps file-skipping "
+    "effective on a continuously-appended 100 TB table — appends overlap "
+    "the cluster range arbitrarily, so zone prunes degrade toward "
+    "read-everything until re-clustering restores range-disjointness.",
+)
+def q_compacted_scan(spark, sf_dir):
+    from ..operators.layout import read_range
+
+    root = _ensure_compacted_root(spark, sf_dir)
+    return read_range(
+        spark, root, "l_shipdate",
+        "1996-03-01 00:00:00", "1996-06-30 00:00:00",
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")

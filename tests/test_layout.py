@@ -810,3 +810,80 @@ def test_pruned_reads_never_skip_unstamped_appends(spark, tmp_path):
     victim = sorted(glob.glob(f"{path}/*.parquet"))[0]
     os.remove(victim)
     read_range(spark, path, "k", 0, 10).collect()  # no IOException
+
+
+def test_compact_clustered_restores_pruning_and_all_sidecars(spark, tmp_path):
+    import glob
+    import json
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        compact_clustered,
+        read_ndv,
+        read_point,
+        read_range,
+        stamp_bloom,
+        stamp_ndv,
+    )
+
+    src, df, written = _zone_table(spark, tmp_path)
+    stamp_bloom(spark, src, ["tag"], fpp=0.01)
+    stamp_ndv(spark, src, ["tag"], k=16)
+    ndv_before = {r["col"]: r for r in read_ndv(spark, src).collect()}
+    # a grown table: three appends, unstamped, overlapping the k range
+    for lo in (0, 700, 1400):
+        spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+            F.concat(F.lit("s"), (F.col("id") % 7)).alias("tag"),
+        ).coalesce(1).write.mode("append").parquet(src)
+    dst = str(tmp_path / "compacted")
+    out = compact_clustered(spark, src, dst, n_files=4)
+    assert out["n_files"] == 4 < written + 3
+    assert out["zonemap"] and out["bloom"] == ["tag"] and out["ndv"] == ["tag"]
+    # no data loss: full multisets agree
+    src_rows = sorted(map(tuple, spark.read.parquet(src).collect()))
+    dst_rows = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert src_rows == dst_rows
+    # pruning works on the compacted layout and matches the source scan
+    got = sorted(r["k"] for r in read_range(spark, dst, "k", 100, 160).collect())
+    want = sorted(
+        r["k"]
+        for r in spark.read.parquet(src).where(F.col("k").between(100, 160)).collect()
+    )
+    assert got == want
+    hits = read_point(spark, dst, {"tag": "s3"}).count()
+    assert hits == spark.read.parquet(src).where(F.col("tag") == "s3").count()
+    # sidecar params carried: cluster col, bloom fpp, ndv k/salt
+    zdoc = json.load(open(f"{dst}/_pcr_zonemap.json"))
+    assert zdoc["cluster_col"] == "k"
+    assert json.load(open(f"{dst}/_pcr_bloom.json"))["fpp"] == 0.01
+    ndoc = json.load(open(f"{dst}/_pcr_ndv.json"))
+    assert (ndoc["k"], ndoc["salt"]) == (16, "kmv-v1")
+    # ndv over the compacted files sees the same 7-member tag universe
+    ndv_after = {r["col"]: r for r in read_ndv(spark, dst).collect()}
+    assert ndv_after["tag"]["est_distinct"] == ndv_before["tag"]["est_distinct"]
+    assert len(glob.glob(f"{dst}/*.parquet")) == 4
+
+
+def test_compact_clustered_validation(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        compact_clustered,
+    )
+
+    src, _df, _ = _zone_table(spark, tmp_path)
+    dst = str(tmp_path / "occupied")
+    spark.range(3).write.parquet(dst)
+    with pytest.raises(ValueError, match="already exists"):
+        compact_clustered(spark, src, dst)
+    bare = str(tmp_path / "bare_src")
+    spark.range(5).write.parquet(bare)
+    with pytest.raises(ValueError, match="cluster_col not given"):
+        compact_clustered(spark, bare, str(tmp_path / "d2"))
+    with pytest.raises(ValueError, match="not in the table"):
+        compact_clustered(spark, bare, str(tmp_path / "d3"), cluster_col="zz")
+    # no sidecar at all: works with an explicit cluster col, stamps nothing
+    out = compact_clustered(spark, bare, str(tmp_path / "d4"),
+                            cluster_col="id", n_files=1)
+    assert out["n_files"] == 1
+    assert out["zonemap"] is None and out["bloom"] is None and out["ndv"] is None
