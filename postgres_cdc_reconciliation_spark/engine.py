@@ -498,6 +498,19 @@ class Engine:
 
         return kmv_jaccard(sk_a, sk_b, k=k)
 
+    def append_stream(self, events, path, checkpoint_dir, cluster_col,
+                      zone_cols=None, bloom_cols=None, ndv_cols=None):
+        """Exactly-once streamed appends into a plain clustered dir with
+        per-batch sidecar maintenance; returns the writeStream builder
+        (caller picks trigger/start). Pair with compact_clustered to
+        periodically restore range-disjointness."""
+        from .streaming.ingest_clustered import clustered_append_stream
+
+        return clustered_append_stream(
+            events, path, checkpoint_dir, cluster_col,
+            zone_cols=zone_cols, bloom_cols=bloom_cols, ndv_cols=ndv_cols,
+        )
+
     def compact_clustered(self, src_path, dst_path, cluster_col=None,
                           n_files=None) -> dict:
         """Re-cluster a grown table into a new path and restamp every
