@@ -498,6 +498,39 @@ class Engine:
 
         return kmv_jaccard(sk_a, sk_b, k=k)
 
+    def agg_view(self, base, group_col, sum_cols) -> DataFrame:
+        """Materialize the aggregate view maintain_agg_view keeps current
+        ((group, n_rows, sum_<c>...)); feed DECIMAL sums for exactness."""
+        from .operators.ivm import build_agg_view
+
+        return build_agg_view(base, group_col, sum_cols)
+
+    def maintain_agg_view(self, view, base_before, events, key_cols,
+                          group_col, sum_cols) -> DataFrame:
+        """Apply one CDC batch to an aggregate view incrementally:
+        retractions against the before-state + after-image additions —
+        work scales with the batch, never the base."""
+        from .operators.ivm import maintain_agg_view
+
+        return maintain_agg_view(view, base_before, events, key_cols,
+                                 group_col, sum_cols)
+
+    def join_view(self, fact, dim, on, how="inner") -> DataFrame:
+        """Materialize the fact x dim join view maintain_join_view keeps
+        current (dim unique on the join key)."""
+        from .operators.ivm import build_join_view
+
+        return build_join_view(fact, dim, on, how=how)
+
+    def maintain_join_view(self, view, events, dim, key_cols, on,
+                           how="inner") -> DataFrame:
+        """Apply one fact-side CDC batch to a join view: touched keys
+        anti-join out, after-images re-join the dim — only changed keys
+        pay a join."""
+        from .operators.ivm import maintain_join_view
+
+        return maintain_join_view(view, events, dim, key_cols, on, how=how)
+
     def append_stream(self, events, path, checkpoint_dir, cluster_col,
                       zone_cols=None, bloom_cols=None, ndv_cols=None):
         """Exactly-once streamed appends into a plain clustered dir with

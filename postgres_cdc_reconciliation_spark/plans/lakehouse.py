@@ -505,3 +505,124 @@ def q_compacted_scan(spark, sf_dir):
         spark, root, "l_shipdate",
         "1996-03-01 00:00:00", "1996-06-30 00:00:00",
     ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+def _ivm_fixture(spark, sf_dir):
+    """Shared IVM inputs: v0 = orders keys k%7≠0, and the change batch
+    deleting k%11=0 and upserting k%5=0∧k%11≠0 at price+1 (the same
+    delta shape as the CDF root, but as an unwrapped CDC event batch)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    v0 = orders.filter(k % 7 != 0)
+    one = F.lit(1).cast("decimal(18,2)")
+    ups = (
+        orders.filter((k % 5 == 0) & (k % 11 != 0))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") + one).cast("decimal(18,2)"),
+        )
+        .withColumn("op", F.lit("u"))
+        .withColumn("source_lsn", F.lit("0/1"))
+    )
+    dels = (
+        orders.filter(k % 11 == 0)
+        .withColumn("op", F.lit("d"))
+        .withColumn("source_lsn", F.lit("0/1"))
+    )
+    return v0, ups.unionByName(dels)
+
+
+@register(
+    "q_ivm_agg",
+    """WITH v1 AS (
+         SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+         FROM orders
+         WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+           AND o_orderkey % 11 <> 0
+         UNION ALL
+         SELECT o_custkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                     + CAST(1 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+         FROM orders
+         WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+       )
+       SELECT o_custkey,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(SUM(p) AS DOUBLE) AS sum_price
+       FROM v1 GROUP BY o_custkey""",
+    doc="[EXT] incrementally-maintained aggregate view "
+    "(operators/ivm.py::maintain_agg_view): per-customer order count and "
+    "exact decimal revenue kept current under a CDC batch that inserts, "
+    "updates (price+1), and deletes — per-key retractions against the "
+    "before-state plus after-image additions, merged with ONE outer join "
+    "on touched groups. Work scales with |touched keys|+|touched "
+    "groups|, never |base| (the batch side of every join is "
+    "broadcast-sized). The oracle full-recomputes the view over the "
+    "applied final state — maintained == recomputed exactly because "
+    "sums run in DECIMAL (order-free), which is the whole reason a "
+    "maintained money view can be trusted at 100 TB.",
+)
+def q_ivm_agg(spark, sf_dir):
+    from ..operators.ivm import build_agg_view, maintain_agg_view
+
+    v0, events = _ivm_fixture(spark, sf_dir)
+    view0 = build_agg_view(v0, "o_custkey", ["o_totalprice"])
+    view1 = maintain_agg_view(
+        view0, v0, events, ["o_orderkey"], "o_custkey", ["o_totalprice"]
+    )
+    return view1.select(
+        "o_custkey",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "q_ivm_join",
+    """WITH v1 AS (
+         SELECT o_orderkey, o_custkey,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+         FROM orders
+         WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+           AND o_orderkey % 11 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                     + CAST(1 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+         FROM orders
+         WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+       )
+       SELECT v1.o_orderkey, v1.o_custkey,
+              CAST(v1.o_totalprice AS DOUBLE) AS o_totalprice, c.c_name
+       FROM v1 JOIN customer c ON v1.o_custkey = c.c_custkey""",
+    doc="[EXT] incrementally-maintained join view "
+    "(operators/ivm.py::maintain_join_view): the orders x customer join "
+    "table kept current under the same insert/update/delete batch — "
+    "touched fact keys anti-join out of the view, upsert after-images "
+    "re-join the (broadcastable) dim and union in, so only changed keys "
+    "pay a join. Inner semantics also cover fk-retargeting (the old row "
+    "leaves with the anti-join, the new image joins its new dim row). "
+    "The oracle joins the applied final state against customer — a "
+    "dropped retraction, doubled upsert, or stale dim row all break the "
+    "match.",
+)
+def q_ivm_join(spark, sf_dir):
+    from ..operators.ivm import build_join_view, maintain_join_view
+
+    v0, events = _ivm_fixture(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    view0 = build_join_view(v0, cust, on="o_custkey", how="inner")
+    view1 = maintain_join_view(
+        view0, events, cust, ["o_orderkey"], on="o_custkey", how="inner"
+    )
+    return view1.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "c_name",
+    )
