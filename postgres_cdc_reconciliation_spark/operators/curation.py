@@ -62,6 +62,58 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    salt: str = "gsplit-v1",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Group-atomic train/val/test split: the bucket hash is taken over a
+    canonical GROUP id rather than the document id, so every member of a
+    duplicate group lands in the SAME split — ``hash_split`` alone lets two
+    byte-identical documents straddle the train/eval boundary, which is
+    train-on-test leakage the moment the corpus has any duplication.
+
+    When ``group_col`` is None the group is the exact-duplicate class of the
+    normalized text (lowercase, punctuation stripped, whitespace collapsed —
+    the q_text_normalize recipe) and the canonical id is ``min(id)`` within
+    the class. Passing a precomputed ``group_col`` (e.g. a near-dup cluster
+    id from ``dedup_clusters`` or a URL domain) generalizes the same
+    guarantee to any dedup tier without re-deriving it here.
+
+    Scale shape: one hash-partitioned window on the fingerprint — the same
+    shuffle class as exact dedup; group sizes are duplicate multiplicities
+    (tiny), so the window sort is skew-free. Assignment stays stable under
+    corpus growth for every group whose canonical member is unchanged; new
+    duplicates of an existing group adopt the group's split rather than
+    rolling their own.
+    """
+    if group_col is None:
+        norm = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+        with_fp = df.withColumn("_fp", F.md5(norm))
+        grouped = with_fp.withColumn(
+            "group_id", F.min(id_col).over(Window.partitionBy("_fp"))
+        ).drop("_fp")
+    else:
+        grouped = df.withColumn("group_id", F.col(group_col))
+    bucket = hash_bucket(F.col("group_id"), salt + ":")
+    return grouped.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_pct, "train")
+        .when(F.col("split_bucket") < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
 def contamination_report(
     train_docs: DataFrame,
     eval_docs: DataFrame,

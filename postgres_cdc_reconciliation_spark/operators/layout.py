@@ -68,6 +68,45 @@ def salted_join(
     return out.drop("_salt")
 
 
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    target_rows: int = 1_000_000,
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: per-key row count, share of the table,
+    and the salt factor ``salted_join``/AQE would need to bring each key's
+    partition under ``target_rows`` rows.
+
+    The report the operator playbook reads before a big shuffle: a key with
+    ``salt_factor`` > 1 will straggle a plain hash partitioning (one reducer
+    gets the whole key), and the factor says how many ways to split it.
+    Salt factor is computed in exact integer arithmetic
+    (``(n - 1) div target + 1``), never via float ceil, so the advice is
+    identical in any engine. One keyed count shuffle (map-side partials)
+    plus a broadcast of the single-row total — never a driver collect.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_tot"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("_tot").cast("double")).alias(
+                "share"
+            ),
+            F.expr(f"(n_rows - 1) div {int(target_rows)}").alias("_q"),
+        )
+        .select(
+            *key_cols,
+            "n_rows",
+            "share",
+            (F.col("_q") + 1).cast("long").alias("salt_factor"),
+            (F.col("_q") > 0).alias("is_hot"),
+        )
+    )
+
+
 def zorder_value(cols: list[str], bits: int = 16):
     """Z-order (Morton) interleave of N columns' rank-space positions.
 

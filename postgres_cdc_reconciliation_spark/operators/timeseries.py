@@ -537,3 +537,51 @@ def series_dtw_certificate(
         )
         .orderBy(key_col)
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier flags via the median/MAD modified z-score
+    (Iglewicz & Hoaglin's 0.6745·(x−med)/MAD rule, the standard robust
+    alternative to mean/stddev z-scores — a single wild reading shifts a
+    mean-based score for every row in its group, but moves the median and
+    MAD not at all until half the group is wild).
+
+    Two grouped EXACT medians (sort-based, linear interpolation — identical
+    in any engine) and one broadcast join back: shuffle cost is two keyed
+    aggregations on ``group_col`` plus a ≤|groups|-row broadcast, never a
+    per-row window sort. The score is rounded to 6 digits BEFORE the
+    threshold compare so fp noise can't flip the flag (registry
+    convention). NULL values are excluded up front; a zero MAD (more than
+    half the group identical) makes the score ±inf/NaN rather than an
+    error — callers should treat such groups as degenerate.
+    """
+    e = df.filter(F.col(value_col).isNotNull()).select(
+        *id_cols, group_col, value_col
+    )
+    med = e.groupBy(group_col).agg(F.median(value_col).alias("med"))
+    stats = (
+        e.join(F.broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min("med").alias("med"),
+            F.median(F.abs(F.col(value_col) - F.col("med"))).alias("mad"),
+        )
+    )
+    rz = F.round(
+        (F.lit(0.6745) * (F.col(value_col) - F.col("med"))) / F.col("mad"), 6
+    )
+    return e.join(F.broadcast(stats), group_col).select(
+        *id_cols,
+        group_col,
+        value_col,
+        "med",
+        "mad",
+        rz.alias("robust_z"),
+        (F.abs(rz) > F.lit(z_thresh)).alias("is_outlier"),
+    )

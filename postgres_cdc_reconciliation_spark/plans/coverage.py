@@ -944,3 +944,60 @@ def q_kmv_overlap(spark, sf_dir):
     sk_a = kmv_build(a, "v", k=256)
     sk_b = kmv_build(b, "v", k=256)
     return kmv_jaccard(sk_a, sk_b, k=256)
+
+
+@register(
+    "q_skew_report",
+    """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS _tot FROM c)
+SELECT user_id, n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(_tot AS DOUBLE) AS share,
+       CAST((n_rows - 1) // 70 + 1 AS BIGINT) AS salt_factor,
+       (n_rows - 1) // 70 > 0 AS is_hot
+FROM c, t""",
+    doc="A6 [EXT] shuffle-key skew diagnosis (operators/layout.py::"
+    "skew_report): per-key row count, share of the table, and the exact "
+    "salt factor salted_join/AQE would need to cap each key's reducer at "
+    "target_rows — the report to read BEFORE a big shuffle. Salt factor "
+    "is exact integer arithmetic ((n-1) div t + 1), never float ceil; one "
+    "keyed count shuffle plus a broadcast single-row total, no collect. "
+    "target 70 is non-vacuous at sf0.01 (hot and cold keys both present).",
+)
+def q_skew_report(spark, sf_dir):
+    from ..operators.layout import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"], target_rows=70)
+
+
+@register(
+    "q_outliers_robust",
+    """WITH e AS (SELECT event_id, event_type, value FROM events
+          WHERE value IS NOT NULL),
+med AS (SELECT event_type, median(value) AS med FROM e GROUP BY event_type),
+mad AS (SELECT e.event_type, min(med.med) AS med,
+               median(abs(e.value - med.med)) AS mad
+        FROM e JOIN med USING (event_type) GROUP BY e.event_type)
+SELECT e.event_id, e.event_type, e.value, mad.med, mad.mad,
+       round((0.6745 * (e.value - mad.med)) / mad.mad, 6) AS robust_z,
+       abs(round((0.6745 * (e.value - mad.med)) / mad.mad, 6)) > 3.5
+         AS is_outlier
+FROM e JOIN mad USING (event_type)""",
+    doc="A6 [EXT] robust per-group outlier flags "
+    "(operators/timeseries.py::robust_outliers): Iglewicz-Hoaglin "
+    "modified z-score 0.6745*(x-median)/MAD per event_type — the robust "
+    "alternative to mean/stddev scoring (one wild reading moves every "
+    "mean-based score in its group; the median/MAD move only when half "
+    "the group is wild). Two grouped EXACT medians + one broadcast join "
+    "back; score rounded to 6 digits BEFORE the 3.5 threshold compare "
+    "(flag margin >=3.5e-3 at sf0.01, 8.8e-5 at sf0.1 — both above "
+    "rounding resolution).",
+)
+def q_outliers_robust(spark, sf_dir):
+    from ..operators.timeseries import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outliers(
+        ev, "event_type", "value", id_cols=["event_id"], z_thresh=3.5
+    )

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .registry import register
-from ..operators.curation import contamination_report, hash_split, pack_chunks
+from ..operators.curation import (
+    contamination_report,
+    hash_split,
+    leakage_safe_split,
+    pack_chunks,
+)
 
 
 def _docs(spark, sf_dir):
@@ -55,6 +60,37 @@ FROM split_assign""",
 def q_hash_split(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return hash_split(d).select("doc_id", "split_bucket", "split")
+
+
+@register(
+    "q_split_leakage_safe",
+    """WITH norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM documents),
+grp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS group_id FROM norm),
+b AS (SELECT doc_id, group_id,
+             CAST(CAST('0x' || substr(md5('gsplit-v1:' || CAST(group_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS BIGINT) AS split_bucket
+      FROM grp)
+SELECT doc_id, group_id, split_bucket,
+       CASE WHEN split_bucket < 80 THEN 'train'
+            WHEN split_bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b""",
+    doc="[EXT] leakage-safe split (operators/curation.py::leakage_safe_split): "
+    "the split hash is taken over the canonical id of each exact-duplicate "
+    "class (min doc_id per normalized-text fingerprint), so duplicates can "
+    "never straddle the train/eval boundary — the leak q_hash_split alone "
+    "permits. One fingerprint-partitioned window (the exact-dedup shuffle "
+    "class); group-atomicity is pinned by a pytest property on planted dups.",
+)
+def q_split_leakage_safe(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return leakage_safe_split(d).select(
+        "doc_id", "group_id", "split_bucket", "split"
+    )
 
 
 _SHINGLE_BODY = """(

@@ -345,3 +345,111 @@ def test_semantic_contamination_rejects_bad_scorer(spark):
     v = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="scorer"):
         semantic_contamination_report(v, v, scorer="blas")
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+
+
+def _dup_docs(spark):
+    """Corpus with planted duplicate classes: ids 0..99 unique, each id in
+    100..119 is a (differently-punctuated) copy of id i-100."""
+    rows = [(i, f"doc number {i} body word{i % 7} tail") for i in range(100)]
+    rows += [
+        (100 + i, f"Doc   NUMBER {i} body, word{i % 7} tail!") for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_leakage_safe_split_is_group_atomic(spark):
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    out = leakage_safe_split(_dup_docs(spark)).select(
+        "doc_id", "group_id", "split"
+    )
+    # every duplicate pair shares group_id AND split
+    a = out.filter(F.col("doc_id") < 20).select(
+        "doc_id", "group_id", F.col("split").alias("s_a")
+    )
+    b = out.filter(F.col("doc_id") >= 100).select(
+        (F.col("doc_id") - 100).alias("doc_id"),
+        F.col("group_id").alias("g_b"),
+        F.col("split").alias("s_b"),
+    )
+    j = a.join(b, "doc_id")
+    assert j.count() == 20
+    assert j.filter(F.col("group_id") != F.col("g_b")).count() == 0
+    assert j.filter(F.col("s_a") != F.col("s_b")).count() == 0
+    # canonical id is the min of the class
+    assert (
+        out.filter(F.col("doc_id") >= 100)
+        .filter(F.col("group_id") != F.col("doc_id") - 100)
+        .count()
+        == 0
+    )
+
+
+def test_leakage_safe_split_vs_hash_split_leak(spark):
+    """The motivating leak: plain hash_split CAN separate a duplicate pair;
+    the group-atomic split never does (checked over many planted pairs)."""
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    d = _dup_docs(spark)
+    plain = hash_split(d).select("doc_id", "split")
+    pa = plain.filter(F.col("doc_id") < 20).select("doc_id", "split")
+    pb = plain.filter(F.col("doc_id") >= 100).select(
+        (F.col("doc_id") - 100).alias("doc_id"), F.col("split").alias("s_b")
+    )
+    leaked = pa.join(pb, "doc_id").filter(F.col("split") != F.col("s_b")).count()
+    assert leaked > 0  # the leak exists on this corpus...
+    safe = leakage_safe_split(d).select("doc_id", "split")
+    sa = safe.filter(F.col("doc_id") < 20).select("doc_id", "split")
+    sb = safe.filter(F.col("doc_id") >= 100).select(
+        (F.col("doc_id") - 100).alias("doc_id"), F.col("split").alias("s_b")
+    )
+    assert sa.join(sb, "doc_id").filter(F.col("split") != F.col("s_b")).count() == 0
+
+
+def test_leakage_safe_split_stable_under_growth(spark):
+    """Adding NEW unique docs never moves an existing group's split."""
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    small_rows = [(i, f"doc number {i} body word{i % 7} tail") for i in range(50)]
+    small = spark.createDataFrame(small_rows, "doc_id long, text string")
+    grown_rows = small_rows + [
+        (1000 + i, f"totally new doc {i} with fresh text") for i in range(50)
+    ]
+    grown = spark.createDataFrame(grown_rows, "doc_id long, text string")
+    a = leakage_safe_split(small).select("doc_id", "split")
+    b = leakage_safe_split(grown).select(
+        "doc_id", F.col("split").alias("split_b")
+    )
+    j = a.join(b, "doc_id")
+    assert j.count() == 50
+    assert j.filter(F.col("split") != F.col("split_b")).count() == 0
+
+
+def test_leakage_safe_split_precomputed_group_col(spark):
+    """A caller-provided cluster column (e.g. near-dup cluster ids) routes
+    the whole cluster to one split, text unseen."""
+    from postgres_cdc_reconciliation_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    rows = [(i, "text %d" % i, i % 7) for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, cluster long")
+    out = leakage_safe_split(df, group_col="cluster")
+    n_splits = (
+        out.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_splits == 0

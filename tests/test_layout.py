@@ -887,3 +887,59 @@ def test_compact_clustered_validation(spark, tmp_path):
                             cluster_col="id", n_files=1)
     assert out["n_files"] == 1
     assert out["zonemap"] is None and out["bloom"] is None and out["ndv"] is None
+
+
+# ---------------------------------------------------------------------------
+# skew_report
+
+
+def test_skew_report_exact_counts_and_salts(spark):
+    from postgres_cdc_reconciliation_spark.operators.layout import skew_report
+
+    rows = (
+        [("hot", i) for i in range(2500)]
+        + [("warm", i) for i in range(150)]
+        + [("cold", i) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = {
+        r["k"]: r
+        for r in skew_report(df, ["k"], target_rows=100).collect()
+    }
+    assert out["hot"]["n_rows"] == 2500 and out["hot"]["salt_factor"] == 25
+    assert out["warm"]["n_rows"] == 150 and out["warm"]["salt_factor"] == 2
+    assert out["cold"]["n_rows"] == 10 and out["cold"]["salt_factor"] == 1
+    assert out["hot"]["is_hot"] and out["warm"]["is_hot"]
+    assert not out["cold"]["is_hot"]
+    # exact boundary: a key at exactly target_rows needs NO salt
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_skew_report_boundary_at_target(spark):
+    from postgres_cdc_reconciliation_spark.operators.layout import skew_report
+
+    rows = [("edge", i) for i in range(100)] + [("over", i) for i in range(101)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = {r["k"]: r for r in skew_report(df, ["k"], target_rows=100).collect()}
+    assert out["edge"]["salt_factor"] == 1 and not out["edge"]["is_hot"]
+    assert out["over"]["salt_factor"] == 2 and out["over"]["is_hot"]
+
+
+def test_skew_report_advice_matches_salted_join(spark):
+    """The advised salt factor actually de-skews: salting the hot key with
+    the advised factor spreads its rows across that many distinct salts."""
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        salted_join,
+        skew_report,
+    )
+
+    rows = [("hot", i) for i in range(800)] + [("cold", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    advice = {
+        r["k"]: r["salt_factor"]
+        for r in skew_report(df, ["k"], target_rows=100).collect()
+    }
+    assert advice["hot"] == 8
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, label string")
+    joined = salted_join(df, dim, "k", n_salts=advice["hot"])
+    assert joined.count() == 805  # multiplicity unchanged by salting

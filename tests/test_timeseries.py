@@ -302,3 +302,45 @@ def test_dtw_certificate_duplicate_timestamps_bound_holds(spark):
     }
     assert set(flags) == {1, 2}
     assert all(all(v) for v in flags.values()), flags
+
+
+# ---------------------------------------------------------------------------
+# robust_outliers
+
+
+def _outlier_df(spark):
+    rows = [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(100)]
+    rows.append((100, "a", 1000.0))  # the wild point
+    rows += [(200 + i, "b", 50.0 + (i % 3) * 0.5) for i in range(60)]
+    rows.append((300, "b", None))  # NULL must be excluded, not scored
+    return spark.createDataFrame(rows, "event_id long, grp string, value double")
+
+
+def test_robust_outliers_flags_wild_point_only(spark):
+    from postgres_cdc_reconciliation_spark.operators.timeseries import (
+        robust_outliers,
+    )
+
+    out = robust_outliers(
+        _outlier_df(spark), "grp", "value", id_cols=["event_id"]
+    )
+    flagged = [r["event_id"] for r in out.filter("is_outlier").collect()]
+    assert flagged == [100]
+    assert out.filter(F.col("event_id") == 300).count() == 0  # NULL excluded
+    assert out.count() == 161  # 101 in group a + 60 non-null in group b
+
+
+def test_robust_outliers_median_immune_to_the_outlier(spark):
+    """The robustness claim itself: the wild point leaves the group median
+    and MAD where the clean data put them (a mean/stddev score would have
+    its baseline dragged by the outlier)."""
+    from postgres_cdc_reconciliation_spark.operators.timeseries import (
+        robust_outliers,
+    )
+
+    out = robust_outliers(
+        _outlier_df(spark), "grp", "value", id_cols=["event_id"]
+    )
+    a = out.filter(F.col("grp") == "a").select("med", "mad").first()
+    assert abs(a["med"] - 10.2) < 1e-9  # median of 10.0..10.4 pattern
+    assert 0 < a["mad"] < 1.0  # MAD from the clean spread, not the 1000
