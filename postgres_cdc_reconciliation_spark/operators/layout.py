@@ -1094,6 +1094,140 @@ def read_ndv(
     )
 
 
+def table_size_stats(spark, path: str) -> dict:
+    """Total rows / uncompressed bytes / file count for a parquet dir from
+    FOOTERS only (one distributed metadata pass, no data IO) — the input a
+    cost-based join decision needs when no sidecar has been stamped yet."""
+    from .manifest_target import _fs
+
+    fs, pdir = _fs(spark, path)
+    files = [
+        str(st.getPath())
+        for st in fs.listStatus(pdir)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    per = footer_stats(spark, files, [])
+    return {
+        "n_files": len(files),
+        "rows": sum(p["rows"] for p in per.values()),
+        "bytes": sum(p["bytes"] for p in per.values()),
+    }
+
+
+def join_plan(
+    spark,
+    left_path: str,
+    right_path: str,
+    left_on: str,
+    right_on: str,
+    broadcast_bytes: int = 64 << 20,
+    target_rows_per_key: int = 2_000_000,
+) -> dict:
+    """Cost-based join strategy from table METADATA alone — the decision
+    Spark's optimizer can't make well over plain parquet dirs (its size
+    estimate is compressed file bytes and its NDV knowledge is nothing
+    until an ANALYZE scan): pick the broadcast side from footer-exact row/
+    byte totals, and read per-key skew risk off the KMV NDV sidecar.
+
+    Decision rules (all metadata, zero data IO):
+    - the smaller side broadcasts iff its UNCOMPRESSED footer byte total is
+      <= ``broadcast_bytes`` (footer ``total_byte_size`` approximates the
+      in-memory relation far better than compressed file size, which is
+      what ``spark.sql.autoBroadcastJoinThreshold`` sees);
+    - if the join must shuffle instead, each side carrying a
+      ``_pcr_ndv.json`` stamp for its join column gets rows-per-key =
+      rows / NDV estimated; a key class above ``target_rows_per_key`` gets
+      a salt recommendation in exact integer arithmetic (the
+      ``skew_report`` formula, but from statistics instead of a
+      diagnostic scan).
+
+    Returns ``{"broadcast": "left"|"right"|None, "left": stats, "right":
+    stats, "reason": str, "skew": {"left": {...}|None, "right":
+    {...}|None} | None}``. :func:`stats_join`
+    executes the decision; this function is exposed separately so plans
+    can be audited (and pytest-pinned) without running the join."""
+    ls = table_size_stats(spark, left_path)
+    rs = table_size_stats(spark, right_path)
+    small, small_name = (ls, "left") if ls["bytes"] <= rs["bytes"] else (rs, "right")
+    plan: dict = {"left": ls, "right": rs, "skew": None}
+    if small["bytes"] <= broadcast_bytes:
+        plan["broadcast"] = small_name
+        plan["reason"] = (
+            f"{small_name} is {small['bytes']}B uncompressed "
+            f"(<= {broadcast_bytes}B threshold) — broadcast it; "
+            "a broadcast join also cannot skew"
+        )
+        return plan
+    plan["broadcast"] = None
+    plan["reason"] = (
+        f"both sides exceed {broadcast_bytes}B uncompressed — shuffle join"
+    )
+
+    # both shuffled sides can carry hot keys; estimate each where stamped
+    def _skew(path, on, stats):
+        try:
+            ndv_rows = {
+                r["col"]: r["est_distinct"]
+                for r in read_ndv(spark, path, [on]).collect()
+            }
+            est_ndv = max(1.0, float(ndv_rows[on]))
+        except (FileNotFoundError, ValueError, KeyError):
+            return None  # no NDV stamp for the join column
+        rows_per_key = int(stats["rows"] / est_ndv)
+        q = (rows_per_key - 1) // target_rows_per_key if rows_per_key > 0 else 0
+        return {
+            "col": on,
+            "est_distinct": est_ndv,
+            "est_rows_per_key": rows_per_key,
+            "salt_factor": q + 1,
+            "is_hot": q > 0,
+        }
+
+    sides = {
+        "left": _skew(left_path, left_on, ls),
+        "right": _skew(right_path, right_on, rs),
+    }
+    if sides["left"] is not None or sides["right"] is not None:
+        plan["skew"] = sides
+    return plan
+
+
+def stats_join(
+    spark,
+    left_path: str,
+    right_path: str,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    broadcast_bytes: int = 64 << 20,
+    target_rows_per_key: int = 2_000_000,
+) -> DataFrame:
+    """Execute a join between two parquet dirs under :func:`join_plan`'s
+    metadata-driven strategy: the chosen small side gets an explicit
+    ``broadcast()`` hint (footer-exact sizing — immune to the compressed-
+    bytes underestimate/overestimate that makes the auto threshold
+    misfire), otherwise the join ships to the shuffle planner with AQE.
+    The plan itself is attached as ``df._pcr_join_plan`` for audits."""
+    plan = join_plan(
+        spark,
+        left_path,
+        right_path,
+        left_on,
+        right_on,
+        broadcast_bytes=broadcast_bytes,
+        target_rows_per_key=target_rows_per_key,
+    )
+    left = spark.read.parquet(left_path)
+    right = spark.read.parquet(right_path)
+    if plan["broadcast"] == "left":
+        left = F.broadcast(left)
+    elif plan["broadcast"] == "right":
+        right = F.broadcast(right)
+    out = left.join(right, left[left_on] == right[right_on], how)
+    out._pcr_join_plan = plan
+    return out
+
+
 def compact_clustered(
     spark,
     src_path: str,

@@ -626,3 +626,65 @@ def q_ivm_join(spark, sf_dir):
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         "c_name",
     )
+
+
+_DIM_ROOTS: dict[tuple[int, str], str] = {}
+
+
+def _rm_dim_roots():
+    for root in _DIM_ROOTS.values():
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_rm_dim_roots)
+
+
+def _ensure_dim_root(spark, sf_dir) -> str:
+    """Write (once per session x sf_dir) the orders dimension as its own
+    parquet dir, so the stats-driven join planner has a second table whose
+    footer stats it must read."""
+    cache_key = (id(spark), sf_dir)
+    root = _DIM_ROOTS.get(cache_key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="pcr_dim_")
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).coalesce(1).write.mode("overwrite").parquet(root)
+        _DIM_ROOTS[cache_key] = root
+    return root
+
+
+@register(
+    "q_stats_join",
+    """SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+    doc="cost-based join from table METADATA (operators/layout.py::"
+    "join_plan/stats_join): broadcast-vs-shuffle is decided from footer-"
+    "exact row/byte totals (uncompressed total_byte_size, not the "
+    "compressed file size Spark's auto threshold sees) and per-key skew "
+    "risk is read off the KMV NDV sidecar — the ANALYZE-free planner a "
+    "plain-parquet lakehouse needs. Here the orders dim sizes under the "
+    "threshold, so the planner pins an explicit broadcast hint "
+    "(tests/test_layout.py asserts BroadcastHashJoin in the physical "
+    "plan and the shuffle decision under a tiny threshold); strategy "
+    "choice never changes results, so the oracle is the plain join+agg.",
+)
+def q_stats_join(spark, sf_dir):
+    from ..operators.layout import stats_join
+
+    fact_root = _ensure_zone_root(spark, sf_dir)
+    dim_root = _ensure_dim_root(spark, sf_dir)
+    joined = stats_join(
+        spark, fact_root, dim_root, "l_orderkey", "o_orderkey"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.sum(F.col("l_quantity").try_cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_qty"),
+    )

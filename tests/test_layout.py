@@ -943,3 +943,85 @@ def test_skew_report_advice_matches_salted_join(spark):
     dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, label string")
     joined = salted_join(df, dim, "k", n_salts=advice["hot"])
     assert joined.count() == 805  # multiplicity unchanged by salting
+
+
+# ---------------------------------------------------------------------------
+# join_plan / stats_join (metadata-driven join strategy)
+
+
+def _two_tables(spark, tmp_path, fact_rows=5000, dim_rows=20):
+    fact = tmp_path / "fact"
+    dim = tmp_path / "dim"
+    spark.range(fact_rows).select(
+        (F.col("id") % dim_rows).alias("k"), F.col("id").alias("v")
+    ).repartition(4).write.parquet(str(fact))
+    spark.range(dim_rows).select(
+        F.col("id").alias("dk"), F.concat(F.lit("lbl"), F.col("id")).alias("label")
+    ).coalesce(1).write.parquet(str(dim))
+    return str(fact), str(dim)
+
+
+def test_join_plan_broadcasts_the_small_side(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        join_plan,
+        stats_join,
+    )
+
+    fact, dim = _two_tables(spark, tmp_path)
+    plan = join_plan(spark, fact, dim, "k", "dk")
+    assert plan["broadcast"] == "right"
+    assert plan["right"]["rows"] == 20 and plan["left"]["rows"] == 5000
+    joined = stats_join(spark, fact, dim, "k", "dk")
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+    assert joined.count() == 5000  # strategy never changes results
+
+
+def test_join_plan_shuffles_above_threshold(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        join_plan,
+        stats_join,
+    )
+
+    fact, dim = _two_tables(spark, tmp_path)
+    plan = join_plan(spark, fact, dim, "k", "dk", broadcast_bytes=1)
+    assert plan["broadcast"] is None
+    assert "shuffle" in plan["reason"]
+    joined = stats_join(spark, fact, dim, "k", "dk", broadcast_bytes=1)
+    assert joined.count() == 5000
+
+
+def test_join_plan_reads_skew_off_the_ndv_sidecar(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        join_plan,
+        stamp_ndv,
+    )
+
+    # 3 distinct keys over 3000 rows -> ~1000 rows/key; target 400 -> salt 3
+    fact = tmp_path / "skewed"
+    spark.range(3000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    ).repartition(2).write.parquet(str(fact))
+    dim = tmp_path / "bigdim"
+    spark.range(2000).select(
+        F.col("id").alias("dk"), F.col("id").alias("payload")
+    ).coalesce(1).write.parquet(str(dim))
+    stamp_ndv(spark, str(fact), ["k"])
+    plan = join_plan(
+        spark, str(fact), str(dim), "k", "dk",
+        broadcast_bytes=1, target_rows_per_key=400,
+    )
+    assert plan["broadcast"] is None
+    assert plan["skew"]["right"] is None  # dim side carries no NDV stamp
+    sk = plan["skew"]["left"]
+    assert sk is not None and sk["col"] == "k"
+    assert sk["est_distinct"] == 3.0  # KMV exact below k hashes
+    assert sk["est_rows_per_key"] == 1000
+    assert sk["salt_factor"] == 3 and sk["is_hot"]
+
+
+def test_join_plan_no_ndv_stamp_means_no_skew_estimate(spark, tmp_path):
+    from postgres_cdc_reconciliation_spark.operators.layout import join_plan
+
+    fact, dim = _two_tables(spark, tmp_path)
+    plan = join_plan(spark, fact, dim, "k", "dk", broadcast_bytes=1)
+    assert plan["skew"] is None
