@@ -742,3 +742,68 @@ class Engine:
         return series_similarity_topk(
             series, query_key, key_col=key_col, time_col=time_col,
             value_col=value_col, k=k, min_overlap=min_overlap)
+
+    def leakage_safe_split(self, docs, id_col="doc_id", text_col="text",
+                           group_col=None) -> DataFrame:
+        """Group-atomic train/val/test split: the bucket hash runs over the
+        canonical id of each duplicate class (or a caller near-dup cluster
+        column), so duplicates never straddle the train/eval boundary."""
+        from .operators.curation import leakage_safe_split
+
+        return leakage_safe_split(docs, id_col=id_col, text_col=text_col,
+                                  group_col=group_col)
+
+    def skew_report(self, df, key_cols, target_rows=1_000_000) -> DataFrame:
+        """Per-key row count, share, and exact integer salt-factor advice —
+        the pre-shuffle skew triage feeding salted_join."""
+        from .operators.layout import skew_report
+
+        return skew_report(df, key_cols, target_rows=target_rows)
+
+    def robust_outliers(self, df, group_col, value_col, id_cols,
+                        z_thresh=3.5) -> DataFrame:
+        """Median/MAD modified z-score outlier flags per group (two grouped
+        exact medians + one broadcast join; score rounded before the
+        threshold compare)."""
+        from .operators.timeseries import robust_outliers
+
+        return robust_outliers(df, group_col, value_col, id_cols,
+                               z_thresh=z_thresh)
+
+    def join_plan(self, left_path, right_path, left_on, right_on,
+                  broadcast_bytes=64 << 20,
+                  target_rows_per_key=2_000_000) -> dict:
+        """Metadata-only join strategy: broadcast decision from footer-exact
+        sizes, per-side skew estimates from the KMV NDV sidecar."""
+        from .operators.layout import join_plan
+
+        return join_plan(self.spark, left_path, right_path, left_on,
+                         right_on, broadcast_bytes=broadcast_bytes,
+                         target_rows_per_key=target_rows_per_key)
+
+    def stats_join(self, left_path, right_path, left_on, right_on,
+                   how="inner", **kw) -> DataFrame:
+        """Execute a join between two parquet dirs under join_plan's
+        strategy (explicit broadcast hint when the stats say so)."""
+        from .operators.layout import stats_join
+
+        return stats_join(self.spark, left_path, right_path, left_on,
+                          right_on, how=how, **kw)
+
+    def agg_view_stream(self, events, target_path, view_path,
+                        checkpoint_dir, key_cols, group_col, sum_cols,
+                        n_buckets=8):
+        """One CDC stream maintaining the manifest base target AND its
+        aggregate view together, O(touched) per batch (view-first commit
+        order — streaming/ivm.py). Returns the writeStream to .start()."""
+        from .streaming.ivm import agg_view_stream
+
+        return agg_view_stream(events, target_path, view_path,
+                               checkpoint_dir, key_cols, group_col,
+                               sum_cols, n_buckets=n_buckets)
+
+    def current_agg_view(self, view_path) -> DataFrame | None:
+        """Latest committed view snapshot from agg_view_stream."""
+        from .streaming.ivm import current_view
+
+        return current_view(self.spark, view_path)

@@ -186,3 +186,31 @@ def test_semantic_dedup_and_shards_facade(spark, sf_dir, tmp_path):
     out = str(tmp_path / "shards")
     eng.write_shards(docs, out, n_shards=4)
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_quality_and_planner_facade(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = eng.leakage_safe_split(docs)
+    assert {"group_id", "split_bucket", "split"} <= set(split.columns)
+    assert split.count() == docs.count()
+
+    ev = fx.events_df(spark, sf_dir)
+    rep = eng.skew_report(ev, ["event_type"], target_rows=50)
+    assert rep.count() == ev.select("event_type").distinct().count()
+    assert rep.filter("is_hot").count() > 0
+
+    out = eng.robust_outliers(ev, "event_type", "value", id_cols=["event_id"])
+    assert {"robust_z", "is_outlier"} <= set(out.columns)
+
+    # stats-driven join: small dim broadcasts, result matches a plain join
+    fact, dim = str(tmp_path / "f"), str(tmp_path / "d")
+    spark.range(2000).select((F.col("id") % 10).alias("k"),
+                             F.col("id").alias("v")).write.parquet(fact)
+    spark.range(10).select(F.col("id").alias("dk"),
+                           F.col("id").alias("lbl")).write.parquet(dim)
+    plan = eng.join_plan(fact, dim, "k", "dk")
+    assert plan["broadcast"] == "right"
+    assert eng.stats_join(fact, dim, "k", "dk").count() == 2000
