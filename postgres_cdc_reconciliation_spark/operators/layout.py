@@ -1094,10 +1094,17 @@ def read_ndv(
     )
 
 
-def table_size_stats(spark, path: str) -> dict:
+def table_size_stats(spark, path: str, driver_side_max_files: int = 64) -> dict:
     """Total rows / uncompressed bytes / file count for a parquet dir from
-    FOOTERS only (one distributed metadata pass, no data IO) — the input a
-    cost-based join decision needs when no sidecar has been stamped yet."""
+    FOOTERS only — the input a cost-based join decision needs when no
+    sidecar has been stamped yet.
+
+    Planning must stay interactive: up to ``driver_side_max_files`` the
+    footers are read directly on the driver (pyarrow, ~ms per footer — no
+    Spark job, no Python-worker spin-up), above that the distributed
+    :func:`footer_stats` pass takes over (a 100k-file table's metadata is
+    one small job, never a driver loop). Both paths read the same footer
+    fields, so the decision is identical either way."""
     from .manifest_target import _fs
 
     fs, pdir = _fs(spark, path)
@@ -1106,6 +1113,26 @@ def table_size_stats(spark, path: str) -> dict:
         for st in fs.listStatus(pdir)
         if st.getPath().getName().endswith(".parquet")
     ]
+    if len(files) <= driver_side_max_files:
+        import pyarrow.parquet as pq
+
+        rows = nbytes = 0
+        for f in files:
+            local = f[5:] if f.startswith("file:") else f  # file:/p, file:///p
+            if "://" in local:
+                from pyarrow import fs as pafs
+
+                uri = local.replace("s3a://", "s3://", 1)
+                filesystem, rel = pafs.FileSystem.from_uri(uri)
+                meta = pq.ParquetFile(filesystem.open_input_file(rel)).metadata
+            else:
+                meta = pq.ParquetFile(local).metadata
+            rows += meta.num_rows
+            nbytes += sum(
+                meta.row_group(rg).total_byte_size
+                for rg in range(meta.num_row_groups)
+            )
+        return {"n_files": len(files), "rows": rows, "bytes": nbytes}
     per = footer_stats(spark, files, [])
     return {
         "n_files": len(files),
