@@ -772,14 +772,31 @@ class Engine:
 
     def join_plan(self, left_path, right_path, left_on, right_on,
                   broadcast_bytes=64 << 20,
-                  target_rows_per_key=2_000_000) -> dict:
+                  target_rows_per_key=2_000_000,
+                  left_filter=None, right_filter=None) -> dict:
         """Metadata-only join strategy: broadcast decision from footer-exact
-        sizes, per-side skew estimates from the KMV NDV sidecar."""
+        sizes, per-side skew estimates from the KMV NDV sidecar, and
+        histogram-sidecar selectivity for range-filtered inputs."""
         from .operators.layout import join_plan
 
         return join_plan(self.spark, left_path, right_path, left_on,
                          right_on, broadcast_bytes=broadcast_bytes,
-                         target_rows_per_key=target_rows_per_key)
+                         target_rows_per_key=target_rows_per_key,
+                         left_filter=left_filter, right_filter=right_filter)
+
+    def hist_stamp(self, path, cols, buckets=16, mode="rebuild") -> int:
+        """Stamp per-file equi-depth histograms (the selectivity
+        statistics sidecar); mode='append' for growing tables."""
+        from .operators.layout import stamp_hist
+
+        return stamp_hist(self.spark, path, cols, buckets=buckets, mode=mode)
+
+    def range_selectivity(self, path, col, lower=None, upper=None) -> dict:
+        """Estimated rows matching lower<=col<=upper from the histogram
+        sidecar alone, with a hard error bound."""
+        from .operators.layout import estimate_range_rows
+
+        return estimate_range_rows(self.spark, path, col, lower, upper)
 
     def stats_join(self, left_path, right_path, left_on, right_on,
                    how="inner", **kw) -> DataFrame:

@@ -1149,6 +1149,8 @@ def join_plan(
     right_on: str,
     broadcast_bytes: int = 64 << 20,
     target_rows_per_key: int = 2_000_000,
+    left_filter: tuple | None = None,
+    right_filter: tuple | None = None,
 ) -> dict:
     """Cost-based join strategy from table METADATA alone — the decision
     Spark's optimizer can't make well over plain parquet dirs (its size
@@ -1172,9 +1174,42 @@ def join_plan(
     stats, "reason": str, "skew": {"left": {...}|None, "right":
     {...}|None} | None}``. :func:`stats_join`
     executes the decision; this function is exposed separately so plans
-    can be audited (and pytest-pinned) without running the join."""
+    can be audited (and pytest-pinned) without running the join.
+
+    ``left_filter``/``right_filter`` = ``(col, lower, upper)`` tells the
+    planner the join input is range-FILTERED: the histogram sidecar
+    (:func:`stamp_hist`) turns the predicate into an estimated surviving
+    row count and the side's bytes scale by est/rows + its hard error
+    bound (pessimistic — never under-sizes a broadcast). This is the
+    selectivity step real optimizers take: a 10 TB fact filtered to a
+    narrow range is often the RIGHT side to broadcast, and whole-table
+    stats alone can never see that. A side without a histogram stamp for
+    the filter column keeps its unfiltered size (sound, just
+    conservative)."""
     ls = table_size_stats(spark, left_path)
     rs = table_size_stats(spark, right_path)
+
+    def _apply_filter(stats, path, flt):
+        if flt is None:
+            return stats
+        col, f_lo, f_hi = flt
+        try:
+            e = estimate_range_rows(spark, path, col, f_lo, f_hi)
+        except FileNotFoundError:
+            return stats  # no histogram stamp: keep the unfiltered size
+        # pessimistic surviving-row estimate: est + its hard bound, so a
+        # broadcast decision can never be fed an undercount
+        surv = min(stats["rows"], e["est"] + e["bound"])
+        scale = surv / stats["rows"] if stats["rows"] else 1.0
+        return {
+            **stats,
+            "rows": int(surv),
+            "bytes": int(stats["bytes"] * scale),
+            "filtered": {"col": col, "est": e["est"], "bound": e["bound"]},
+        }
+
+    ls = _apply_filter(ls, left_path, left_filter)
+    rs = _apply_filter(rs, right_path, right_filter)
     small, small_name = (ls, "left") if ls["bytes"] <= rs["bytes"] else (rs, "right")
     plan: dict = {"left": ls, "right": rs, "skew": None}
     if small["bytes"] <= broadcast_bytes:
@@ -1228,12 +1263,17 @@ def stats_join(
     how: str = "inner",
     broadcast_bytes: int = 64 << 20,
     target_rows_per_key: int = 2_000_000,
+    left_filter: tuple | None = None,
+    right_filter: tuple | None = None,
 ) -> DataFrame:
     """Execute a join between two parquet dirs under :func:`join_plan`'s
     metadata-driven strategy: the chosen small side gets an explicit
     ``broadcast()`` hint (footer-exact sizing — immune to the compressed-
     bytes underestimate/overestimate that makes the auto threshold
     misfire), otherwise the join ships to the shuffle planner with AQE.
+    ``left_filter``/``right_filter`` = ``(col, lower, upper)`` both sizes
+    the plan (histogram selectivity) AND applies the predicate to the
+    scan (pushed down — the filter is a plain range on the read).
     The plan itself is attached as ``df._pcr_join_plan`` for audits."""
     plan = join_plan(
         spark,
@@ -1243,9 +1283,23 @@ def stats_join(
         right_on,
         broadcast_bytes=broadcast_bytes,
         target_rows_per_key=target_rows_per_key,
+        left_filter=left_filter,
+        right_filter=right_filter,
     )
-    left = spark.read.parquet(left_path)
-    right = spark.read.parquet(right_path)
+
+    def _filtered(path, flt):
+        df = spark.read.parquet(path)
+        if flt is None:
+            return df
+        col, f_lo, f_hi = flt
+        if f_lo is not None:
+            df = df.filter(F.col(col) >= F.lit(f_lo))
+        if f_hi is not None:
+            df = df.filter(F.col(col) <= F.lit(f_hi))
+        return df
+
+    left = _filtered(left_path, left_filter)
+    right = _filtered(right_path, right_filter)
     if plan["broadcast"] == "left":
         left = F.broadcast(left)
     elif plan["broadcast"] == "right":
@@ -1359,3 +1413,211 @@ def compact_clustered(
             )
             out["ndv"] = cols
     return out
+
+
+#: per-file equi-depth histogram sidecar — the SELECTIVITY statistics tier.
+#: Zones answer "can this file match at all", blooms "does this key live
+#: here", KMV "how many distinct keys"; histograms answer the planner's
+#: remaining question: "how MANY rows does this range predicate select?" —
+#: the row-count estimate that sizes a filtered join input without
+#: scanning it.
+_HIST_SIDECAR = "_pcr_hist.json"
+
+
+def stamp_hist(
+    spark,
+    path: str,
+    cols: list[str],
+    buckets: int = 16,
+    mode: str = "rebuild",
+) -> int:
+    """Stamp a ``_pcr_hist.json`` sidecar: per file and column, EXACT
+    equi-depth bucket boundaries (the sorted column's values at positions
+    ``floor(i*n/k)``) plus exact per-bucket row counts. One column-pruned
+    distributed pass (the stamp_ndv shape); numeric columns only (ints,
+    floats — range selectivity over strings is a different estimator).
+
+    Per-file histograms are the mergeable form: any file subset's estimate
+    is the sum of its members' estimates, so the same sidecar serves the
+    whole table, a partition, or the survivors of a zone prune.
+    ``mode="append"`` mirrors the other sidecars' growing-table path
+    (only new files pay a read; dead entries drop; k carries over)."""
+    import json
+
+    from .manifest_target import _fs
+
+    if mode not in ("rebuild", "append"):
+        raise ValueError(f"mode must be 'rebuild' or 'append', got {mode!r}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    fs, pdir = _fs(spark, path)
+    files = [
+        str(st.getPath())
+        for st in fs.listStatus(pdir)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    prior: dict = {}
+    if mode == "append":
+        _, spath = _fs(spark, f"{path}/{_HIST_SIDECAR}")
+        if not fs.exists(spath):
+            raise FileNotFoundError(
+                f"no histogram sidecar at {path} to append to — stamp with "
+                "mode='rebuild' first"
+            )
+        stream = fs.open(spath)
+        try:
+            old = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+        finally:
+            stream.close()
+        live = {f.rsplit("/", 1)[-1] for f in files}
+        prior = {f: e for f, e in old["files"].items() if f in live}
+        buckets = old["buckets"]
+        files = [f for f in files if f.rsplit("/", 1)[-1] not in prior]
+    else:
+        schema = spark.read.parquet(path).schema
+        numeric = {
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName()
+            in ("byte", "short", "integer", "long", "float", "double",
+                "decimal")
+        }
+        bad = [c for c in cols if c not in numeric]
+        if bad:
+            raise ValueError(
+                f"histogram columns must be numeric; {bad} are not "
+                f"(numeric columns: {sorted(numeric)})"
+            )
+    cols = list(cols)
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string")
+    k_b = buckets
+
+    def _build(iterator):
+        import json as _json
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def _open(p):
+            if "://" in p:
+                from pyarrow import fs as pafs
+
+                uri = p.replace("s3a://", "s3://", 1)
+                filesystem, rel = pafs.FileSystem.from_uri(uri)
+                return pq.ParquetFile(filesystem.open_input_file(rel))
+            return pq.ParquetFile(p)
+
+        for pdf in iterator:
+            out = []
+            for p in pdf["path"]:
+                pf = _open(p)
+                present = [c for c in cols if c in pf.schema_arrow.names]
+                if not present:
+                    continue
+                tbl = pf.read(columns=present)
+                for c in present:
+                    vals = tbl.column(c).drop_null().to_pandas().sort_values(
+                        ignore_index=True
+                    )
+                    n = len(vals)
+                    if n == 0:
+                        continue
+                    # boundaries at floor(i*n/k), i=0..k (last = max);
+                    # counts are the exact position diffs -> equi-depth
+                    pos = [min(i * n // k_b, n - 1) for i in range(k_b)] + [
+                        n - 1
+                    ]
+                    bounds = [float(vals[i]) for i in pos]
+                    edges = [i * n // k_b for i in range(k_b + 1)]
+                    counts = [edges[i + 1] - edges[i] for i in range(k_b)]
+                    out.append(
+                        (p, c, _json.dumps({"b": bounds, "n": counts}))
+                    )
+            yield pd.DataFrame(out, columns=["path", "col", "h"])
+
+    rows = (
+        paths_df.mapInPandas(_build, "path string, col string, h string")
+        .collect()  # bounded: |files| x |cols| rows of <=k+1 floats
+        if files
+        else []
+    )
+    import json
+
+    per_file: dict = dict(prior)
+    for r in rows:
+        per_file.setdefault(r["path"].rsplit("/", 1)[-1], {})[r["col"]] = (
+            json.loads(r["h"])
+        )
+    doc = {"buckets": buckets, "files": per_file}
+    _, tmp = _fs(spark, f"{path}/.{_HIST_SIDECAR}.tmp")
+    _, final = _fs(spark, f"{path}/{_HIST_SIDECAR}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+    return len(files)
+
+
+def estimate_range_rows(
+    spark, path: str, col: str, lower=None, upper=None
+) -> dict:
+    """Selectivity estimate for ``lower <= col <= upper`` from the
+    histogram sidecar ALONE — zero data IO.
+
+    Per file, each bucket contributes its row count times the fraction of
+    its [lo, hi) span the predicate covers (uniform-within-bucket, the
+    classic equi-depth estimator); a degenerate bucket (lo == hi, heavy
+    duplicates) contributes all-or-nothing. Returns ``{"est": float,
+    "bound": float, "n_files": int}`` where ``bound`` is a HARD error
+    bound, not a confidence interval: the true count can differ from the
+    estimate only inside partially-covered buckets, and each contributes
+    at most its own count — |true - est| <= sum of partial buckets'
+    counts. Fixed-order Python-double arithmetic end-to-end, so the
+    estimate is reproducible anywhere."""
+    import json
+
+    from .manifest_target import _fs
+
+    fs, spath = _fs(spark, f"{path}/{_HIST_SIDECAR}")
+    if not fs.exists(spath):
+        raise FileNotFoundError(
+            f"no histogram sidecar at {path} — stamp with stamp_hist"
+        )
+    stream = fs.open(spath)
+    try:
+        doc = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+    lo = float("-inf") if lower is None else float(lower)
+    hi = float("inf") if upper is None else float(upper)
+    if lo > hi:
+        raise ValueError(f"lower {lower} exceeds upper {upper}")
+    est = 0.0
+    bound = 0.0
+    n_files = 0
+    for per in doc["files"].values():
+        h = per.get(col)
+        if h is None:
+            continue
+        n_files += 1
+        bounds, counts = h["b"], h["n"]
+        for i, cnt in enumerate(counts):
+            b_lo, b_hi = bounds[i], bounds[i + 1]
+            if b_hi < lo or b_lo > hi:
+                continue  # no intersection: contributes nothing, exactly
+            if b_lo >= lo and b_hi <= hi:
+                est += cnt  # fully covered: contributes everything, exactly
+                continue
+            # partial cover. The uniform-within-bucket fraction is the
+            # estimate; the WHOLE bucket goes into the bound — mass can
+            # concentrate at an endpoint the fraction gives measure zero
+            # (a [x, 7] bucket probed with [7, 7] truly holds its 7s), so
+            # any partially-covered bucket can be off by its full count.
+            if b_hi > b_lo:
+                frac = (min(hi, b_hi) - max(lo, b_lo)) / (b_hi - b_lo)
+                est += cnt * min(1.0, max(0.0, frac))
+            bound += cnt
+    return {"est": est, "bound": bound, "n_files": n_files}

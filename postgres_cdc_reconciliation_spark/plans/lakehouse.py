@@ -688,3 +688,64 @@ def q_stats_join(spark, sf_dir):
         .cast("double")
         .alias("total_qty"),
     )
+
+
+_HIST_STAMPED: set[tuple[int, str]] = set()
+
+
+def _ensure_hist_root(spark, sf_dir) -> str:
+    """Zone root (lineitem range-clustered by l_shipdate) with an
+    additional per-file equi-depth histogram stamped on l_quantity — the
+    UNclustered column a selectivity estimate is hardest for (every file
+    spans the full quantity range, so zones can't size this predicate)."""
+    from ..operators.layout import stamp_hist
+
+    root = _ensure_zone_root(spark, sf_dir)
+    cache_key = (id(spark), sf_dir)
+    if cache_key not in _HIST_STAMPED:
+        stamp_hist(spark, root, ["l_quantity"], buckets=16)
+        _HIST_STAMPED.add(cache_key)
+    return root
+
+
+@register(
+    "q_hist_selectivity",
+    """SELECT CAST(count(*) AS BIGINT) AS exact_rows,
+              true AS within_bound,
+              true AS est_positive
+       FROM lineitem
+       WHERE l_quantity >= 10 AND l_quantity <= 30""",
+    doc="selectivity estimation from the per-file equi-depth histogram "
+    "sidecar (operators/layout.py::stamp_hist/estimate_range_rows): how "
+    "many rows does 10<=l_quantity<=30 select, answered from metadata "
+    "ALONE (zero data IO) with a HARD error bound — true count differs "
+    "from the estimate only inside partially-covered buckets, each "
+    "bounded by its own exact count. The certificate pattern (the "
+    "q_heavy_hitters convention): the plan computes the EXACT count "
+    "distributed and folds the metadata estimate in as literals; "
+    "within_bound/est_positive are mathematically-forced booleans the "
+    "oracle emits as constants — any estimator bug (the r11 endpoint-"
+    "mass bug this query's operator tests caught: a [x,7] bucket probed "
+    "with [7,7] contributed neither estimate nor bound) flips them and "
+    "breaks the hash. Feeds join_plan's left_filter/right_filter "
+    "selectivity step: a filtered 10 TB fact sized at its SURVIVING "
+    "bytes, pessimistic by the bound so a broadcast is never undersized.",
+)
+def q_hist_selectivity(spark, sf_dir):
+    from ..operators.layout import estimate_range_rows
+
+    root = _ensure_hist_root(spark, sf_dir)
+    e = estimate_range_rows(spark, root, "l_quantity", 10, 30)
+    exact = (
+        spark.read.parquet(root)
+        .filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    )
+    return exact.select(
+        "exact_rows",
+        (
+            F.abs(F.col("exact_rows") - F.lit(float(e["est"])))
+            <= F.lit(float(e["bound"]))
+        ).alias("within_bound"),
+        F.lit(e["est"] > 0).alias("est_positive"),
+    )

@@ -1025,3 +1025,129 @@ def test_join_plan_no_ndv_stamp_means_no_skew_estimate(spark, tmp_path):
     fact, dim = _two_tables(spark, tmp_path)
     plan = join_plan(spark, fact, dim, "k", "dk", broadcast_bytes=1)
     assert plan["skew"] is None
+
+
+# ---------------------------------------------------------------------------
+# histogram sidecar: stamp_hist / estimate_range_rows
+
+
+def test_hist_estimate_within_hard_bound(spark, tmp_path):
+    """The error bound is HARD: for any range, |true - est| <= bound —
+    checked over a grid of ranges against exact counts."""
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        estimate_range_rows,
+        stamp_hist,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).select(
+        (F.col("id") % 997).cast("double").alias("v"), F.col("id").alias("k")
+    )
+    df.repartition(6).write.parquet(path)
+    assert stamp_hist(spark, path, ["v"], buckets=16) == 6
+    for lo, hi in [(0, 996), (100, 200), (0, 0), (500, 501), (990, 2000),
+                   (None, 300), (700, None)]:
+        est = estimate_range_rows(spark, path, "v", lo, hi)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("v") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("v") <= hi)
+        true = df.filter(cond).count()
+        assert abs(true - est["est"]) <= est["bound"] + 1e-9, (lo, hi, true, est)
+    # full-range estimate is EXACT (every bucket fully covered, bound 0)
+    full = estimate_range_rows(spark, path, "v")
+    assert full["est"] == 10_000 and full["bound"] == 0.0
+
+
+def test_hist_append_mode_and_failure_modes(spark, tmp_path):
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        estimate_range_rows,
+        stamp_hist,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(1000).select(F.col("id").cast("double").alias("v")).coalesce(
+        2
+    ).write.parquet(path)
+    stamp_hist(spark, path, ["v"], buckets=8)
+    # append new files: only they get read, old entries survive
+    spark.range(1000, 2000).select(
+        F.col("id").cast("double").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    n_new = stamp_hist(spark, path, ["v"], mode="append")
+    assert n_new == 1
+    full = estimate_range_rows(spark, path, "v")
+    assert abs(full["est"] - 2000) < 1e-9 and full["n_files"] == 3
+    # loud failures
+    with pytest.raises(FileNotFoundError):
+        estimate_range_rows(spark, str(tmp_path / "missing"), "v", 0, 1)
+    with pytest.raises(ValueError, match="numeric"):
+        s = str(tmp_path / "s")
+        spark.createDataFrame([("x",)], "s string").write.parquet(s)
+        stamp_hist(spark, s, ["s"])
+    with pytest.raises(ValueError, match="lower"):
+        estimate_range_rows(spark, path, "v", 5, 1)
+
+
+def test_hist_degenerate_heavy_duplicate_buckets(spark, tmp_path):
+    """A column dominated by one value yields zero-width buckets; the
+    estimator must count them all-or-nothing, never divide by zero."""
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        estimate_range_rows,
+        stamp_hist,
+    )
+
+    path = str(tmp_path / "dup")
+    rows = [(7.0,)] * 5000 + [(float(i),) for i in range(100)]
+    spark.createDataFrame(rows, "v double").coalesce(2).write.parquet(path)
+    stamp_hist(spark, path, ["v"], buckets=8)
+    hit = estimate_range_rows(spark, path, "v", 7, 7)
+    assert hit["est"] >= 5000 - hit["bound"] - 1e-9
+    miss = estimate_range_rows(spark, path, "v", 200, 300)
+    assert miss["est"] <= miss["bound"] + 1e-9
+
+
+def test_join_plan_histogram_selectivity_flips_broadcast(spark, tmp_path):
+    """The selectivity step: a big fact filtered to a narrow range becomes
+    the broadcast side — whole-table stats alone would shuffle."""
+    from postgres_cdc_reconciliation_spark.operators.layout import (
+        join_plan,
+        stamp_hist,
+        stats_join,
+    )
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).cast("double").alias("ts")
+    ).repartition(4).write.parquet(fact)
+    spark.range(20_000).select(
+        F.col("id").alias("dk"), F.col("id").alias("lbl")
+    ).coalesce(2).write.parquet(dim)
+    stamp_hist(spark, fact, ["ts"], buckets=32)
+    # unfiltered: neither side fits a 32KB broadcast budget -> shuffle
+    base = join_plan(spark, fact, dim, "k", "dk", broadcast_bytes=32_000)
+    assert base["broadcast"] is None
+    # ts <= 10 keeps ~1% of the fact -> the FILTERED fact broadcasts
+    flt = join_plan(
+        spark, fact, dim, "k", "dk", broadcast_bytes=32_000,
+        left_filter=("ts", None, 10),
+    )
+    assert flt["broadcast"] == "left", flt
+    assert flt["left"]["filtered"]["col"] == "ts"
+    assert flt["left"]["rows"] < 5000  # est+bound, ~550 of 50k
+    # execution applies the predicate AND matches a plain filtered join
+    joined = stats_join(
+        spark, fact, dim, "k", "dk", broadcast_bytes=32_000,
+        left_filter=("ts", None, 10),
+    )
+    want = (
+        spark.read.parquet(fact).filter("ts <= 10")
+        .join(spark.read.parquet(dim),
+              F.col("k") == F.col("dk")).count()
+    )
+    assert joined.count() == want
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
