@@ -791,6 +791,15 @@ class Engine:
 
         return stamp_hist(self.spark, path, cols, buckets=buckets, mode=mode)
 
+    def gapfill(self, readings, key_cols, ts_col, value_col, step_seconds,
+                count_col=None):
+        """Densify per-key bucket series to the full step grid with LOCF
+        and linear-interpolation fills (one keyed window sort)."""
+        from .operators.timeseries import gapfill
+
+        return gapfill(readings, key_cols, ts_col, value_col,
+                       step_seconds, count_col=count_col)
+
     def range_selectivity(self, path, col, lower=None, upper=None) -> dict:
         """Estimated rows matching lower<=col<=upper from the histogram
         sidecar alone, with a hard error bound."""

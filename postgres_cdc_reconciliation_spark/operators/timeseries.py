@@ -585,3 +585,87 @@ def robust_outliers(
         rz.alias("robust_z"),
         (F.abs(rz) > F.lit(z_thresh)).alias("is_outlier"),
     )
+
+
+def gapfill(
+    readings: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Time-bucket gap filling with LOCF and linear interpolation — the
+    hypertable `time_bucket_gapfill`/`locf`/`interpolate` surface
+    re-expressed as one keyed window plan.
+
+    ``readings`` holds one row per (key, bucket) — the output of a rollup;
+    this operator densifies each key's series to the full
+    ``step_seconds`` grid between ITS first and last observation and fills
+    the holes two ways: carry-forward (``locf_<v>``) and linear
+    interpolation between the surrounding observations (``linear_<v>``,
+    NULL before the first / after the last observation where no pair
+    brackets the gap). ``is_gap`` marks generated rows; ``count_col`` (if
+    given) zero-fills so downstream sums stay correct.
+
+    Plan shape at scale: the grid is ``sequence()`` + ``explode`` (pure
+    JVM, per-key bounded — never a driver loop or a cross join against a
+    global calendar), the fills are four window functions SHARING one
+    (key, bucket) sort, so the whole densify-and-fill costs one keyed
+    shuffle. Interpolation fractions use naive-calendar second diffs
+    (``timestampdiff`` — the DST-proof choice, the as-of join precedent)
+    and the interpolated value is rounded to 6 digits (registry
+    convention) while real readings pass through untouched.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in key_cols]
+    span = readings.groupBy(*keys).agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, interval {int(step_seconds)} seconds)")
+        ).alias(ts_col),
+    )
+    g = grid.join(readings, [*key_cols, ts_col], "left")
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    v = F.col(value_col)
+    obs_ts = F.when(v.isNotNull(), F.col(ts_col))
+    locf = F.last(v, ignorenulls=True).over(w_back)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_t = F.first(obs_ts, ignorenulls=True).over(w_fwd)
+    frac = F.expr(
+        f"CAST(timestampdiff(SECOND, _pt, {ts_col}) AS DOUBLE) / "
+        "CAST(timestampdiff(SECOND, _pt, _nt) AS DOUBLE)"
+    )
+    out = (
+        g.withColumn("_pt", prev_t)
+        .withColumn("_nt", next_t)
+        .withColumn("_lv", locf)
+        .withColumn("_nv", next_v)
+        .withColumn(
+            f"locf_{value_col}", F.col("_lv")
+        )
+        .withColumn(
+            f"linear_{value_col}",
+            F.when(v.isNotNull(), v).otherwise(
+                F.when(
+                    F.col("_lv").isNotNull() & F.col("_nv").isNotNull(),
+                    F.round(
+                        F.col("_lv") + (F.col("_nv") - F.col("_lv")) * frac, 6
+                    ),
+                )
+            ),
+        )
+        .withColumn("is_gap", v.isNull())
+    )
+    if count_col is not None:
+        out = out.withColumn(
+            count_col, F.coalesce(F.col(count_col), F.lit(0)).cast("long")
+        )
+    return out.drop("_pt", "_nt", "_lv", "_nv")

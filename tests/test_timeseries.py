@@ -344,3 +344,62 @@ def test_robust_outliers_median_immune_to_the_outlier(spark):
     a = out.filter(F.col("grp") == "a").select("med", "mad").first()
     assert abs(a["med"] - 10.2) < 1e-9  # median of 10.0..10.4 pattern
     assert 0 < a["mad"] < 1.0  # MAD from the clean spread, not the 1000
+
+
+# ---------------------------------------------------------------------------
+# gapfill
+
+
+def _readings(spark):
+    rows = [
+        # key "a": observations at hours 0, 3, 4 -> holes at 1, 2
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-01 03:00:00", 20.0),
+        ("a", "2024-01-01 04:00:00", 50.0),
+        # key "b": single observation -> grid of one row, no gaps
+        ("b", "2024-01-01 07:00:00", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "k string, bucket string, v double"
+    ).select(
+        "k",
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "v",
+        F.lit(1).cast("long").alias("n"),
+    )
+
+
+def test_gapfill_locf_and_linear_exact(spark):
+    from postgres_cdc_reconciliation_spark.operators.timeseries import gapfill
+
+    out = gapfill(
+        _readings(spark), ["k"], "bucket", "v", 3600, count_col="n"
+    )
+    a = {
+        r["bucket"].hour: r
+        for r in out.filter(F.col("k") == "a").collect()
+    }
+    assert sorted(a) == [0, 1, 2, 3, 4]  # densified to the full grid
+    assert not a[0]["is_gap"] and a[1]["is_gap"] and a[2]["is_gap"]
+    # locf carries the last observation
+    assert a[1]["locf_v"] == 10.0 and a[2]["locf_v"] == 10.0
+    # linear interpolates between (0h, 10) and (3h, 20)
+    assert abs(a[1]["linear_v"] - 13.333333) < 1e-9
+    assert abs(a[2]["linear_v"] - 16.666667) < 1e-9
+    # real readings pass through untouched
+    assert a[3]["linear_v"] == 20.0 and a[3]["locf_v"] == 20.0
+    # count zero-fills in gaps
+    assert a[1]["n"] == 0 and a[0]["n"] == 1
+    # single-observation key: one grid row, not a gap
+    b = out.filter(F.col("k") == "b").collect()
+    assert len(b) == 1 and not b[0]["is_gap"]
+
+
+def test_gapfill_grid_never_crosses_keys(spark):
+    """Key b's lone 07:00 bucket must not inherit key a's 00-04 span —
+    the grid is per key, not a global calendar."""
+    from postgres_cdc_reconciliation_spark.operators.timeseries import gapfill
+
+    out = gapfill(_readings(spark), ["k"], "bucket", "v", 3600)
+    assert out.count() == 5 + 1
+    assert out.filter((F.col("k") == "b") & F.col("is_gap")).count() == 0
