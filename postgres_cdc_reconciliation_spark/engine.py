@@ -791,6 +791,24 @@ class Engine:
 
         return stamp_hist(self.spark, path, cols, buckets=buckets, mode=mode)
 
+    def time_weighted_avg(self, samples, key_cols, ts_col, value_col,
+                          tiebreak_cols=None):
+        """Per-key LOCF-integral average over irregular samples
+        (decimal-exact value x held-microseconds sums)."""
+        from .operators.timeseries import time_weighted_avg
+
+        return time_weighted_avg(samples, key_cols, ts_col, value_col,
+                                 tiebreak_cols=tiebreak_cols)
+
+    def counter_deltas(self, samples, key_cols, ts_col, value_col,
+                       tiebreak_cols=None):
+        """Monotonic-counter increase with reset handling (promql
+        increase / counter_agg semantics) plus the reset count."""
+        from .operators.timeseries import counter_deltas
+
+        return counter_deltas(samples, key_cols, ts_col, value_col,
+                              tiebreak_cols=tiebreak_cols)
+
     def gapfill(self, readings, key_cols, ts_col, value_col, step_seconds,
                 count_col=None):
         """Densify per-key bucket series to the full step grid with LOCF

@@ -669,3 +669,84 @@ def gapfill(
             count_col, F.coalesce(F.col(count_col), F.lit(0)).cast("long")
         )
     return out.drop("_pt", "_nt", "_lv", "_nv")
+
+
+def time_weighted_avg(
+    samples: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    decimal_type: str = "decimal(18,6)",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average over IRREGULAR samples — the metrics
+    aggregate a plain AVG gets wrong (a value held for an hour must weigh
+    3600x one held for a second): the integral of the carry-forward curve
+    divided by the observed duration.
+
+    One keyed window (lead) + one keyed aggregation. Exactness discipline:
+    each value is cast to DECIMAL and multiplied by its INTEGER held-for
+    MICROseconds (timestamps are micro-precision, so the diff is exact —
+    second-granularity diffs are also engine-ambiguous: boundary-crossing
+    counts vs truncated elapsed), so the per-key sum is EXACT in any
+    partition/summation order; the final divide is the only IEEE op,
+    rounded to 6 digits (the decimal->double conversion of a 38-digit sum
+    can differ by an ULP across engines — registry convention).
+    Keys with one sample (zero duration) return NULL, not a division
+    error. Pass ``tiebreak_cols`` (a unique id) when the feed can carry
+    tied timestamps per key — lead() over a tie is otherwise
+    partition-arrival-dependent (the determinism-sweep class)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *(tiebreak_cols or []))
+    dt = F.expr(f"timestampdiff(MICROSECOND, {ts_col}, _next_ts)")
+    weighted = (
+        samples.withColumn("_next_ts", F.lead(ts_col).over(w))
+        .withColumn("_dt", dt.cast("long"))
+        .withColumn("_wv", F.col(value_col).try_cast(decimal_type) * F.col("_dt"))
+    )
+    return weighted.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("_dt").cast("long").alias("duration_us"),
+        F.round(
+            F.sum("_wv").cast("double") / F.sum("_dt").cast("double"), 6
+        ).alias("time_weighted_avg"),
+    )
+
+
+def counter_deltas(
+    samples: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    decimal_type: str = "decimal(18,6)",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Monotonic-counter rate extraction with RESET handling (the promql
+    ``increase``/timescale ``counter_agg`` semantics): per consecutive
+    sample pair, the delta is ``v - prev`` when the counter grew and ``v``
+    when it dropped (a drop means the process restarted and the counter
+    rebuilt from zero — the post-reset reading IS the increase since).
+
+    One keyed window (lag) + one keyed aggregation; deltas are DECIMAL
+    subtractions summed exactly (order-independent), surfaced as DOUBLE at
+    the end. Also reports the reset count — the ops signal itself.
+    ``tiebreak_cols``: see :func:`time_weighted_avg`."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *(tiebreak_cols or []))
+    v = F.col(value_col).try_cast(decimal_type)
+    prev = F.lag(v).over(w)
+    delta = F.when(prev.isNull(), None).otherwise(
+        F.when(v >= prev, v - prev).otherwise(v)
+    )
+    return (
+        samples.withColumn("_d", delta)
+        .withColumn("_reset", (prev.isNotNull() & (v < prev)).cast("long"))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum("_d").cast("double").alias("total_increase"),
+            F.sum("_reset").cast("long").alias("n_resets"),
+        )
+    )

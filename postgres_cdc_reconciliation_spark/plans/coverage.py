@@ -1087,3 +1087,72 @@ def q_gapfill(spark, sf_dir):
         "linear_avg_value",
         "is_gap",
     )
+
+
+@register(
+    "q_time_weighted",
+    """WITH s AS (SELECT user_id, event_id, ts, value FROM events
+          WHERE value IS NOT NULL),
+w AS (SELECT user_id, ts, value,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS next_ts
+      FROM s),
+d AS (SELECT user_id, value,
+        date_diff('microsecond', ts, next_ts) AS dt_us
+      FROM w)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(dt_us) AS BIGINT) AS duration_us,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6)) * dt_us) AS DOUBLE)
+             / CAST(sum(dt_us) AS DOUBLE), 6) AS time_weighted_avg
+FROM d GROUP BY user_id""",
+    doc="A6/W4 [EXT] time-weighted average over irregular samples "
+    "(operators/timeseries.py::time_weighted_avg): the integral of each "
+    "user's carry-forward value curve over its observed duration — the "
+    "metrics aggregate a plain AVG gets wrong (a value held an hour must "
+    "weigh 3600x one held a second; timescale time_weight('LOCF')). One "
+    "lead() window + one keyed agg; value x held-seconds products are "
+    "DECIMAL x INTEGER (exact in any summation order), one final IEEE "
+    "divide; event_id tiebreak keeps tied timestamps partition-invariant.",
+)
+def q_time_weighted(spark, sf_dir):
+    from ..operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return time_weighted_avg(
+        ev, ["user_id"], "ts", "value", tiebreak_cols=["event_id"]
+    )
+
+
+@register(
+    "q_counter_delta",
+    """WITH s AS (SELECT user_id, event_id, ts, value FROM events
+          WHERE value IS NOT NULL),
+w AS (SELECT user_id,
+        CAST(value AS DECIMAL(18,6)) AS v,
+        lag(CAST(value AS DECIMAL(18,6)))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM s)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN prev IS NULL THEN NULL
+                     WHEN v >= prev THEN v - prev
+                     ELSE v END) AS DOUBLE) AS total_increase,
+       CAST(count(*) FILTER (prev IS NOT NULL AND v < prev) AS BIGINT)
+         AS n_resets
+FROM w GROUP BY user_id""",
+    doc="A6/W4 [EXT] monotonic-counter increase with reset handling "
+    "(operators/timeseries.py::counter_deltas): per consecutive sample "
+    "pair the delta is v-prev when the counter grew and v when it "
+    "dropped (a drop = process restart, the counter rebuilt from zero — "
+    "promql increase / timescale counter_agg semantics), plus the reset "
+    "count as the ops signal. One lag() window + one keyed agg; DECIMAL "
+    "deltas sum exactly in any order, DOUBLE only at the surface.",
+)
+def q_counter_delta(spark, sf_dir):
+    from ..operators.timeseries import counter_deltas
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return counter_deltas(
+        ev, ["user_id"], "ts", "value", tiebreak_cols=["event_id"]
+    )

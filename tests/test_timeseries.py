@@ -403,3 +403,55 @@ def test_gapfill_grid_never_crosses_keys(spark):
     out = gapfill(_readings(spark), ["k"], "bucket", "v", 3600)
     assert out.count() == 5 + 1
     assert out.filter((F.col("k") == "b") & F.col("is_gap")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg / counter_deltas
+
+
+def test_time_weighted_avg_exact_integral(spark):
+    """Hand-computable: value 10 held 30s, then 20 held 10s ->
+    TWA = (10*30 + 20*10) / 40 = 12.5 — a plain AVG would say 14.0
+    (wait: (10+20+40)/3) — and the closing sample carries no weight."""
+    from postgres_cdc_reconciliation_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-01 00:00:30", 20.0),
+        ("a", "2024-01-01 00:00:40", 40.0),  # closing sample: weight 0
+        ("b", "2024-01-01 00:00:00", 7.0),   # single sample: NULL avg
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp_ntz").alias("ts"), "v",
+        F.monotonically_increasing_id().alias("id"),
+    )
+    out = {r["k"]: r for r in time_weighted_avg(
+        df, ["k"], "ts", "v", tiebreak_cols=["id"]).collect()}
+    assert out["a"]["n_samples"] == 3
+    assert out["a"]["duration_us"] == 40_000_000
+    assert out["a"]["time_weighted_avg"] == 12.5
+    assert out["b"]["time_weighted_avg"] is None  # zero duration, no crash
+
+
+def test_counter_deltas_handles_resets(spark):
+    """Counter 0->50->10->30: increase = 50 (growth) + 10 (post-reset
+    reading) + 20 (growth) = 80, one reset."""
+    from postgres_cdc_reconciliation_spark.operators.timeseries import (
+        counter_deltas,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 0.0),
+        ("a", "2024-01-01 00:01:00", 50.0),
+        ("a", "2024-01-01 00:02:00", 10.0),  # reset
+        ("a", "2024-01-01 00:03:00", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp_ntz").alias("ts"), "v"
+    )
+    out = counter_deltas(df, ["k"], "ts", "v").collect()[0]
+    assert out["total_increase"] == 80.0
+    assert out["n_resets"] == 1
+    assert out["n_samples"] == 4
