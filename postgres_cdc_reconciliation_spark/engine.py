@@ -846,6 +846,16 @@ class Engine:
                                checkpoint_dir, key_cols, group_col,
                                sum_cols, n_buckets=n_buckets)
 
+    def join_view_stream(self, events, dim, view_path, checkpoint_dir,
+                         key_cols, on, how="inner", n_buckets=8):
+        """Maintain a denormalized fact x dim join view as a bucketed
+        manifest target from a CDC stream (streaming/ivm.py). Returns
+        the writeStream to .start(); read with read_snapshot."""
+        from .streaming.ivm import join_view_stream
+
+        return join_view_stream(events, dim, view_path, checkpoint_dir,
+                                key_cols, on, how=how, n_buckets=n_buckets)
+
     def current_agg_view(self, view_path) -> DataFrame | None:
         """Latest committed view snapshot from agg_view_stream."""
         from .streaming.ivm import current_view

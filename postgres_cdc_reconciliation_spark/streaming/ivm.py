@@ -152,3 +152,84 @@ def agg_view_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def join_view_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    view_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    on: str,
+    how: str = "inner",
+    n_buckets: int = 8,
+):
+    """foreachBatch writer maintaining a DENORMALIZED join view (fact x
+    dim, keyed by the fact key) as a bucketed manifest target — the
+    streaming twin of ``operators/ivm.py::maintain_join_view``, and the
+    continuously-current wide table a dashboard reads instead of paying
+    the join per query.
+
+    Per micro-batch: latest-per-key, enrich the after-images against the
+    BROADCAST dim (dims are small next to a 100 TB fact — the dimension
+    contract), then merge into the view's touched buckets via the same
+    ``apply_batch`` + ``commit_delta`` path the base target uses. Inner
+    semantics make an upsert whose new foreign key misses the dim a
+    DELETE (the row leaves the view — fk-retargeting handled); left keeps
+    it with NULL dim columns. Unlike ``agg_view_stream`` there is no
+    second artifact to order against: the manifest commit IS the view's
+    replay guard (a re-delivered batch re-merges idempotently).
+
+    Dim-side churn is the documented rebuild case (every fact row citing
+    a changed dim key is affected — rebuild scoped to those keys); this
+    maintains the FACT-side churn CDC feeds actually carry."""
+    from ..operators.manifest_target import commit_delta, read_buckets
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    spark = events.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        latest = latest_per_key(batch_df, key_cols)
+        audit = [c for c in _AUDIT if c in batch_df.columns]
+        upserts = latest.filter(F.col("op") != "d")
+        deletes = latest.filter(F.col("op") == "d").select(
+            *key_cols, *audit
+        )
+        probe = dim.withColumn("_dim_hit", F.lit(True))
+        enriched = upserts.join(F.broadcast(probe), on, "left")
+        if how == "inner":
+            # an upsert whose fk found no dim row LEAVES the view
+            enriched = enriched.withColumn(
+                "op",
+                F.when(F.col("_dim_hit").isNull(), F.lit("d")).otherwise(
+                    F.col("op")
+                ),
+            )
+        enriched = enriched.drop("_dim_hit")
+        merged_events = enriched.unionByName(
+            deletes, allowMissingColumns=True
+        )
+        delta_buckets = [
+            r[0]
+            for r in latest.select(
+                bucket_expr(key_cols, n_buckets).alias("_bucket")
+            )
+            .distinct()
+            .collect()  # bounded: <= n_buckets ids
+        ]
+        before = read_buckets(spark, view_path, delta_buckets)
+        if before is None:
+            before = enriched.limit(0).drop(*audit)
+        merged = apply_batch(
+            before, merged_events, key_cols
+        ).localCheckpoint(eager=True)
+        commit_delta(merged, view_path, key_cols, delta_buckets, n_buckets)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -188,3 +188,115 @@ def test_crash_between_view_and_base_commits(spark, tmp_path):
     assert _rows(base.select("k", "g", "amt")) == [(1, "a", 99), (2, "b", 20)]
     view = current_view(spark, vw)
     assert _rows(view) == _rows(build_agg_view(base, "g", ["amt"]))
+
+
+# ---------------------------------------------------------------------------
+# join_view_stream
+
+
+JV_SCHEMA = "k long, fk long, amt long, op string, source_lsn string"
+
+JV_BATCHES = [
+    # inserts: k1->fk1, k2->fk2, k3->fk1
+    [
+        {"k": 1, "fk": 1, "amt": 10, "op": "c", "source_lsn": "0/1"},
+        {"k": 2, "fk": 2, "amt": 20, "op": "c", "source_lsn": "0/2"},
+        {"k": 3, "fk": 1, "amt": 30, "op": "c", "source_lsn": "0/3"},
+    ],
+    # retarget k1 to fk2; retarget k2 to a MISSING dim key (inner: leaves)
+    [
+        {"k": 1, "fk": 2, "amt": 11, "op": "u", "source_lsn": "0/4"},
+        {"k": 2, "fk": 99, "amt": 20, "op": "u", "source_lsn": "0/5"},
+    ],
+    # delete k3
+    [
+        {"k": 3, "fk": 1, "amt": 30, "op": "d", "source_lsn": "0/6"},
+    ],
+]
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(1, "one"), (2, "two")], "fk long, label string"
+    )
+
+
+def _run_jv(spark, tmp_path, how="inner", ckpt="jvckpt"):
+    from postgres_cdc_reconciliation_spark.streaming.ivm import (
+        join_view_stream,
+    )
+
+    src = tmp_path / "jvin"
+    if not src.exists():
+        _write_batches(src, JV_BATCHES)
+    events = (
+        spark.readStream.schema(JV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = join_view_stream(
+        events,
+        _dim(spark),
+        str(tmp_path / f"jview_{how}"),
+        str(tmp_path / ckpt),
+        key_cols=["k"],
+        on="fk",
+        how=how,
+        n_buckets=4,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+
+def test_join_view_stream_inner_semantics(spark, tmp_path):
+    _run_jv(spark, tmp_path, how="inner")
+    view = read_snapshot(spark, str(tmp_path / "jview_inner"))
+    # k1 retargeted to fk2 (label two); k2 left the view (missing fk);
+    # k3 deleted
+    assert _rows(view.select("k", "fk", "amt", "label")) == [
+        (1, 2, 11, "two")
+    ]
+
+
+def test_join_view_stream_left_keeps_unmatched(spark, tmp_path):
+    _run_jv(spark, tmp_path, how="left", ckpt="jvckpt_left")
+    view = read_snapshot(spark, str(tmp_path / "jview_left"))
+    assert _rows(view.select("k", "fk", "amt", "label")) == [
+        (1, 2, 11, "two"),
+        (2, 99, 20, None),
+    ]
+
+
+def test_join_view_stream_replay_converges(spark, tmp_path):
+    _run_jv(spark, tmp_path, how="inner")
+    before = _rows(
+        read_snapshot(spark, str(tmp_path / "jview_inner")).select(
+            "k", "fk", "amt", "label"
+        )
+    )
+    _run_jv(spark, tmp_path, how="inner", ckpt="jvckpt2")
+    after = _rows(
+        read_snapshot(spark, str(tmp_path / "jview_inner")).select(
+            "k", "fk", "amt", "label"
+        )
+    )
+    assert after == before == [(1, 2, 11, "two")]
+
+
+def test_join_view_stream_matches_batch_operator(spark, tmp_path):
+    """Fixpoint vs the batch algebra: the streamed view equals
+    build_join_view over the fully-applied fact table."""
+    from postgres_cdc_reconciliation_spark.operators.apply import apply_batch
+    from postgres_cdc_reconciliation_spark.operators.ivm import (
+        build_join_view,
+    )
+
+    _run_jv(spark, tmp_path, how="inner", ckpt="jvckpt3")
+    fact = spark.createDataFrame([], "k long, fk long, amt long")
+    for rows in JV_BATCHES:
+        ev = spark.createDataFrame(
+            [tuple(r.values()) for r in rows], JV_SCHEMA
+        )
+        fact = apply_batch(fact, ev, ["k"])
+    want = build_join_view(fact, _dim(spark), "fk")
+    view = read_snapshot(spark, str(tmp_path / "jview_inner"))
+    assert _rows(view.select(*want.columns)) == _rows(want)
