@@ -439,3 +439,40 @@ def test_round11_registrations_plan_shapes(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def _simple_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+def test_gapfill_and_metrics_plans(spark, sf_dir):
+    qs = all_queries()
+
+    # gapfill: the readings rollup BROADCASTS to the per-key grid (no
+    # co-partition shuffle for the join), all four fills' windows reuse
+    # one (key) partitioning (no Exchange between Window nodes), and the
+    # whole plan stays JVM-side with no cartesian
+    df = qs["q_gapfill"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    p = _simple_plan(df)
+    # two aggregation shuffles (readings rollup + span) + the broadcast;
+    # the windows must not add a hash exchange of their own
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+    # time-weighted / counter deltas: one window exchange + one final
+    # keyed agg REUSING it — the window's (key) partitioning satisfies
+    # the groupBy, so a second exchange means the sharing broke
+    for name in ("q_time_weighted", "q_counter_delta"):
+        df = qs[name].fn(spark, sf_dir)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        p = _simple_plan(df)
+        assert p.count("Exchange hashpartitioning") == 1, (name, p)
