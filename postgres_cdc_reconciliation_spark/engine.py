@@ -861,3 +861,43 @@ class Engine:
         from .streaming.ivm import current_view
 
         return current_view(self.spark, view_path)
+
+    # --- data-quality tier (operators/quality.py) ---
+
+    def check_constraints(self, df, constraints, refs=None) -> DataFrame:
+        """Deequ-style constraint-suite certificate: every row-local
+        constraint shares ONE aggregate scan; FK/FD add the keyed pass
+        they require. One row per constraint with metric/threshold/verdict."""
+        from .operators.quality import check_constraints
+
+        return check_constraints(df, constraints, refs=refs)
+
+    def k_anonymity(self, df, qi_cols, k=5) -> DataFrame:
+        """Quasi-identifier re-identification risk certificate (one row)."""
+        from .operators.quality import k_anonymity_report
+
+        return k_anonymity_report(df, qi_cols, k=k)
+
+    def suppress_to_k(self, df, qi_cols, k=5) -> DataFrame:
+        """Drop rows whose quasi-identifier class has < k members; the
+        survivor table is k-anonymous by construction."""
+        from .operators.quality import suppress_to_k
+
+        return suppress_to_k(df, qi_cols, k=k)
+
+    def drift_psi(self, cur, ref, col, n_buckets=10) -> DataFrame:
+        """Population Stability Index report between a reference and a
+        current sample (equi-width buckets anchored on the reference)."""
+        from .operators.quality import psi_report
+
+        return psi_report(cur, ref, col, n_buckets=n_buckets)
+
+    def ann_sq_topk(self, queries, corpus, k=5, id_col="vec_id",
+                    vec_col="embedding", rerank=0) -> DataFrame:
+        """int8 scalar-quantized cosine top-k (8x-compressed scan), with
+        optional exact rerank of the SQ shortlist."""
+        from .operators.similarity import sq_scales, sq_topk
+
+        scales = sq_scales(corpus, vec_col=vec_col)
+        return sq_topk(queries, corpus, scales, k=k, id_col=id_col,
+                       vec_col=vec_col, rerank=rerank)

@@ -1872,3 +1872,234 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "approx_dist")
     )
+
+
+# --- scalar quantization (fourth ANN tier: SQ8) -----------------------------
+
+
+def sq_scales(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> list[float]:
+    """Per-dimension symmetric int8 scales: scale_d = max(|x_d|) / 127.
+
+    One aggregate with ``dim`` max-abs cells (no explode — the per-dimension
+    maxes reduce map-side to a single row), collected as a dim-bounded list
+    (<= a few thousand doubles, the same bounded-collect class as IVF
+    centroids / PQ codebooks). A zero-spread dimension gets scale 0 and
+    encodes to 0 (dequantizes to 0.0 exactly).
+
+    Symmetric max-abs is the standard int8 scheme: codes live in
+    [-127, 127], dequantization is code * scale, and the scale list is the
+    entire "model" — 8x smaller vectors at query time, like the published
+    IVF-SQ8 index family."""
+    d = dim or _dim_of_local(corpus, vec_col)
+
+    def _fin_abs(i):
+        x = F.element_at(F.col(vec_col), i + 1).cast("double")
+        a = F.abs(x)
+        # fit on FINITE components only: one NaN/Inf reading would otherwise
+        # become the dimension's max and fold into the plan as an
+        # unparseable nan/Infinity literal (the k-means dirty-corpus trap,
+        # operators/clustering.py::_well_formed)
+        return F.when(~F.isnan(a) & (a != float("inf")), a)
+
+    row = corpus.where(F.size(vec_col) == d).agg(
+        *[F.max(_fin_abs(i)).alias(f"_m{i}") for i in range(d)]
+    ).first()
+    if row is None:
+        raise ValueError("sq_scales: empty corpus (no well-formed vectors)")
+    # an all-dirty dimension has no finite max: scale 0 (encodes to 0)
+    return [
+        (float(row[i]) / 127.0 if row[i] is not None else 0.0) for i in range(d)
+    ]
+
+
+def _dim_of_local(df: DataFrame, vec_col: str) -> int:
+    from .clustering import _dim_of
+
+    return _dim_of(df, vec_col)
+
+
+def _sq_dequant_expr(vec_col: str, scales: list[float]):
+    """Quantize-then-dequantize in one expression: the int8 round trip
+    x -> clamp(round(x / s), ±127) * s, elementwise against the scale list
+    folded in as an array literal. Map-only, whole-stage-codegen-friendly."""
+    lits = ", ".join(f"cast({s!r} as double)" for s in scales)
+    # non-finite components quantize to 0 (they carry no usable signal and
+    # NaN would otherwise poison the whole dot product / rank first)
+    return F.expr(
+        f"zip_with({vec_col}, array({lits}), (x, s) -> "
+        f"case when s = cast(0.0 as double) then cast(0.0 as double) "
+        f"when isnan(cast(x as double)) "
+        f"or abs(cast(x as double)) = double('Infinity') "
+        f"then cast(0.0 as double) "
+        f"else greatest(cast(-127.0 as double), least(cast(127.0 as double), "
+        f"round(cast(x as double) / s))) * s end)"
+    )
+
+
+def sq_encode(
+    corpus: DataFrame,
+    scales: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8 codes per vector: (id, codes array<int>) — the persisted form.
+    8x smaller than float32 on disk/in shuffle; ``sq_topk`` scores straight
+    off the codes (dequantizing inline), so the full-precision vectors are
+    only read by the optional exact rerank."""
+    lits = ", ".join(f"cast({s!r} as double)" for s in scales)
+    # non-finite components -> code 0 (ANSI would raise on a NaN -> int cast)
+    codes = F.expr(
+        f"zip_with({vec_col}, array({lits}), (x, s) -> "
+        f"case when s = cast(0.0 as double) then 0 "
+        f"when isnan(cast(x as double)) "
+        f"or abs(cast(x as double)) = double('Infinity') then 0 "
+        f"else cast(greatest(cast(-127.0 as double), least(cast(127.0 as double), "
+        f"round(cast(x as double) / s))) as int) end)"
+    )
+    out = corpus.where(F.size(vec_col) == len(scales)).select(
+        F.col(id_col), codes.alias("codes")
+    )
+    return out
+
+
+def sq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    scales: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """Top-k cosine neighbors scored on int8-dequantized vectors.
+
+    Both sides run through the same quantize-dequantize expression (what a
+    persisted SQ8 index stores), then the brute cosine plan: broadcast
+    queries x corpus scan, sequential-fold dot product, window top-k per
+    query. ``rerank > 0`` keeps the top-``rerank`` SQ candidates and
+    re-scores ONLY those with exact full-precision cosine (the shortlist
+    join is rerank x |queries| rows — tiny), returning exact scores with
+    SQ recall. Scale shape: the scan reads 8x fewer bytes than float32
+    brute force; everything else is the proven cosine_topk plan.
+
+    Reference parity: the reference has no vector surface at all (its
+    compare is row-hash equality, tools/verify_replication.py:88) — this
+    tier exists for the LLM-pipeline brief; semantics follow the published
+    IVF-SQ8 design."""
+    dq = lambda c: _sq_dequant_expr(c, scales)  # noqa: E731
+    q = queries.where(F.size(vec_col) == len(scales)).select(
+        F.col(id_col).alias("query_id"), dq(vec_col).alias("q_vec")
+    )
+    c = corpus.where(F.size(vec_col) == len(scales)).select(
+        F.col(id_col).alias("neighbor_id"), dq(vec_col).alias("c_vec")
+    )
+    qn = F.sqrt(
+        F.expr(
+            "aggregate(transform(q_vec, x -> x * x), cast(0.0 as double),"
+            " (acc, v) -> acc + v)"
+        )
+    )
+    cn = F.sqrt(
+        F.expr(
+            "aggregate(transform(c_vec, x -> x * x), cast(0.0 as double),"
+            " (acc, v) -> acc + v)"
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            # try_divide: an all-zero (or zero-quantized) vector has no
+            # cosine — drop it from the ranking rather than raise/rank NaN
+            "cos",
+            F.try_divide(_dot("q_vec", "c_vec"), qn * cn),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank if rerank > 0 else k))
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+    if rerank <= 0:
+        return short
+    # exact rerank of the SQ shortlist: shortlist is rerank x |queries| rows
+    qx = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    cx = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    ex = (
+        short.select("query_id", "neighbor_id")
+        .join(F.broadcast(qx), "query_id")
+        .join(cx, "neighbor_id")
+        .withColumn(
+            "cos", F.try_divide(_dot("_qv", "_cv"), F.col("_qn") * F.col("_cn"))
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def sq_topk_codes(
+    queries: DataFrame,
+    codes: DataFrame,
+    scales: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``sq_topk`` scoring straight off a PERSISTED codes table
+    (``sq_encode`` output: id + array<int> codes) — the at-scale shape:
+    the corpus scan reads int8 codes (parquet INT32-annotated-INT8 pages,
+    RLE/dictionary-packed) instead of float32 vectors, and only the
+    dim-length scale list rides along as a literal. Value-identical to
+    ``sq_topk`` on the same corpus (pytest-pinned): dequantization
+    (code * scale) is exact double math either way."""
+    lits = ", ".join(f"cast({s!r} as double)" for s in scales)
+    dq_codes = F.expr(
+        f"zip_with(codes, array({lits}), (c, s) -> cast(c as double) * s)"
+    )
+    q = queries.where(F.size(vec_col) == len(scales)).select(
+        F.col(id_col).alias("query_id"),
+        _sq_dequant_expr(vec_col, scales).alias("q_vec"),
+    )
+    c = codes.where(F.size("codes") == len(scales)).select(
+        F.col(id_col).alias("neighbor_id"), dq_codes.alias("c_vec")
+    )
+    qn = F.sqrt(
+        F.expr(
+            "aggregate(transform(q_vec, x -> x * x), cast(0.0 as double),"
+            " (acc, v) -> acc + v)"
+        )
+    )
+    cn = F.sqrt(
+        F.expr(
+            "aggregate(transform(c_vec, x -> x * x), cast(0.0 as double),"
+            " (acc, v) -> acc + v)"
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.try_divide(_dot("q_vec", "c_vec"), qn * cn))
+        .filter(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -185,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import analytics  # noqa: F401
     from . import curation  # noqa: F401
     from . import lakehouse  # noqa: F401
+    from . import quality  # noqa: F401
 
     # manual priority first (changed-this-round queries that need
     # re-verification regardless of row age) — minus pins that already got

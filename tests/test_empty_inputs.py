@@ -33,6 +33,9 @@ _DOCUMENTED_PRECONDITIONS = {
     # a persisted IVF needs a coarse quantizer; an empty corpus yields
     # zero seed centroids and the build says so loudly
     "q_ann_ivf_persisted": "centroids must be non-empty",
+    # SQ8 scales are fitted from corpus max-abs per dimension; an empty
+    # corpus has no dimensionality to infer and sq_scales says so loudly
+    "q_ann_sq": "empty corpus|empty input",
 }
 
 
