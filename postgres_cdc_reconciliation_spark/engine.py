@@ -901,3 +901,20 @@ class Engine:
         scales = sq_scales(corpus, vec_col=vec_col)
         return sq_topk(queries, corpus, scales, k=k, id_col=id_col,
                        vec_col=vec_col, rerank=rerank)
+
+    def constraint_stream(self, events, path, checkpoint_dir, constraints,
+                          keep_versions=2):
+        """Continuous constraint verification: additive counters merged per
+        micro-batch under the snapshot+_COMMIT replay guard
+        (streaming/quality.py). Returns the writeStream to .start()."""
+        from .streaming.quality import constraint_stream
+
+        return constraint_stream(events, path, checkpoint_dir, constraints,
+                                 keep_versions=keep_versions)
+
+    def current_quality_certificate(self, path) -> DataFrame | None:
+        """Latest committed streaming constraint certificate (same schema
+        as batch check_constraints) — None before the first commit."""
+        from .streaming.quality import current_certificate
+
+        return current_certificate(self.spark, path)

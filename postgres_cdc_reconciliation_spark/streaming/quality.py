@@ -1,0 +1,122 @@
+"""[EXT] Continuous data-quality verification over an unbounded stream.
+
+The batch verifier (`operators/quality.py::check_constraints`) answers
+"is this table clean?"; this stream answers "is the FEED still clean, as
+of every micro-batch?" — the ingest-time gate a 100 TB pipeline needs
+before bad rows fan out into downstream tables.
+
+Design: every row-local constraint metric has an ADDITIVE counter form
+(`constraint_counters`: num/den BIGINTs per constraint, metric = num/den),
+so maintaining the suite over a stream is cell-wise addition — O(suite
+size) state regardless of stream length, no watermarks, no stateful
+operator. Each micro-batch computes its counters in ONE aggregate over
+the batch and merges them into the persisted totals under the same commit
+protocol as the sketch streams (streaming/sketches.py): full snapshot at
+``{path}/v={batch_id}``, ``_COMMIT`` marker as the commit record, batch-id
+high-water replay guard (at-least-once foreachBatch can never
+double-count), versions pruned to ``keep_versions``.
+
+Non-additive kinds (unique / foreign_key / functional_dependency) are
+rejected loudly at stream build time — exact uniqueness over a stream
+needs unbounded state; the bounded-state alternative is the KMV distinct
+sketch stream (streaming/sketches.py::kmv_stream), and cross-table checks
+belong to the batch verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.quality import constraint_counters, counters_to_certificate
+from .rollup import _fs
+from .sketches import _committed
+
+
+def current_certificate(spark, path: str) -> DataFrame | None:
+    """Latest committed certificate (same schema as batch
+    check_constraints) — None before the first commit."""
+    versions = _committed(spark, path)
+    if not versions:
+        return None
+    counters = spark.read.parquet(f"{path}/v={versions[-1]}/counters")
+    return counters_to_certificate(counters)
+
+
+def current_counters(spark, path: str) -> DataFrame | None:
+    """Latest committed raw counters — None before the first commit."""
+    versions = _committed(spark, path)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{path}/v={versions[-1]}/counters")
+
+
+def constraint_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    constraints: list[dict],
+    keep_versions: int = 2,
+):
+    """foreachBatch writer maintaining a constraint-suite certificate over
+    the whole stream seen so far. Returns the writeStream to ``.start()``.
+
+    Invariant (pytest-pinned): after every commit, the streamed counters
+    equal a batch ``constraint_counters`` run over the concatenation of all
+    committed batches — in any batch arrival order, across restarts, and
+    under at-least-once replay.
+    """
+    # validate the suite ONCE, loudly, before the stream starts — a bad
+    # kind must not surface as a mid-stream task failure
+    for c in constraints:
+        if c["kind"] in ("unique", "foreign_key", "functional_dependency"):
+            raise ValueError(
+                f"constraint kind {c['kind']!r} is not additive — batch "
+                "check_constraints verifies it; streaming distinctness is "
+                "kmv_stream's job"
+            )
+        if c["kind"] not in ("not_null", "between", "in_set", "matches", "min_rows"):
+            raise ValueError(f"unknown constraint kind: {c['kind']!r}")
+    if not constraints:
+        raise ValueError("empty constraint suite")
+    spark = events.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _committed(spark, path)
+        if versions and batch_id <= versions[-1]:
+            return  # at-least-once replay of an already-merged batch
+        partial = constraint_counters(batch_df, constraints)
+        if versions:
+            prev = spark.read.parquet(f"{path}/v={versions[-1]}/counters")
+            merged = (
+                partial.select("cid", "num", "den")
+                .unionByName(prev.select("cid", "num", "den"))
+                .groupBy("cid")
+                .agg(
+                    F.sum("num").alias("num"),
+                    # den is NULL for min_rows on BOTH sides: sum keeps NULL
+                    F.sum("den").alias("den"),
+                )
+                .join(
+                    partial.select("cid", "constraint", "column", "threshold"),
+                    "cid",
+                )
+                .select("cid", "constraint", "column", "num", "den", "threshold")
+            )
+        else:
+            merged = partial
+        merged = merged.localCheckpoint()  # bounded: one row per constraint
+        merged.write.mode("overwrite").parquet(f"{path}/v={batch_id}/counters")
+        fs, _ = _fs(spark, path)
+        _, marker = _fs(spark, f"{path}/v={batch_id}/_COMMIT")
+        fs.create(marker, True).close()
+        for v in _committed(spark, path)[:-keep_versions]:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}"), True
+            )
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

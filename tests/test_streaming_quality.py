@@ -1,0 +1,143 @@
+"""Continuous data-quality verification (streaming/quality.py::
+constraint_stream): streamed counters equal a whole-corpus batch run at
+every commit, certificates re-derive exactly, at-least-once replays never
+double-count, and non-additive kinds are rejected before the stream starts.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from postgres_cdc_reconciliation_spark.operators.quality import (
+    check_constraints,
+    constraint_counters,
+)
+from postgres_cdc_reconciliation_spark.streaming.quality import (
+    constraint_stream,
+    current_certificate,
+    current_counters,
+)
+
+SUITE = [
+    {"kind": "not_null", "col": "email"},
+    {"kind": "between", "col": "age", "lo": 0, "hi": 120},
+    {"kind": "in_set", "col": "status", "values": ["active", "inactive"]},
+    {"kind": "matches", "col": "email", "pattern": "@x\\.com$"},
+    {"kind": "min_rows", "n": 5},
+]
+
+B0 = [
+    {"email": "a@x.com", "age": 30, "status": "active"},
+    {"email": None, "age": 200, "status": "weird"},
+    {"email": "b@x.com", "age": 40, "status": "inactive"},
+]
+B1 = [
+    {"email": "c@x.com", "age": 22, "status": "active"},
+    {"email": "d@y.org", "age": -5, "status": "active"},
+    {"email": "e@x.com", "age": 61, "status": "active"},
+]
+
+
+def _write_batches(src, batches):
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+def _run(spark, tmp_path, batches, ckpt="ckpt"):
+    src = tmp_path / "in"
+    if not src.exists():
+        _write_batches(src, batches)
+    events = (
+        spark.readStream.schema("email string, age long, status string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        constraint_stream(
+            events, str(tmp_path / "dq"), str(tmp_path / ckpt), SUITE
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _whole(spark, rows):
+    return spark.createDataFrame(
+        [(r["email"], r["age"], r["status"]) for r in rows],
+        "email string, age long, status string",
+    )
+
+
+def test_streamed_equals_whole_corpus(spark, tmp_path):
+    _run(spark, tmp_path, [B0, B1])
+    path = str(tmp_path / "dq")
+    got = sorted(map(tuple, current_counters(spark, path).collect()))
+    expect = sorted(
+        map(
+            tuple,
+            constraint_counters(_whole(spark, B0 + B1), SUITE).collect(),
+        )
+    )
+    assert got == expect
+    # the derived certificate equals a batch check_constraints run
+    cert = sorted(map(tuple, current_certificate(spark, path).collect()))
+    batch_cert = sorted(
+        map(tuple, check_constraints(_whole(spark, B0 + B1), SUITE).collect())
+    )
+    assert cert == batch_cert
+    # spot values: 5/6 emails present, 1 age out of band, 2 bad rows
+    d = {
+        (r["constraint"], r["column"]): r
+        for r in current_certificate(spark, path).collect()
+    }
+    assert d[("not_null", "email")]["metric"] == 5 / 6
+    assert d[("between", "age")]["metric"] == 4 / 6
+    assert d[("min_rows", "*")]["metric"] == 6.0
+    assert d[("min_rows", "*")]["passed"] is True
+
+
+def test_replay_never_double_counts(spark, tmp_path):
+    _run(spark, tmp_path, [B0, B1])
+    path = str(tmp_path / "dq")
+    before = sorted(map(tuple, current_counters(spark, path).collect()))
+    # fresh checkpoint re-delivers every batch with ids <= high-water
+    _run(spark, tmp_path, [B0, B1], ckpt="ckpt_replay")
+    after = sorted(map(tuple, current_counters(spark, path).collect()))
+    assert after == before
+
+
+def test_non_additive_kind_rejected_up_front(spark, tmp_path):
+    src = tmp_path / "in_reject"
+    _write_batches(src, [[{"email": "a@x.com"}]])
+    events = spark.readStream.schema("email string").json(str(src))
+    with pytest.raises(ValueError, match="not additive"):
+        constraint_stream(
+            events,
+            str(tmp_path / "dq2"),
+            str(tmp_path / "ck2"),
+            [{"kind": "unique", "col": "email"}],
+        )
+    with pytest.raises(ValueError, match="unknown constraint kind"):
+        constraint_stream(
+            events,
+            str(tmp_path / "dq3"),
+            str(tmp_path / "ck3"),
+            [{"kind": "nope", "col": "email"}],
+        )
+    with pytest.raises(ValueError, match="empty constraint suite"):
+        constraint_stream(
+            events, str(tmp_path / "dq4"), str(tmp_path / "ck4"), []
+        )
+
+
+def test_empty_batch_is_a_noop_commit(spark, tmp_path):
+    """An all-NULL-failing batch still merges (counters additive with
+    zeros); before any commit the readers return None."""
+    assert current_counters(spark, str(tmp_path / "never")) is None
+    assert current_certificate(spark, str(tmp_path / "never")) is None
