@@ -44,7 +44,7 @@ SF10 = "/root/testdata/sf0.1"
 
 ROW_LOCAL = [
     {"kind": "not_null", "col": "l_orderkey"},
-    {"kind": "unique", "col": "l_orderkey"},
+    {"kind": "not_null", "col": "l_partkey"},
     {"kind": "between", "col": "l_discount", "lo": 0.0, "hi": 0.1},
     {"kind": "between", "col": "l_quantity", "lo": 0.0, "hi": 100.0},
     {"kind": "in_set", "col": "l_returnflag", "values": ["A", "N", "R"]},
@@ -64,16 +64,15 @@ def wall(f, n=3):
     return ts[len(ts) // 2]
 
 
-print("== 1. single-scan suite vs per-constraint scans (sf0.1 lineitem) ==")
+print("== 1. single-scan suite: wall vs suite size (sf0.1 lineitem) ==")
 li = spark.read.parquet(f"{SF10}/lineitem.parquet")
-t_suite = wall(lambda: check_constraints(li, ROW_LOCAL).collect())
+for n in (1, 2, 4, 8):
+    t = wall(lambda: check_constraints(li, ROW_LOCAL[:n]).collect())
+    print(f"  {n}-constraint suite: {t:.3f}s")
 t_each = wall(
     lambda: [check_constraints(li, [c]).collect() for c in ROW_LOCAL]
 )
-print(
-    f"suite(8 constraints, one scan): {t_suite:.3f}s   "
-    f"8 x 1-constraint (8 scans): {t_each:.3f}s   ratio {t_each / t_suite:.2f}x"
-)
+print(f"  8 x 1-constraint (8 separate scans): {t_each:.3f}s")
 
 print("== 2. PSI wall vs corpus size (orders, 10 buckets) ==")
 for sf, d in (("sf0.01", SF1), ("sf0.1", SF10)):
@@ -123,8 +122,11 @@ codes.select(
 
 
 def du(p):
+    p = p.replace("file://", "")
+    if os.path.isfile(p):
+        return os.path.getsize(p)
     tot = 0
-    for root, _, files in os.walk(p.replace("file://", "")):
+    for root, _, files in os.walk(p):
         for f_ in files:
             tot += os.path.getsize(os.path.join(root, f_))
     return tot
