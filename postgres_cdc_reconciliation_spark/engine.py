@@ -918,3 +918,17 @@ class Engine:
         from .streaming.quality import current_certificate
 
         return current_certificate(self.spark, path)
+
+    def validate_rows(self, df, constraints) -> DataFrame:
+        """Row-level constraint validation: per-row violation labels +
+        is_valid routing verdict. Map-only, zero shuffle."""
+        from .operators.quality import validate_rows
+
+        return validate_rows(df, constraints)
+
+    def quarantine_split(self, df, constraints):
+        """(valid_rows, quarantined_rows) — route bad rows out of the load
+        instead of failing the whole batch."""
+        from .operators.quality import quarantine_split
+
+        return quarantine_split(df, constraints)

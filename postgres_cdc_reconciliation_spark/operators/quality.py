@@ -458,3 +458,66 @@ def counters_to_certificate(counters: DataFrame) -> DataFrame:
             "passed"
         ),
     )
+
+
+def validate_rows(df: DataFrame, constraints: list[dict]) -> DataFrame:
+    """Row-level constraint validation: every input column plus
+    ``violations`` (array of ``kind:column`` labels, in suite order) and
+    ``is_valid`` — the ROUTING complement to the aggregate certificate
+    (check_constraints says "2% of rows are bad"; this says WHICH rows,
+    so the pipeline can quarantine them instead of failing the load —
+    the reference's all-or-nothing batch FAILED flag, ingest.py:98,
+    re-expressed as row-level triage).
+
+    Row-local kinds only (not_null / between / in_set / matches): a
+    row-level verdict on uniqueness or referential integrity is not a
+    map-only decision — check_constraints carries those. Map-only,
+    whole-stage-codegen expression per constraint; no shuffle at all.
+    NULL semantics match the certificate: a NULL value VIOLATES not_null
+    but conforms vacuously to between/in_set/matches (those fractions are
+    over non-null values).
+    """
+    checks = []
+    for c in constraints:
+        kind = c["kind"]
+        if kind == "not_null":
+            ok = F.col(c["col"]).isNotNull()
+        elif kind == "between":
+            ok = F.col(c["col"]).isNull() | F.col(c["col"]).between(
+                F.lit(c["lo"]), F.lit(c["hi"])
+            )
+        elif kind == "in_set":
+            ok = F.col(c["col"]).isNull() | F.col(c["col"]).isin(
+                list(c["values"])
+            )
+        elif kind == "matches":
+            ok = F.col(c["col"]).isNull() | F.col(c["col"]).rlike(
+                c["pattern"]
+            )
+        else:
+            raise ValueError(
+                f"constraint kind {kind!r} is not row-local — "
+                "check_constraints verifies table-level constraints"
+            )
+        checks.append(F.when(~ok, F.lit(f"{kind}:{c['col']}")))
+    if not checks:
+        raise ValueError("empty constraint suite")
+    viol = F.array_compact(F.array(*checks))
+    return df.select(
+        "*",
+        viol.alias("violations"),
+        (F.size(viol) == 0).alias("is_valid"),
+    )
+
+
+def quarantine_split(
+    df: DataFrame, constraints: list[dict]
+) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows, quarantined_rows): valid rows come back with the
+    original schema (clean continuation of the pipeline); quarantined rows
+    keep the ``violations`` labels for triage. One shared validate plan —
+    Spark evaluates each branch with its own pushed filter."""
+    v = validate_rows(df, constraints)
+    ok = v.where(F.col("is_valid")).select(*df.columns)
+    bad = v.where(~F.col("is_valid")).drop("is_valid")
+    return ok, bad

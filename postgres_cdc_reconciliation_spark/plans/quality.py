@@ -282,3 +282,60 @@ def q_ann_sq(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         F.round("cos", 4).alias("cos_r"),
     )
+
+
+@register(
+    "q_validate_rows",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus,
+       coalesce(array_to_string(list_filter([
+         CASE WHEN NOT (l_quantity IS NULL
+                        OR l_quantity BETWEEN CAST(1 AS DOUBLE)
+                                          AND CAST(25 AS DOUBLE))
+              THEN 'between:l_quantity' END,
+         CASE WHEN NOT (l_returnflag IS NULL OR l_returnflag IN ('N'))
+              THEN 'in_set:l_returnflag' END,
+         CASE WHEN NOT (l_linestatus IS NULL
+                        OR regexp_matches(l_linestatus, '^O$'))
+              THEN 'matches:l_linestatus' END
+       ], x -> x IS NOT NULL), ','), '') AS violations,
+       (CASE WHEN NOT (l_quantity IS NULL
+                       OR l_quantity BETWEEN CAST(1 AS DOUBLE)
+                                         AND CAST(25 AS DOUBLE))
+             THEN 1 ELSE 0 END
+        + CASE WHEN NOT (l_returnflag IS NULL OR l_returnflag IN ('N'))
+               THEN 1 ELSE 0 END
+        + CASE WHEN NOT (l_linestatus IS NULL
+                         OR regexp_matches(l_linestatus, '^O$'))
+               THEN 1 ELSE 0 END) = 0 AS is_valid
+FROM lineitem WHERE l_orderkey < 2000""",
+    doc="[EXT] row-level constraint validation "
+    "(operators/quality.py::validate_rows/quarantine_split): per-row "
+    "violation labels in suite order plus the routing verdict — WHICH rows "
+    "are bad, not just how many (the quarantine split the reference's "
+    "all-or-nothing batch FAILED flag can't do, ingest.py:98 analog). "
+    "Map-only whole-stage-codegen expressions, zero shuffle; violations "
+    "surfaced as a joined string per the array-hashing convention. The "
+    "suite is deliberately violation-rich on clean data (quantity cap 25, "
+    "returnflag N-only, linestatus O-only) so routing is non-vacuous.",
+)
+def q_validate_rows(spark, sf_dir):
+    from ..operators.quality import validate_rows
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    v = validate_rows(
+        li,
+        [
+            {"kind": "between", "col": "l_quantity", "lo": 1, "hi": 25},
+            {"kind": "in_set", "col": "l_returnflag", "values": ["N"]},
+            {"kind": "matches", "col": "l_linestatus", "pattern": "^O$"},
+        ],
+    )
+    return v.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        "l_linestatus",
+        F.array_join("violations", ",").alias("violations"),
+        "is_valid",
+    )

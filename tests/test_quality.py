@@ -142,6 +142,70 @@ class TestCheckConstraints:
         assert plan.count("Scan parquet") == 1, plan
 
 
+class TestValidateRows:
+    SUITE = [
+        {"kind": "not_null", "col": "email"},
+        {"kind": "between", "col": "age", "lo": 0, "hi": 120},
+        {"kind": "in_set", "col": "status", "values": ["active", "inactive"]},
+    ]
+
+    def test_labels_and_routing(self, people):
+        from postgres_cdc_reconciliation_spark.operators.quality import (
+            quarantine_split,
+            validate_rows,
+        )
+
+        v = {r["id"]: r for r in validate_rows(people, self.SUITE).collect()}
+        # row 3: null email + age 200 + status 'weird' -> all three labels,
+        # in suite order
+        assert v[3]["violations"] == [
+            "not_null:email",
+            "between:age",
+            "in_set:status",
+        ]
+        assert v[3]["is_valid"] is False
+        assert v[1]["violations"] == [] and v[1]["is_valid"] is True
+        ok, bad = quarantine_split(people, self.SUITE)
+        assert ok.columns == people.columns
+        assert {r["id"] for r in ok.collect()} == {1, 2, 4, 5}
+        assert {r["id"] for r in bad.collect()} == {3}
+        assert "violations" in bad.columns
+
+    def test_null_conforms_except_not_null(self, spark):
+        from postgres_cdc_reconciliation_spark.operators.quality import (
+            validate_rows,
+        )
+
+        df = spark.createDataFrame([(None,)], "age long")
+        r = validate_rows(
+            df, [{"kind": "between", "col": "age", "lo": 0, "hi": 1}]
+        ).collect()[0]
+        assert r["violations"] == [] and r["is_valid"] is True
+
+    def test_non_row_local_rejected(self, people):
+        from postgres_cdc_reconciliation_spark.operators.quality import (
+            validate_rows,
+        )
+
+        with pytest.raises(ValueError, match="not row-local"):
+            validate_rows(people, [{"kind": "unique", "col": "email"}])
+        with pytest.raises(ValueError, match="empty constraint suite"):
+            validate_rows(people, [])
+
+    def test_map_only_no_shuffle(self, people):
+        from postgres_cdc_reconciliation_spark.operators.quality import (
+            validate_rows,
+        )
+
+        plan = (
+            validate_rows(people, self.SUITE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+
+
 class TestConstraintCounters:
     ROW_LOCAL = [
         {"kind": "not_null", "col": "email"},
