@@ -932,3 +932,13 @@ class Engine:
         from .operators.quality import quarantine_split
 
         return quarantine_split(df, constraints)
+
+    def prefilter_join(self, big, small, on, how="inner", mode="coarse",
+                       n_buckets=1 << 20, n_hashes=2) -> DataFrame:
+        """Runtime-filter join: prune the big side by the small side's key
+        membership (exact broadcast key set, or bloom-equivalent hash
+        bucket sets) BEFORE the big shuffle. Lossless for inner/left_semi."""
+        from .operators.layout import prefilter_join
+
+        return prefilter_join(big, small, on, how=how, mode=mode,
+                              n_buckets=n_buckets, n_hashes=n_hashes)

@@ -1621,3 +1621,76 @@ def estimate_range_rows(
                 est += cnt * min(1.0, max(0.0, frac))
             bound += cnt
     return {"est": est, "bound": bound, "n_files": n_files}
+
+
+def prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    mode: str = "coarse",
+    n_buckets: int = 1 << 20,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Runtime-filter join: prune the BIG side by the small side's key
+    membership BEFORE the big side's shuffle — the pattern Spark's AQE
+    bloom-filter injection (spark.sql.optimizer.runtime.bloomFilter.*)
+    applies opportunistically, expressed as an explicit operator with
+    deterministic memory bounds (AQE only injects when its stats line up;
+    a pipeline that NEEDS the pruning can't leave it to chance).
+
+    Lossless by construction for ``how`` in (inner, left_semi): both
+    filters pass a SUPERSET of the matching keys, and the exact join
+    removes the false positives — result is value-identical to the plain
+    join (pytest-pinned and oracle-checked).
+
+    mode="exact": broadcast the small side's DISTINCT key set and
+    left-semi the big side against it. Zero false positives; memory is
+    O(NDV(small keys)) — the right call when the key set fits a broadcast
+    even if the full small rows don't (wide dims).
+
+    mode="coarse": a bloom filter expressed relationally — ``n_hashes``
+    independent xxhash64 bucket sets of ``n_buckets`` each; a big-side row
+    survives only if EVERY hash lands in an occupied bucket. Memory is
+    O(min(NDV, n_buckets)) LONGs per hash regardless of key width or NDV;
+    false-positive rate ~ occupancy^n_hashes. All whole-stage-codegen
+    expressions (xxhash64 + pmod + broadcast semi-join), no UDF, no
+    driver-side bitmap. SIZE n_buckets >= ~16x NDV(small keys) or the
+    buckets saturate and nothing prunes (measured: 30k keys into 4096
+    buckets = occupancy 1.0, zero pruning; into 2^19 = 5.5% per hash,
+    ~0.3% false-pass at n_hashes=2) — the NDV sidecar (stamp_ndv/read_ndv)
+    is the cheap way to know NDV before picking. Saturation degrades
+    toward no-pruning, never toward wrong results.
+
+    The shuffle win: with a SortMergeJoin big x small (small too big to
+    broadcast in full), the big side's Exchange carries only
+    matching + fpp x big rows instead of all of them. With a broadcast-able
+    small side the pre-filter is pointless — use the plain join.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"prefilter_join supports inner/left_semi (lossless), got {how!r}"
+            " — outer joins must keep non-matching big rows"
+        )
+    if mode not in ("exact", "coarse"):
+        raise ValueError(f"mode must be exact|coarse, got {mode!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if mode == "exact":
+        kset = small.select(*keys).distinct()
+        filtered = big.join(F.broadcast(kset), keys, "left_semi")
+    else:
+        if n_buckets < 2 or n_hashes < 1:
+            raise ValueError("n_buckets must be >= 2 and n_hashes >= 1")
+        filtered = big
+        for i in range(n_hashes):
+            b = F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys], F.lit(i)),
+                F.lit(n_buckets),
+            )
+            occupied = small.select(b.alias("_pb")).distinct()
+            filtered = filtered.join(
+                F.broadcast(occupied),
+                b == F.col("_pb"),
+                "left_semi",
+            )
+    return filtered.join(small, keys, how)

@@ -339,3 +339,54 @@ def q_validate_rows(spark, sf_dir):
         F.array_join("violations", ",").alias("violations"),
         "is_valid",
     )
+
+
+@register(
+    "q_prefilter_join",
+    """SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderpriority = '1-URGENT') o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY l_returnflag""",
+    doc="[EXT] runtime-filter join "
+    "(operators/layout.py::prefilter_join, mode=coarse): the big side "
+    "(lineitem) is pruned BEFORE its shuffle by 2 xxhash64 bucket sets "
+    "(2^19 buckets each — sized >= 16x the urgent-key NDV so occupancy "
+    "stays low; saturation would degrade to no-pruning, never to wrong "
+    "results) "
+    "built from the urgent-orders key set — a bloom filter expressed as "
+    "pure codegen expressions (xxhash64 + pmod + broadcast semi-joins), "
+    "the explicit form of Spark's AQE runtime bloom injection. Lossless "
+    "by construction (both filters pass a key SUPERSET; the exact join "
+    "removes false positives), so the oracle is the PLAIN join — "
+    "strategy never changes results. Revenue in DECIMAL, surfaced as "
+    "DOUBLE at the end (exactness convention).",
+)
+def q_prefilter_join(spark, sf_dir):
+    from ..operators.layout import prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    j = prefilter_join(
+        li, urgent, "l_orderkey", how="inner", mode="coarse",
+        n_buckets=1 << 19, n_hashes=2,
+    )
+    # try_cast: the numeric-dirt sweep plants 1e300-magnitude prices that
+    # overflow DECIMAL(18,2) under ANSI; clean driver data is unaffected
+    rev = F.sum(
+        F.expr("try_cast(l_extendedprice as decimal(18,2))")
+        * (F.lit(1).cast("decimal(18,2)") - F.expr("try_cast(l_discount as decimal(18,2))"))
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        rev.cast("double").alias("revenue"),
+    )

@@ -158,3 +158,30 @@ print(
     f"recall@5 {len(exact & sq) / len(exact):.3f}"
 )
 spark.stop()
+
+print("== 5. prefilter_join: big-side rows entering the main join (sf0.1) ==")
+spark = get_spark(app_name="quality-probe-2")
+li = spark.read.parquet(f"{SF10}/lineitem.parquet")
+urgent = (
+    spark.read.parquet(f"{SF10}/orders.parquet")
+    .where(F.col("o_orderpriority") == "1-URGENT")
+    .select(F.col("o_orderkey").alias("l_orderkey"))
+)
+total = li.count()
+# replicate the coarse pre-filter to count survivors (the operator fuses it
+# into the join; the probe wants the intermediate cardinality)
+filt = li
+for i in range(2):
+    b = F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(i)), F.lit(1 << 19))
+    occ = urgent.select(b.alias("_pb")).distinct()
+    filt = filt.join(F.broadcast(occ), b == F.col("_pb"), "left_semi")
+survivors = filt.count()
+matches = li.join(urgent, "l_orderkey", "left_semi").count()
+print(
+    f"big rows {total}, true matches {matches} "
+    f"({matches/total:.3f}), coarse survivors {survivors} "
+    f"({survivors/total:.3f}) at 2^19 buckets x 2 hashes — "
+    f"shuffle input cut {total/survivors:.2f}x, fp pass-through "
+    f"{(survivors-matches)/max(total-matches,1):.4f}"
+)
+spark.stop()

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from postgres_cdc_reconciliation_spark.operators.layout import (
@@ -1151,3 +1152,91 @@ def test_join_plan_histogram_selectivity_flips_broadcast(spark, tmp_path):
     )
     assert joined.count() == want
     assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPrefilterJoin:
+    """Runtime-filter join (layout.py::prefilter_join): lossless by
+    construction in both modes, broadcast-semi prefilter shape in the
+    physical plan, loud rejection of outer joins."""
+
+    @pytest.fixture(scope="class")
+    def tables(self, spark):
+        big = spark.createDataFrame(
+            [(i % 100, i) for i in range(5000)], "k long, v long"
+        )
+        # 10 keys present (some matching big, one absent), with dup rows
+        small = spark.createDataFrame(
+            [(k, f"s{k}") for k in [0, 3, 5, 7, 11, 13, 17, 19, 23, 777]]
+            + [(3, "dup")],
+            "k long, name string",
+        )
+        return big, small
+
+    def _sorted(self, df):
+        return sorted(map(tuple, df.collect()))
+
+    @pytest.mark.parametrize("mode", ["exact", "coarse"])
+    @pytest.mark.parametrize("how", ["inner", "left_semi"])
+    def test_value_identical_to_plain_join(self, tables, mode, how):
+        from postgres_cdc_reconciliation_spark.operators.layout import (
+            prefilter_join,
+        )
+
+        big, small = tables
+        got = prefilter_join(big, small, "k", how=how, mode=mode)
+        expect = big.join(small, "k", how)
+        assert self._sorted(got) == self._sorted(expect)
+
+    def test_lossless_even_at_saturating_fpp(self, tables):
+        """n_buckets=2 makes the coarse filter nearly pass-everything —
+        degrades toward no pruning, never toward wrong results."""
+        from postgres_cdc_reconciliation_spark.operators.layout import (
+            prefilter_join,
+        )
+
+        big, small = tables
+        got = prefilter_join(
+            big, small, "k", mode="coarse", n_buckets=2, n_hashes=1
+        )
+        assert self._sorted(got) == self._sorted(big.join(small, "k"))
+
+    def test_plan_shape_broadcast_semis_before_smj(self, spark, tables):
+        from postgres_cdc_reconciliation_spark.operators.layout import (
+            prefilter_join,
+        )
+
+        big, small = tables
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force the MAIN join to shuffle (the regime prefiltering serves)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = (
+                prefilter_join(big, small, "k", mode="coarse", n_hashes=2)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # two broadcast LeftSemi prefilters guard the shuffled main join
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "LeftSemi" in plan, plan
+        assert "SortMergeJoin" in plan, plan
+
+    def test_composite_key_and_errors(self, spark, tables):
+        from postgres_cdc_reconciliation_spark.operators.layout import (
+            prefilter_join,
+        )
+
+        big, small = tables
+        big2 = big.withColumn("k2", F.col("k") % 7)
+        small2 = small.withColumn("k2", F.col("k") % 7)
+        got = prefilter_join(big2, small2, ["k", "k2"], mode="coarse")
+        expect = big2.join(small2, ["k", "k2"])
+        assert self._sorted(got) == self._sorted(expect)
+        with pytest.raises(ValueError, match="inner/left_semi"):
+            prefilter_join(big, small, "k", how="left")
+        with pytest.raises(ValueError, match="mode"):
+            prefilter_join(big, small, "k", mode="bloomish")
+        with pytest.raises(ValueError, match="n_buckets"):
+            prefilter_join(big, small, "k", mode="coarse", n_buckets=1)
