@@ -942,3 +942,18 @@ class Engine:
 
         return prefilter_join(big, small, on, how=how, mode=mode,
                               n_buckets=n_buckets, n_hashes=n_hashes)
+
+    def drift_stream(self, events, ref, col, path, checkpoint_dir,
+                     n_buckets=10, keep_versions=2):
+        """Continuous PSI drift monitoring of a stream against a frozen
+        reference sample (streaming/quality.py). Returns the writeStream."""
+        from .streaming.quality import drift_stream
+
+        return drift_stream(events, ref, col, path, checkpoint_dir,
+                            n_buckets=n_buckets, keep_versions=keep_versions)
+
+    def current_drift(self, path) -> DataFrame | None:
+        """Latest committed streaming PSI report — None before first commit."""
+        from .streaming.quality import current_drift
+
+        return current_drift(self.spark, path)

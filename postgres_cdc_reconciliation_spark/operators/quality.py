@@ -296,41 +296,67 @@ def psi_report(
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    spark = cur.sparkSession
-    stats = ref.where(F.col(col).isNotNull()).agg(
+    stats = psi_ref_stats(ref, col)
+    rb = psi_bucket_counts(ref, stats, col, n_buckets).withColumnRenamed(
+        "_n", "_rn"
+    )
+    cb = psi_bucket_counts(cur, stats, col, n_buckets).withColumnRenamed(
+        "_n", "_cn"
+    )
+    return psi_from_counts(cur.sparkSession, rb, cb, n_buckets, eps)
+
+
+def psi_ref_stats(ref: DataFrame, col: str) -> DataFrame:
+    """Single-row (_lo, _hi) reference anchor for PSI bucketing."""
+    return ref.where(F.col(col).isNotNull()).agg(
         F.min(F.col(col).cast("double")).alias("_lo"),
         F.max(F.col(col).cast("double")).alias("_hi"),
     )
 
-    def bucketed(df: DataFrame) -> DataFrame:
-        x = F.col(col).cast("double")
-        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
-        b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("long")).otherwise(
-            F.least(
-                F.lit(n_buckets - 1).cast("long"),
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    F.floor((x - F.col("_lo")) / width),
-                ),
-            )
-        )
-        return (
-            df.where(F.col(col).isNotNull())
-            .crossJoin(F.broadcast(stats))
-            # an empty reference has no min/max: every bucket is NULL and
-            # the count below is zero — shares then divide by zero -> the
-            # loud-NULL metric, never a crash
-            .where(F.col("_lo").isNotNull())
-            .groupBy(b.alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("_n"))
-        )
 
-    rb = bucketed(ref).withColumnRenamed("_n", "_rn")
-    cb = bucketed(cur).withColumnRenamed("_n", "_cn")
+def psi_bucket_counts(
+    df: DataFrame, stats: DataFrame, col: str, n_buckets: int
+) -> DataFrame:
+    """(bucket, _n) counts under the PSI bucket formula — ADDITIVE (two
+    samples' counts merge by cell-wise sum against the same anchor), which
+    is what the streaming drift monitor accumulates per micro-batch."""
+    x = F.col(col).cast("double")
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(n_buckets - 1).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((x - F.col("_lo")) / width),
+            ),
+        )
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(stats))
+        # an empty reference has no min/max: every bucket is NULL and
+        # the count below is zero — shares then divide by zero -> the
+        # loud-NULL metric, never a crash
+        .where(F.col("_lo").isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
+def psi_from_counts(
+    spark,
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    n_buckets: int,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """The PSI report derived from (bucket, _rn) / (bucket, _cn) counts —
+    the O(n_buckets)-row tail of psi_report, shared with the streaming
+    monitor so both paths compute bit-identical contributions."""
     grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     j = (
-        grid.join(rb, "bucket", "left")
-        .join(cb, "bucket", "left")
+        grid.join(ref_counts, "bucket", "left")
+        .join(cur_counts, "bucket", "left")
         .select(
             "bucket",
             F.coalesce("_rn", F.lit(0)).alias("_rn"),

@@ -120,3 +120,107 @@ def constraint_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def current_drift(spark, path: str) -> DataFrame | None:
+    """Latest committed PSI drift report (same schema as batch psi_report)
+    — None before the first commit."""
+    versions = _committed(spark, path)
+    if not versions:
+        return None
+    from ..operators.quality import psi_from_counts
+
+    meta = spark.read.parquet(f"{path}/_ref/meta").collect()[0]
+    rc = spark.read.parquet(f"{path}/_ref/counts").withColumnRenamed(
+        "_n", "_rn"
+    )
+    cc = spark.read.parquet(f"{path}/v={versions[-1]}/counts").withColumnRenamed(
+        "_n", "_cn"
+    )
+    return psi_from_counts(spark, rc, cc, int(meta["n_buckets"]))
+
+
+def drift_stream(
+    events: DataFrame,
+    ref: DataFrame,
+    col: str,
+    path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 10,
+    keep_versions: int = 2,
+):
+    """foreachBatch writer maintaining a PSI drift report of the stream
+    seen so far against a STATIC reference sample. Returns the writeStream
+    to ``.start()``.
+
+    The reference is frozen at stream build time: its min/max anchor and
+    its bucket counts are computed once and persisted under ``{path}/_ref``
+    (O(n_buckets) rows), so every micro-batch costs ONE aggregate over the
+    batch — bucket counts are additive (operators/quality.py::
+    psi_bucket_counts), and the cumulative current-side counts merge by
+    cell-wise sum under the usual snapshot + ``_COMMIT`` + batch-id
+    high-water protocol. State is O(n_buckets) at any stream length.
+
+    Invariant (pytest-pinned): after every commit, ``current_drift`` equals
+    batch ``psi_report`` over the concatenation of all committed batches —
+    bit-identical contributions, any arrival order, replay-safe.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from ..operators.quality import psi_bucket_counts, psi_ref_stats
+
+    spark = events.sparkSession
+    fs, _ = _fs(spark, path)
+    ref_marker = f"{path}/_ref/_COMMIT"
+    _, jm = _fs(spark, ref_marker)
+    if not fs.exists(jm):
+        stats = psi_ref_stats(ref, col).localCheckpoint()  # 1 row, frozen
+        psi_bucket_counts(ref, stats, col, n_buckets).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/_ref/counts")
+        stats.select(
+            "_lo", "_hi", F.lit(int(n_buckets)).alias("n_buckets")
+        ).write.mode("overwrite").parquet(f"{path}/_ref/meta")
+        fs.create(jm, True).close()
+    else:
+        # restart: the anchor is the FROZEN one — re-deriving it from the
+        # (possibly changed) ref argument would bucket new batches against
+        # a different grid than the persisted reference counts
+        meta = spark.read.parquet(f"{path}/_ref/meta").collect()[0]
+        if int(meta["n_buckets"]) != int(n_buckets):
+            raise ValueError(
+                f"drift state at {path} was built with n_buckets="
+                f"{meta['n_buckets']}, got {n_buckets}"
+            )
+        stats = spark.createDataFrame(
+            [(meta["_lo"], meta["_hi"])], "_lo double, _hi double"
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _committed(spark, path)
+        if versions and batch_id <= versions[-1]:
+            return  # at-least-once replay of an already-merged batch
+        partial = psi_bucket_counts(batch_df, stats, col, n_buckets)
+        if versions:
+            prev = spark.read.parquet(f"{path}/v={versions[-1]}/counts")
+            merged = (
+                partial.unionByName(prev)
+                .groupBy("bucket")
+                .agg(F.sum("_n").alias("_n"))
+            )
+        else:
+            merged = partial
+        merged = merged.localCheckpoint()  # bounded: <= n_buckets rows
+        merged.write.mode("overwrite").parquet(f"{path}/v={batch_id}/counts")
+        _, marker = _fs(spark, f"{path}/v={batch_id}/_COMMIT")
+        fs.create(marker, True).close()
+        for v in _committed(spark, path)[:-keep_versions]:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}"), True
+            )
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -141,3 +141,96 @@ def test_empty_batch_is_a_noop_commit(spark, tmp_path):
     zeros); before any commit the readers return None."""
     assert current_counters(spark, str(tmp_path / "never")) is None
     assert current_certificate(spark, str(tmp_path / "never")) is None
+
+
+class TestDriftStream:
+    REF = [10.0 * i for i in range(1, 11)]  # lo=10, hi=100
+    B0 = [12.0, 33.0, 95.0]
+    B1 = [500.0, 41.0, -3.0, 77.0]  # out-of-range values clamp to edges
+
+    def _rows(self, vals):
+        return [{"x": v} for v in vals]
+
+    def _run(self, spark, tmp_path, batches, ckpt="ckpt"):
+        src = tmp_path / "in"
+        if not src.exists():
+            _write_batches(src, [self._rows(b) for b in batches])
+        ref = spark.createDataFrame([(v,) for v in self.REF], "x double")
+        events = (
+            spark.readStream.schema("x double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        from postgres_cdc_reconciliation_spark.streaming.quality import (
+            drift_stream,
+        )
+
+        q = (
+            drift_stream(
+                events, ref, "x", str(tmp_path / "drift"),
+                str(tmp_path / ckpt), n_buckets=5,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_streamed_equals_batch_psi(self, spark, tmp_path):
+        from postgres_cdc_reconciliation_spark.operators.quality import (
+            psi_report,
+        )
+        from postgres_cdc_reconciliation_spark.streaming.quality import (
+            current_drift,
+        )
+
+        self._run(spark, tmp_path, [self.B0, self.B1])
+        got = sorted(
+            map(tuple, current_drift(spark, str(tmp_path / "drift")).collect())
+        )
+        ref = spark.createDataFrame([(v,) for v in self.REF], "x double")
+        cur = spark.createDataFrame(
+            [(v,) for v in self.B0 + self.B1], "x double"
+        )
+        expect = sorted(map(tuple, psi_report(cur, ref, "x", 5).collect()))
+        assert got == expect
+        # the -3.0 and 500.0 readings clamped into edge buckets
+        by_bucket = {
+            r["bucket"]: r
+            for r in current_drift(spark, str(tmp_path / "drift")).collect()
+        }
+        assert by_bucket[0]["cur_share"] > 0 and by_bucket[4]["cur_share"] > 0
+
+    def test_replay_and_restart_anchor(self, spark, tmp_path):
+        from postgres_cdc_reconciliation_spark.streaming.quality import (
+            current_drift,
+            drift_stream,
+        )
+
+        self._run(spark, tmp_path, [self.B0, self.B1])
+        path = str(tmp_path / "drift")
+        before = sorted(map(tuple, current_drift(spark, path).collect()))
+        # fresh checkpoint (replay) with a DIFFERENT ref argument: the
+        # frozen anchor must win, counts must not double
+        other_ref = spark.createDataFrame([(0.5,), (2.0,)], "x double")
+        events = (
+            spark.readStream.schema("x double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(tmp_path / "in"))
+        )
+        q = (
+            drift_stream(
+                events, other_ref, "x", path,
+                str(tmp_path / "ckpt_replay"), n_buckets=5,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        after = sorted(map(tuple, current_drift(spark, path).collect()))
+        assert after == before
+        # mismatched n_buckets on restart fails loud
+        with pytest.raises(ValueError, match="n_buckets"):
+            drift_stream(
+                events, other_ref, "x", path, str(tmp_path / "ck3"),
+                n_buckets=7,
+            )
