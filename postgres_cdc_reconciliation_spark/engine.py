@@ -957,3 +957,11 @@ class Engine:
         from .streaming.quality import current_drift
 
         return current_drift(self.spark, path)
+
+    def categorical_drift(self, cur, ref, col, max_categories=20) -> DataFrame:
+        """PSI drift for a categorical column: reference-anchored top
+        categories, everything else (incl. brand-new values) pooled into
+        __other__."""
+        from .operators.quality import categorical_drift
+
+        return categorical_drift(cur, ref, col, max_categories=max_categories)

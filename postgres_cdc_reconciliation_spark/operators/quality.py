@@ -547,3 +547,90 @@ def quarantine_split(
     ok = v.where(F.col("is_valid")).select(*df.columns)
     bad = v.where(~F.col("is_valid")).drop("is_valid")
     return ok, bad
+
+
+def categorical_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    max_categories: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI drift report for a CATEGORICAL column — the string twin of
+    :func:`psi_report`.
+
+    The category set is anchored on the REFERENCE (like the numeric
+    min/max): the reference's ``max_categories - 1`` most frequent values
+    (ties broken by value, so the set is deterministic) each get a bucket,
+    everything else — including categories that only appear in ``cur``,
+    the classic drift signal — pools into ``__other__``. Shares are
+    exact-integer ratios; contributions are the PSI formula with eps
+    smoothing, rounded to 6 dp; ``psi_total`` repeats on every row. NULLs
+    are excluded from both sides.
+
+    Plan shape: one keyed count per side, the anchor set is a
+    ``max_categories``-row broadcast — the report is O(max_categories)
+    rows at any corpus size.
+    """
+    if max_categories < 2:
+        raise ValueError(f"max_categories must be >= 2, got {max_categories}")
+    from pyspark.sql import Window
+
+    top = (
+        ref.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("category"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("_n"), F.asc("category"))
+            ),
+        )
+        .where(F.col("_rk") < max_categories)
+        .select("category")
+    )
+
+    def counted(df: DataFrame, out: str) -> DataFrame:
+        c = df.where(F.col(col).isNotNull()).select(
+            F.col(col).cast("string").alias("_v")
+        )
+        lab = c.join(
+            F.broadcast(top), c["_v"] == top["category"], "left"
+        ).select(
+            F.coalesce("category", F.lit("__other__")).alias("category")
+        )
+        return lab.groupBy("category").agg(F.count(F.lit(1)).alias(out))
+
+    grid = top.select("category").unionByName(
+        cur.sparkSession.createDataFrame([("__other__",)], "category string")
+    )
+    j = (
+        grid.join(counted(ref, "_rn"), "category", "left")
+        .join(counted(cur, "_cn"), "category", "left")
+        .select(
+            "category",
+            F.coalesce("_rn", F.lit(0)).alias("_rn"),
+            F.coalesce("_cn", F.lit(0)).alias("_cn"),
+        )
+    )
+    w = Window.partitionBy()  # <= max_categories rows
+    rs = _frac(F.col("_rn"), F.sum("_rn").over(w))
+    cs = _frac(F.col("_cn"), F.sum("_cn").over(w))
+    j = j.select("category", rs.alias("ref_share"), cs.alias("cur_share"))
+    r_ = F.when(F.col("ref_share") == 0, F.lit(float(eps))).otherwise(
+        F.col("ref_share")
+    )
+    c_ = F.when(F.col("cur_share") == 0, F.lit(float(eps))).otherwise(
+        F.col("cur_share")
+    )
+    j = j.select(
+        "category",
+        "ref_share",
+        "cur_share",
+        F.round(
+            (F.col("cur_share") - F.col("ref_share")) * F.log(c_ / r_), 6
+        ).alias("psi_contrib"),
+    )
+    return j.select(
+        "*", F.round(F.sum("psi_contrib").over(w), 6).alias("psi_total")
+    ).orderBy("category")

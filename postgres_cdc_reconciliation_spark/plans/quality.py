@@ -390,3 +390,69 @@ def q_prefilter_join(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         rev.cast("double").alias("revenue"),
     )
+
+
+@register(
+    "q_drift_categorical",
+    """WITH r AS (
+  SELECT o_orderpriority AS v FROM orders
+  WHERE o_orderdate < TIMESTAMP '1995-07-01' AND o_orderpriority IS NOT NULL
+), c AS (
+  SELECT o_orderpriority AS v FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderpriority IS NOT NULL
+), top AS (
+  SELECT v AS category FROM (
+    SELECT v, row_number() OVER (ORDER BY count(*) DESC, v) AS rk
+    FROM r GROUP BY v)
+  WHERE rk < 4
+), rl AS (
+  SELECT coalesce(t.category, '__other__') AS category
+  FROM r LEFT JOIN top t ON r.v = t.category
+), cl AS (
+  SELECT coalesce(t.category, '__other__') AS category
+  FROM c LEFT JOIN top t ON c.v = t.category
+), grid AS (
+  SELECT category FROM top UNION ALL SELECT '__other__'
+), rc AS (SELECT category, count(*) AS rn FROM rl GROUP BY 1),
+cc AS (SELECT category, count(*) AS cn FROM cl GROUP BY 1),
+j AS (
+  SELECT g.category, coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+  FROM grid g LEFT JOIN rc USING (category) LEFT JOIN cc USING (category)
+), sh AS (
+  SELECT category,
+         CAST(rn AS DOUBLE) / CAST(sum(rn) OVER () AS DOUBLE) AS ref_share,
+         CAST(cn AS DOUBLE) / CAST(sum(cn) OVER () AS DOUBLE) AS cur_share
+  FROM j
+), con AS (
+  SELECT category, ref_share, cur_share,
+         round((cur_share - ref_share)
+               * ln((CASE WHEN cur_share = 0 THEN 1e-6 ELSE cur_share END)
+                    / (CASE WHEN ref_share = 0 THEN 1e-6 ELSE ref_share END)),
+               6) AS psi_contrib
+  FROM sh
+)
+SELECT category, ref_share, cur_share, psi_contrib,
+       round(sum(psi_contrib) OVER (), 6) AS psi_total
+FROM con ORDER BY category""",
+    doc="[EXT] categorical drift report "
+    "(operators/quality.py::categorical_drift): PSI over o_orderpriority "
+    "with the category set anchored on the REFERENCE top-3 (ties broken "
+    "by value — deterministic), everything else pooled into __other__ "
+    "(where a brand-new category surfacing only in current data lands — "
+    "the classic drift signal). max_categories=4 is non-vacuous: 5 "
+    "priorities exist, so the pool holds 2. Same exact-integer shares + "
+    "eps-smoothed ln contributions + 6 dp rounding as q_drift_psi; one "
+    "keyed count per side, an O(max_categories) result.",
+)
+def q_drift_categorical(spark, sf_dir):
+    from ..operators.quality import categorical_drift
+
+    o = _t(spark, sf_dir, "orders")
+    cut = F.to_timestamp(F.lit("1995-07-01"))
+    ref = o.where(F.col("o_orderdate") < cut).select(
+        F.col("o_orderpriority")
+    )
+    cur = o.where(F.col("o_orderdate") >= cut).select(
+        F.col("o_orderpriority")
+    )
+    return categorical_drift(cur, ref, "o_orderpriority", max_categories=4)

@@ -353,6 +353,60 @@ class TestPsi:
             psi_report(df, df, "x", n_buckets=1)
 
 
+class TestCategoricalDrift:
+    def _mk(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "cat string")
+
+    def test_identical_zero_and_anchoring(self, spark):
+        from postgres_cdc_reconciliation_spark.operators.quality import (
+            categorical_drift,
+        )
+
+        vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 20
+        ref = self._mk(spark, vals)
+        rows = categorical_drift(self._mk(spark, vals), ref, "cat", 4).collect()
+        assert {r["category"] for r in rows} == {"a", "b", "c", "__other__"}
+        assert all(r["psi_contrib"] == 0.0 for r in rows)
+        assert rows[0]["psi_total"] == 0.0
+
+    def test_new_category_lands_in_other(self, spark):
+        from postgres_cdc_reconciliation_spark.operators.quality import (
+            categorical_drift,
+        )
+
+        ref = self._mk(spark, ["a"] * 50 + ["b"] * 50)
+        cur = self._mk(spark, ["a"] * 30 + ["b"] * 30 + ["NEW"] * 40)
+        rows = {
+            r["category"]: r
+            for r in categorical_drift(cur, ref, "cat", 3).collect()
+        }
+        assert rows["__other__"]["ref_share"] == 0.0
+        assert rows["__other__"]["cur_share"] == 0.4
+        assert rows["__other__"]["psi_total"] > 0.25  # action-level
+
+    def test_pooling_and_tiebreak_deterministic(self, spark):
+        from postgres_cdc_reconciliation_spark.operators.quality import (
+            categorical_drift,
+        )
+
+        # b and c tie on count: ties break by VALUE, so top-2 = {a, b}
+        ref = self._mk(spark, ["a"] * 3 + ["b"] * 2 + ["c"] * 2)
+        rows = {
+            r["category"]
+            for r in categorical_drift(ref, ref, "cat", 3).collect()
+        }
+        assert rows == {"a", "b", "__other__"}
+
+    def test_bad_max_categories(self, spark):
+        from postgres_cdc_reconciliation_spark.operators.quality import (
+            categorical_drift,
+        )
+
+        df = self._mk(spark, ["a"])
+        with pytest.raises(ValueError, match="max_categories"):
+            categorical_drift(df, df, "cat", 1)
+
+
 class TestSQ:
     @pytest.fixture(scope="class")
     def vecs(self, spark, sf_dir):
