@@ -548,3 +548,15 @@ class TestFacade:
         v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         top = e.ann_sq_topk(v.filter(F.col("vec_id") < 2), v, k=3).collect()
         assert len(top) > 0
+        cd = e.categorical_drift(c, c, "c_mktsegment", max_categories=3)
+        assert cd.collect()[0]["psi_total"] == 0.0
+        vr = e.validate_rows(c, [{"kind": "not_null", "col": "c_name"}])
+        assert "violations" in vr.columns
+        ok, bad = e.quarantine_split(
+            c, [{"kind": "not_null", "col": "c_name"}]
+        )
+        assert ok.count() + bad.count() == c.count()
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        small = c.select(F.col("c_custkey").alias("l_suppkey")).limit(5)
+        pj = e.prefilter_join(li, small, "l_suppkey", mode="exact")
+        assert pj.count() == li.join(small, "l_suppkey").count()
