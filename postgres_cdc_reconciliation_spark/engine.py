@@ -965,3 +965,27 @@ class Engine:
         from .operators.quality import categorical_drift
 
         return categorical_drift(cur, ref, col, max_categories=max_categories)
+
+    def text_index_build(self, docs, path, id_col="doc_id",
+                         text_col="text", n_buckets=64, overwrite=False):
+        """Build the persisted inverted index (token-hash-bucketed postings
+        with denormalized doc lengths + corpus stats)."""
+        from .operators.retrieval import text_index_build
+
+        return text_index_build(docs, path, id_col=id_col,
+                                text_col=text_col, n_buckets=n_buckets,
+                                overwrite=overwrite)
+
+    def text_index_admit(self, batch, path, id_col="doc_id",
+                         text_col="text"):
+        """Admit NEW documents incrementally (O(batch); crash-safe delta)."""
+        from .operators.retrieval import text_index_admit
+
+        return text_index_admit(batch, path, id_col=id_col, text_col=text_col)
+
+    def bm25_persisted(self, path, terms, k=None) -> DataFrame:
+        """BM25 served from the persisted index — opens only the query
+        terms' bucket directories."""
+        from .operators.retrieval import bm25_persisted
+
+        return bm25_persisted(self.spark, path, terms, k=k)

@@ -2083,3 +2083,61 @@ def q_dup_strip(spark, sf_dir):
     from ..operators.dedup import strip_duplicate_spans
 
     return strip_duplicate_spans(_docs(spark, sf_dir), k=8)
+
+
+_TEXTIDX_ROOTS: dict = {}
+
+
+def _rm_textidx_roots():
+    import shutil
+
+    for root in _TEXTIDX_ROOTS.values():
+        shutil.rmtree(root.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def _ensure_textidx_root(spark, sf_dir) -> str:
+    import atexit
+    import tempfile
+
+    from ..operators.retrieval import text_index_build
+
+    cache_key = (id(spark), sf_dir)
+    root = _TEXTIDX_ROOTS.get(cache_key)
+    if root is None:
+        if not _TEXTIDX_ROOTS:
+            atexit.register(_rm_textidx_roots)
+        root = tempfile.mkdtemp(prefix="pcr_textidx_") + "/idx"
+        text_index_build(_docs(spark, sf_dir), root, n_buckets=16)
+        _TEXTIDX_ROOTS[cache_key] = root
+    return root
+
+
+@register(
+    "q_bm25_persisted",
+    f"""WITH {_BM25_CTES}
+SELECT doc_id, s_spark, s_vector, s_query, bm25_r FROM bm""",
+    doc="[EXT] BM25 served from a PERSISTED inverted index "
+    "(operators/retrieval.py::text_index_build/bm25_persisted): postings "
+    "(token, doc_id, tf, dl — doc length denormalized in) are written "
+    "ONCE partitioned by token-hash bucket; a query opens ONLY its "
+    "terms' bucket directories (structural pruning, pinned via "
+    "inputFiles in tests/test_text_index.py), reads exact tf/df from "
+    "the matched postings and N/avgdl from the committed meta row — "
+    "per-query IO is O(matched postings), never the corpus (the serving "
+    "shape at 100 TB; q_bm25 re-derives everything per call). "
+    "Incremental admits land under delta/v=K with a _COMMIT marker "
+    "(torn admits invisible; incremental == rebuild pytest-pinned). "
+    "Value-identical to q_bm25 by contract — both answer to the SAME "
+    "relational oracle.",
+)
+def q_bm25_persisted(spark, sf_dir):
+    from ..operators.retrieval import bm25_persisted
+
+    root = _ensure_textidx_root(spark, sf_dir)
+    return bm25_persisted(spark, root, ["spark", "vector", "query"]).select(
+        "doc_id",
+        "s_spark",
+        "s_vector",
+        "s_query",
+        F.round("bm25", 6).alias("bm25_r"),
+    )
