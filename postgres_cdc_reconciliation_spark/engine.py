@@ -989,3 +989,17 @@ class Engine:
         from .operators.retrieval import bm25_persisted
 
         return bm25_persisted(self.spark, path, terms, k=k)
+
+    def delete_keys(self, root, key_cols, keys) -> int:
+        """Row-level DELETE routed by key hash on a manifest target —
+        O(touched buckets) IO, race-guarded commit, time-travel preserved."""
+        from .operators.manifest_target import delete_keys
+
+        return delete_keys(self.spark, root, key_cols, keys)
+
+    def delete_where(self, root, key_cols, predicate) -> int:
+        """Predicate DELETE on a manifest target: one find-scan, then a
+        rewrite of only the matching buckets. NULL predicate keeps the row."""
+        from .operators.manifest_target import delete_where
+
+        return delete_where(self.spark, root, key_cols, predicate)

@@ -866,3 +866,118 @@ def bucket_stats(
         [(b, *v) for b, v in sorted(agg.items())],
         "bucket int, n_files long, n_rows long, n_bytes long",
     )
+
+
+def delete_keys(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    keys: list,
+) -> int:
+    """Row-level DELETE routed by key hash: IO is O(touched buckets),
+    never O(target) — the GDPR/erasure primitive at 100 TB scale (the
+    reference's row deletes ride single-row SQL against an indexed table,
+    tools/verify_replication.py's target DB; here the key->bucket hash
+    replaces the B-tree).
+
+    Routing is ``read_keys``'s: the requested keys hash to their buckets
+    (bounded driver job), ONLY those buckets' current dirs are read, the
+    survivors (everything but the requested keys) re-commit through
+    ``commit_delta`` with ``base_version`` carried — a concurrent writer's
+    commit between the read and this commit raises the documented
+    lost-the-race IOError instead of silently resurrecting rows. Deleting
+    a bucket's last row drops the bucket from the mapping (commit_delta's
+    surviving-bucket rule). Absent keys are a no-op (returns the current
+    version unchanged). Returns the committed (or unchanged) version.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    from .apply import bucket_expr
+
+    current_v, doc = _read_manifest_doc(spark, root)
+    if current_v < 0:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    n_buckets = doc.get("n_buckets")
+    if n_buckets is None:
+        raise ValueError(
+            f"manifest at {root} predates the n_buckets stamp — key routing "
+            "cannot be derived; re-commit once (any delta) to stamp it"
+        )
+    n_buckets = int(n_buckets)
+    mapping = {int(b): str(dv) for b, dv in doc["buckets"].items()}
+    rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+    if any(len(r) != len(key_cols) for r in rows):
+        raise ValueError(f"every key must carry {len(key_cols)} value(s)")
+    keys_df = spark.createDataFrame(rows, key_cols)
+    wanted = sorted(
+        r["_b"]
+        for r in keys_df.select(
+            bucket_expr(key_cols, n_buckets).alias("_b")
+        ).distinct().collect()
+    )
+    live = [b for b in wanted if b in mapping]
+    if not live:
+        return current_v  # nothing to delete — snapshot unchanged
+    prior = spark.read.parquet(
+        *[_bucket_path(root, b, mapping[b]) for b in live]
+    )
+    if len(key_cols) == 1 and len(rows) <= 2048:
+        survivors = prior.filter(
+            ~F.col(key_cols[0]).isin([r[0] for r in rows])
+        )
+    else:
+        survivors = prior.join(F.broadcast(keys_df), key_cols, "left_anti")
+    return commit_delta(
+        survivors, root, key_cols, live, n_buckets, base_version=current_v
+    )
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    predicate,
+) -> int:
+    """Predicate DELETE: one find-scan over the snapshot to locate the
+    matching buckets, then a rewrite of ONLY those buckets (a bucket with
+    no matches is never staged or touched). SQL DELETE semantics: a row is
+    deleted iff the predicate is TRUE — NULL keeps the row.
+
+    ``predicate``: a SQL string or a Column. Returns the committed (or,
+    when nothing matches, unchanged) version; carries ``base_version`` so
+    a racing writer surfaces as the documented lost-the-race IOError.
+    """
+    from .apply import bucket_expr
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    current_v, doc = _read_manifest_doc(spark, root)
+    if current_v < 0:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    n_buckets = doc.get("n_buckets")
+    if n_buckets is None:
+        raise ValueError(
+            f"manifest at {root} predates the n_buckets stamp — bucket "
+            "routing cannot be derived; re-commit once (any delta) to "
+            "stamp it"
+        )
+    n_buckets = int(n_buckets)
+    mapping = {int(b): str(dv) for b, dv in doc["buckets"].items()}
+    snap = read_snapshot(spark, root, version=current_v)
+    # bounded collect: distinct bucket ids of MATCHING rows (<= n_buckets)
+    touched = sorted(
+        r["_b"]
+        for r in snap.where(pred)
+        .select(bucket_expr(key_cols, n_buckets).alias("_b"))
+        .distinct()
+        .collect()
+    )
+    live = [b for b in touched if b in mapping]
+    if not live:
+        return current_v  # no matching rows — snapshot unchanged
+    prior = spark.read.parquet(
+        *[_bucket_path(root, b, mapping[b]) for b in live]
+    )
+    survivors = prior.where(~F.coalesce(pred, F.lit(False)))
+    return commit_delta(
+        survivors, root, key_cols, live, n_buckets, base_version=current_v
+    )

@@ -1,0 +1,140 @@
+"""Row-level deletes on the manifest target (delete_keys / delete_where):
+exact survivors, O(touched buckets) IO, empty-bucket dropout, no-op on
+absent keys, NULL-predicate SQL semantics, time travel across the delete,
+and the lost-update race guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_cdc_reconciliation_spark.operators.apply import bucket_expr
+from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+    commit_delta,
+    delete_keys,
+    delete_where,
+    describe_history,
+    read_snapshot,
+)
+
+N_BUCKETS = 8
+
+
+def _commit_range(spark, root, n=200):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    return commit_delta(df, root, ["k"], list(range(N_BUCKETS)), N_BUCKETS)
+
+
+class TestDeleteKeys:
+    def test_exact_survivors_and_version(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("dk"))
+        v0 = _commit_range(spark, root)
+        v1 = delete_keys(spark, root, ["k"], [3, 77, 150])
+        assert v1 == v0 + 1
+        left = {r["k"] for r in read_snapshot(spark, root).collect()}
+        assert left == set(range(200)) - {3, 77, 150}
+        # time travel: the pre-delete snapshot still holds the rows
+        old = {r["k"] for r in read_snapshot(spark, root, version=v0).collect()}
+        assert old == set(range(200))
+
+    def test_touches_only_routed_buckets(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("dk"))
+        _commit_range(spark, root)
+        hist_before = {
+            r["version"]: r for r in describe_history(spark, root).collect()
+        }
+        delete_keys(spark, root, ["k"], [5])
+        hist = {r["version"]: r for r in describe_history(spark, root).collect()}
+        new_v = max(hist)
+        routed = (
+            spark.createDataFrame([(5,)], ["k"])
+            .select(bucket_expr(["k"], N_BUCKETS).alias("b"))
+            .first()["b"]
+        )
+        assert hist[new_v]["buckets_rewritten"] == 1
+        assert len(hist) == len(hist_before) + 1
+
+    def test_absent_keys_noop(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("dk"))
+        v0 = _commit_range(spark, root, n=20)
+        # keys routing to live buckets but absent: still commits a rewrite
+        # of the routed buckets (values unchanged); keys routing NOWHERE
+        # live is the true no-op — craft one by deleting everything first
+        v1 = delete_keys(spark, root, ["k"], list(range(20)))
+        assert read_snapshot(spark, root).count() == 0
+        v2 = delete_keys(spark, root, ["k"], [7])
+        assert v2 == v1  # no live bucket for the key — version unchanged
+
+    def test_last_row_drops_bucket(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("dk"))
+        _commit_range(spark, root, n=50)
+        delete_keys(spark, root, ["k"], list(range(50)))
+        snap = read_snapshot(spark, root)
+        assert snap.count() == 0
+        assert snap.columns == ["k", "v"]  # schema survives via the stamp
+
+    def test_composite_keys_and_errors(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("dk"))
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)], "k1 long, k2 string, v double"
+        )
+        commit_delta(df, root, ["k1", "k2"], list(range(N_BUCKETS)), N_BUCKETS)
+        delete_keys(spark, root, ["k1", "k2"], [(1, "b")])
+        left = {(r["k1"], r["k2"]) for r in read_snapshot(spark, root).collect()}
+        assert left == {(1, "a"), (2, "a")}
+        with pytest.raises(ValueError, match="non-empty"):
+            delete_keys(spark, root, ["k1", "k2"], [])
+        with pytest.raises(ValueError, match="carry 2"):
+            delete_keys(spark, root, ["k1", "k2"], [1])
+        with pytest.raises(FileNotFoundError):
+            delete_keys(spark, root + "_none", ["k"], [1])
+
+
+class TestDeleteWhere:
+    def test_predicate_delete_and_null_semantics(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("dw"))
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0), (4, 5.0)], "k long, v double"
+        )
+        commit_delta(df, root, ["k"], list(range(N_BUCKETS)), N_BUCKETS)
+        delete_where(spark, root, ["k"], "v > 9")
+        left = {r["k"] for r in read_snapshot(spark, root).collect()}
+        # NULL predicate keeps the row (SQL DELETE semantics)
+        assert left == {2, 4}
+
+    def test_untouched_buckets_not_staged(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("dw"))
+        _commit_range(spark, root)
+        delete_where(spark, root, ["k"], F.col("k") == 9)
+        hist = {r["version"]: r for r in describe_history(spark, root).collect()}
+        routed = (
+            spark.createDataFrame([(9,)], ["k"])
+            .select(bucket_expr(["k"], N_BUCKETS).alias("b"))
+            .first()["b"]
+        )
+        assert hist[max(hist)]["buckets_rewritten"] == 1
+        assert {r["k"] for r in read_snapshot(spark, root).collect()} == (
+            set(range(200)) - {9}
+        )
+
+    def test_no_match_is_noop(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("dw"))
+        v0 = _commit_range(spark, root, n=20)
+        assert delete_where(spark, root, ["k"], "k > 1000") == v0
+
+    def test_race_guard(self, spark, tmp_path_factory):
+        """A writer committing between the find-scan and the delete's
+        commit must surface as the lost-the-race error, not a lost update.
+        Simulated by monkeypatching the read to an older base_version via
+        a direct commit_delta race: delete, then try committing with the
+        stale base."""
+        root = str(tmp_path_factory.mktemp("dw"))
+        v0 = _commit_range(spark, root, n=50)
+        v1 = delete_where(spark, root, ["k"], "k < 5")
+        assert v1 == v0 + 1
+        # a commit claiming the PRE-delete base loses
+        df = spark.range(1).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+        with pytest.raises(IOError, match="lost the race"):
+            commit_delta(df, root, ["k"], [0], N_BUCKETS, base_version=v0)
