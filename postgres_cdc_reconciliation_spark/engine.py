@@ -1003,3 +1003,13 @@ class Engine:
         from .operators.manifest_target import delete_where
 
         return delete_where(self.spark, root, key_cols, predicate)
+
+    def quarantine_stream(self, events, constraints, ok_path,
+                          quarantine_path, checkpoint_dir):
+        """Route each micro-batch's rows through validate_rows: valid rows
+        to ok_path, violators (with labels) to quarantine_path — replay-
+        idempotent via per-batch dynamic partition overwrite."""
+        from .streaming.quality import quarantine_stream
+
+        return quarantine_stream(events, constraints, ok_path,
+                                 quarantine_path, checkpoint_dir)

@@ -224,3 +224,67 @@ def drift_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def quarantine_stream(
+    events: DataFrame,
+    constraints: list[dict],
+    ok_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch writer routing each micro-batch through
+    ``validate_rows``: valid rows append to ``ok_path`` (original schema),
+    violating rows append to ``quarantine_path`` WITH their violation
+    labels and the batch id — per-row triage at ingest time instead of
+    failing the load (the streaming form of ``quarantine_split``).
+
+    Replay contract: appends are idempotent per batch because both sinks
+    carry ``_batch_id`` and a replayed batch REPLACES its own partition
+    (dynamic partition overwrite on ``_batch_id``) — an at-least-once
+    re-delivery overwrites the same rows rather than duplicating them.
+    Both sinks stay plain parquet readable by any engine.
+    """
+    from ..operators.quality import validate_rows
+
+    for c in constraints:
+        if c["kind"] not in ("not_null", "between", "in_set", "matches"):
+            raise ValueError(
+                f"constraint kind {c['kind']!r} is not row-local — "
+                "quarantine routing is a per-row decision"
+            )
+    if not constraints:
+        raise ValueError("empty constraint suite")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = validate_rows(batch_df, constraints)
+        ok = v.where(F.col("is_valid")).select(*batch_df.columns)
+        bad = v.where(~F.col("is_valid")).drop("is_valid")
+        # array -> joined string: the quarantine sink stays readable by
+        # engines without list types, and the labels sort/grep trivially
+        bad = bad.withColumn("violations", F.array_join("violations", ","))
+        conf = spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                ok.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(ok_path)
+            )
+            (
+                bad.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(quarantine_path)
+            )
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -234,3 +234,78 @@ class TestDriftStream:
                 events, other_ref, "x", path, str(tmp_path / "ck3"),
                 n_buckets=7,
             )
+
+
+class TestQuarantineStream:
+    B0 = [
+        {"email": "a@x.com", "age": 30},
+        {"email": None, "age": 200},
+    ]
+    B1 = [
+        {"email": "b@x.com", "age": 41},
+        {"email": "c@x.com", "age": -4},
+    ]
+    SUITE = [
+        {"kind": "not_null", "col": "email"},
+        {"kind": "between", "col": "age", "lo": 0, "hi": 120},
+    ]
+
+    def _run(self, spark, tmp_path, ckpt="ckpt"):
+        src = tmp_path / "in"
+        if not src.exists():
+            _write_batches(src, [self.B0, self.B1])
+        events = (
+            spark.readStream.schema("email string, age long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        from postgres_cdc_reconciliation_spark.streaming.quality import (
+            quarantine_stream,
+        )
+
+        q = (
+            quarantine_stream(
+                events, self.SUITE, str(tmp_path / "ok"),
+                str(tmp_path / "bad"), str(tmp_path / ckpt),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_routing_and_labels(self, spark, tmp_path):
+        self._run(spark, tmp_path)
+        ok = spark.read.parquet(str(tmp_path / "ok"))
+        bad = spark.read.parquet(str(tmp_path / "bad"))
+        assert {r["email"] for r in ok.collect()} == {"a@x.com", "b@x.com"}
+        assert sorted(ok.columns) == ["_batch_id", "age", "email"]
+        got = {
+            (r["email"], r["violations"]) for r in bad.collect()
+        }
+        assert got == {
+            (None, "not_null:email,between:age"),
+            ("c@x.com", "between:age"),
+        }
+
+    def test_replay_does_not_duplicate(self, spark, tmp_path):
+        self._run(spark, tmp_path)
+        ok_before = spark.read.parquet(str(tmp_path / "ok")).count()
+        bad_before = spark.read.parquet(str(tmp_path / "bad")).count()
+        self._run(spark, tmp_path, ckpt="ckpt_replay")  # full re-delivery
+        assert spark.read.parquet(str(tmp_path / "ok")).count() == ok_before
+        assert spark.read.parquet(str(tmp_path / "bad")).count() == bad_before
+
+    def test_non_row_local_rejected(self, spark, tmp_path):
+        src = tmp_path / "in_rl"
+        _write_batches(src, [[{"email": "a@x.com"}]])
+        events = spark.readStream.schema("email string").json(str(src))
+        from postgres_cdc_reconciliation_spark.streaming.quality import (
+            quarantine_stream,
+        )
+
+        with pytest.raises(ValueError, match="not row-local"):
+            quarantine_stream(
+                events, [{"kind": "min_rows", "n": 1}],
+                str(tmp_path / "o2"), str(tmp_path / "b2"),
+                str(tmp_path / "c2"),
+            )
