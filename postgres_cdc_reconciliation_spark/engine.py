@@ -1013,3 +1013,11 @@ class Engine:
 
         return quarantine_stream(events, constraints, ok_path,
                                  quarantine_path, checkpoint_dir)
+
+    def update_where(self, root, key_cols, predicate, assignments) -> int:
+        """Predicate UPDATE on a manifest target: SET assignments on
+        matching rows, rewriting only the buckets that hold matches; key
+        columns rejected (re-bucketing = delete + insert via apply)."""
+        from .operators.manifest_target import update_where
+
+        return update_where(self.spark, root, key_cols, predicate, assignments)

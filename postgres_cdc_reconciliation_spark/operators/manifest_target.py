@@ -981,3 +981,91 @@ def delete_where(
     return commit_delta(
         survivors, root, key_cols, live, n_buckets, base_version=current_v
     )
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    predicate,
+    assignments: dict,
+) -> int:
+    """Predicate UPDATE: SET ``assignments`` on every row where the
+    predicate is TRUE, rewriting ONLY the buckets that hold matches —
+    completes the manifest target's DML triad (upsert via the CDC apply
+    path, delete_keys/delete_where, and this).
+
+    ``assignments`` maps column name -> SQL string or Column; each
+    assignment is cast back to the column's existing type, so an UPDATE
+    can never silently evolve the schema. Assigning a KEY column is
+    rejected (a new key hashes to a different bucket — that operation is
+    a delete + insert through the apply path, not an in-place update).
+    SQL semantics: a NULL predicate leaves the row unchanged. Carries
+    ``base_version`` so a racing writer surfaces as the documented
+    lost-the-race IOError; no-match is a no-op returning the current
+    version.
+    """
+    if not assignments:
+        raise ValueError("assignments must be non-empty")
+    bad = sorted(set(assignments) & set(key_cols))
+    if bad:
+        raise ValueError(
+            f"cannot UPDATE key column(s) {bad}: a changed key re-buckets "
+            "the row — delete + re-insert through the apply path instead"
+        )
+    from .apply import bucket_expr
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    current_v, doc = _read_manifest_doc(spark, root)
+    if current_v < 0:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    n_buckets = doc.get("n_buckets")
+    if n_buckets is None:
+        raise ValueError(
+            f"manifest at {root} predates the n_buckets stamp — bucket "
+            "routing cannot be derived; re-commit once (any delta) to "
+            "stamp it"
+        )
+    n_buckets = int(n_buckets)
+    mapping = {int(b): str(dv) for b, dv in doc["buckets"].items()}
+    snap = read_snapshot(spark, root, version=current_v)
+    missing = sorted(set(assignments) - set(snap.columns))
+    if missing:
+        raise ValueError(f"unknown column(s) in assignments: {missing}")
+    touched = sorted(
+        r["_b"]
+        for r in snap.where(pred)
+        .select(bucket_expr(key_cols, n_buckets).alias("_b"))
+        .distinct()
+        .collect()
+    )
+    live = [b for b in touched if b in mapping]
+    if not live:
+        return current_v  # no matching rows — snapshot unchanged
+    prior = spark.read.parquet(
+        *[_bucket_path(root, b, mapping[b]) for b in live]
+    )
+    hit = F.coalesce(pred, F.lit(False))
+    by_name = {f.name: f.dataType for f in prior.schema.fields}
+    updated = prior.select(
+        *[
+            (
+                F.when(
+                    hit,
+                    (
+                        F.expr(assignments[c])
+                        if isinstance(assignments[c], str)
+                        else assignments[c]
+                    ).cast(by_name[c]),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in prior.columns
+        ]
+    )
+    return commit_delta(
+        updated, root, key_cols, live, n_buckets, base_version=current_v
+    )

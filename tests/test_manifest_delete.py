@@ -138,3 +138,60 @@ class TestDeleteWhere:
         df = spark.range(1).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
         with pytest.raises(IOError, match="lost the race"):
             commit_delta(df, root, ["k"], [0], N_BUCKETS, base_version=v0)
+
+
+class TestUpdateWhere:
+    def test_updates_exactly_matching_rows(self, spark, tmp_path_factory):
+        from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+            update_where,
+        )
+
+        root = str(tmp_path_factory.mktemp("uw"))
+        df = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "c")],
+            "k long, v double, tag string",
+        )
+        v0 = commit_delta(df, root, ["k"], list(range(N_BUCKETS)), N_BUCKETS)
+        v1 = update_where(
+            spark, root, ["k"], "v > 9",
+            {"v": "v * 10", "tag": F.lit("bumped")},
+        )
+        assert v1 == v0 + 1
+        got = {r["k"]: (r["v"], r["tag"]) for r in read_snapshot(spark, root).collect()}
+        # NULL predicate row untouched; both matching rows updated
+        assert got == {1: (100.0, "bumped"), 2: (None, "b"), 3: (300.0, "bumped")}
+        # time travel still shows the old values
+        old = {
+            r["k"]: r["v"]
+            for r in read_snapshot(spark, root, version=v0).collect()
+        }
+        assert old == {1: 10.0, 2: None, 3: 30.0}
+
+    def test_type_preserved_and_single_bucket(self, spark, tmp_path_factory):
+        from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+            update_where,
+        )
+
+        root = str(tmp_path_factory.mktemp("uw"))
+        _commit_range(spark, root)
+        update_where(spark, root, ["k"], "k = 9", {"v": "1"})  # int expr
+        snap = read_snapshot(spark, root)
+        assert dict(snap.dtypes)["v"] == "double"  # cast back to column type
+        assert {r["v"] for r in snap.where("k = 9").collect()} == {1.0}
+        hist = {r["version"]: r for r in describe_history(spark, root).collect()}
+        assert hist[max(hist)]["buckets_rewritten"] == 1
+
+    def test_guards(self, spark, tmp_path_factory):
+        from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+            update_where,
+        )
+
+        root = str(tmp_path_factory.mktemp("uw"))
+        v0 = _commit_range(spark, root, n=20)
+        with pytest.raises(ValueError, match="key column"):
+            update_where(spark, root, ["k"], "v > 0", {"k": "k + 1"})
+        with pytest.raises(ValueError, match="non-empty"):
+            update_where(spark, root, ["k"], "v > 0", {})
+        with pytest.raises(ValueError, match="unknown column"):
+            update_where(spark, root, ["k"], "v > 0", {"nope": "1"})
+        assert update_where(spark, root, ["k"], "k > 999", {"v": "0"}) == v0
