@@ -123,16 +123,16 @@ _CHECK_PRIORITY: list[str] = [
     # on valid local paths). The three new registrations (q_bloom_pruned_
     # scan, q_dup_spans, q_heavy_hitters) are never-checked and front
     # automatically.
-    # -- round 11 session 4: NO new pins. Seven new registrations
+    # -- round 11 session 4: NO new pins. Eight new registrations
     # (q_data_quality, q_k_anonymity, q_drift_psi, q_drift_categorical,
-    # q_validate_rows, q_prefilter_join, q_ann_sq — registry 182→189) are
-    # never-checked and front automatically. Changed implementations:
+    # q_validate_rows, q_prefilter_join, q_ann_sq, q_bm25_persisted —
+    # registry 182→190) are never-checked and front automatically. Changed implementations:
     # psi_report was refactored into psi_ref_stats/psi_bucket_counts/
     # psi_from_counts for the streaming drift monitor (q_drift_psi
     # re-driven MATCH after the refactor — pure reorganization, identical
     # expressions), and sq_scales/sq_encode gained non-finite guards that
     # are no-ops on well-formed driver data (q_ann_sq driven MATCH after).
-    # Full drive at session end: 189/189 MATCH.
+    # Full drive at session end: 190/190 MATCH.
     "q_dedup_embed_rp",
     "q_dedup_embed_rp_multi",
 ]
