@@ -456,3 +456,27 @@ def q_drift_categorical(spark, sf_dir):
         F.col("o_orderpriority")
     )
     return categorical_drift(cur, ref, "o_orderpriority", max_categories=4)
+
+
+@register(
+    "q_k_suppress",
+    """SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+FROM customer c
+JOIN (SELECT c_nationkey, c_mktsegment
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+      HAVING count(*) >= 10) s
+  ON c.c_nationkey = s.c_nationkey AND c.c_mktsegment = s.c_mktsegment""",
+    doc="[EXT] k-anonymity suppression output "
+    "(operators/quality.py::suppress_to_k): the rows that SURVIVE "
+    "suppression at k=10 over (c_nationkey, c_mktsegment) — the "
+    "releasable table itself, not just the certificate (q_k_anonymity "
+    "reports the risk; this is the remediation, k-anonymous by "
+    "construction since every surviving class kept all its rows). One "
+    "keyed count + one keyed join back sharing the exchange; original "
+    "schema preserved.",
+)
+def q_k_suppress(spark, sf_dir):
+    from ..operators.quality import suppress_to_k
+
+    c = _t(spark, sf_dir, "customer")
+    return suppress_to_k(c, ["c_nationkey", "c_mktsegment"], k=10)

@@ -123,10 +123,10 @@ _CHECK_PRIORITY: list[str] = [
     # on valid local paths). The three new registrations (q_bloom_pruned_
     # scan, q_dup_spans, q_heavy_hitters) are never-checked and front
     # automatically.
-    # -- round 11 session 4: NO new pins. Eight new registrations
+    # -- round 11 session 4: NO new pins. Nine new registrations
     # (q_data_quality, q_k_anonymity, q_drift_psi, q_drift_categorical,
-    # q_validate_rows, q_prefilter_join, q_ann_sq, q_bm25_persisted —
-    # registry 182→190) are never-checked and front automatically. Changed implementations:
+    # q_validate_rows, q_prefilter_join, q_ann_sq, q_bm25_persisted,
+    # q_k_suppress — registry 182→191) are never-checked and front automatically. Changed implementations:
     # psi_report was refactored into psi_ref_stats/psi_bucket_counts/
     # psi_from_counts for the streaming drift monitor (q_drift_psi
     # re-driven MATCH after the refactor — pure reorganization, identical
