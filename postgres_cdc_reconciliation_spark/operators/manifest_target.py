@@ -922,8 +922,13 @@ def delete_keys(
         *[_bucket_path(root, b, mapping[b]) for b in live]
     )
     if len(key_cols) == 1 and len(rows) <= 2048:
+        # NULL-key rows survive explicitly: ~isin(...) evaluates NULL for a
+        # NULL key (row silently dropped), while the anti-join path below
+        # keeps NULL-key rows — both paths must agree that only the
+        # REQUESTED keys are deleted
+        kc = F.col(key_cols[0])
         survivors = prior.filter(
-            ~F.col(key_cols[0]).isin([r[0] for r in rows])
+            kc.isNull() | ~kc.isin([r[0] for r in rows])
         )
     else:
         survivors = prior.join(F.broadcast(keys_df), key_cols, "left_anti")

@@ -252,15 +252,32 @@ def suppress_to_k(df: DataFrame, qi_cols: list[str], k: int = 5) -> DataFrame:
     unchanged and >= k — re-checkable via ``k_anonymity_report``).
 
     One keyed count + one keyed join back (both on the same key, so the
-    exchange is reused); row order and schema are preserved.
+    exchange is reused); row order and schema are preserved. The join is
+    null-safe per QI column: ``k_anonymity_report`` counts the NULL class
+    like any other (groupBy groups NULLs together), so a NULL-QI class with
+    >= k members survives here too — a plain equi join would drop every
+    NULL-QI row and contradict the report's is_k_anonymous verdict.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    cls = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        df.join(cls.where(F.col("_n") >= k), qi_cols, "inner")
-        .drop("_n")
-        .select(*df.columns)
+    # keep derives from df (self-join): aliased qualified names keep the
+    # join condition unambiguous
+    left = df.alias("_sk_l")
+    keep = (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= k)
+        .alias("_sk_r")
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"_sk_l.{c}").eqNullSafe(F.col(f"_sk_r.{c}"))
+            for c in qi_cols
+        ],
+    )
+    return left.join(keep, cond, "inner").select(
+        *[F.col(f"_sk_l.{c}") for c in df.columns]
     )
 
 

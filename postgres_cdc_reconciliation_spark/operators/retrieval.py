@@ -374,10 +374,22 @@ def bm25_persisted(
             if fs.exists(jp):
                 dirs.append(p)
     if not dirs:
-        empty = [("", 0, 0, 0)]
-        postings = spark.createDataFrame(
-            empty, "token string, doc_id long, tf long, dl long"
-        ).limit(0)
+        # no bucket dir matched any term: the empty result must still carry
+        # the index's REAL schema (doc_id may be string/int/...), or the
+        # wrongly-typed empty frame breaks downstream unions/joins against
+        # the non-empty shape — derive it from the persisted postings
+        schema = None
+        for root in roots:
+            _, jr = _idx_fs(spark, root)
+            if fs.exists(jr):
+                try:
+                    schema = spark.read.parquet(root).drop("bucket").schema
+                    break
+                except Exception:
+                    continue  # partition dir with no readable files
+        if schema is None:  # index is empty of postings entirely
+            schema = "token string, doc_id long, tf long, dl long"
+        postings = spark.createDataFrame([], schema)
     else:
         postings = spark.read.parquet(*dirs)
     postings = postings.where(F.col("token").isin(list(terms)))

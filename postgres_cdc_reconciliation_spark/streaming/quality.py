@@ -25,12 +25,32 @@ belong to the batch verifier.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.quality import constraint_counters, counters_to_certificate
 from .rollup import _fs
 from .sketches import _committed
+
+
+def _suite_fingerprint(constraints: list[dict]) -> str:
+    """Canonical serialization of a constraint suite. The persisted
+    counters identify constraints purely by positional cid, so the merge
+    is only meaningful against the EXACT suite that produced them — this
+    fingerprint (kind/column/params per cid, order-sensitive) is frozen
+    alongside the state and checked on every stream build, mirroring
+    drift_stream's n_buckets guard."""
+    normalized = []
+    for c in constraints:
+        d = {}
+        for k in sorted(c):
+            v = c[k]
+            # set-valued params have no stable iteration order
+            d[k] = sorted(v) if isinstance(v, (set, frozenset)) else v
+        normalized.append(d)
+    return json.dumps(normalized, sort_keys=True, default=str)
 
 
 def current_certificate(spark, path: str) -> DataFrame | None:
@@ -80,6 +100,31 @@ def constraint_stream(
     if not constraints:
         raise ValueError("empty constraint suite")
     spark = events.sparkSession
+
+    # Freeze the suite identity next to the state: counters are keyed by
+    # positional cid, so restarting with a modified/reordered suite would
+    # silently merge one constraint's counts into another (or drop removed
+    # cids through the merge join). First build persists the fingerprint;
+    # every later build must present the identical suite or fail loudly.
+    fp = _suite_fingerprint(constraints)
+    fs, _ = _fs(spark, path)
+    _, suite_ok = _fs(spark, f"{path}/_suite/_SUCCESS")
+    if fs.exists(suite_ok):
+        persisted = (
+            spark.read.parquet(f"{path}/_suite").collect()[0]["fingerprint"]
+        )
+        if persisted != fp:
+            raise ValueError(
+                f"constraint state at {path} was built with a different "
+                "suite — counters are positional by cid and cannot be "
+                "merged across suite changes; start a new state path (or "
+                "re-verify from scratch) when the suite changes.\n"
+                f"persisted: {persisted}\ncurrent:   {fp}"
+            )
+    else:
+        spark.createDataFrame([(fp,)], "fingerprint string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/_suite")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         versions = _committed(spark, path)
@@ -257,31 +302,31 @@ def quarantine_stream(
         raise ValueError("empty constraint suite")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         v = validate_rows(batch_df, constraints)
         ok = v.where(F.col("is_valid")).select(*batch_df.columns)
         bad = v.where(~F.col("is_valid")).drop("is_valid")
         # array -> joined string: the quarantine sink stays readable by
         # engines without list types, and the labels sort/grep trivially
         bad = bad.withColumn("violations", F.array_join("violations", ","))
-        conf = spark.conf
-        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                ok.withColumn("_batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(ok_path)
-            )
-            (
-                bad.withColumn("_batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(quarantine_path)
-            )
-        finally:
-            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write dynamic overwrite — mutating the session-global
+        # partitionOverwriteMode conf would race concurrent writers in the
+        # same SparkSession (a static-mode overwrite in the window could
+        # wipe sibling partitions; a concurrent restore could flip this
+        # stream back to static mid-write)
+        (
+            ok.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(ok_path)
+        )
+        (
+            bad.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(quarantine_path)
+        )
 
     return (
         events.writeStream.foreachBatch(_apply)

@@ -195,3 +195,43 @@ class TestUpdateWhere:
         with pytest.raises(ValueError, match="unknown column"):
             update_where(spark, root, ["k"], "v > 0", {"nope": "1"})
         assert update_where(spark, root, ["k"], "k > 999", {"v": "0"}) == v0
+
+
+class TestNullKeyRows:
+    """A NULL-key row must survive delete_keys regardless of code path:
+    the ~isin fast path evaluates NULL for a NULL key (silently dropping
+    the row) unless NULLs are kept explicitly, while the anti-join path
+    keeps them — both paths must agree (ADVICE r11)."""
+
+    def _commit_with_null(self, spark, root):
+        df = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (None, "nullrow"), (2, "c")],
+            "k bigint, v string",
+        )
+        return commit_delta(df, root, ["k"], list(range(N_BUCKETS)), N_BUCKETS)
+
+    def test_fast_path_keeps_null_key_row(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("dknull"))
+        self._commit_with_null(spark, root)
+        delete_keys(spark, root, ["k"], [0, 1, 2])  # 3 keys -> isin path
+        left = {(r["k"], r["v"]) for r in read_snapshot(spark, root).collect()}
+        assert left == {(None, "nullrow")}
+
+    def test_paths_agree(self, spark, tmp_path_factory):
+        fast = str(tmp_path_factory.mktemp("dkf"))
+        anti = str(tmp_path_factory.mktemp("dka"))
+        self._commit_with_null(spark, fast)
+        self._commit_with_null(spark, anti)
+        delete_keys(spark, fast, ["k"], [1])
+        # >2048 keys forces the anti-join path; only key 1 exists
+        delete_keys(spark, anti, ["k"], [1] + list(range(10_000, 12_100)))
+        got_fast = sorted(
+            ((r["k"], r["v"]) for r in read_snapshot(spark, fast).collect()),
+            key=str,
+        )
+        got_anti = sorted(
+            ((r["k"], r["v"]) for r in read_snapshot(spark, anti).collect()),
+            key=str,
+        )
+        assert got_fast == got_anti
+        assert (None, "nullrow") in got_fast

@@ -308,6 +308,28 @@ class TestKAnonymity:
         with pytest.raises(ValueError, match="k must be"):
             suppress_to_k(pii, ["zip"], k=-1)
 
+    def test_null_qi_class_consistent_with_report(self, spark):
+        """k_anonymity_report groups the NULL class like any other, so
+        suppress_to_k must keep a NULL-QI class with >= k members — a plain
+        equi join would drop every NULL-QI row and contradict the report's
+        is_k_anonymous verdict (ADVICE r11)."""
+        rows = (
+            [(None, "F", i) for i in range(6)]  # NULL class of 6 — safe
+            + [("10001", "F", i) for i in range(7)]  # class of 7 — safe
+            + [(None, None, i) for i in range(2)]  # NULL class of 2 — risky
+        )
+        pii = spark.createDataFrame(rows, "zip string, sex string, id long")
+        r = k_anonymity_report(pii, ["zip", "sex"], k=5).collect()[0]
+        assert r["is_k_anonymous"] is False and r["rows_below_k"] == 2
+        anon = suppress_to_k(pii, ["zip", "sex"], k=5)
+        got = {(x["zip"], x["sex"], x["id"]) for x in anon.collect()}
+        assert got == {(None, "F", i) for i in range(6)} | {
+            ("10001", "F", i) for i in range(7)
+        }
+        # the survivors re-certify, NULL classes included
+        r2 = k_anonymity_report(anon, ["zip", "sex"], k=5).collect()[0]
+        assert r2["is_k_anonymous"] is True
+
 
 class TestPsi:
     def _mk(self, spark, values):

@@ -309,3 +309,107 @@ class TestQuarantineStream:
                 str(tmp_path / "o2"), str(tmp_path / "b2"),
                 str(tmp_path / "c2"),
             )
+
+
+class TestSuiteFingerprint:
+    """Restarting constraint_stream with a modified/reordered suite must
+    fail loudly at build time: counters are positional by cid, so a silent
+    merge would add one constraint's counts into another (ADVICE r11)."""
+
+    def test_same_suite_restarts_fine(self, spark, tmp_path):
+        _run(spark, tmp_path, [B0, B1])
+        before = sorted(map(tuple, current_counters(
+            spark, str(tmp_path / "dq")).collect()))
+        # identical suite, including an equivalent set-typed values param —
+        # the fingerprint must not depend on set iteration order
+        suite2 = [dict(c) for c in SUITE]
+        suite2[2] = {"kind": "in_set", "col": "status",
+                     "values": {"inactive", "active"}}
+        src = tmp_path / "in"
+        events = (
+            spark.readStream.schema("email string, age long, status string")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        suite3 = [dict(c) for c in SUITE]
+        suite3[2] = {"kind": "in_set", "col": "status",
+                     "values": ["active", "inactive"]}
+        q = (
+            constraint_stream(events, str(tmp_path / "dq"),
+                              str(tmp_path / "ck_fp"), suite3)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        after = sorted(map(tuple, current_counters(
+            spark, str(tmp_path / "dq")).collect()))
+        assert after == before  # replay-guarded, and the build was allowed
+
+    def test_reordered_suite_rejected(self, spark, tmp_path):
+        _run(spark, tmp_path, [B0])
+        src = tmp_path / "in"
+        events = (
+            spark.readStream.schema("email string, age long, status string")
+            .json(str(src))
+        )
+        reordered = [SUITE[1], SUITE[0]] + SUITE[2:]
+        with pytest.raises(ValueError, match="different\\s+suite"):
+            constraint_stream(events, str(tmp_path / "dq"),
+                              str(tmp_path / "ck_r"), reordered)
+
+    def test_modified_param_rejected(self, spark, tmp_path):
+        _run(spark, tmp_path, [B0])
+        src = tmp_path / "in"
+        events = (
+            spark.readStream.schema("email string, age long, status string")
+            .json(str(src))
+        )
+        changed = [dict(c) for c in SUITE]
+        changed[1] = {"kind": "between", "col": "age", "lo": 0, "hi": 99}
+        with pytest.raises(ValueError, match="different\\s+suite"):
+            constraint_stream(events, str(tmp_path / "dq"),
+                              str(tmp_path / "ck_m"), changed)
+
+    def test_dropped_constraint_rejected(self, spark, tmp_path):
+        _run(spark, tmp_path, [B0])
+        src = tmp_path / "in"
+        events = (
+            spark.readStream.schema("email string, age long, status string")
+            .json(str(src))
+        )
+        with pytest.raises(ValueError, match="different\\s+suite"):
+            constraint_stream(events, str(tmp_path / "dq"),
+                              str(tmp_path / "ck_d"), SUITE[:-1])
+
+
+def test_quarantine_leaves_session_conf_untouched(spark, tmp_path):
+    """The sinks use per-write partitionOverwriteMode options — the
+    session-global conf must never be mutated (a concurrent static-mode
+    writer in the same session could otherwise wipe sibling partitions
+    mid-window; ADVICE r11)."""
+    from postgres_cdc_reconciliation_spark.streaming.quality import (
+        quarantine_stream,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "static")
+    try:
+        src = tmp_path / "in_conf"
+        _write_batches(src, [B0, B1])
+        events = (
+            spark.readStream.schema("email string, age long, status string")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        suite = [{"kind": "not_null", "col": "email"}]
+        for ckpt in ("ck1", "ck2"):  # second run = full re-delivery
+            q = quarantine_stream(
+                events, suite, str(tmp_path / "okc"), str(tmp_path / "badc"),
+                str(tmp_path / ckpt),
+            ).trigger(availableNow=True).start()
+            q.awaitTermination(120)
+            assert spark.conf.get(key) == "static"
+        # per-write dynamic overwrite: the replay replaced its own
+        # partitions instead of duplicating (B0+B1 = 5 valid + 1 null)
+        assert spark.read.parquet(str(tmp_path / "okc")).count() == 5
+        assert spark.read.parquet(str(tmp_path / "badc")).count() == 1
+    finally:
+        spark.conf.set(key, prev)

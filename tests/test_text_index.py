@@ -129,3 +129,61 @@ class TestAdmit:
         assert _sorted(bm25_persisted(spark, path, TERMS)) == _sorted(
             bm25_scores(half_a, TERMS)
         )
+
+
+class TestEmptyResultSchema:
+    """A query whose terms hash to no existing bucket dir must return an
+    empty frame with the index's REAL schema — a hardcoded `doc_id long`
+    breaks unions/joins for a string-id index (ADVICE r11)."""
+
+    def _probe_missing_terms(self, spark, path, tries=200):
+        # find a term whose bucket dir does NOT exist (tiny corpus, 64
+        # buckets -> most are absent) so the empty-schema branch is the one
+        # exercised; deterministic scan, no randomness
+        import os
+
+        from pyspark.sql import functions as F
+
+        present = {
+            int(d.split("=")[1])
+            for d in os.listdir(f"{path}/postings")
+            if d.startswith("bucket=")
+        }
+        for i in range(tries):
+            t = f"zz_absent_{i}"
+            b = (
+                spark.createDataFrame([(t,)], "token string")
+                .select(F.pmod(F.xxhash64("token"), F.lit(64)).alias("b"))
+                .first()["b"]
+            )
+            if b not in present:
+                return bm25_persisted(spark, path, [t])
+        raise AssertionError("no absent-bucket term found")
+
+    def test_string_id_index_empty_result_typed(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [("doc-a", "alpha beta"), ("doc-b", "beta gamma")],
+            "doc_id string, text string",
+        )
+        path = str(tmp_path / "sidx")
+        text_index_build(docs, path, n_buckets=64)
+        out = self._probe_missing_terms(spark, path)
+        assert out.count() == 0
+        assert dict(out.dtypes)["doc_id"] == "string"
+        # the empty frame unions cleanly against a non-empty result
+        hit = bm25_persisted(spark, path, ["alpha"])
+        assert dict(hit.dtypes)["doc_id"] == "string"
+        u = hit.select("doc_id", "bm25").unionByName(
+            out.select("doc_id", "bm25")
+        )
+        assert {r["doc_id"] for r in u.collect()} == {"doc-a"}
+
+    def test_long_id_index_unchanged(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id long, text string"
+        )
+        path = str(tmp_path / "lidx")
+        text_index_build(docs, path, n_buckets=64)
+        out = self._probe_missing_terms(spark, path)
+        assert out.count() == 0
+        assert dict(out.dtypes)["doc_id"] == "bigint"
