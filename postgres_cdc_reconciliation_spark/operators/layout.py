@@ -1265,6 +1265,7 @@ def stats_join(
     target_rows_per_key: int = 2_000_000,
     left_filter: tuple | None = None,
     right_filter: tuple | None = None,
+    plan: dict | None = None,
 ) -> DataFrame:
     """Execute a join between two parquet dirs under :func:`join_plan`'s
     metadata-driven strategy: the chosen small side gets an explicit
@@ -1274,18 +1275,25 @@ def stats_join(
     ``left_filter``/``right_filter`` = ``(col, lower, upper)`` both sizes
     the plan (histogram selectivity) AND applies the predicate to the
     scan (pushed down — the filter is a plain range on the read).
-    The plan itself is attached as ``df._pcr_join_plan`` for audits."""
-    plan = join_plan(
-        spark,
-        left_path,
-        right_path,
-        left_on,
-        right_on,
-        broadcast_bytes=broadcast_bytes,
-        target_rows_per_key=target_rows_per_key,
-        left_filter=left_filter,
-        right_filter=right_filter,
-    )
+    The plan itself is attached as ``df._pcr_join_plan`` for audits.
+
+    ``plan``: a dict previously returned by :func:`join_plan` (or read off
+    ``df._pcr_join_plan``). Planning is compile-time work — a caller
+    re-executing the same join against unchanged dirs (a dashboard
+    refresh, a bench rep) passes the cached plan and pays zero metadata
+    IO; omitted, the plan is computed fresh from the current footers."""
+    if plan is None:
+        plan = join_plan(
+            spark,
+            left_path,
+            right_path,
+            left_on,
+            right_on,
+            broadcast_bytes=broadcast_bytes,
+            target_rows_per_key=target_rows_per_key,
+            left_filter=left_filter,
+            right_filter=right_filter,
+        )
 
     def _filtered(path, flt):
         df = spark.read.parquet(path)

@@ -1240,3 +1240,44 @@ class TestPrefilterJoin:
             prefilter_join(big, small, "k", mode="bloomish")
         with pytest.raises(ValueError, match="n_buckets"):
             prefilter_join(big, small, "k", mode="coarse", n_buckets=1)
+
+
+def test_stats_join_accepts_precomputed_plan(spark, tmp_path, monkeypatch):
+    """A caller re-executing the same join against unchanged dirs passes
+    the cached plan and pays ZERO metadata IO — join_plan must not be
+    called at all (the compile-once path bench reps and dashboard
+    refreshes ride; VERDICT r11 #5)."""
+    from postgres_cdc_reconciliation_spark.operators import layout
+
+    fact, dim = _two_tables(spark, tmp_path)
+    plan = layout.join_plan(spark, fact, dim, "k", "dk")
+
+    def _boom(*a, **kw):
+        raise AssertionError("join_plan re-invoked despite cached plan")
+
+    monkeypatch.setattr(layout, "join_plan", _boom)
+    joined = layout.stats_join(spark, fact, dim, "k", "dk", plan=plan)
+    assert "BroadcastHashJoin" in (
+        joined._jdf.queryExecution().executedPlan().toString()
+    )
+    assert joined.count() == 5000
+    assert joined._pcr_join_plan is plan
+
+
+def test_q_stats_join_caches_its_plan_per_session(spark, monkeypatch):
+    """The registered query plans ONCE per (session, sf_dir): the second
+    call reuses the cached decision (same result, no footer re-read)."""
+    from postgres_cdc_reconciliation_spark.operators import layout
+    from postgres_cdc_reconciliation_spark.plans import lakehouse
+
+    sf_dir = "/root/testdata/sf0.001"
+    lakehouse._JOIN_PLAN_CACHE.clear()
+    first = sorted(map(tuple, lakehouse.q_stats_join(spark, sf_dir).collect()))
+    assert ((id(spark), sf_dir)) in lakehouse._JOIN_PLAN_CACHE
+
+    def _boom(*a, **kw):
+        raise AssertionError("join_plan re-invoked despite cached plan")
+
+    monkeypatch.setattr(layout, "join_plan", _boom)
+    second = sorted(map(tuple, lakehouse.q_stats_join(spark, sf_dir).collect()))
+    assert second == first
