@@ -1021,3 +1021,30 @@ class Engine:
         from .operators.manifest_target import update_where
 
         return update_where(self.spark, root, key_cols, predicate, assignments)
+
+    def maintenance_report(self, paths, **thresholds) -> DataFrame:
+        """One row per persisted tier under each path (manifest target,
+        semantic/text index, stamped dir, batch store, stream state):
+        footprint, admit/version counts, staleness, compaction_due, and
+        the advice string naming the maintenance verb. Metadata IO only."""
+        from .operators.maintenance import maintenance_report
+
+        return maintenance_report(self.spark, paths, **thresholds)
+
+    def compact_text_index(self, src_path, dst_path) -> dict:
+        """Compact an admitted text index (base + delta/v=K) into a fresh
+        single-base index at dst_path; query-value-identical, O(1) dirs
+        per probed bucket again."""
+        from .operators.retrieval import text_index_compact
+
+        return text_index_compact(self.spark, src_path, dst_path)
+
+    def compact_batch_store(self, src_path, dst_path,
+                            partition_col=None, n_files=8) -> int:
+        """Compact an append-only batch=N store (the streaming LSH band
+        index shape) into one batch dir of n_files files."""
+        from .operators.maintenance import compact_batch_store
+
+        return compact_batch_store(self.spark, src_path, dst_path,
+                                   partition_col=partition_col,
+                                   n_files=n_files)

@@ -317,6 +317,57 @@ def text_index_admit(
     return _idx_meta(spark, path)
 
 
+def text_index_compact(spark, src_path: str, dst_path: str) -> dict:
+    """Compact an admitted index into ``dst_path`` as a fresh committed
+    base: the union of base + committed delta postings rewrites as ONE
+    ``postings/bucket=*`` layout and the latest corpus stats become the
+    new base meta. Query-value-identical by construction — bm25_persisted
+    already reads base + deltas as a union, this just materializes it.
+
+    Why: every ``text_index_admit`` adds a ``delta/v=K`` dir, so a probed
+    bucket costs one directory open PER DELTA per query; compaction
+    restores O(1) dirs per probed bucket (the admit-count vs query-wall
+    curve is in SCALING.md). Same no-data-loss contract as
+    ``semantic_index_compact``: the destination must be a NEW (or
+    uncommitted) path — callers swap paths above; a crash mid-compact
+    leaves dst uncommitted and src untouched. Returns the new meta dict.
+    """
+    if src_path.rstrip("/") == dst_path.rstrip("/"):
+        raise ValueError("compact to a NEW path, then swap — never in place")
+    fs, dst_marker = _idx_fs(spark, f"{dst_path}/_COMMIT")
+    if fs.exists(dst_marker):
+        raise ValueError(
+            f"destination {dst_path} already holds a committed index"
+        )
+    meta = _idx_meta(spark, src_path)
+    roots = [f"{src_path}/postings"] + [
+        f"{src_path}/delta/v={v}/postings" for v in meta["deltas"]
+    ]
+    live = []
+    for r in roots:
+        _, jr = _idx_fs(spark, r)
+        if fs.exists(jr):
+            live.append(r)
+    # each root is its own partitioned table — load separately and union
+    # (multiple partition-discovery roots in one read are rejected)
+    merged = None
+    for r in live:
+        part = spark.read.parquet(r)
+        merged = part if merged is None else merged.unionByName(part)
+    if merged is not None:
+        # bucket is the partition column of every source dir; carrying it
+        # through keeps the dst partitioning byte-cheap (no re-hash)
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{dst_path}/postings"
+        )
+    spark.createDataFrame(
+        [(meta["n_docs"], meta["sum_dl"], meta["n_buckets"])],
+        "n_docs long, sum_dl long, n_buckets long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{dst_path}/meta")
+    fs.create(dst_marker, True).close()
+    return _idx_meta(spark, dst_path)
+
+
 def bm25_persisted(
     spark,
     path: str,
