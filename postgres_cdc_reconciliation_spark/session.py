@@ -56,7 +56,15 @@ def interactive_profile(spark: SparkSession, shuffle_partitions: int = 8):
     runtime re-optimization ever pays for itself at this size. Turning AQE
     off and pinning a small shuffle width cuts the interactive path's
     per-query job count; both confs are restored on exit so analytical
-    queries in the same session keep the scale defaults."""
+    queries in the same session keep the scale defaults.
+
+    Caveat: session confs are global — an analytical query planned by a
+    CONCURRENT thread inside this window is planned at the interactive
+    profile (slower, never wrong: these are planner knobs, not write
+    semantics — contrast the per-write partitionOverwriteMode option the
+    quarantine sink uses for exactly that reason). Serialize interactive
+    windows with concurrent analytical planning, or use separate
+    sessions."""
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

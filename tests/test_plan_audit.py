@@ -476,3 +476,27 @@ def test_gapfill_and_metrics_plans(spark, sf_dir):
         assert "BatchEvalPython" not in plan
         p = _simple_plan(df)
         assert p.count("Exchange hashpartitioning") == 1, (name, p)
+
+
+def test_round12_nullsafe_suppress_plan(spark, sf_dir):
+    """suppress_to_k's null-safe join-back must still plan as a hash
+    equi join (eqNullSafe is an equi-join predicate), never a nested
+    loop — the r12 NULL-QI fix must not change the plan class."""
+    qs = all_queries()
+    df = qs["q_k_suppress"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_round12_stats_join_cached_plan_shape(spark, sf_dir):
+    """q_stats_join with the session plan cache still pins the
+    footer-decided broadcast: the cached decision must reproduce the
+    same physical strategy as fresh planning."""
+    qs = all_queries()
+    for _ in range(2):  # second call rides the cache
+        plan = _plan(qs["q_stats_join"].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
