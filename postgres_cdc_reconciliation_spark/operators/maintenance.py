@@ -103,13 +103,29 @@ def _manifest_row(spark, fs, path, max_files_per_bucket, max_versions):
     for v in versions:
         doc = _doc_at(spark, path, v)
         live_labels |= {str(dv) for dv in doc["buckets"].values()}
+    # one glob per LIVE label (labels <= commits, usually << buckets)
+    # instead of a listStatus round-trip per live bucket dir — 256 buckets
+    # over 11 labels cost 11 py4j calls, not 256, and a full-stage-tree
+    # glob (which also walks every historical version's dirs) is avoided
+    current = {(str(label), int(b)) for b, label in mapping.items()}
     n_files = n_bytes = 0
-    worst_bucket_files = 0
-    for b, label in mapping.items():
-        nf, nb = _du(spark, fs, f"{path}/{STAGE_DIR}/v={label}/_bucket={b}")
-        n_files += nf
-        n_bytes += nb
-        worst_bucket_files = max(worst_bucket_files, nf)
+    per_bucket: dict[int, int] = {}
+    for label in sorted({label for label, _ in current}):
+        _, gpath = _fs_of(
+            spark, f"{path}/{STAGE_DIR}/v={label}/_bucket=*/*"
+        )
+        for st in fs.globStatus(gpath) or []:
+            p = st.getPath()
+            name = p.getName()
+            if name.startswith(("_", ".")) or st.isDirectory():
+                continue
+            b = int(p.getParent().getName().split("=", 1)[1])
+            if (label, b) not in current:
+                continue  # bucket superseded by a later commit (time travel)
+            n_files += 1
+            n_bytes += st.getLen()
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+    worst_bucket_files = max(per_bucket.values(), default=0)
     # orphan stage attempts: staged dirs no committed manifest points at
     # (crashed/lost-race writers) — vacuum's food
     orphans = 0
