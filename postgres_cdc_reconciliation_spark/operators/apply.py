@@ -586,38 +586,60 @@ def apply_stream(
             .distinct()
             .collect()
         ]
-        touched = delta_buckets
-        _, mapping = read_manifest(spark, target_path)
-        target = None
-        if mapping:
-            # bucket schemas are uniform within a snapshot (the evolution
-            # path below preserves the invariant), so one bucket's footer
-            # answers the new-column check without touching the rest
-            probe = read_buckets(spark, target_path, [sorted(mapping)[0]])
-            new_cols = [c for c in payload_cols if c not in probe.columns]
-            if new_cols and not evolve_schema:
-                raise ValueError(
-                    f"events carry columns {new_cols} absent from the target; "
-                    "pass evolve_schema=True (additive evolution) or fix the feed"
+        # base_version + bounded retry: the stream is no longer guaranteed
+        # to be the target's ONLY writer — the DML verbs (delete_keys/
+        # delete_where/update_where) and maintenance compact() run beside
+        # it. A commit that ignored an interleaved writer would silently
+        # revert its rows (resurrect deleted keys); carrying the read
+        # version turns that into the lost-the-race IOError, and the loser
+        # re-reads + re-merges — the same idempotent re-merge its
+        # crash-replay contract already performs.
+        for attempt in range(5):
+            touched = delta_buckets
+            base_v, mapping = read_manifest(spark, target_path)
+            target = None
+            if mapping:
+                # bucket schemas are uniform within a snapshot (the evolution
+                # path below preserves the invariant), so one bucket's footer
+                # answers the new-column check without touching the rest
+                probe = read_buckets(spark, target_path, [sorted(mapping)[0]])
+                new_cols = [c for c in payload_cols if c not in probe.columns]
+                if new_cols and not evolve_schema:
+                    raise ValueError(
+                        f"events carry columns {new_cols} absent from the "
+                        "target; pass evolve_schema=True (additive evolution) "
+                        "or fix the feed"
+                    )
+                if new_cols:
+                    # schema change: merge + commit EVERY live bucket in this
+                    # one snapshot so the uniform-schema invariant holds (a
+                    # touched-only commit would mix footers across bucket dirs)
+                    target = read_snapshot(spark, target_path, version=base_v)
+                    touched = sorted(set(mapping) | set(delta_buckets))
+                else:
+                    target = read_buckets(spark, target_path, delta_buckets)
+            if target is None:  # first commit, or all touched buckets empty:
+                # empty target with the delta's payload schema
+                target = batch_df.limit(0).drop(
+                    "op", "source_lsn", "ts_ms", "__deleted"
                 )
-            if new_cols:
-                # schema change: merge + commit EVERY live bucket in this one
-                # snapshot so the uniform-schema invariant holds (a touched-
-                # only commit would mix footers across bucket dirs)
-                target = read_snapshot(spark, target_path)
-                touched = sorted(set(mapping) | set(delta_buckets))
-            else:
-                target = read_buckets(spark, target_path, delta_buckets)
-        if target is None:  # first commit, or all touched buckets empty:
-            # empty target with the delta's payload schema
-            target = batch_df.limit(0).drop(
-                "op", "source_lsn", "ts_ms", "__deleted"
-            )
-        merged = apply_batch(
-            target, batch_df, key_cols, evolve_schema=evolve_schema
-        ).localCheckpoint(eager=True)
+            merged = apply_batch(
+                target, batch_df, key_cols, evolve_schema=evolve_schema
+            ).localCheckpoint(eager=True)
+            try:
+                commit_delta(
+                    merged,
+                    target_path,
+                    key_cols,
+                    touched,
+                    n_buckets,
+                    base_version=None if base_v < 0 else base_v,
+                )
+                break
+            except IOError:
+                if attempt == 4:
+                    raise  # persistent contention: fail the batch loudly
         _audit_drops(batch_df, batch_id)
-        commit_delta(merged, target_path, key_cols, touched, n_buckets)
         if frontier_path is not None:
             append_frontier(batch_df, frontier_path, batch_id)
 

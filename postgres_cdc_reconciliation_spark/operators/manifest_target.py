@@ -550,20 +550,34 @@ def compact(
     file per bucket dir. Runs as a normal commit: stage-write, atomic
     manifest rename — readers never see a half-compacted table, in-flight
     readers of old versions are untouched, and ``vacuum`` reclaims the
-    superseded dirs. Returns the committed version."""
+    superseded dirs. Returns the committed version.
+
+    Carries ``base_version``: compaction typically runs from a
+    MAINTENANCE process beside live writers (the exact deployment
+    ``maintenance_report`` advises), and a full-snapshot commit that
+    ignored an interleaved writer would silently revert its rows — the
+    worst possible lost update, the whole table at once. A racing commit
+    therefore surfaces as the documented lost-the-race IOError; re-run
+    the compaction (it re-reads the new snapshot)."""
     from .apply import bucket_expr
 
     v, mapping = read_manifest(spark, root)
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {root}")
-    snap = read_snapshot(spark, root)
+    snap = read_snapshot(spark, root, version=v)
     if mapping:
         snap = snap.repartition(len(mapping), bucket_expr(key_cols, n_buckets))
     # an EMPTY committed table (all keys deleted) still compacts: the
     # full-snapshot commit re-stamps n_buckets and lets vacuum retire the
     # superseded delete-era stage dirs
     return commit_delta(
-        snap, root, key_cols, sorted(mapping), n_buckets, full_snapshot=True
+        snap,
+        root,
+        key_cols,
+        sorted(mapping),
+        n_buckets,
+        full_snapshot=True,
+        base_version=v,
     )
 
 

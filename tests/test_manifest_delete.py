@@ -426,3 +426,111 @@ class TestRandomizedInterleaving:
         # ops that returned an already-owned version (true no-ops) and
         # version owners together account for every record
         assert sum(len(v) for v in by_version.values()) == len(records)
+
+
+class TestMaintenanceRaces:
+    """compact() and the apply stream's manifest merge both read a
+    snapshot and commit later — round 12 carries base_version through
+    both, so a writer landing in the window surfaces as the
+    lost-the-race IOError (compact) or an automatic re-merge (stream)
+    instead of a silent whole-table revert."""
+
+    def test_compact_loses_race_to_interleaved_writer(
+        self, spark, tmp_path_factory, monkeypatch
+    ):
+        from postgres_cdc_reconciliation_spark.operators import (
+            manifest_target as mt,
+        )
+
+        root = str(tmp_path_factory.mktemp("cr"))
+        _commit_range(spark, root, n=60)
+        real_read_snapshot = mt.read_snapshot
+
+        def read_then_interleave(spark_, root_, version=None):
+            snap = real_read_snapshot(spark_, root_, version=version)
+            # a writer lands AFTER compact's read, BEFORE its commit
+            delete_keys(spark_, root_, ["k"], [7])
+            return snap
+
+        monkeypatch.setattr(mt, "read_snapshot", read_then_interleave)
+        with pytest.raises(IOError, match="lost the race"):
+            mt.compact(spark, root, ["k"], N_BUCKETS)
+        monkeypatch.undo()
+        # the interleaved delete SURVIVED (nothing reverted), and a clean
+        # re-run of the compaction succeeds on the new snapshot
+        left = {r["k"] for r in read_snapshot(spark, root).collect()}
+        assert 7 not in left and len(left) == 59
+        mt.compact(spark, root, ["k"], N_BUCKETS)
+        left2 = {r["k"] for r in read_snapshot(spark, root).collect()}
+        assert left2 == left
+
+    def test_apply_stream_remerges_past_interleaved_delete(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A delete_keys landing between the stream merge's read and its
+        commit must NOT be resurrected: the merge loses the race, re-reads
+        the post-delete snapshot and re-merges its batch on top."""
+        import json as _json
+
+        from postgres_cdc_reconciliation_spark.operators import apply as ap
+        from postgres_cdc_reconciliation_spark.operators import (
+            manifest_target as mt,
+        )
+
+        target = str(tmp_path / "t")
+        # seed the target with keys 0..9
+        seed = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "order_id long, val string"
+        )
+        mt.commit_delta(seed, target, ["order_id"], list(range(4)), 4)
+
+        fired = {"n": 0}
+        real_read_buckets = mt.read_buckets
+
+        def read_then_interleave(spark_, root_, buckets):
+            out = real_read_buckets(spark_, root_, buckets)
+            if fired["n"] == 0:  # interleave exactly once (first attempt)
+                fired["n"] += 1
+                mt.delete_keys(spark_, root_, ["order_id"], [9])
+            return out
+
+        monkeypatch.setattr(ap, "read_buckets", read_then_interleave, raising=False)
+        monkeypatch.setattr(mt, "read_buckets", read_then_interleave)
+
+        src = tmp_path / "in"
+        src.mkdir()
+        # the batch upserts key 0 only — key 9's delete must persist
+        with open(src / "b0.json", "w") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "op": "u",
+                        "order_id": 0,
+                        "val": "v0b",
+                        "source_lsn": "0/10",
+                        "ts_ms": 1,
+                        "__deleted": "false",
+                    }
+                )
+                + "\n"
+            )
+        events = spark.readStream.schema(
+            "op string, order_id long, val string, source_lsn string, "
+            "ts_ms long, __deleted string"
+        ).json(str(src))
+        q = ap.apply_stream(
+            events,
+            target,
+            ["order_id"],
+            str(tmp_path / "ck"),
+            protocol="manifest",
+            n_buckets=4,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        got = {
+            r["order_id"]: r["val"]
+            for r in mt.read_snapshot(spark, target).collect()
+        }
+        assert fired["n"] == 1  # the race actually happened
+        assert 9 not in got  # the interleaved delete was NOT resurrected
+        assert got[0] == "v0b"  # and the batch's own upsert landed
