@@ -261,6 +261,8 @@ class TestRandomizedInterleaving:
         if kind == "upsert":
             for k, v in arg:
                 out[k] = v
+        elif kind == "compact":
+            pass  # full-snapshot rewrite: content-identity by contract
         elif kind == "delete_keys":
             for k in arg:
                 out.pop(k, None)
@@ -309,9 +311,20 @@ class TestRandomizedInterleaving:
                 merged, root, ["k"], touched, N_BUCKETS, base_version=v
             )
 
+        from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+            compact,
+        )
+
         for i in range(self.N_OPS_PER_WRITER):
-            choice = rng.randrange(4)
-            if choice == 0:
+            choice = rng.randrange(5)
+            if choice == 4:
+                # maintenance compaction racing the DML writers — must be
+                # content-identity at whatever version it lands on
+                op, call = (
+                    ("compact", None),
+                    lambda: compact(spark, root, ["k"], N_BUCKETS),
+                )
+            elif choice == 0:
                 kv = tuple(
                     (rng.randrange(300), float(rng.randrange(10_000)))
                     for _ in range(rng.randrange(1, 6))
