@@ -565,6 +565,7 @@ def apply_stream(
 
     def _merge_manifest(batch_df: DataFrame, batch_id: int) -> None:
         from .manifest_target import (
+            LostRaceError,
             commit_delta,
             read_buckets,
             read_manifest,
@@ -623,9 +624,15 @@ def apply_stream(
                 target = batch_df.limit(0).drop(
                     "op", "source_lsn", "ts_ms", "__deleted"
                 )
+            # No localCheckpoint here (unlike the overwrite path): the merge
+            # plan reads only IMMUTABLE stage dirs pinned by explicit path
+            # (read_buckets), so the stage write inside commit_delta is the
+            # single safe materialization pass — a pre-checkpoint would add
+            # a full block-manager round-trip per attempt and leak blocks
+            # across retries (ADVICE r12).
             merged = apply_batch(
                 target, batch_df, key_cols, evolve_schema=evolve_schema
-            ).localCheckpoint(eager=True)
+            )
             try:
                 commit_delta(
                     merged,
@@ -633,10 +640,19 @@ def apply_stream(
                     key_cols,
                     touched,
                     n_buckets,
-                    base_version=None if base_v < 0 else base_v,
+                    # unconditional: for a first commit base_v is -1 and
+                    # commit_delta's current_v != base_version check turns a
+                    # concurrent v0 winner into the retried LostRaceError.
+                    # (base_version=None here disabled the guard for the
+                    # target's FIRST commit — a racing writer's v0 rows were
+                    # silently reverted by our v1. ADVICE r12.)
+                    base_version=base_v,
                 )
                 break
-            except IOError:
+            except LostRaceError:
+                # ONLY the optimistic-concurrency loss is retriable; any
+                # other IO fault (disk, permissions, torn manifest) must
+                # fail the batch loudly rather than be re-merged 5 times.
                 if attempt == 4:
                     raise  # persistent contention: fail the batch loudly
         _audit_drops(batch_df, batch_id)

@@ -67,6 +67,17 @@ MANIFEST_DIR = "_manifests"
 STAGE_DIR = "stage"
 
 
+class LostRaceError(IOError):
+    """A commit lost an optimistic-concurrency race: either the snapshot
+    advanced between the caller's read and its commit (stale
+    ``base_version``), or another writer won the create-exclusive
+    manifest write for the same version. The winner's committed data is
+    untouched; the correct response is re-read + re-merge + retry.
+    Subclasses IOError for backward compatibility, but retry loops should
+    catch THIS type — a bare ``except IOError`` also swallows transient
+    OS/filesystem faults that deserve to surface (ADVICE r12)."""
+
+
 def _fs(spark: SparkSession, path: str):
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
@@ -361,7 +372,7 @@ def commit_delta(
         # stale base: another writer committed since the caller read its
         # prior content — fail BEFORE staging (nothing to clean up), same
         # contract as losing the rename race
-        raise IOError(
+        raise LostRaceError(
             f"commit to {root} lost the race: snapshot advanced from "
             f"v{base_version} (the caller's read) to v{current_v} — "
             "re-read the new snapshot and re-merge"
@@ -455,7 +466,7 @@ def commit_delta(
 
 
 def _lost_race_error(new_v: int, root: str) -> IOError:
-    return IOError(
+    return LostRaceError(
         f"manifest commit lost the race for v{new_v} at {root}: "
         "another writer committed this version first — re-read the "
         "snapshot and re-merge (this attempt's stage dir is orphaned "
@@ -922,6 +933,21 @@ def delete_keys(
     rows = [k if isinstance(k, tuple) else (k,) for k in keys]
     if any(len(r) != len(key_cols) for r in rows):
         raise ValueError(f"every key must carry {len(key_cols)} value(s)")
+    if any(v is None for r in rows for v in r):
+        # A NULL among the requested keys would make the two delete paths
+        # DISAGREE: `x IN (..., NULL)` is NULL for every non-matching row,
+        # so the isin fast path's `isNull | ~isin` filter would drop ALL
+        # non-requested rows in the touched buckets (silent mass delete),
+        # while the anti-join path treats a NULL key as matching nothing.
+        # NULL is not a key under the apply contract anyway (last-per-key
+        # needs key equality); reject loudly instead of guessing (ADVICE
+        # r12).
+        raise ValueError(
+            "delete_keys: key values must not be None — NULL never equals "
+            "a stored key (SQL semantics), so a NULL key cannot name a row "
+            "to delete; filter Nones out, or use delete_where with an "
+            "explicit IS NULL predicate"
+        )
     keys_df = spark.createDataFrame(rows, key_cols)
     wanted = sorted(
         r["_b"]

@@ -53,6 +53,110 @@ def _suite_fingerprint(constraints: list[dict]) -> str:
     return json.dumps(normalized, sort_keys=True, default=str)
 
 
+def _check_or_stamp_suite(spark, path: str, fp: str) -> None:
+    """Verify (or first-stamp) the suite fingerprint at ``{path}/_suite.json``.
+
+    Arbitration is CREATE-EXCLUSIVE (``FileSystem.create(path,
+    overwrite=false)``), the same one-winner protocol as the manifest
+    commit: two streams first-building the same state path concurrently
+    each try the create, exactly one wins, and the loser falls through to
+    the read-and-compare — a loser presenting a DIFFERENT suite fails
+    loudly instead of silently overwriting the winner's stamp (ADVICE
+    r12's check-then-write race).
+
+    Legacy compatibility: state dirs stamped by the old parquet protocol
+    (``{path}/_suite/`` with ``_SUCCESS``) are still verified against, and
+    re-stamped into the JSON form only when they MATCH. A state dir with
+    committed counter versions but NO fingerprint at all predates the
+    guard — it is NOT silently adopted (the counters may have been built
+    by any suite); fail with the explicit remediation instead.
+    """
+    fs, _ = _fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+
+    def _mismatch(persisted: str) -> ValueError:
+        return ValueError(
+            f"constraint state at {path} was built with a different "
+            "suite — counters are positional by cid and cannot be "
+            "merged across suite changes; start a new state path (or "
+            "re-verify from scratch) when the suite changes.\n"
+            f"persisted: {persisted}\ncurrent:   {fp}"
+        )
+
+    def _read_json_stamp() -> str:
+        stream = fs.open(jpath(f"{path}/_suite.json"))
+        try:
+            raw = bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+        return json.loads(raw)["fingerprint"]
+
+    _, stamp = _fs(spark, f"{path}/_suite.json")
+    if fs.exists(stamp):
+        persisted = _read_json_stamp()
+        if persisted != fp:
+            raise _mismatch(persisted)
+        return
+    # legacy parquet stamp: verify, then migrate matching dirs to JSON
+    _, legacy_ok = _fs(spark, f"{path}/_suite/_SUCCESS")
+    if fs.exists(legacy_ok):
+        persisted = (
+            spark.read.parquet(f"{path}/_suite").collect()[0]["fingerprint"]
+        )
+        if persisted != fp:
+            raise _mismatch(persisted)
+    elif _committed(spark, path):
+        raise ValueError(
+            f"constraint state at {path} has committed counters but no "
+            "suite fingerprint — it predates the suite guard, and the "
+            "suite that built those counters cannot be verified. Either "
+            "re-verify from a fresh state path, or — if you are CERTAIN "
+            "the suite is unchanged — opt in explicitly with "
+            "stamp_suite(spark, path, constraints) before starting the "
+            "stream (silently adopting unverified counters was ADVICE "
+            "r12's retro-stamp hazard)"
+        )
+    fs.mkdirs(jpath(path))
+    doc = json.dumps({"fingerprint": fp}).encode("utf-8")
+    try:
+        out = fs.create(stamp, False)
+    except Exception as e:
+        if "AlreadyExists" in str(e) or "already exists" in str(e):
+            # lost the first-stamp race: the winner's suite is the frozen
+            # one — re-read and compare against it
+            persisted = _read_json_stamp()
+            if persisted != fp:
+                raise _mismatch(persisted)
+            return
+        raise
+    try:
+        out.write(bytearray(doc))
+    finally:
+        out.close()
+
+
+def stamp_suite(spark, path: str, constraints: list[dict]) -> None:
+    """EXPLICIT opt-in for legacy state dirs: force-write the suite
+    fingerprint for ``constraints`` at ``{path}/_suite.json``, overwriting
+    any prior stamp. Only for state built BEFORE the fingerprint guard
+    existed, where the operator can vouch the suite never changed —
+    everywhere else the stream stamps (create-exclusively) on first build
+    and this function must not be used to silence a genuine mismatch."""
+    fs, stamp = _fs(spark, f"{path}/_suite.json")
+    fs.mkdirs(spark._jvm.org.apache.hadoop.fs.Path(path))
+    out = fs.create(stamp, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"fingerprint": _suite_fingerprint(constraints)}
+                ).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+
+
 def current_certificate(spark, path: str) -> DataFrame | None:
     """Latest committed certificate (same schema as batch
     check_constraints) — None before the first commit."""
@@ -104,27 +208,12 @@ def constraint_stream(
     # Freeze the suite identity next to the state: counters are keyed by
     # positional cid, so restarting with a modified/reordered suite would
     # silently merge one constraint's counts into another (or drop removed
-    # cids through the merge join). First build persists the fingerprint;
+    # cids through the merge join). First build persists the fingerprint
+    # CREATE-EXCLUSIVELY (same arbitration as the manifest commit, ADVICE
+    # r12 — the old check-then-write let two concurrent first-builds with
+    # DIFFERENT suites both stamp, last-writer-wins, defeating the guard);
     # every later build must present the identical suite or fail loudly.
-    fp = _suite_fingerprint(constraints)
-    fs, _ = _fs(spark, path)
-    _, suite_ok = _fs(spark, f"{path}/_suite/_SUCCESS")
-    if fs.exists(suite_ok):
-        persisted = (
-            spark.read.parquet(f"{path}/_suite").collect()[0]["fingerprint"]
-        )
-        if persisted != fp:
-            raise ValueError(
-                f"constraint state at {path} was built with a different "
-                "suite — counters are positional by cid and cannot be "
-                "merged across suite changes; start a new state path (or "
-                "re-verify from scratch) when the suite changes.\n"
-                f"persisted: {persisted}\ncurrent:   {fp}"
-            )
-    else:
-        spark.createDataFrame([(fp,)], "fingerprint string").coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{path}/_suite")
+    _check_or_stamp_suite(spark, path, _suite_fingerprint(constraints))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         versions = _committed(spark, path)

@@ -236,6 +236,25 @@ class TestNullKeyRows:
         assert got_fast == got_anti
         assert (None, "nullrow") in got_fast
 
+    def test_none_in_requested_keys_rejected(self, spark, tmp_path_factory):
+        # a None among the REQUESTED keys poisons the isin fast path:
+        # `x IN (..., NULL)` is NULL for non-matching rows, so
+        # `isNull | ~isin` would silently mass-delete every non-requested
+        # row in the touched buckets, while the anti-join path no-ops the
+        # NULL — reject up front so the paths can't diverge (ADVICE r12)
+        root = str(tmp_path_factory.mktemp("dknone"))
+        v0 = self._commit_with_null(spark, root)
+        with pytest.raises(ValueError, match="must not be None"):
+            delete_keys(spark, root, ["k"], [0, None, 2])  # isin regime
+        with pytest.raises(ValueError, match="must not be None"):
+            delete_keys(  # anti-join regime (>2048 keys)
+                spark, root, ["k"], [None] + list(range(10_000, 12_100))
+            )
+        # nothing was deleted and no version was committed by either probe
+        assert read_snapshot(spark, root).count() == 4
+        hist = describe_history(spark, root).collect()
+        assert max(r["version"] for r in hist) == v0
+
 
 class TestRandomizedInterleaving:
     """N concurrent writers x {upserts, delete_keys, delete_where,
@@ -547,3 +566,128 @@ class TestMaintenanceRaces:
         assert fired["n"] == 1  # the race actually happened
         assert 9 not in got  # the interleaved delete was NOT resurrected
         assert got[0] == "v0b"  # and the batch's own upsert landed
+
+    def test_apply_stream_first_commit_races_interleaved_v0(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """base_version is carried even for the target's FIRST commit: a
+        writer committing v0 between the stream's read_manifest (which saw
+        -1, no snapshot) and its commit must surface as the lost race, not
+        be silently reverted. Under the old base_version=None-when-v<0
+        wiring the stream's v1 — merged from an EMPTY base — replaced the
+        interleaved writer's bucket mapping for every touched bucket
+        (ADVICE r12). The seeded key is chosen to hash into the SAME
+        bucket as the stream's key so the revert would actually bite."""
+        import json as _json
+
+        from postgres_cdc_reconciliation_spark.operators import apply as ap
+        from postgres_cdc_reconciliation_spark.operators import (
+            manifest_target as mt,
+        )
+        from postgres_cdc_reconciliation_spark.operators.apply import (
+            bucket_expr,
+        )
+
+        target = str(tmp_path / "t")
+        n_buckets = 4
+        # pick a seed key colliding with the stream key 0's bucket
+        probe = spark.createDataFrame(
+            [(k,) for k in range(1, 64)], "order_id long"
+        ).select("order_id", bucket_expr(["order_id"], n_buckets).alias("b"))
+        b0 = (
+            spark.createDataFrame([(0,)], "order_id long")
+            .select(bucket_expr(["order_id"], n_buckets).alias("b"))
+            .first()["b"]
+        )
+        seed_key = probe.where(F.col("b") == b0).first()["order_id"]
+
+        fired = {"n": 0}
+        real_read_manifest = mt.read_manifest
+
+        def read_then_interleave(spark_, root_):
+            v, mapping = real_read_manifest(spark_, root_)
+            if root_ == target and v < 0 and fired["n"] == 0:
+                fired["n"] += 1
+                seed = spark.createDataFrame(
+                    [(seed_key, "seeded")], "order_id long, val string"
+                )
+                mt.commit_delta(
+                    seed, target, ["order_id"], [int(b0)], n_buckets
+                )
+            return v, mapping
+
+        monkeypatch.setattr(mt, "read_manifest", read_then_interleave)
+
+        src = tmp_path / "in"
+        src.mkdir()
+        with open(src / "b0.json", "w") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "op": "c",
+                        "order_id": 0,
+                        "val": "v0",
+                        "source_lsn": "0/10",
+                        "ts_ms": 1,
+                        "__deleted": "false",
+                    }
+                )
+                + "\n"
+            )
+        events = spark.readStream.schema(
+            "op string, order_id long, val string, source_lsn string, "
+            "ts_ms long, __deleted string"
+        ).json(str(src))
+        q = ap.apply_stream(
+            events,
+            target,
+            ["order_id"],
+            str(tmp_path / "ck"),
+            protocol="manifest",
+            n_buckets=n_buckets,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        got = {
+            r["order_id"]: r["val"]
+            for r in mt.read_snapshot(spark, target).collect()
+        }
+        assert fired["n"] == 1  # the race actually happened
+        # the interleaved v0 writer's row SURVIVED the stream's re-merge
+        assert got == {seed_key: "seeded", 0: "v0"}
+
+
+class TestLostRaceErrorNarrowing:
+    """The retriable signal is a dedicated type: a bare `except IOError`
+    in the apply retry loop also swallowed transient OS/filesystem faults
+    (== OSError in py3) and re-merged them 5 times (ADVICE r12)."""
+
+    def test_type_and_raise_sites(self, spark, tmp_path_factory):
+        from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+            LostRaceError,
+        )
+
+        assert issubclass(LostRaceError, IOError)  # compat with old catches
+        root = str(tmp_path_factory.mktemp("lr"))
+        v0 = _commit_range(spark, root, n=20)
+        df = read_snapshot(spark, root).limit(1)
+        # stale base_version -> LostRaceError (not a bare IOError)
+        with pytest.raises(LostRaceError, match="lost the race"):
+            commit_delta(
+                df, root, ["k"], list(range(N_BUCKETS)), N_BUCKETS,
+                base_version=v0 - 1,
+            )
+        # first-commit semantics: base_version=-1 against an EXISTING
+        # snapshot is also the lost race (the apply stream passes its read
+        # version unconditionally, -1 included)
+        with pytest.raises(LostRaceError, match="lost the race"):
+            commit_delta(
+                df, root, ["k"], list(range(N_BUCKETS)), N_BUCKETS,
+                base_version=-1,
+            )
+        # ...and on a genuinely fresh target, base_version=-1 commits fine
+        fresh = str(tmp_path_factory.mktemp("lrf"))
+        v = commit_delta(
+            df, fresh, ["k"], list(range(N_BUCKETS)), N_BUCKETS,
+            base_version=-1,
+        )
+        assert v == 0

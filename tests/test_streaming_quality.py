@@ -379,6 +379,68 @@ class TestSuiteFingerprint:
             constraint_stream(events, str(tmp_path / "dq"),
                               str(tmp_path / "ck_d"), SUITE[:-1])
 
+    def test_first_stamp_is_create_exclusive(self, spark, tmp_path):
+        """The fingerprint write is arbitrated by create-exclusive, not
+        check-then-write: once ANY suite is stamped, a different suite
+        loses (ADVICE r12's two-concurrent-first-builds race — simulated
+        here by stamping first, then presenting the loser's build, which
+        under the old exists()-check-then-overwrite would have won)."""
+        from postgres_cdc_reconciliation_spark.streaming.quality import (
+            _check_or_stamp_suite,
+            _suite_fingerprint,
+        )
+
+        path = str(tmp_path / "dqx")
+        _check_or_stamp_suite(spark, path, _suite_fingerprint(SUITE))
+        src = tmp_path / "in"
+        _write_batches(src, [[{"email": "a@x.com", "age": 1,
+                               "status": "active"}]])
+        events = (
+            spark.readStream.schema("email string, age long, status string")
+            .json(str(src))
+        )
+        changed = [dict(c) for c in SUITE]
+        changed[1] = {"kind": "between", "col": "age", "lo": 0, "hi": 99}
+        with pytest.raises(ValueError, match="different\\s+suite"):
+            constraint_stream(events, path, str(tmp_path / "ck_x"), changed)
+        # idempotent re-stamp of the SAME suite is fine (the lost-race
+        # re-read path compares equal and returns)
+        _check_or_stamp_suite(spark, path, _suite_fingerprint(SUITE))
+
+    def test_legacy_unstamped_state_needs_explicit_optin(self, spark, tmp_path):
+        """A state dir with committed counters but NO fingerprint predates
+        the guard; it must NOT be silently retro-stamped with whatever
+        suite the next build presents (ADVICE r12) — the operator opts in
+        via stamp_suite."""
+        import shutil
+
+        from postgres_cdc_reconciliation_spark.streaming.quality import (
+            stamp_suite,
+        )
+
+        _run(spark, tmp_path, [B0])
+        dq = tmp_path / "dq"
+        # erase every fingerprint form -> a pre-guard legacy state dir
+        for legacy in (dq / "_suite", dq / "_suite.json"):
+            if legacy.is_dir():
+                shutil.rmtree(legacy)
+            elif legacy.exists():
+                legacy.unlink()
+        src = tmp_path / "in"
+        events = (
+            spark.readStream.schema("email string, age long, status string")
+            .json(str(src))
+        )
+        with pytest.raises(ValueError, match="no\\s+suite\\s+fingerprint"):
+            constraint_stream(events, str(dq), str(tmp_path / "ck_l"), SUITE)
+        stamp_suite(spark, str(dq), SUITE)  # explicit operator opt-in
+        q = (
+            constraint_stream(events, str(dq), str(tmp_path / "ck_l2"), SUITE)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert current_counters(spark, str(dq)) is not None
+
 
 def test_quarantine_leaves_session_conf_untouched(spark, tmp_path):
     """The sinks use per-write partitionOverwriteMode options — the
