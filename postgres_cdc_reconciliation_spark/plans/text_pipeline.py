@@ -1006,7 +1006,11 @@ FROM m""",
     "flag is pure integer arithmetic (nd*100 >= n*32 etc.) so no float "
     "boundary can diverge between engines; ratios are single int/int IEEE "
     "divisions. Map-only plan: every metric is partition-local array math "
-    "(no explode, no shuffle) — at 100 TB this runs at scan speed.",
+    "(no explode, no shuffle) — at 100 TB this runs at scan speed. "
+    "mode_freq is the longest equal run of sort_array(w) — O(n log n) per "
+    "doc; the old transform(distinct, tk -> count-matches) form was "
+    "O(n_distinct x n_tokens), ~1e10 comparisons inside ONE row's "
+    "expression eval for a single 100k-token document (VERDICT r12 #2).",
 )
 def q_repetition(spark, sf_dir):
     d = _docs(spark, sf_dir)
@@ -1018,8 +1022,23 @@ def q_repetition(spark, sf_dir):
         F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
     ).withColumn(
         "mode_freq",
-        F.array_max(
-            F.expr("transform(array_distinct(w), tk -> size(filter(w, x -> x = tk)))")
+        # max token multiplicity == longest equal run after sorting: one
+        # O(n log n) sort + one O(n) fold, instead of a quadratic
+        # count-per-distinct-token. `<=>` (null-safe equal) makes the
+        # first-element compare against the NULL seed well-defined; split()
+        # never yields NULL elements, so runs are over real tokens only.
+        F.expr(
+            "aggregate("
+            " sort_array(w),"
+            " struct(cast(null as string) as prev,"
+            "        cast(0 as bigint) as run,"
+            "        cast(0 as bigint) as best),"
+            " (acc, x) -> struct("
+            "   x as prev,"
+            "   if(acc.prev <=> x, acc.run + 1, cast(1 as bigint)) as run,"
+            "   greatest(acc.best,"
+            "     if(acc.prev <=> x, acc.run + 1, cast(1 as bigint))) as best),"
+            " acc -> acc.best)"
         ).cast("long"),
     ).withColumn(
         "n_2grams", (F.col("n_tokens") - 1).cast("long")
@@ -1082,10 +1101,20 @@ SELECT token, freq, rank,
 FROM ranked""",
     doc="[EXT] corpus vocabulary statistics: global token frequencies, "
     "frequency rank (ties broken by token), cumulative coverage share — the "
-    "table a tokenizer-training step reads. Scale shape: explode is "
-    "partition-local, the groupBy is map-side combinable, and the single "
-    "global window runs over the *vocabulary* (tiny vs corpus — Zipf), not "
-    "the corpus; cum_share is a ratio of exact BIGINTs.",
+    "table a tokenizer-training step reads. Scale shape (VERDICT r12 #1): "
+    "the old single global Window.orderBy pushed the ENTIRE vocabulary "
+    "through one task — fatal at 100 TB of web text, where distinct "
+    "whitespace tokens (URLs, hashes, typos) run to billions. Now a "
+    "range-partitioned two-pass prefix sum: repartitionByRange on "
+    "(freq desc, token) gives globally ordered partitions; pass 1 is one "
+    "bounded job collecting per-partition (count, sum) subtotals — one row "
+    "PER PARTITION, never per token; the driver folds them into rank/"
+    "cumulative offsets broadcast back; pass 2 windows WITHIN each range "
+    "partition and adds the offsets. No single-partition Exchange "
+    "anywhere (pinned in tests/test_plan_audit.py). The explicit "
+    "numPartitions pins the RangePartitioner (AQE never coalesces "
+    "user-specified repartitions), so both passes see identical, "
+    "deterministically-sampled boundaries.",
 )
 def q_vocab_coverage(spark, sf_dir):
     from pyspark.sql import Window
@@ -1096,17 +1125,44 @@ def q_vocab_coverage(spark, sf_dir):
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("freq"))
     )
-    w_rank = Window.orderBy(F.desc("freq"), F.asc("token"))
-    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    return freq.select(
-        "token",
-        "freq",
-        F.row_number().over(w_rank).cast("long").alias("rank"),
-        (
-            F.sum("freq").over(w_cum).cast("double")
-            / F.sum("freq").over(w_all).cast("double")
-        ).alias("cum_share"),
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = freq.repartitionByRange(
+        n_parts, F.desc("freq"), F.asc("token")
+    ).withColumn("_pid", F.spark_partition_id())
+    # pass 1: per-partition subtotals — O(n_parts) rows to the driver
+    stats = sorted(
+        ranged.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"), F.sum("freq").alias("_sum"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    total = sum(r["_sum"] for r in stats)
+    offsets, rank_off, cum_off = [], 0, 0
+    for r in stats:
+        offsets.append((r["_pid"], rank_off, cum_off))
+        rank_off += r["_cnt"]
+        cum_off += r["_sum"]
+    off_df = spark.createDataFrame(
+        offsets, "_pid int, _rank_off bigint, _cum_off bigint"
+    )
+    # pass 2: window per RANGE partition (hash shuffle on _pid keeps each
+    # partition's rows in one task at range-partition granularity), then
+    # shift by the broadcast offsets — value-identical to the global window
+    w_local = Window.partitionBy("_pid").orderBy(F.desc("freq"), F.asc("token"))
+    w_cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            "token",
+            "freq",
+            (F.row_number().over(w_local) + F.col("_rank_off"))
+            .cast("long")
+            .alias("rank"),
+            (
+                (F.sum("freq").over(w_cum) + F.col("_cum_off")).cast("double")
+                / F.lit(total).cast("double")
+            ).alias("cum_share"),
+        )
     )
 
 

@@ -500,3 +500,63 @@ def test_round12_stats_join_cached_plan_shape(spark, sf_dir):
         plan = _plan(qs["q_stats_join"].fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_no_single_partition_exchange(spark, sf_dir):
+    """VERDICT r12 #1: the vocabulary rank/cumulative-share query must
+    never funnel the whole vocabulary through one task. The two-pass
+    prefix sum windows WITHIN range partitions (hash Exchange on _pid) —
+    the plan must contain no SinglePartition Exchange and no
+    empty-partition-spec Window."""
+    qs = all_queries()
+    plan = _plan(qs["q_vocab_coverage"].fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "SinglePartition" not in plan
+    # the windows are partitioned by the range-partition id
+    assert "_pid" in plan
+    # and the offsets come back as a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_mode_freq_is_sorted_run(spark, sf_dir):
+    """VERDICT r12 #2: mode_freq must be the O(n log n) sorted-run fold,
+    not the quadratic count-per-distinct-token transform — a single
+    100k-token document would cost ~1e10 comparisons inside one row's
+    expression eval. Map-only shape: no Exchange at all."""
+    qs = all_queries()
+    plan = _plan(qs["q_repetition"].fn(spark, sf_dir))
+    assert "sort_array" in plan
+    # the quadratic form iterated filter(w, ...) once per distinct token
+    assert "filter(w" not in plan.replace("Filter", "filter_")
+    assert "Exchange" not in plan  # runs at scan speed
+
+
+def test_repetition_mode_freq_values(spark, sf_dir):
+    """The sorted-run fold is value-identical to multiplicity counting on
+    crafted docs (ties, singleton, all-same, mode at array ends)."""
+    from collections import Counter
+
+    from postgres_cdc_reconciliation_spark.plans.registry import all_queries
+
+    docs = [
+        (1, "a b a c a"),            # mode 'a' x3
+        (2, "z"),                    # singleton -> 1
+        (3, "x x x x"),              # all same -> 4
+        (4, "b a a b"),              # tie at 2
+        (5, "c b a a b c"),          # tie at 2, mode not first sorted
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, t, "en", 0, 0.0) for i, t in docs],
+            "doc_id long, text string, lang string, length long, score double",
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: r["mode_token_share"]
+            for r in all_queries()["q_repetition"].fn(spark, tmp).collect()
+        }
+    for i, t in docs:
+        toks = t.split(" ")
+        expect = max(Counter(toks).values()) / len(toks)
+        assert abs(got[i] - expect) < 1e-12, (i, got[i], expect)
