@@ -1031,6 +1031,18 @@ class Engine:
 
         return maintenance_report(self.spark, paths, **thresholds)
 
+    def maintain(self, paths, dry_run=True, **kw) -> DataFrame:
+        """Execute (or, with dry_run=True, plan) the maintenance that
+        maintenance_report says is due: manifest compact/vacuum run live
+        under the lost-the-race commit guard; index/batch-store/clustered
+        compactions write to {path}__compacted and swap in (backup kept at
+        {path}__pre_compact — offline tiers, run in a maintenance window);
+        stale sidecars are append-restamped; stream state is pruned. One
+        row per (path, action) with executed + detail."""
+        from .operators.maintenance import maintain
+
+        return maintain(self.spark, paths, dry_run=dry_run, **kw)
+
     def compact_text_index(self, src_path, dst_path) -> dict:
         """Compact an admitted text index (base + delta/v=K) into a fresh
         single-base index at dst_path; query-value-identical, O(1) dirs

@@ -430,3 +430,250 @@ def compact_batch_store(
     )
     out.write.mode("errorifexists").parquet(f"{dst_path}/batch=0")
     return spark.read.parquet(dst_path).count()
+
+
+#: maintain() result schema — one row per (path, action)
+MAINTAIN_SCHEMA = (
+    "path string, tier string, action string, executed boolean, "
+    "detail string"
+)
+
+#: advice-substring -> action id (the advice strings are authored in THIS
+#: module's row builders; tests/test_maintenance.py pins the mapping)
+_ADVICE_ACTIONS = (
+    ("compact(root", "manifest_compact"),
+    ("vacuum(root", "manifest_vacuum"),
+    ("semantic_index_compact(", "semantic_index_compact"),
+    ("text_index_compact(", "text_index_compact"),
+    ("compact_clustered(", "compact_clustered"),
+    ("compact_batch_store(", "compact_batch_store"),
+    ("lower keep_versions", "prune_stream_versions"),
+)
+
+
+def _sidecar_cols(doc: dict) -> list[str]:
+    """Recover the stamped column set from a sidecar doc: every form
+    (zonemap/bloom/ndv/hist) keys its per-file entries by column."""
+    cols: set = set()
+    for per in doc.get("files", {}).values():
+        cols |= set(per)
+    return sorted(cols)
+
+
+def _swap_in(spark, fs, path: str, dst: str) -> str:
+    """Atomic-ish cutover for the dir-swap tiers: rename the live dir to a
+    backup, rename the freshly compacted dir into its place. The backup is
+    KEPT (no-data-loss contract — the operator deletes it after
+    validating); returns the backup path. Plain-parquet tiers have no
+    manifest to arbitrate readers, so run swaps in a maintenance window —
+    the same offline-by-design note every *_compact docstring carries."""
+    backup = f"{path}__pre_compact"
+    _, jsrc = _fs_of(spark, path)
+    _, jdst = _fs_of(spark, dst)
+    _, jbak = _fs_of(spark, backup)
+    if fs.exists(jbak):
+        raise ValueError(
+            f"backup path {backup} already exists — a previous maintain() "
+            "swap was not cleaned up; validate and remove it first"
+        )
+    if not fs.rename(jsrc, jbak):
+        raise IOError(f"could not move {path} aside to {backup}")
+    if not fs.rename(jdst, jsrc):
+        # restore the original before failing: never leave the path empty
+        fs.rename(jbak, jsrc)
+        raise IOError(f"could not move {dst} into place at {path}")
+    return backup
+
+
+def maintain(
+    spark: SparkSession,
+    paths: list[str] | str,
+    dry_run: bool = True,
+    keep_manifests: int = 2,
+    min_attempt_age_seconds: float = 3600.0,
+    **thresholds,
+) -> DataFrame:
+    """EXECUTE the maintenance ``maintenance_report`` advises (VERDICT r12
+    #7 — at 100 TB an admit curve that only *pages* is a regression, the
+    report's advice must be runnable). One row per (path, action):
+    whether it executed and what it did.
+
+    ``dry_run=True`` (the default) only plans — every due action is
+    listed with ``executed=false``. Execution semantics per tier:
+
+    - **manifest_target**: ``compact`` re-commits through the versioned
+      manifest protocol, so it is safe under live readers/writers — a
+      concurrent commit surfaces as the lost race and compact is retried
+      (bounded), exactly the DML loop's discipline. ``vacuum`` honors
+      ``min_attempt_age_seconds`` so in-flight attempts are never
+      reclaimed. key_cols come from the manifest's own stamp; a legacy
+      manifest without one reports executed=false with the manual verb.
+    - **semantic_index / text_index / batch_store / stamped_parquet
+      (file-count)**: compact to ``{path}__compacted`` then swap in via
+      rename, keeping ``{path}__pre_compact`` as the operator's backup.
+      These tiers are manifest-free by design — swaps are NOT
+      reader-atomic; run them in a maintenance window.
+    - **stamped_parquet (stale sidecars)**: re-stamp in ``append`` mode —
+      only unstamped files pay a footer/column pass; stamped params
+      (cluster col, fpp, k/salt, buckets) carry over from the sidecar.
+    - **stream_state**: prune committed ``v=`` snapshots beyond
+      ``max_versions`` (newest kept) — the same pruning the owning stream
+      performs on its next commit.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    report = maintenance_report(spark, paths, **thresholds).collect()
+    out_rows = []
+    for row in report:
+        if not row["compaction_due"]:
+            out_rows.append(
+                (row["path"], row["tier"], "none", False, "healthy")
+            )
+            continue
+        actions = [
+            act for needle, act in _ADVICE_ACTIONS if needle in row["advice"]
+        ]
+        # stale-sidecar re-stamps: advice names stamp_<kind>(mode='append')
+        for kind in ("zonemap", "bloom", "ndv", "hist"):
+            if f"stamp_{kind}(" in row["advice"]:
+                actions.append(f"stamp_{kind}")
+        for action in actions:
+            if dry_run:
+                out_rows.append(
+                    (row["path"], row["tier"], action, False,
+                     "dry run — pass dry_run=False to execute")
+                )
+                continue
+            out_rows.append(
+                _execute(
+                    spark, row["path"], row["tier"], action,
+                    keep_manifests=keep_manifests,
+                    min_attempt_age_seconds=min_attempt_age_seconds,
+                    max_versions=int(thresholds.get("max_versions", 32)),
+                )
+            )
+    return spark.createDataFrame(out_rows, MAINTAIN_SCHEMA)
+
+
+def _execute(
+    spark, path, tier, action, keep_manifests, min_attempt_age_seconds,
+    max_versions,
+):
+    fs, _ = _fs_of(spark, path)
+    try:
+        if action == "manifest_compact":
+            from .manifest_target import LostRaceError, _read_manifest_doc
+            from .manifest_target import compact as manifest_compact
+
+            _, doc = _read_manifest_doc(spark, path)
+            key_cols = doc.get("key_cols")
+            if not key_cols:
+                return (
+                    path, tier, action, False,
+                    "manifest predates the key_cols stamp — run "
+                    "compact(root, key_cols, n_buckets) manually once; "
+                    "the re-commit stamps key_cols for future runs",
+                )
+            n_buckets = int(doc["n_buckets"])
+            for attempt in range(5):
+                try:
+                    v = manifest_compact(spark, path, list(key_cols), n_buckets)
+                    return (
+                        path, tier, action, True,
+                        f"compacted to one file per bucket at v{v}",
+                    )
+                except LostRaceError:
+                    if attempt == 4:
+                        raise
+            # unreachable
+        if action == "manifest_vacuum":
+            from .manifest_target import vacuum
+
+            removed = vacuum(
+                spark, path, keep_manifests=keep_manifests,
+                min_attempt_age_seconds=min_attempt_age_seconds,
+            )
+            return (
+                path, tier, action, True,
+                f"vacuumed {len(removed)} stage dir(s), "
+                f"kept {keep_manifests} manifest(s)",
+            )
+        if action == "semantic_index_compact":
+            from .similarity import semantic_index_compact
+
+            dst = f"{path}__compacted"
+            n = semantic_index_compact(spark, path, dst)
+            backup = _swap_in(spark, fs, path, dst)
+            return (
+                path, tier, action, True,
+                f"compacted {n} rows; previous index kept at {backup}",
+            )
+        if action == "text_index_compact":
+            from .retrieval import text_index_compact
+
+            dst = f"{path}__compacted"
+            stats = text_index_compact(spark, path, dst)
+            backup = _swap_in(spark, fs, path, dst)
+            return (
+                path, tier, action, True,
+                f"compacted ({stats}); previous index kept at {backup}",
+            )
+        if action == "compact_batch_store":
+            dst = f"{path}__compacted"
+            n = compact_batch_store(spark, path, dst)
+            backup = _swap_in(spark, fs, path, dst)
+            return (
+                path, tier, action, True,
+                f"compacted {n} rows into one batch dir; previous store "
+                f"kept at {backup}",
+            )
+        if action == "compact_clustered":
+            from .layout import compact_clustered
+
+            dst = f"{path}__compacted"
+            stats = compact_clustered(spark, path, dst)
+            backup = _swap_in(spark, fs, path, dst)
+            return (
+                path, tier, action, True,
+                f"compacted to {stats['n_files']} file(s), sidecars "
+                f"restamped; previous dir kept at {backup}",
+            )
+        if action.startswith("stamp_"):
+            from . import layout
+
+            kind = action.split("_", 1)[1]
+            sidecar = f"_pcr_{kind}.json"
+            doc = _read_json(fs, spark, f"{path}/{sidecar}")
+            cols = _sidecar_cols(doc)
+            if not cols:
+                return (
+                    path, tier, action, False,
+                    f"{sidecar} records no stamped columns — rebuild it "
+                    "with an explicit column list",
+                )
+            fn = getattr(layout, f"stamp_{kind}")
+            n = fn(spark, path, cols, mode="append")
+            return (
+                path, tier, action, True,
+                f"append-stamped {kind} for {len(cols)} col(s) "
+                f"({n} file(s) now covered)",
+            )
+        if action == "prune_stream_versions":
+            committed = sorted(
+                int(st.getPath().getName()[2:])
+                for st in _list_names(spark, fs, path)
+                if st.getPath().getName().startswith("v=")
+                and _exists(spark, fs, f"{path}/{st.getPath().getName()}/_COMMIT")
+            )
+            drop = committed[:-max_versions] if max_versions > 0 else []
+            for v in drop:
+                _, jp = _fs_of(spark, f"{path}/v={v}")
+                fs.delete(jp, True)
+            return (
+                path, tier, action, True,
+                f"pruned {len(drop)} committed version(s), kept "
+                f"{len(committed) - len(drop)}",
+            )
+        return (path, tier, action, False, "no executor for this action")
+    except Exception as e:  # surface, don't abort the other paths' actions
+        return (path, tier, action, False, f"FAILED: {e}")

@@ -440,6 +440,11 @@ def commit_delta(
         {
             "version": new_v,
             "n_buckets": n_buckets,
+            # bucketing keys, stamped so maintenance (maintain()'s compact
+            # tier) can rewrite the target without the caller re-supplying
+            # them; informational for legacy readers (routing authority
+            # stays n_buckets + bucket_expr)
+            "key_cols": list(key_cols),
             "buckets": {str(b): dv for b, dv in mapping.items()},
             # table schema at this version: the ONLY schema record when the
             # snapshot has zero live buckets (empty first commit, or every

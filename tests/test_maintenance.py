@@ -236,3 +236,193 @@ class TestCompactBatchStore:
         p = str(tmp_path / "e")
         spark.range(5).write.parquet(p)
         assert eng.maintenance_report(p).count() == 1
+
+
+class TestMaintainExecutor:
+    """maintain() (VERDICT r12 #7): the report's advice must be runnable.
+    dry_run plans without touching anything; execution per tier drives
+    the due verb and the report goes green after."""
+
+    def _grown_manifest(self, spark, root):
+        from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+            commit_delta,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        commit_delta(df, root, ["k"], list(range(4)), 4)
+        for i in range(10):  # versions accumulate -> vacuum due
+            commit_delta(
+                # complete bucket content each time (the delta contract);
+                # many write tasks -> many files per bucket dir in the
+                # LIVE stage label -> compact due
+                df.repartition(16),
+                root,
+                ["k"],
+                list(range(4)),
+                4,
+            )
+        return df
+
+    def test_dry_run_touches_nothing(self, spark, tmp_path):
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+        from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+            _manifest_versions,
+        )
+
+        root = str(tmp_path / "mt")
+        self._grown_manifest(spark, root)
+        before = _manifest_versions(spark, root)
+        plan = maintain(
+            spark, root, dry_run=True, max_files_per_bucket=4
+        ).collect()
+        assert all(r["executed"] is False for r in plan)
+        assert {r["action"] for r in plan} >= {"manifest_compact"}
+        assert _manifest_versions(spark, root) == before  # untouched
+
+    def test_manifest_tier_end_to_end(self, spark, tmp_path):
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+        from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+            read_snapshot,
+        )
+
+        root = str(tmp_path / "mt")
+        df = self._grown_manifest(spark, root)
+        r = _row(
+            maintenance_report(
+                spark, root, max_files_per_bucket=4, max_versions=4
+            ),
+            "manifest_target",
+        )
+        assert r["compaction_due"] is True
+        done = maintain(
+            spark,
+            root,
+            dry_run=False,
+            max_files_per_bucket=4,
+            max_versions=4,
+            keep_manifests=2,
+            min_attempt_age_seconds=0.0,
+        ).collect()
+        by_action = {x["action"]: x for x in done}
+        assert by_action["manifest_compact"]["executed"] is True
+        assert by_action["manifest_vacuum"]["executed"] is True
+        # data intact
+        got = {r2["k"] for r2 in read_snapshot(spark, root).collect()}
+        assert got == set(range(100))
+        # and the report is green after
+        r2 = _row(
+            maintenance_report(
+                spark, root, max_files_per_bucket=4, max_versions=4
+            ),
+            "manifest_target",
+        )
+        assert r2["compaction_due"] is False, r2["advice"]
+
+    def test_manifest_key_cols_come_from_the_stamp(self, spark, tmp_path):
+        """compact needs key_cols; maintain reads them from the manifest's
+        own key_cols stamp (written by every commit since r13) instead of
+        requiring the caller to re-supply them."""
+        import json as _json
+
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+        from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+            MANIFEST_DIR,
+            _manifest_versions,
+        )
+
+        root = str(tmp_path / "mt")
+        self._grown_manifest(spark, root)
+        # simulate a LEGACY manifest: strip the key_cols stamp
+        v = _manifest_versions(spark, root)[-1]
+        mpath = tmp_path / "mt" / MANIFEST_DIR / f"v{v}.json"
+        doc = _json.loads(mpath.read_text())
+        doc.pop("key_cols")
+        mpath.write_text(_json.dumps(doc))
+        # the out-of-band rewrite invalidates the Hadoop local-FS checksum
+        crc = mpath.parent / f".{mpath.name}.crc"
+        if crc.exists():
+            crc.unlink()
+        done = maintain(
+            spark, root, dry_run=False, max_files_per_bucket=4
+        ).collect()
+        row = [x for x in done if x["action"] == "manifest_compact"][0]
+        assert row["executed"] is False
+        assert "key_cols" in row["detail"]  # loud manual remediation
+
+    def test_batch_store_swap_and_green(self, spark, tmp_path):
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+
+        src = str(tmp_path / "store")
+        df = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        )
+        for b in range(6):
+            df.write.parquet(f"{src}/batch={b}")
+        r = _row(maintenance_report(spark, src, max_admits=4), "batch_store")
+        assert r["compaction_due"] is True
+        done = maintain(spark, src, dry_run=False, max_admits=4).collect()
+        row = [x for x in done if x["action"] == "compact_batch_store"][0]
+        assert row["executed"] is True, row["detail"]
+        # rows preserved at the SAME path; backup kept beside it
+        assert spark.read.parquet(src).count() == 300
+        assert (tmp_path / "store__pre_compact").exists()
+        r2 = _row(maintenance_report(spark, src, max_admits=4), "batch_store")
+        assert r2["compaction_due"] is False, r2["advice"]
+
+    def test_stamped_parquet_restamp(self, spark, tmp_path):
+        import json as _json
+
+        from postgres_cdc_reconciliation_spark.operators.layout import (
+            stamp_zonemap,
+        )
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+
+        path = str(tmp_path / "zl")
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("ts")
+        )
+        df.orderBy("ts").coalesce(4).write.parquet(path)
+        stamp_zonemap(spark, path, ["ts"])
+        # grow: new files the sidecar hasn't seen
+        df.limit(100).write.mode("append").parquet(path)
+        r = _row(
+            maintenance_report(spark, path, max_stale_share=0.1),
+            "stamped_parquet",
+        )
+        assert r["compaction_due"] is True and r["stale_files"] > 0
+        done = maintain(
+            spark, path, dry_run=False, max_stale_share=0.1
+        ).collect()
+        row = [x for x in done if x["action"] == "stamp_zonemap"][0]
+        assert row["executed"] is True, row["detail"]
+        # every live file is now stamped -> report green
+        r2 = _row(
+            maintenance_report(spark, path, max_stale_share=0.1),
+            "stamped_parquet",
+        )
+        assert r2["compaction_due"] is False, r2["advice"]
+        doc = _json.loads(
+            (tmp_path / "zl" / "_pcr_zonemap.json").read_text()
+        )
+        assert len(doc["files"]) == r2["n_files"]
+
+    def test_engine_facade_maintain(self, spark, tmp_path):
+        from postgres_cdc_reconciliation_spark.engine import Engine
+
+        root = str(tmp_path / "mt")
+        self._grown_manifest(spark, root)
+        eng = Engine(spark)
+        plan = eng.maintain(root, max_files_per_bucket=4).collect()
+        assert plan and all(r["executed"] is False for r in plan)
