@@ -260,6 +260,15 @@ def main() -> None:
     # (frontier ≥ batch max LSN) actually reports the batch complete.
     try:
         extra["batch_visibility_sec"] = round(_batch_visibility_sec(spark), 3)
+        # scale-indexed gate (BASELINE.md round-13 table): the cycle's
+        # batch is "the last 100 source batches", which grows linearly
+        # with sf — the gate tracks the bench's own batch construction,
+        # 10 s at sf0.1 and 25 s at sf1 (a real deployment's constant
+        # 2,048-event batch unit sits far below either)
+        if isinstance(sf_num, float):
+            extra["batch_visibility_gate_sec"] = round(
+                max(10.0, 25.0 * sf_num), 3
+            )
     except Exception as e:
         print(f"# bench error batch_visibility: {e}", file=sys.stderr)
 
