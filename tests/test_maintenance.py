@@ -426,3 +426,60 @@ class TestMaintainExecutor:
         eng = Engine(spark)
         plan = eng.maintain(root, max_files_per_bucket=4).collect()
         assert plan and all(r["executed"] is False for r in plan)
+
+    def test_text_index_tier_end_to_end(self, spark, docs, tmp_path):
+        """Due text index -> maintain compacts to __compacted, swaps in,
+        keeps the backup, query values unchanged, report green after."""
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+        from postgres_cdc_reconciliation_spark.operators.retrieval import (
+            bm25_persisted,
+            text_index_admit,
+            text_index_build,
+        )
+
+        path = str(tmp_path / "ti")
+        text_index_build(docs.where(F.col("doc_id") < 30), path, n_buckets=8)
+        for lo in (30, 40, 50):
+            text_index_admit(
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)
+                ),
+                path,
+            )
+        terms = ["alpha", "tok3"]
+        before = sorted(map(tuple, bm25_persisted(spark, path, terms).collect()))
+        done = maintain(spark, path, dry_run=False, max_admits=2).collect()
+        row = [x for x in done if x["action"] == "text_index_compact"][0]
+        assert row["executed"] is True, row["detail"]
+        after = sorted(map(tuple, bm25_persisted(spark, path, terms).collect()))
+        assert after == before  # same path, same answers
+        assert (tmp_path / "ti__pre_compact").exists()
+        r = _row(maintenance_report(spark, path, max_admits=2), "text_index")
+        assert r["compaction_due"] is False, r["advice"]
+
+    def test_stream_state_prune(self, spark, tmp_path):
+        """Over-retained committed stream-state versions are pruned to the
+        threshold, newest kept, uncommitted attempt dirs untouched."""
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+
+        path = str(tmp_path / "st")
+        df = spark.range(10).select(F.col("id").alias("k"))
+        for v in range(6):
+            df.write.parquet(f"{path}/v={v}/counters")
+            (tmp_path / "st" / f"v={v}" / "_COMMIT").touch()
+        df.write.parquet(f"{path}/v=99/counters")  # NO _COMMIT: in-flight
+        r = _row(maintenance_report(spark, path, max_versions=3), "stream_state")
+        assert r["compaction_due"] is True
+        done = maintain(spark, path, dry_run=False, max_versions=3).collect()
+        row = [x for x in done if x["action"] == "prune_stream_versions"][0]
+        assert row["executed"] is True, row["detail"]
+        left = sorted(p.name for p in (tmp_path / "st").iterdir())
+        assert left == ["v=3", "v=4", "v=5", "v=99"]  # newest 3 + in-flight
+        r2 = _row(
+            maintenance_report(spark, path, max_versions=3), "stream_state"
+        )
+        assert r2["compaction_due"] is False, r2["advice"]
