@@ -597,13 +597,15 @@ def categorical_drift(
         ref.where(F.col(col).isNotNull())
         .groupBy(F.col(col).cast("string").alias("category"))
         .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.orderBy(F.desc("_n"), F.asc("category"))
-            ),
-        )
-        .where(F.col("_rk") < max_categories)
+        # top-(max_categories-1) via orderBy+limit = distributed
+        # TakeOrdered (per-partition partial top-k, driver merge of k-row
+        # heads). The previous row_number over an UNPARTITIONED window
+        # sorted every distinct category through ONE task — a
+        # high-cardinality column (ids, urls) makes that the same
+        # single-partition scale-killer q_vocab_coverage had (r13 sweep).
+        # Same deterministic set: ties broken by category value.
+        .orderBy(F.desc("_n"), F.asc("category"))
+        .limit(max_categories - 1)
         .select("category")
     )
 

@@ -141,6 +141,46 @@ def repair_batch(
     return upserts.unionByName(deletes)
 
 
+def _with_global_positions(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Global sort positions WITHOUT a single-partition window: range-
+    partition on the full sort key (globally ordered partitions, explicit
+    numPartitions so AQE never re-coalesces and both jobs see the same
+    deterministically-sampled boundaries), collect one (count) row per
+    partition, fold into broadcast rank offsets, then row_number WITHIN
+    each range partition + offset — the q_vocab_coverage two-pass prefix
+    sum (r13). The ranged side is cached so the input scans once
+    (CacheManager dedupes the identical plan across the two jobs); an
+    evicted block recomputes through the deterministic partitioner.
+    Value-identical to `row_number over (ORDER BY order_cols)`: the
+    order is total across partitions, and ties (exact duplicate sort
+    keys) are interchangeable positions either way."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = sorted(
+        ranged.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_pid"], acc))
+        acc += r["count"]
+    off_df = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    w_local = Window.partitionBy("_pid").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("_pos", F.row_number().over(w_local) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 def diff_rows_positional(
     src: DataFrame, tgt: DataFrame, order_cols: list[str]
 ) -> DataFrame:
@@ -149,12 +189,14 @@ def diff_rows_positional(
 
     Kept for parity with the reference's semantics; note a single missing
     row shifts every subsequent position — exactly the reference's
-    misalignment behavior, now at least distributed."""
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    misalignment behavior. The positions themselves are computed
+    DISTRIBUTED (range-partitioned two-pass prefix sum, no
+    single-partition Exchange) — the misalignment semantics is the
+    parity bug we keep, the single-task sort was not."""
     cols = list(src.columns)
 
     def pos_prefixed(df: DataFrame, prefix: str) -> DataFrame:
-        return df.withColumn("_pos", F.row_number().over(w)).select(
+        return _with_global_positions(df, order_cols).select(
             "_pos", *[F.col(c).alias(f"{prefix}{c}") for c in cols]
         )
 

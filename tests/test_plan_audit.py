@@ -560,3 +560,33 @@ def test_repetition_mode_freq_values(spark, sf_dir):
         toks = t.split(" ")
         expect = max(Counter(toks).values()) / len(toks)
         assert abs(got[i] - expect) < 1e-12, (i, got[i], expect)
+
+
+def test_recon_positional_no_single_partition_window(spark, sf_dir):
+    """r13 sweep: the positional diff's global positions are computed via
+    the range-partitioned two-pass prefix sum — no single-partition
+    Exchange; the misalignment SEMANTICS stay (parity bug kept), the
+    single-task sort does not."""
+    qs = all_queries()
+    plan = _plan(qs["q_recon_positional"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "_pid" in plan and "BroadcastHashJoin" in plan
+
+
+def test_categorical_drift_topk_is_take_ordered(spark, sf_dir):
+    """r13 sweep: the reference-anchor top-k categories must come from a
+    distributed TakeOrdered (orderBy+limit), not a row_number over an
+    unpartitioned window — a high-cardinality column would push every
+    distinct category through one task."""
+    qs = all_queries()
+    plan = _plan(qs["q_drift_categorical"].fn(spark, sf_dir))
+    # the anchor-set selection is the distributed top-k...
+    assert "TakeOrderedAndProject" in plan
+    # ...and the only windows left are the share computations over the
+    # ALREADY-REDUCED <= max_categories-row grid (bounded by design and
+    # documented at the Window.partitionBy() site) — the plan must never
+    # rank the raw per-category aggregate (arbitrary cardinality) through
+    # a window; TakeOrdered replaced exactly that node.
+    # (formatted explain prints each node twice: tree + detail, so two
+    # physical Window nodes == 4 string occurrences)
+    assert plan.count("Window") <= 4
