@@ -232,3 +232,31 @@ def test_repair_batch_duplicate_keys_converge_to_max_image(spark):
     # the documented convention: duplicate-keyed sources converge to the
     # per-key MAX image (diff_rows' cardinality aggregation)
     assert sorted(map(tuple, healed.collect())) == [(1, 7.0), (2, 1.0)]
+
+
+def test_global_positions_distributed_and_exact(spark):
+    """The two-pass distributed position assignment (r13) must produce
+    EXACTLY row_number-over-global-order semantics: positions are the
+    permutation 1..n, monotone with the sort order, and tied sort keys
+    occupy a contiguous position block. Data is crafted to span many
+    range partitions with heavy duplication."""
+    from postgres_cdc_reconciliation_spark.operators.recon import (
+        _with_global_positions,
+    )
+
+    df = spark.range(5000).selectExpr(
+        "cast(id % 97 as int) as k",      # heavy ties
+        "cast(id as long) as payload",
+    )
+    out = _with_global_positions(df, ["k"]).collect()
+    assert sorted(r["_pos"] for r in out) == list(range(1, 5001))
+    # monotone: position order must agree with the sort order on k
+    by_pos = sorted(out, key=lambda r: r["_pos"])
+    ks = [r["k"] for r in by_pos]
+    assert ks == sorted(ks)
+    # contiguous tie blocks: each k value owns one position interval
+    seen = {}
+    for r in by_pos:
+        seen.setdefault(r["k"], []).append(r["_pos"])
+    for k, poss in seen.items():
+        assert poss == list(range(min(poss), max(poss) + 1)), k
