@@ -140,11 +140,24 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    try:
-        sf_num = float(sf)
-    except ValueError:
-        sf_num = sf
+    # parse the scale factor out of the dir name: ".../sf0.1" -> 0.1,
+    # but also ".../pcr_sf1" -> 1.0 (the sf1 sweep corpus) — the old
+    # .replace("sf","") turned "pcr_sf1" into the unparseable "pcr_1",
+    # which silently dropped the scale-indexed visibility gate from the
+    # sf1 sweep's extras (round 13)
+    import re as _re
+
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    m = _re.search(r"sf(\d+(?:\.\d+)?)", base)
+    if m:
+        sf_num = float(m.group(1))
+        sf = m.group(1)
+    else:
+        sf = base.replace("sf", "")
+        try:
+            sf_num = float(sf)
+        except ValueError:
+            sf_num = sf
 
     # BASELINE.md sanity targets: change-event throughput (≥2048/µbatch is
     # the reference's Debezium batch unit) and interactive status queries.

@@ -157,7 +157,10 @@ def _with_global_positions(df: DataFrame, order_cols: list[str]) -> DataFrame:
     from pyspark import StorageLevel
 
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:  # e.g. "auto" on vendor runtimes
+        n_parts = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())

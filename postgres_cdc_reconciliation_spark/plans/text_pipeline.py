@@ -1125,7 +1125,10 @@ def q_vocab_coverage(spark, sf_dir):
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("freq"))
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:  # e.g. "auto" on vendor runtimes
+        n_parts = max(2, spark.sparkContext.defaultParallelism)
     ranged = freq.repartitionByRange(
         n_parts, F.desc("freq"), F.asc("token")
     ).withColumn("_pid", F.spark_partition_id())
