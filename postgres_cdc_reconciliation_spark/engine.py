@@ -366,6 +366,25 @@ class Engine:
 
         return compact(self.spark, root, key_cols, n_buckets)
 
+    def vacuum_target(self, root, keep_manifests=2,
+                      min_attempt_age_seconds=3600.0) -> list[str]:
+        """Reclaim a manifest target's storage: drop manifests beyond the
+        newest keep_manifests and every stage dir none of the retained
+        manifests references (orphans from crashed/lost-race writers
+        included). The age guard skips attempts younger than the window
+        so an in-flight commit is never reclaimed. Returns deleted paths."""
+        from .operators.manifest_target import vacuum
+
+        return vacuum(self.spark, root, keep_manifests=keep_manifests,
+                      min_attempt_age_seconds=min_attempt_age_seconds)
+
+    def read_target(self, root, version=None) -> DataFrame:
+        """Snapshot-isolated read of a manifest apply target — latest
+        committed snapshot, or time travel to a retained ``version``."""
+        from .operators.manifest_target import read_snapshot
+
+        return read_snapshot(self.spark, root, version=version)
+
     def target_changes(self, root, key_cols, v_from, v_to=None) -> DataFrame:
         """Change-data-feed between two committed versions of a manifest
         apply target (insert/update/delete rows with ``_change_type``);

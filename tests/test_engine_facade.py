@@ -214,3 +214,34 @@ def test_quality_and_planner_facade(spark, sf_dir, tmp_path):
     plan = eng.join_plan(fact, dim, "k", "dk")
     assert plan["broadcast"] == "right"
     assert eng.stats_join(fact, dim, "k", "dk").count() == 2000
+
+
+def test_target_lifecycle_facade(spark, tmp_path):
+    """The manifest-target verbs ride the facade end-to-end: commit via
+    operator, read/time-travel, compact, vacuum, and maintain all through
+    Engine."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        commit_delta,
+    )
+
+    eng = Engine(spark)
+    root = str(tmp_path / "t")
+    df = spark.range(40).select(F.col("id").alias("k"),
+                                (F.col("id") * 1.0).alias("v"))
+    v0 = commit_delta(df, root, ["k"], list(range(4)), 4)
+    commit_delta(df.repartition(8), root, ["k"], list(range(4)), 4)
+    assert eng.read_target(root).count() == 40
+    assert eng.read_target(root, version=v0).count() == 40  # time travel
+    v2 = eng.compact_target(root, ["k"], 4)
+    assert eng.read_target(root, version=v2).count() == 40
+    removed = eng.vacuum_target(root, keep_manifests=2,
+                                min_attempt_age_seconds=0.0)
+    assert isinstance(removed, list) and removed  # superseded stage dirs went
+    assert eng.read_target(root).count() == 40  # latest snapshot intact
+    # time travel to the vacuumed version now fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.read_target(root, version=v0).collect()
