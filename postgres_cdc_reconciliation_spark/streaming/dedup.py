@@ -37,8 +37,18 @@ from ..operators.dedup import lsh_band_index, near_dups_from_bands
 
 def read_index(spark, index_path: str) -> DataFrame | None:
     """The committed band index (all batch= partitions), or None if no
-    batch has been admitted yet."""
+    batch has been admitted yet. Presence is decided by batch= partition
+    dirs, not the root dir: the parameter stamp (_params.json, r13)
+    creates the root before the first admission, and a parquet read of a
+    stamp-only dir would fail schema inference."""
     if not _path_exists(spark, index_path):
+        return None
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not any(
+        st.getPath().getName().startswith("batch=")
+        for st in fs.listStatus(jpath)
+    ):
         return None
     return spark.read.parquet(index_path)
 
@@ -60,6 +70,41 @@ def dedup_stream(
     match_src, n_shared_bands) per micro-batch; ``{index_path}/batch=N``
     the admitted band rows."""
     spark = docs.sparkSession
+    # banding identity: band strings are a function of (k, n_hashes,
+    # band_size) over text_col — a restart with a different scheme probes
+    # old band rows that can never match (every cross-scheme near-dup
+    # silently missed, a recall-zero failure with no error anywhere).
+    # Frozen on first build (r13 guard; see streaming/state_guard.py).
+    # Only STREAM-ADMITTED partitions (batch >= 0) count as unverifiable
+    # pre-guard state: a bootstrap seed at batch=-1 (the documented
+    # snapshot-then-stream convention) is the operator's own
+    # compatibility assertion, and the stream's first build stamps it.
+    from .state_guard import check_or_stamp_params
+
+    def _admitted() -> bool:
+        if not _path_exists(spark, index_path):
+            return False
+        jp = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        for st in fs.listStatus(jp):
+            name = st.getPath().getName()
+            if name.startswith("batch=") and int(name[6:]) >= 0:
+                return True
+        return False
+
+    check_or_stamp_params(
+        spark,
+        index_path,
+        {
+            "kind": "lsh_bands",
+            "k": k,
+            "n_hashes": n_hashes,
+            "band_size": band_size,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        has_state=_admitted(),
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

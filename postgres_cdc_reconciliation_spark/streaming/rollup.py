@@ -119,6 +119,24 @@ def rollup_stream(
     """
     key_cols = key_cols or []
     spark = events.sparkSession
+    # key identity: rollup rows are keyed by the bucket-truncated ts and
+    # key_cols over value_col — a restart with a different granularity
+    # (hour -> day) or value column would merge differently-keyed partials
+    # into one table silently (r13 guard; see streaming/state_guard.py)
+    from .state_guard import check_or_stamp_params
+
+    check_or_stamp_params(
+        spark,
+        rollup_path,
+        {
+            "kind": "rollup",
+            "ts_col": ts_col,
+            "key_cols": list(key_cols),
+            "value_col": value_col,
+            "bucket": bucket,
+        },
+        has_state=bool(committed_versions(spark, rollup_path)),
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

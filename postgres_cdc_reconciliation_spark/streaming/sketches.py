@@ -91,6 +91,20 @@ def cms_stream(
     if not 0 < min_fraction <= 1:
         raise ValueError(f"min_fraction must be in (0, 1], got {min_fraction}")
     spark = events.sparkSession
+    # layout identity: CMS cells are addressed by (width, depth) and fed
+    # from value_col — merging a restart's differently-laid-out partial
+    # into persisted cells silently corrupts every frequency (r13, the
+    # generic form of the r12 suite-fingerprint guard). min_fraction is
+    # NOT frozen: it is an admission threshold over the (sound) merged
+    # sketch, re-tunable between runs.
+    from .state_guard import check_or_stamp_params
+
+    check_or_stamp_params(
+        spark,
+        path,
+        {"kind": "cms", "width": width, "depth": depth, "value_col": value_col},
+        has_state=bool(_committed(spark, path)),
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -187,6 +201,17 @@ def kmv_stream(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     spark = events.sparkSession
+    # hash-space identity: a restart with a different salt unions
+    # incomparable hashes (silent distinct-count corruption); a different
+    # k changes which bottom-k survive. Frozen on first build (r13).
+    from .state_guard import check_or_stamp_params
+
+    check_or_stamp_params(
+        spark,
+        path,
+        {"kind": "kmv", "k": k, "salt": salt, "value_col": value_col},
+        has_state=bool(_committed(spark, path)),
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -194,3 +194,29 @@ def test_stream_dedup_replay_idempotent(spark, tmp_path):
     )
     assert spark.read.parquet(index_path).count() == first_idx
     assert first_hits == [(1, 2)]
+
+
+def test_banding_params_frozen_across_restarts(spark, tmp_path):
+    """r13 guard: a restart presenting a different banding scheme against
+    an admitted index is rejected at build time — cross-scheme band rows
+    can never match, so every cross-batch near-dup would be silently
+    missed (recall-zero, no error anywhere). Same scheme restarts fine;
+    a batch=-1 bootstrap seed alone does not block the first build."""
+    import pytest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b1.json", [(1, BASE)], 1_000)
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    index_path = str(tmp_path / "index")
+    q = dedup_stream(
+        stream, index_path, str(tmp_path / "hits"), str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    # same scheme: allowed
+    dedup_stream(stream, index_path, str(tmp_path / "hits"),
+                 str(tmp_path / "ckpt2"))
+    # different band_size: rejected loudly
+    with pytest.raises(ValueError, match="different\\s+parameters"):
+        dedup_stream(stream, index_path, str(tmp_path / "hits"),
+                     str(tmp_path / "ckpt3"), band_size=4)

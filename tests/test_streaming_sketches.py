@@ -169,3 +169,72 @@ def test_kmv_stream_validation(spark, tmp_path):
     events = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="k must be"):
         kmv_stream(events, "x", "y", "value", k=1)
+
+
+# --- parameter-stamp guard (r13): restarts must present the same layout ----
+
+
+class TestParamsGuard:
+    def test_same_params_restart_fine_width_change_rejected(self, spark, tmp_path):
+        import pytest
+
+        _run(spark, tmp_path, [["a", "a", "b"]])
+        # same params restart: allowed (and replay-guarded)
+        _run(spark, tmp_path, [["a", "a", "b"]], ckpt="ckpt2")
+        # different CMS layout against the same state: rejected at build
+        events = (
+            spark.readStream.schema("v string").json(str(tmp_path / "in"))
+        )
+        with pytest.raises(ValueError, match="different\\s+parameters"):
+            cms_stream(events, str(tmp_path / "cms"),
+                       str(tmp_path / "ckpt3"), "v",
+                       min_fraction=0.2, width=W * 2, depth=D)
+        # min_fraction is re-tunable, NOT frozen
+        q = cms_stream(events, str(tmp_path / "cms"),
+                       str(tmp_path / "ckpt4"), "v",
+                       min_fraction=0.5, width=W, depth=D)
+        assert q is not None
+
+    def test_kmv_salt_change_rejected(self, spark, tmp_path):
+        import pytest
+
+        from postgres_cdc_reconciliation_spark.streaming.sketches import (
+            kmv_stream,
+        )
+
+        _run_kmv(spark, tmp_path, [["a", "b", "c"]])
+        events = (
+            spark.readStream.schema("v string").json(str(tmp_path / "kin"))
+        )
+        with pytest.raises(ValueError, match="different\\s+parameters"):
+            kmv_stream(events, str(tmp_path / "kmv"),
+                       str(tmp_path / "kc2"), "v", k=16, salt="other-salt")
+        with pytest.raises(ValueError, match="different\\s+parameters"):
+            kmv_stream(events, str(tmp_path / "kmv"),
+                       str(tmp_path / "kc3"), "v", k=32)
+
+    def test_legacy_unstamped_state_needs_optin(self, spark, tmp_path):
+        import pytest
+
+        from postgres_cdc_reconciliation_spark.streaming.state_guard import (
+            stamp_params,
+        )
+
+        _run(spark, tmp_path, [["a", "a", "b"]])
+        (tmp_path / "cms" / "_params.json").unlink()  # pre-guard state dir
+        crc = tmp_path / "cms" / "._params.json.crc"
+        if crc.exists():
+            crc.unlink()
+        events = (
+            spark.readStream.schema("v string").json(str(tmp_path / "in"))
+        )
+        with pytest.raises(ValueError, match="no\\s+parameter\\s+stamp"):
+            cms_stream(events, str(tmp_path / "cms"),
+                       str(tmp_path / "ckpt5"), "v",
+                       min_fraction=0.2, width=W, depth=D)
+        stamp_params(spark, str(tmp_path / "cms"),
+                     {"kind": "cms", "width": W, "depth": D, "value_col": "v"})
+        q = cms_stream(events, str(tmp_path / "cms"),
+                       str(tmp_path / "ckpt6"), "v",
+                       min_fraction=0.2, width=W, depth=D)
+        assert q is not None
