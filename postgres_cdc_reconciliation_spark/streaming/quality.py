@@ -256,6 +256,23 @@ def constraint_stream(
     )
 
 
+def _ref_paths(spark, path: str) -> tuple[str, str] | None:
+    """Resolve the COMMITTED reference anchor: (meta_path, counts_path),
+    or None before the first commit. The ``_ref/_COMMIT`` marker holds
+    the winning attempt's token (r13 — see drift_stream's init); a legacy
+    empty marker resolves to the plain pre-token dirs."""
+    fs, jm = _fs(spark, f"{path}/_ref/_COMMIT")
+    if not fs.exists(jm):
+        return None
+    stream = fs.open(jm)
+    try:
+        token = bytes(stream.readAllBytes()).decode("utf-8").strip()
+    finally:
+        stream.close()
+    suffix = f"-{token}" if token else ""
+    return f"{path}/_ref/meta{suffix}", f"{path}/_ref/counts{suffix}"
+
+
 def current_drift(spark, path: str) -> DataFrame | None:
     """Latest committed PSI drift report (same schema as batch psi_report)
     — None before the first commit."""
@@ -264,10 +281,12 @@ def current_drift(spark, path: str) -> DataFrame | None:
         return None
     from ..operators.quality import psi_from_counts
 
-    meta = spark.read.parquet(f"{path}/_ref/meta").collect()[0]
-    rc = spark.read.parquet(f"{path}/_ref/counts").withColumnRenamed(
-        "_n", "_rn"
-    )
+    ref = _ref_paths(spark, path)
+    if ref is None:
+        return None
+    meta_path, counts_path = ref
+    meta = spark.read.parquet(meta_path).collect()[0]
+    rc = spark.read.parquet(counts_path).withColumnRenamed("_n", "_rn")
     cc = spark.read.parquet(f"{path}/v={versions[-1]}/counts").withColumnRenamed(
         "_n", "_cn"
     )
@@ -305,30 +324,58 @@ def drift_stream(
 
     spark = events.sparkSession
     fs, _ = _fs(spark, path)
-    ref_marker = f"{path}/_ref/_COMMIT"
-    _, jm = _fs(spark, ref_marker)
-    if not fs.exists(jm):
-        stats = psi_ref_stats(ref, col).localCheckpoint()  # 1 row, frozen
-        psi_bucket_counts(ref, stats, col, n_buckets).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/_ref/counts")
-        stats.select(
-            "_lo", "_hi", F.lit(int(n_buckets)).alias("n_buckets")
-        ).write.mode("overwrite").parquet(f"{path}/_ref/meta")
-        fs.create(jm, True).close()
-    else:
-        # restart: the anchor is the FROZEN one — re-deriving it from the
-        # (possibly changed) ref argument would bucket new batches against
-        # a different grid than the persisted reference counts
-        meta = spark.read.parquet(f"{path}/_ref/meta").collect()[0]
+
+    def _adopt_frozen() -> DataFrame:
+        # restart (or lost first-build race): the anchor is the FROZEN
+        # one — re-deriving it from the (possibly changed) ref argument
+        # would bucket new batches against a different grid than the
+        # persisted reference counts
+        meta_path, _counts = _ref_paths(spark, path)
+        meta = spark.read.parquet(meta_path).collect()[0]
         if int(meta["n_buckets"]) != int(n_buckets):
             raise ValueError(
                 f"drift state at {path} was built with n_buckets="
                 f"{meta['n_buckets']}, got {n_buckets}"
             )
-        stats = spark.createDataFrame(
+        return spark.createDataFrame(
             [(meta["_lo"], meta["_hi"])], "_lo double, _hi double"
         )
+
+    if _ref_paths(spark, path) is not None:
+        stats = _adopt_frozen()
+    else:
+        # First build: stage the anchor under a UNIQUE token, then
+        # CREATE-EXCLUSIVE the marker holding that token (r13 — the old
+        # check-then-write init let two concurrent first-builds overwrite
+        # each other's _ref dirs last-writer-wins while each kept
+        # bucketing against its own in-memory anchor). Exactly one
+        # token wins; the loser deletes its orphan dirs and adopts the
+        # winner's frozen anchor (or fails loudly on n_buckets mismatch).
+        import secrets
+
+        token = secrets.token_hex(4)
+        stats = psi_ref_stats(ref, col).localCheckpoint()  # 1 row, frozen
+        psi_bucket_counts(ref, stats, col, n_buckets).write.parquet(
+            f"{path}/_ref/counts-{token}"
+        )
+        stats.select(
+            "_lo", "_hi", F.lit(int(n_buckets)).alias("n_buckets")
+        ).write.parquet(f"{path}/_ref/meta-{token}")
+        _, jm = _fs(spark, f"{path}/_ref/_COMMIT")
+        try:
+            out = fs.create(jm, False)
+            try:
+                out.write(bytearray(token.encode("utf-8")))
+            finally:
+                out.close()
+        except Exception as e:
+            if "AlreadyExists" not in str(e) and "already exists" not in str(e):
+                raise
+            jpath = spark._jvm.org.apache.hadoop.fs.Path
+            for orphan in (f"{path}/_ref/counts-{token}",
+                           f"{path}/_ref/meta-{token}"):
+                fs.delete(jpath(orphan), True)
+            stats = _adopt_frozen()
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         versions = _committed(spark, path)

@@ -235,6 +235,99 @@ class TestDriftStream:
                 n_buckets=7,
             )
 
+    def test_first_build_race_one_anchor_wins(self, spark, tmp_path, monkeypatch):
+        """r13: the _ref anchor init is arbitrated by a create-exclusive
+        token marker — under the old check-then-write init, two
+        concurrent first-builds overwrote each other's _ref dirs
+        last-writer-wins while each kept bucketing against its own
+        in-memory anchor. Simulated: a competing stream commits its
+        anchor between this build's staging and its marker create; the
+        loser must clean its orphans and ADOPT the winner's anchor."""
+        from postgres_cdc_reconciliation_spark.operators import quality as q_ops
+        from postgres_cdc_reconciliation_spark.streaming import quality as sq
+        from postgres_cdc_reconciliation_spark.streaming.quality import (
+            _ref_paths,
+            current_drift,
+        )
+
+        path = str(tmp_path / "drift")
+        src = tmp_path / "in"
+        _write_batches(src, [self._rows(self.B0)])
+        ref = spark.createDataFrame([(v,) for v in self.REF], "x double")
+        events = (
+            spark.readStream.schema("x double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+        real_stats = q_ops.psi_ref_stats
+        fired = {"n": 0}
+
+        def stats_then_interleave(ref_df, col):
+            out = real_stats(ref_df, col)
+            if fired["n"] == 0:
+                fired["n"] += 1
+                # the COMPETING stream wins the anchor with a different
+                # reference (interchangeable grid, same n_buckets)
+                winner_ref = spark.createDataFrame(
+                    [(float(v),) for v in range(1, 8)], "x double"
+                )
+                sq.drift_stream(
+                    events, winner_ref, "x", path,
+                    str(tmp_path / "ck_winner"), n_buckets=5,
+                )
+            return out
+
+        monkeypatch.setattr(q_ops, "psi_ref_stats", stats_then_interleave)
+        q = sq.drift_stream(
+            events, ref, "x", path, str(tmp_path / "ck_loser"), n_buckets=5
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        assert fired["n"] == 1  # the race actually happened
+        # exactly ONE committed anchor, and it is the winner's (lo=1 hi=7)
+        meta_path, counts_path = _ref_paths(spark, path)
+        meta = spark.read.parquet(meta_path).first()
+        assert (meta["_lo"], meta["_hi"]) == (1.0, 7.0)
+        # the loser's orphan staging dirs are gone: only the winner's
+        # token-suffixed dirs remain under _ref
+        names = sorted(
+            p.name for p in (tmp_path / "drift" / "_ref").iterdir()
+            if not p.name.startswith(".")
+        )
+        assert len([n for n in names if n.startswith("counts-")]) == 1
+        assert len([n for n in names if n.startswith("meta-")]) == 1
+        # and the loser's batches were bucketed against the FROZEN anchor
+        assert current_drift(spark, path) is not None
+
+    def test_legacy_plain_ref_layout_still_resolves(self, spark, tmp_path):
+        """Pre-token state dirs (plain _ref/counts + _ref/meta, empty
+        _COMMIT marker) keep working: restart adopts the frozen anchor
+        and current_drift reads the plain paths."""
+        import shutil
+
+        from postgres_cdc_reconciliation_spark.streaming.quality import (
+            current_drift,
+        )
+
+        self._run(spark, tmp_path, [self.B0])
+        path = tmp_path / "drift"
+        before = sorted(map(tuple, current_drift(spark, str(path)).collect()))
+        # rewrite the state into the LEGACY layout: de-tokenize the dirs
+        ref_dir = path / "_ref"
+        token_counts = next(p for p in ref_dir.iterdir()
+                            if p.name.startswith("counts-"))
+        token_meta = next(p for p in ref_dir.iterdir()
+                          if p.name.startswith("meta-"))
+        shutil.move(str(token_counts), str(ref_dir / "counts"))
+        shutil.move(str(token_meta), str(ref_dir / "meta"))
+        (ref_dir / "_COMMIT").write_text("")  # legacy empty marker
+        crc = ref_dir / "._COMMIT.crc"
+        if crc.exists():
+            crc.unlink()
+        assert sorted(
+            map(tuple, current_drift(spark, str(path)).collect())
+        ) == before
+
 
 class TestQuarantineStream:
     B0 = [
