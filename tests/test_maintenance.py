@@ -483,3 +483,37 @@ class TestMaintainExecutor:
             maintenance_report(spark, path, max_versions=3), "stream_state"
         )
         assert r2["compaction_due"] is False, r2["advice"]
+
+    def test_clustered_filecount_compact_end_to_end(self, spark, tmp_path):
+        """A stamped dir grown past max_files -> maintain runs
+        compact_clustered to __compacted, swaps in, sidecars restamped,
+        values unchanged, report green after."""
+        from postgres_cdc_reconciliation_spark.operators.layout import (
+            stamp_zonemap,
+        )
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+
+        path = str(tmp_path / "cl")
+        df = spark.range(600).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("ts")
+        )
+        df.orderBy("ts").repartition(12).write.parquet(path)
+        stamp_zonemap(spark, path, ["ts"], cluster_col="ts")
+        r = _row(
+            maintenance_report(spark, path, max_files=8), "stamped_parquet"
+        )
+        assert r["compaction_due"] is True and "compact_clustered" in r["advice"]
+        before = sorted(x["k"] for x in spark.read.parquet(path).collect())
+        done = maintain(spark, path, dry_run=False, max_files=8).collect()
+        row = [x for x in done if x["action"] == "compact_clustered"][0]
+        assert row["executed"] is True, row["detail"]
+        after = sorted(x["k"] for x in spark.read.parquet(path).collect())
+        assert after == before  # same path, same rows
+        assert (tmp_path / "cl__pre_compact").exists()
+        r2 = _row(
+            maintenance_report(spark, path, max_files=8), "stamped_parquet"
+        )
+        assert r2["compaction_due"] is False, r2["advice"]
+        assert r2["n_files"] <= 8 and r2["stale_files"] == 0
