@@ -517,3 +517,51 @@ class TestMaintainExecutor:
         )
         assert r2["compaction_due"] is False, r2["advice"]
         assert r2["n_files"] <= 8 and r2["stale_files"] == 0
+
+    def test_semantic_index_tier_end_to_end(self, spark, tmp_path):
+        """A semantic index grown past max_admits -> maintain compacts it
+        to __compacted, swaps in, ANN answers unchanged, report green."""
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+        from postgres_cdc_reconciliation_spark.operators.similarity import (
+            ivf_topk_persisted,
+            semantic_index_admit,
+            semantic_index_build,
+        )
+
+        E4 = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+              [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        idx = str(tmp_path / "idx")
+        seed = spark.createDataFrame(
+            [(i, E4[i % 4]) for i in range(16)],
+            "vec_id long, embedding array<double>",
+        )
+        semantic_index_build(seed, idx, target_cluster_size=4)
+        for b in range(3):  # admitted batches -> admits over threshold
+            semantic_index_admit(
+                spark.createDataFrame(
+                    [(100 + 10 * b + j, E4[j]) for j in range(4)],
+                    "vec_id long, embedding array<double>",
+                ),
+                idx,
+                batch_id=b,
+            )
+        q = spark.createDataFrame(
+            [(999, [0.9, 0.1, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        before = sorted(
+            map(tuple, ivf_topk_persisted(q, idx, k=3, nprobe=2).collect())
+        )
+        r = _row(maintenance_report(spark, idx, max_admits=2), "semantic_index")
+        assert r["compaction_due"] is True
+        done = maintain(spark, idx, dry_run=False, max_admits=2).collect()
+        row = [x for x in done if x["action"] == "semantic_index_compact"][0]
+        assert row["executed"] is True, row["detail"]
+        after = sorted(
+            map(tuple, ivf_topk_persisted(q, idx, k=3, nprobe=2).collect())
+        )
+        assert after == before  # same path, same answers
+        r2 = _row(maintenance_report(spark, idx, max_admits=2), "semantic_index")
+        assert r2["compaction_due"] is False, r2["advice"]
