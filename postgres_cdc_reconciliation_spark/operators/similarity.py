@@ -1786,6 +1786,15 @@ def pq_encode_fast(
     for r in cb:
         cents[r["sub"], r["cent_id"]] = r["cent"]
 
+    # distance temps are (rows, n_sub, k_codes, d_sub) — chunk the Arrow
+    # batch so each temp stays <= ~8 MB. Row-chunking is value-exact (the
+    # op is row-independent) and keeps every temp inside malloc's reusable
+    # heap instead of a fresh mmap per batch: a full 10k-row batch
+    # allocates ~130 MB of fresh pages per call, and first-touch faulting
+    # of that was measured at 6-16 s (vs 0.16 s warm) on an oscillating
+    # host — the q_ann_pq round-13 first-call blow-up (BASELINE.md r14)
+    chunk = max(1, (1 << 23) // (n_sub * k_codes * d_sub * 8))
+
     def encode(batches):
         for pdf in batches:
             b = len(pdf)
@@ -1800,9 +1809,12 @@ def pq_encode_fast(
             # non-finite component's distances go NaN and argmin picks an
             # arbitrary-but-deterministic code; rerank drops the row) —
             # silence numpy's per-batch RuntimeWarning about it
+            codes = np.empty((b, n_sub), dtype=np.int64)
             with np.errstate(invalid="ignore", over="ignore"):
-                dists = ((x[:, :, None, :] - cents[None]) ** 2).sum(-1)
-            codes = dists.argmin(-1)
+                for s in range(0, b, chunk):
+                    xs = x[s : s + chunk]
+                    dists = ((xs[:, :, None, :] - cents[None]) ** 2).sum(-1)
+                    codes[s : s + chunk] = dists.argmin(-1)
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(pdf[id_col].values, n_sub),
