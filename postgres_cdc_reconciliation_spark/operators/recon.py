@@ -153,18 +153,20 @@ def _with_global_positions(df: DataFrame, order_cols: list[str]) -> DataFrame:
     evicted block recomputes through the deterministic partitioner.
     Value-identical to `row_number over (ORDER BY order_cols)`: the
     order is total across partitions, and ties (exact duplicate sort
-    keys) are interchangeable positions either way."""
-    from pyspark import StorageLevel
+    keys) are interchangeable positions either way. The cache is
+    scope-bounded (cache_scope.scoped_persist) so repeated recon runs in
+    a long-lived session don't accumulate blocks; eviction recomputes
+    through the deterministic partitioner."""
+    from .cache_scope import scoped_persist
 
     spark = df.sparkSession
     try:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except ValueError:  # e.g. "auto" on vendor runtimes
         n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = (
+    ranged = scoped_persist(
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = sorted(
         ranged.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]

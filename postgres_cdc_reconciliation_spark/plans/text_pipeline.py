@@ -1137,10 +1137,11 @@ def q_vocab_coverage(spark, sf_dir):
     # measured 2.6x at sf0.1). Cache-as-hint, not correctness: an evicted
     # block recomputes through the deterministic range partitioner. The
     # cached table is the VOCABULARY (the query's own output size), never
-    # the corpus.
-    from pyspark import StorageLevel
+    # the corpus — and the handle is scope-bounded (cache_scope) so
+    # repeated calls in a long-lived session don't accumulate blocks.
+    from ..operators.cache_scope import scoped_persist
 
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    ranged = scoped_persist(ranged)
     # pass 1: per-partition subtotals — O(n_parts) rows to the driver
     # (this job also populates the cache pass 2 reads)
     stats = sorted(

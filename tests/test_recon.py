@@ -260,3 +260,33 @@ def test_global_positions_distributed_and_exact(spark):
         seen.setdefault(r["k"], []).append(r["_pos"])
     for k, poss in seen.items():
         assert poss == list(range(min(poss), max(poss) + 1)), k
+
+
+def test_scoped_persist_bounds_cached_handles(spark):
+    """ADVICE r13 #1: repeated recon runs in a long-lived session must not
+    accumulate cached blocks without bound — the cache-scope FIFO evicts
+    past its cap, and evicted plans still produce exact positions (the
+    deterministic range partitioner recomputes them)."""
+    from postgres_cdc_reconciliation_spark.operators import cache_scope
+    from postgres_cdc_reconciliation_spark.operators.recon import (
+        diff_rows_positional,
+    )
+
+    cache_scope.release_all()
+    src = spark.range(200).selectExpr("id as k", "cast(id as double) as v")
+    tgt = spark.range(200).selectExpr(
+        "id as k", "cast(id + if(id = 50, 1, 0) as double) as v"
+    )
+    for _ in range(3 * cache_scope._CAP):
+        d = diff_rows_positional(src, tgt, ["k"])
+        assert d.count() == 1
+    with cache_scope._lock:
+        assert len(cache_scope._handles) <= cache_scope._CAP
+    # storage must hold at most _CAP cached plans' blocks: every evicted
+    # handle was unpersisted (RDD storage info is the ground truth)
+    jsc = spark.sparkContext._jsc.sc()
+    n_cached = len([r for r in jsc.getRDDStorageInfo() if r.isCached()])
+    assert n_cached <= cache_scope._CAP
+    cache_scope.release_all()
+    with cache_scope._lock:
+        assert not cache_scope._handles
