@@ -539,9 +539,27 @@ def _commit_manifest_doc(
 
 
 def _is_already_exists(e: Exception) -> bool:
-    """True when a Py4J-surfaced Hadoop exception means 'destination file
-    already exists' (FileAlreadyExistsException from the FS, or the
-    ChecksumFileSystem/RawLocal IOException wording)."""
+    """True when a Py4J-surfaced exception means 'destination file already
+    exists'. Primary check: the JVM exception CLASS hierarchy (ADVICE r13
+    #2 — a FileSystem implementation is free to word its message however
+    it likes, and a benign lost first-stamp race must not surface as a
+    hard failure just because the wording differs). The class walk covers
+    org.apache.hadoop.fs.FileAlreadyExistsException and
+    java.nio.file.FileAlreadyExistsException plus their subclasses.
+    Fallback: the message strings — RawLocal/ChecksumFileSystem raise a
+    plain IOException with 'already exists' wording, and non-Py4J
+    exceptions carry no java class at all."""
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        try:
+            jcls = je.getClass()
+            while jcls is not None:
+                name = jcls.getName()
+                if name.rsplit(".", 1)[-1] == "FileAlreadyExistsException":
+                    return True
+                jcls = jcls.getSuperclass()
+        except Exception:
+            pass  # py4j introspection failed — fall through to wording
     s = str(e)
     return "AlreadyExists" in s or "already exists" in s
 

@@ -30,6 +30,7 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.manifest_target import _is_already_exists
 from ..operators.quality import constraint_counters, counters_to_certificate
 from .rollup import _fs
 from .sketches import _committed
@@ -121,7 +122,7 @@ def _check_or_stamp_suite(spark, path: str, fp: str) -> None:
     try:
         out = fs.create(stamp, False)
     except Exception as e:
-        if "AlreadyExists" in str(e) or "already exists" in str(e):
+        if _is_already_exists(e):
             # lost the first-stamp race: the winner's suite is the frozen
             # one — re-read and compare against it
             persisted = _read_json_stamp()
@@ -369,7 +370,7 @@ def drift_stream(
             finally:
                 out.close()
         except Exception as e:
-            if "AlreadyExists" not in str(e) and "already exists" not in str(e):
+            if not _is_already_exists(e):
                 raise
             jpath = spark._jvm.org.apache.hadoop.fs.Path
             for orphan in (f"{path}/_ref/counts-{token}",

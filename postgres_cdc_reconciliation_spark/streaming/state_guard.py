@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 
+from ..operators.manifest_target import _is_already_exists
 from .rollup import _fs
 
 
@@ -84,7 +85,7 @@ def check_or_stamp_params(
     try:
         out = fs.create(stamp, False)
     except Exception as e:
-        if "AlreadyExists" in str(e) or "already exists" in str(e):
+        if _is_already_exists(e):
             persisted = _read_stamp()  # lost the first-stamp race
             if persisted != fp:
                 raise _mismatch(persisted)

@@ -148,3 +148,55 @@ def test_torn_manifest_fails_loud_with_remediation(spark, tmp_path):
     v, _ = read_manifest(spark, target)
     assert v == 0
     assert read_snapshot(spark, target).count() == 20
+
+
+def test_is_already_exists_matches_jvm_class_not_wording():
+    """ADVICE r13 #2: lost-race detection must key off the JVM exception
+    CLASS (FileAlreadyExistsException and subclasses), not the message
+    wording — an FS implementation with different wording must still be
+    recognized, and an unrelated exception must not be."""
+    from postgres_cdc_reconciliation_spark.operators.manifest_target import (
+        _is_already_exists,
+    )
+
+    class _JClass:
+        def __init__(self, name, parent=None):
+            self._name, self._parent = name, parent
+
+        def getName(self):
+            return self._name
+
+        def getSuperclass(self):
+            return self._parent
+
+    class _JExc(Exception):
+        def __init__(self, jcls, msg):
+            super().__init__(msg)
+            self._jcls = jcls
+
+        @property
+        def java_exception(self):
+            outer = self
+
+            class _JE:
+                def getClass(self):
+                    return outer._jcls
+
+            return _JE()
+
+    ioe = _JClass("java.io.IOException", _JClass("java.lang.Exception"))
+    hadoop_faee = _JClass(
+        "org.apache.hadoop.fs.FileAlreadyExistsException", ioe
+    )
+    vendor_sub = _JClass("com.vendor.fs.BucketObjectExists", hadoop_faee)
+    nio_faee = _JClass("java.nio.file.FileAlreadyExistsException", ioe)
+
+    # class match wins regardless of wording
+    assert _is_already_exists(_JExc(hadoop_faee, "op failed: EEXIST"))
+    assert _is_already_exists(_JExc(vendor_sub, "412 precondition failed"))
+    assert _is_already_exists(_JExc(nio_faee, "some other wording"))
+    # unrelated class + unrelated wording: NOT a lost race
+    assert not _is_already_exists(_JExc(ioe, "connection reset"))
+    # wording fallback still works for plain exceptions (RawLocal path)
+    assert _is_already_exists(IOError("destination already exists"))
+    assert not _is_already_exists(IOError("disk full"))
