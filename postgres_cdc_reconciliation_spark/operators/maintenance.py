@@ -460,6 +460,31 @@ def _sidecar_cols(doc: dict) -> list[str]:
     return sorted(cols)
 
 
+def _compact_and_swap(spark, fs, path: str, compact_fn):
+    """Run one dir-swap compaction tier with crash-debris hygiene (ADVICE
+    r13 #3): a stale ``{path}__compacted`` from a run that died between
+    compact and swap is deleted up front (it is pure, reproducible output
+    of that run's input — keeping it only blocks every later run on
+    errorifexists), and if the swap itself fails the freshly written
+    compacted dir is deleted before the error surfaces, so the next
+    maintain() resumes cleanly instead of failing the compact step.
+    Returns (compact_fn's result, backup path)."""
+    dst = f"{path}__compacted"
+    _, jdst = _fs_of(spark, dst)
+    if fs.exists(jdst):
+        fs.delete(jdst, True)
+    result = compact_fn(dst)
+    try:
+        backup = _swap_in(spark, fs, path, dst)
+    except Exception:
+        # the live dir is back in place (_swap_in restores it); the
+        # compacted output is reproducible — remove it so the next run's
+        # compact step doesn't trip over it
+        fs.delete(jdst, True)
+        raise
+    return result, backup
+
+
 def _swap_in(spark, fs, path: str, dst: str) -> str:
     """Atomic-ish cutover for the dir-swap tiers: rename the live dir to a
     backup, rename the freshly compacted dir into its place. The backup is
@@ -601,9 +626,10 @@ def _execute(
         if action == "semantic_index_compact":
             from .similarity import semantic_index_compact
 
-            dst = f"{path}__compacted"
-            n = semantic_index_compact(spark, path, dst)
-            backup = _swap_in(spark, fs, path, dst)
+            n, backup = _compact_and_swap(
+                spark, fs, path,
+                lambda dst: semantic_index_compact(spark, path, dst),
+            )
             return (
                 path, tier, action, True,
                 f"compacted {n} rows; previous index kept at {backup}",
@@ -611,17 +637,19 @@ def _execute(
         if action == "text_index_compact":
             from .retrieval import text_index_compact
 
-            dst = f"{path}__compacted"
-            stats = text_index_compact(spark, path, dst)
-            backup = _swap_in(spark, fs, path, dst)
+            stats, backup = _compact_and_swap(
+                spark, fs, path,
+                lambda dst: text_index_compact(spark, path, dst),
+            )
             return (
                 path, tier, action, True,
                 f"compacted ({stats}); previous index kept at {backup}",
             )
         if action == "compact_batch_store":
-            dst = f"{path}__compacted"
-            n = compact_batch_store(spark, path, dst)
-            backup = _swap_in(spark, fs, path, dst)
+            n, backup = _compact_and_swap(
+                spark, fs, path,
+                lambda dst: compact_batch_store(spark, path, dst),
+            )
             return (
                 path, tier, action, True,
                 f"compacted {n} rows into one batch dir; previous store "
@@ -630,9 +658,10 @@ def _execute(
         if action == "compact_clustered":
             from .layout import compact_clustered
 
-            dst = f"{path}__compacted"
-            stats = compact_clustered(spark, path, dst)
-            backup = _swap_in(spark, fs, path, dst)
+            stats, backup = _compact_and_swap(
+                spark, fs, path,
+                lambda dst: compact_clustered(spark, path, dst),
+            )
             return (
                 path, tier, action, True,
                 f"compacted to {stats['n_files']} file(s), sidecars "

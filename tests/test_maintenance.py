@@ -565,3 +565,65 @@ class TestMaintainExecutor:
         assert after == before  # same path, same answers
         r2 = _row(maintenance_report(spark, idx, max_admits=2), "semantic_index")
         assert r2["compaction_due"] is False, r2["advice"]
+
+
+class TestSwapFailureHygiene:
+    def test_stale_backup_fails_but_cleans_compacted_dir(self, spark, tmp_path):
+        """ADVICE r13 #3: swap failure (stale __pre_compact backup) must
+        not strand the freshly written __compacted dir — the next run's
+        compact step would otherwise die on errorifexists. The failure
+        stays loud (backup needs operator validation), but __compacted is
+        removed and the live store is untouched."""
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+
+        src = str(tmp_path / "store")
+        df = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        )
+        for b in range(6):
+            df.write.parquet(f"{src}/batch={b}")
+        # stale backup from a hypothetical earlier swap
+        (tmp_path / "store__pre_compact").mkdir()
+        (tmp_path / "store__pre_compact" / "x").write_text("old")
+
+        done = maintain(spark, src, dry_run=False, max_admits=4).collect()
+        row = [x for x in done if x["action"] == "compact_batch_store"][0]
+        assert row["executed"] is False
+        assert "already exists" in row["detail"]
+        # the reproducible compacted output was cleaned up...
+        assert not (tmp_path / "store__compacted").exists()
+        # ...and the live store is intact
+        assert spark.read.parquet(src).count() == 300
+
+        # operator validates + removes the stale backup -> next run succeeds
+        import shutil
+
+        shutil.rmtree(tmp_path / "store__pre_compact")
+        done2 = maintain(spark, src, dry_run=False, max_admits=4).collect()
+        row2 = [x for x in done2 if x["action"] == "compact_batch_store"][0]
+        assert row2["executed"] is True, row2["detail"]
+        assert spark.read.parquet(src).count() == 300
+
+    def test_stale_compacted_dir_is_rebuilt_not_fatal(self, spark, tmp_path):
+        """A __compacted dir orphaned by a crash between compact and swap
+        is reproducible output — maintain() deletes and rebuilds it
+        instead of failing on errorifexists."""
+        from postgres_cdc_reconciliation_spark.operators.maintenance import (
+            maintain,
+        )
+
+        src = str(tmp_path / "store")
+        df = spark.range(30).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        )
+        for b in range(6):
+            df.write.parquet(f"{src}/batch={b}")
+        # crash debris: a prior run's compacted output that never swapped
+        df.limit(3).write.parquet(str(tmp_path / "store__compacted"))
+
+        done = maintain(spark, src, dry_run=False, max_admits=4).collect()
+        row = [x for x in done if x["action"] == "compact_batch_store"][0]
+        assert row["executed"] is True, row["detail"]
+        assert spark.read.parquet(src).count() == 180
