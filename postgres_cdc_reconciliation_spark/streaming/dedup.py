@@ -53,6 +53,70 @@ def read_index(spark, index_path: str) -> DataFrame | None:
     return spark.read.parquet(index_path)
 
 
+def _band_params(
+    id_col: str, text_col: str, k: int, n_hashes: int, band_size: int
+) -> dict:
+    return {
+        "kind": "lsh_bands",
+        "k": k,
+        "n_hashes": n_hashes,
+        "band_size": band_size,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+
+
+def _has_band_state(spark, index_path: str) -> bool:
+    """ANY ``batch=`` partition — including a ``batch=-1`` bootstrap seed —
+    is parameter-addressed state (ADVICE r13 #4: a seed banded under a
+    different scheme is exactly the cross-scheme recall-zero failure the
+    stamp guard exists for, so a seed must never be exempt)."""
+    if not _path_exists(spark, index_path):
+        return False
+    jp = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return any(
+        st.getPath().getName().startswith("batch=")
+        for st in fs.listStatus(jp)
+    )
+
+
+def seed_band_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """Snapshot-then-stream bootstrap (T4): band an existing corpus into
+    the reserved ``batch=-1`` partition AND stamp the banding parameters,
+    so the seed and every stream that later attaches are verifiably under
+    ONE scheme. This is the supported way to seed — a hand-written
+    ``batch=-1`` dir carries no stamp, and ``dedup_stream`` refuses
+    unstamped state rather than silently adopting it (ADVICE r13 #4).
+
+    Re-seeding an already-stamped index verifies the parameters first
+    (mismatch fails loudly before any write). Only ``batch=-1`` is
+    overwritten; stream-admitted partitions are untouched."""
+    from ..operators.dedup import lsh_band_index
+    from .state_guard import check_or_stamp_params
+
+    spark = corpus.sparkSession
+    check_or_stamp_params(
+        spark,
+        index_path,
+        _band_params(id_col, text_col, k, n_hashes, band_size),
+        # state without a stamp is exactly what seeding must not paper
+        # over: fail loudly, pointing at stamp_params for pre-guard dirs
+        has_state=_has_band_state(spark, index_path),
+    )
+    lsh_band_index(corpus, id_col, text_col, k, n_hashes, band_size).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/batch=-1")
+
+
 def dedup_stream(
     docs: DataFrame,
     index_path: str,
@@ -75,35 +139,19 @@ def dedup_stream(
     # old band rows that can never match (every cross-scheme near-dup
     # silently missed, a recall-zero failure with no error anywhere).
     # Frozen on first build (r13 guard; see streaming/state_guard.py).
-    # Only STREAM-ADMITTED partitions (batch >= 0) count as unverifiable
-    # pre-guard state: a bootstrap seed at batch=-1 (the documented
-    # snapshot-then-stream convention) is the operator's own
-    # compatibility assertion, and the stream's first build stamps it.
+    # ANY batch= partition counts as state requiring a stamp — including
+    # a batch=-1 bootstrap seed (ADVICE r13 #4: a seed banded under a
+    # different scheme is exactly the cross-scheme recall-zero failure
+    # this guard exists for). seed_band_index writes the stamp with the
+    # seed; a hand-written unstamped seed dir needs explicit
+    # stamp_params() vouching.
     from .state_guard import check_or_stamp_params
-
-    def _admitted() -> bool:
-        if not _path_exists(spark, index_path):
-            return False
-        jp = spark._jvm.org.apache.hadoop.fs.Path(index_path)
-        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-        for st in fs.listStatus(jp):
-            name = st.getPath().getName()
-            if name.startswith("batch=") and int(name[6:]) >= 0:
-                return True
-        return False
 
     check_or_stamp_params(
         spark,
         index_path,
-        {
-            "kind": "lsh_bands",
-            "k": k,
-            "n_hashes": n_hashes,
-            "band_size": band_size,
-            "id_col": id_col,
-            "text_col": text_col,
-        },
-        has_state=_admitted(),
+        _band_params(id_col, text_col, k, n_hashes, band_size),
+        has_state=_has_band_state(spark, index_path),
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

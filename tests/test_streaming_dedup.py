@@ -125,16 +125,17 @@ def test_stream_dedup_bootstrap_seed_index_visible_to_batch0(spark, tmp_path):
     corpus at batch=-1 must be probed by the stream's FIRST micro-batch.
     (A seed at batch=0 would collide with micro-batch id 0 and be silently
     excluded by the replay filter — the documented reserved-id convention.)"""
-    from postgres_cdc_reconciliation_spark.operators.dedup import lsh_band_index
+    from postgres_cdc_reconciliation_spark.streaming.dedup import (
+        seed_band_index,
+    )
 
     corpus = spark.createDataFrame(
         [(100, BASE), (101, "unrelated corpus text about shuffle planning")],
         "doc_id bigint, text string",
     )
     index_path = str(tmp_path / "index")
-    lsh_band_index(corpus).write.mode("overwrite").parquet(
-        f"{index_path}/batch=-1"
-    )
+    # the supported seeding path: writes batch=-1 AND the parameter stamp
+    seed_band_index(corpus, index_path)
 
     src = tmp_path / "in"
     src.mkdir()
@@ -200,8 +201,7 @@ def test_banding_params_frozen_across_restarts(spark, tmp_path):
     """r13 guard: a restart presenting a different banding scheme against
     an admitted index is rejected at build time — cross-scheme band rows
     can never match, so every cross-batch near-dup would be silently
-    missed (recall-zero, no error anywhere). Same scheme restarts fine;
-    a batch=-1 bootstrap seed alone does not block the first build."""
+    missed (recall-zero, no error anywhere). Same scheme restarts fine."""
     import pytest
 
     src = tmp_path / "in"
@@ -220,3 +220,63 @@ def test_banding_params_frozen_across_restarts(spark, tmp_path):
     with pytest.raises(ValueError, match="different\\s+parameters"):
         dedup_stream(stream, index_path, str(tmp_path / "hits"),
                      str(tmp_path / "ckpt3"), band_size=4)
+
+
+def test_unstamped_seed_blocks_stream_until_vouched(spark, tmp_path):
+    """ADVICE r13 #4: an index holding ONLY a hand-written batch=-1 seed
+    (no parameter stamp) must NOT be silently stamped with a new stream's
+    scheme — a seed banded under different (k, n_hashes, band_size) would
+    then silently miss every seeded near-dup. The stream refuses until the
+    operator vouches via stamp_params; seed_band_index is the supported
+    path that stamps for you (and rejects cross-scheme re-seeding)."""
+    import pytest
+
+    from postgres_cdc_reconciliation_spark.operators.dedup import (
+        lsh_band_index,
+    )
+    from postgres_cdc_reconciliation_spark.streaming.dedup import (
+        seed_band_index,
+    )
+    from postgres_cdc_reconciliation_spark.streaming.state_guard import (
+        stamp_params,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, BASE)], "doc_id bigint, text string"
+    )
+    index_path = str(tmp_path / "index")
+    # hand-written seed, no stamp — e.g. banded under band_size=4
+    lsh_band_index(corpus, band_size=4).write.parquet(f"{index_path}/batch=-1")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b1.json", [(1, BASE)], 1_000)
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    with pytest.raises(ValueError, match="no\\s+parameter\\s+stamp"):
+        dedup_stream(
+            stream, index_path, str(tmp_path / "hits"), str(tmp_path / "ckpt")
+        )
+    # cross-scheme re-seed over unstamped state is rejected the same way
+    with pytest.raises(ValueError, match="no\\s+parameter\\s+stamp"):
+        seed_band_index(corpus, index_path)
+    # operator vouches for the ACTUAL seed scheme -> a matching stream runs,
+    # a mismatched one still fails loudly
+    stamp_params(
+        spark, index_path,
+        {"kind": "lsh_bands", "k": 3, "n_hashes": 8, "band_size": 4,
+         "id_col": "doc_id", "text_col": "text"},
+    )
+    with pytest.raises(ValueError, match="different\\s+parameters"):
+        dedup_stream(
+            stream, index_path, str(tmp_path / "hits"), str(tmp_path / "ckpt")
+        )
+    q = dedup_stream(
+        stream, index_path, str(tmp_path / "hits"), str(tmp_path / "ckpt"),
+        band_size=4,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    pairs = {
+        (r["new_id"], r["match_id"])
+        for r in spark.read.parquet(str(tmp_path / "hits")).collect()
+    }
+    assert (1, 100) in pairs
