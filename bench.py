@@ -113,6 +113,47 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer reads
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # Load-check preamble (VERDICT r13 #6): before recording anything,
+    # measure the three stable controls against their committed sf0.1
+    # anchors (BASELINE.md adjudication protocol). A contaminated first
+    # draw on a busy host (round 13: q_count 1.681 s = 8x anchor) was
+    # caught by hand last round; this makes it mechanical — up to 3
+    # attempts with a settle pause, and if the controls never come down
+    # the artifact is stamped "contaminated": true so the round's numbers
+    # are adjudicated, never trusted blind. Gate applies at sf0.1 only
+    # (the anchor table's scale); other SFs record the controls uncapped.
+    preamble: dict = {}
+    contaminated = False
+    anchors = {"q_count": 0.19, "q_sort": 0.28, "q_filter_eq": 0.20}
+    try:
+        reg0 = all_queries()
+        at_anchor_sf = os.path.basename(SF_DIR.rstrip("/")) == "sf0.1"
+        for attempt in range(3):
+            vals = {}
+            for cname in anchors:
+                runs0 = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    reg0[cname].fn(spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs0.append(time.perf_counter() - t0)
+                vals[cname] = round(statistics.median(runs0), 3)
+            preamble = vals
+            hot = [c for c, v in vals.items() if v > 2.0 * anchors[c]]
+            if not (at_anchor_sf and hot):
+                break
+            print(
+                f"# bench preamble attempt {attempt + 1}: controls above "
+                f"2x anchor: {hot} = {[vals[c] for c in hot]} — settling",
+                file=sys.stderr,
+            )
+            time.sleep(20)
+        else:
+            contaminated = True
+    except Exception as e:
+        print(f"# bench error preamble: {e}", file=sys.stderr)
+
     # registry order, not alphabetical: all_queries() fronts the
     # highest-priority queries (same order the correctness gate walks), so
     # if the recorder truncates the JSON line (observed round 1), the lost
@@ -285,6 +326,8 @@ def main() -> None:
     except Exception as e:
         print(f"# bench error batch_visibility: {e}", file=sys.stderr)
 
+    if preamble:
+        extra["preamble_controls"] = preamble
     result = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -295,6 +338,9 @@ def main() -> None:
         "queries_file": "BENCH_FULL.json",
         "queries": timings,
     }
+    if contaminated:
+        # stamped FIRST so the flag survives the stdout-line trimming below
+        result = {"contaminated": True, **result}
 
     # Full timings always go to a repo file: the driver's stdout capture
     # keeps only the last ~2000 bytes, which truncated the 126-query line in
