@@ -133,8 +133,17 @@ _CHECK_PRIORITY: list[str] = [
     # expressions), and sq_scales/sq_encode gained non-finite guards that
     # are no-ops on well-formed driver data (q_ann_sq driven MATCH after).
     # Full drive at session end: 190/190 MATCH.
-    "q_dedup_embed_rp",
-    "q_dedup_embed_rp_multi",
+    # -- round 14 window (VERDICT r13 #4): q_ann_pq is pinned even though
+    # its r13 row is green — the round-13 perf anomaly landed on its plan,
+    # AND round 14 changed its encoder (pq_encode_fast now chunks the
+    # distance temporaries; value-exact by construction and by the
+    # agreement suite, but the driver row is the independent evidence).
+    # q_ann_pq_rerank shares the encoder; it is r10-stale and fronts by
+    # staleness anyway — listed here so the re-check is guaranteed even if
+    # a late registration reshuffles the staleness tier. The 41 r10-stale
+    # rows fill the rest of the window automatically.
+    "q_ann_pq",
+    "q_ann_pq_rerank",
 ]
 
 # The round the pins above were written FOR. A pin retires automatically
@@ -144,7 +153,7 @@ _CHECK_PRIORITY: list[str] = [
 # while stale rows get buried (the exact failure mode VERDICT r5 #1
 # flagged). Retired pins fall back into the staleness tier like any other
 # query, so the next round's window self-corrects with no list edit.
-_CHECK_PRIORITY_ROUND = 9
+_CHECK_PRIORITY_ROUND = 14
 
 
 import functools
