@@ -273,6 +273,15 @@ def test_scoped_persist_bounds_cached_handles(spark):
     )
 
     cache_scope.release_all()
+    # baseline OTHER cached RDDs (shared-session fixtures, earlier tests):
+    # the bound under test is the GROWTH this loop adds, so assert on the
+    # delta — the absolute count is not this test's to control
+    jsc = spark.sparkContext._jsc.sc()
+
+    def _n_cached() -> int:
+        return len([r for r in jsc.getRDDStorageInfo() if r.isCached()])
+
+    before = _n_cached()
     src = spark.range(200).selectExpr("id as k", "cast(id as double) as v")
     tgt = spark.range(200).selectExpr(
         "id as k", "cast(id + if(id = 50, 1, 0) as double) as v"
@@ -282,11 +291,17 @@ def test_scoped_persist_bounds_cached_handles(spark):
         assert d.count() == 1
     with cache_scope._lock:
         assert len(cache_scope._handles) <= cache_scope._CAP
-    # storage must hold at most _CAP cached plans' blocks: every evicted
-    # handle was unpersisted (RDD storage info is the ground truth)
-    jsc = spark.sparkContext._jsc.sc()
-    n_cached = len([r for r in jsc.getRDDStorageInfo() if r.isCached()])
-    assert n_cached <= cache_scope._CAP
+    # storage growth must stay within the cap: every evicted handle was
+    # unpersisted (48 persists happened; without the scope this is +48).
+    # unpersist(blocking=False) removes blocks asynchronously — poll
+    # briefly before judging
+    import time
+
+    for _ in range(50):
+        if _n_cached() - before <= cache_scope._CAP:
+            break
+        time.sleep(0.2)
+    assert _n_cached() - before <= cache_scope._CAP
     cache_scope.release_all()
     with cache_scope._lock:
         assert not cache_scope._handles
