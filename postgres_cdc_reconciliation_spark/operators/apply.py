@@ -363,6 +363,37 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _has_data_files(spark: SparkSession, path: str) -> bool:
+    """True when the dir tree holds at least one DATA file (markers and
+    hidden entries — ``_SUCCESS``, sidecars, checkpoints — don't count).
+
+    A target dir that EXISTS but is dataless is a legitimate first-batch
+    state (an empty-seed bootstrap, tooling that mkdir'd the path) — a
+    bare read of it dies on parquet schema inference and kills the stream.
+    This is a POSITIVE emptiness determination in the ADVICE r1 sense:
+    the listing either succeeds (authoritative on every Hadoop FS) or its
+    failure propagates loudly — no error is ever swallowed into
+    "first batch". Early-exits on the first data file, so a populated
+    target pays ~2 LIST calls, not a full tree walk."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stack = [jpath]
+    while stack:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                # partition dirs may carry a leading underscore (this
+                # package's own layout is `_bucket=N/`) — the `name=value`
+                # shape marks them as DATA dirs, not markers, matching
+                # Spark's own partition-discovery treatment
+                if "=" in name or not name.startswith(("_", ".")):
+                    stack.append(st.getPath())
+            elif not name.startswith(("_", ".")):
+                return True
+    return False
+
+
 def latest_per_key(
     events: DataFrame,
     key_cols: list[str],
@@ -669,7 +700,9 @@ def apply_stream(
             for c in batch_df.columns
             if c not in ("op", "source_lsn", "ts_ms", "__deleted")
         ]
-        if _path_exists(spark, target_path):
+        if _path_exists(spark, target_path) and _has_data_files(
+            spark, target_path
+        ):
             raw = spark.read.parquet(target_path)
             new_cols = [
                 c for c in payload_cols if c not in raw.columns
@@ -711,6 +744,11 @@ def apply_stream(
                 target, batch_df, key_cols, evolve_schema=evolve_schema
             )
         else:  # first batch: empty target with the delta's payload schema
+            # (path absent, OR present but dataless — an empty-seed
+            # bootstrap / pre-created dir). Static write: nothing on disk
+            # to preserve, and it stamps the layout sidecar even though
+            # the dir technically "existed"
+            dynamic = False
             new_target = apply_batch(
                 batch_df.limit(0).drop("op", "source_lsn", "ts_ms", "__deleted"),
                 batch_df,

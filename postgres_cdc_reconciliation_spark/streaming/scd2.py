@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.apply import (
     DEFAULT_TARGET_BUCKETS,
+    _has_data_files,
     _path_exists,
     bucket_expr,
     write_bucketed_target,
@@ -65,7 +66,12 @@ def scd2_stream(
         if batch_df.isEmpty():
             return
         dynamic = False
-        if _path_exists(spark, history_path):
+        # dataless-but-existing dir (empty-seed bootstrap, pre-created
+        # path) is a first batch, not a schema-inference crash — positive
+        # emptiness check, listing failures stay loud (apply._has_data_files)
+        if _path_exists(spark, history_path) and _has_data_files(
+            spark, history_path
+        ):
             raw = spark.read.parquet(history_path)
             if "_bucket" in raw.columns:
                 # history pruning recomputes bucket ids from the caller's

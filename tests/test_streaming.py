@@ -489,3 +489,74 @@ def test_drop_audit_flag_validates_and_silences(spark, tmp_path, caplog):
     assert not [r for r in caplog.records if "dropped" in r.getMessage()]
     final = {r["order_id"]: float(r["amount"]) for r in spark.read.parquet(target).collect()}
     assert final == {1: 10.0}  # the null-key event cost itself, silently
+
+
+def test_apply_stream_into_dataless_target_dir(spark, tmp_path):
+    """A target path that EXISTS but holds no data files (an empty-seed
+    bootstrap writes only _SUCCESS; ops tooling may mkdir the path) is a
+    legitimate first-batch state — the stream must bootstrap, not die on
+    parquet schema inference (found by the round-14 bench smoke at a scale
+    factor whose seed window is empty)."""
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    with open(src / "batch1.json", "w") as f:
+        for i in range(1, 4):
+            f.write(
+                json.dumps(
+                    {"key": str(i), "value": json.dumps(_env("r", None, _row(i, i * 10.0), f"0/{i:X}"))}
+                )
+                + "\n"
+            )
+
+    target = str(tmp_path / "target")
+    # empty seed: schema-only DataFrame -> dir with _SUCCESS, zero data files
+    from postgres_cdc_reconciliation_spark.operators.apply import (
+        write_bucketed_target,
+    )
+
+    empty = spark.createDataFrame(
+        [], "order_id bigint, customer_id bigint, amount string, "
+        "ts string, batch_id bigint"
+    )
+    write_bucketed_target(empty, target, ["order_id"], dynamic=False)
+
+    q = apply_stream(
+        unwrap(parse_stream(read_cdc_stream(spark, file_path=str(src)))),
+        target,
+        ["order_id"],
+        str(tmp_path / "ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    final = {
+        r["order_id"]: float(r["amount"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert final == {1: 10.0, 2: 20.0, 3: 30.0}
+
+    # and a plain pre-created (mkdir) dir behaves the same for scd2_stream
+    from postgres_cdc_reconciliation_spark.streaming.scd2 import (
+        read_history,
+        scd2_stream,
+    )
+
+    hist = tmp_path / "hist"
+    hist.mkdir()
+    src2 = tmp_path / "scd_in"
+    src2.mkdir()
+    with open(src2 / "b1.json", "w") as f:
+        for i in range(1, 4):
+            f.write(
+                json.dumps(
+                    {"order_id": i, "amount": i * 1.0, "seq": i, "op": "c"}
+                )
+                + "\n"
+            )
+    changelog = spark.readStream.schema(
+        "order_id bigint, amount double, seq bigint, op string"
+    ).json(str(src2))
+    q2 = scd2_stream(
+        changelog, str(hist), str(tmp_path / "ckpt2"),
+        key="order_id", seq="seq", attrs=["amount"],
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert read_history(spark, str(hist)).count() == 3
