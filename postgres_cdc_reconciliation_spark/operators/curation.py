@@ -135,9 +135,16 @@ def contamination_report(
     shuffle happens until the final doc_id agg, which is map-side
     combinable. overlap_share is a ratio of two exact ints (engine-stable).
     """
+    from .cache_scope import scoped_persist
     from .dedup import shingles
 
-    tr = shingles(train_docs, id_col=id_col, text_col=text_col, k=k)
+    # the train shingle stream feeds BOTH the sizes agg and the hits join —
+    # persist it so the corpus tokenize+explode runs once per call instead
+    # of once per branch (r14 opt, guide §1.2/§5; eviction recomputes a
+    # deterministic map, value-safe)
+    tr = scoped_persist(
+        shingles(train_docs, id_col=id_col, text_col=text_col, k=k)
+    )
     ev = shingles(eval_docs, id_col=id_col, text_col=text_col, k=k).select(
         "shingle"
     ).distinct()

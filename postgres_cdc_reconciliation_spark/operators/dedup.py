@@ -177,6 +177,16 @@ def ngram_jaccard_pairs(
     *discriminative* shingles; near-dup docs still share most of them)."""
     if method not in ("prefix", "index"):
         raise ValueError(f"method must be 'prefix' or 'index', got {method!r}")
+    # The shingle stream fans out to every branch of either plan (the df
+    # aggregation, the per-doc sizes, and both self-join sides — the
+    # self-join's two sides share one Exchange, but the OTHER branches each
+    # re-run the upstream tokenize+explode otherwise). Persist it once:
+    # recompute-on-eviction is deterministic (pure map over the doc table),
+    # so the bounded cache scope is value-safe (r14 opt, guide §1.2/§5 —
+    # 3 corpus explodes -> 1).
+    from .cache_scope import scoped_persist
+
+    sh = scoped_persist(sh)
     dfm = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     if max_doc_freq is not None:
         hot = (
@@ -476,6 +486,12 @@ def _dup_span_hits(
             ).otherwise(F.array())
         ).alias("pos", "gram"),
     )
+    # grams feeds the count agg AND the join-back — persist so the
+    # tokenize+posexplode (the dominant map work) runs once per call
+    # (r14 opt, guide §1.2/§5; deterministic recompute, eviction-safe)
+    from .cache_scope import scoped_persist
+
+    grams = scoped_persist(grams)
     counts = grams.groupBy("gram").agg(F.count("*").alias("_cnt"))
     dup = counts.filter(F.col("_cnt") >= min_count)
     if max_gram_freq is not None:

@@ -2001,23 +2001,32 @@ def sq_topk(
     tier exists for the LLM-pipeline brief; semantics follow the published
     IVF-SQ8 design."""
     dq = lambda c: _sq_dequant_expr(c, scales)  # noqa: E731
-    q = queries.where(F.size(vec_col) == len(scales)).select(
-        F.col(id_col).alias("query_id"), dq(vec_col).alias("q_vec")
-    )
-    c = corpus.where(F.size(vec_col) == len(scales)).select(
-        F.col(id_col).alias("neighbor_id"), dq(vec_col).alias("c_vec")
-    )
-    qn = F.sqrt(
+    # norms are computed ONCE PER SIDE here, not per joined pair: the
+    # aggregate() fold is an interpreted higher-order expression, so leaving
+    # it above the cross join re-evaluates a dim-length fold |q|x|corpus|
+    # times per side (r14 opt, guide §4.1 — same doubles, the per-vector
+    # fold is unchanged, only where it runs moves)
+    qn_in = F.sqrt(
         F.expr(
             "aggregate(transform(q_vec, x -> x * x), cast(0.0 as double),"
             " (acc, v) -> acc + v)"
         )
     )
-    cn = F.sqrt(
+    cn_in = F.sqrt(
         F.expr(
             "aggregate(transform(c_vec, x -> x * x), cast(0.0 as double),"
             " (acc, v) -> acc + v)"
         )
+    )
+    q = (
+        queries.where(F.size(vec_col) == len(scales))
+        .select(F.col(id_col).alias("query_id"), dq(vec_col).alias("q_vec"))
+        .select("query_id", "q_vec", qn_in.alias("_sqn"))
+    )
+    c = (
+        corpus.where(F.size(vec_col) == len(scales))
+        .select(F.col(id_col).alias("neighbor_id"), dq(vec_col).alias("c_vec"))
+        .select("neighbor_id", "c_vec", cn_in.alias("_scn"))
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -2026,7 +2035,7 @@ def sq_topk(
             # try_divide: an all-zero (or zero-quantized) vector has no
             # cosine — drop it from the ranking rather than raise/rank NaN
             "cos",
-            F.try_divide(_dot("q_vec", "c_vec"), qn * cn),
+            F.try_divide(_dot("q_vec", "c_vec"), F.col("_sqn") * F.col("_scn")),
         )
         .filter(F.col("cos").isNotNull())
     )
@@ -2091,22 +2100,30 @@ def sq_topk_codes(
     c = codes.where(F.size("codes") == len(scales)).select(
         F.col(id_col).alias("neighbor_id"), dq_codes.alias("c_vec")
     )
-    qn = F.sqrt(
+    # per-side norms BELOW the cross join (same move as sq_topk, r14 opt):
+    # bit-identical per-vector fold, evaluated |side| times instead of
+    # |q|x|corpus| times
+    qn_in = F.sqrt(
         F.expr(
             "aggregate(transform(q_vec, x -> x * x), cast(0.0 as double),"
             " (acc, v) -> acc + v)"
         )
     )
-    cn = F.sqrt(
+    cn_in = F.sqrt(
         F.expr(
             "aggregate(transform(c_vec, x -> x * x), cast(0.0 as double),"
             " (acc, v) -> acc + v)"
         )
     )
+    q = q.select("query_id", "q_vec", qn_in.alias("_sqn"))
+    c = c.select("neighbor_id", "c_vec", cn_in.alias("_scn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.try_divide(_dot("q_vec", "c_vec"), qn * cn))
+        .withColumn(
+            "cos",
+            F.try_divide(_dot("q_vec", "c_vec"), F.col("_sqn") * F.col("_scn")),
+        )
         .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")

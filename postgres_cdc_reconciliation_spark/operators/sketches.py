@@ -258,27 +258,40 @@ def kmv_build(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.storagelevel import StorageLevel
+
     hashed = (
         df.select(F.col(value_col))
         .where(F.col(value_col).isNotNull())
         .select(kmv_hash(value_col, salt).alias("h"))
     )
-    bottom = None
-    n_est = hashed.agg(F.approx_count_distinct("h").alias("n")).first()["n"]
-    if n_est > 4 * k:
-        threshold = int(KMV_SPACE * (4.0 * k / float(n_est)))
-        filtered = (
-            hashed.where(F.col("h") < threshold)
-            .distinct()
-            .orderBy("h")
-            .limit(k)
-            .localCheckpoint()  # bounded: <= k rows
-        )
-        if filtered.count() >= k:
-            bottom = filtered
-    if bottom is None:
-        bottom = hashed.distinct().orderBy("h").limit(k).localCheckpoint()
-    return bottom
+    # The hash stream feeds TWO actions — the HLL n-estimate and the
+    # filtered distinct — and its upstream (typically a shingle explode +
+    # md5 per row) is the expensive part of the build. Persist it so the
+    # source scan + hashing run once instead of once per action; the handle
+    # is unpersisted before returning (every returned sketch is an eager
+    # localCheckpoint of <= k rows, so no consumer ever re-reads the cache
+    # — the ADVICE r13 persist-leak rule).
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        bottom = None
+        n_est = hashed.agg(F.approx_count_distinct("h").alias("n")).first()["n"]
+        if n_est > 4 * k:
+            threshold = int(KMV_SPACE * (4.0 * k / float(n_est)))
+            filtered = (
+                hashed.where(F.col("h") < threshold)
+                .distinct()
+                .orderBy("h")
+                .limit(k)
+                .localCheckpoint()  # bounded: <= k rows
+            )
+            if filtered.count() >= k:
+                bottom = filtered
+        if bottom is None:
+            bottom = hashed.distinct().orderBy("h").limit(k).localCheckpoint()
+        return bottom
+    finally:
+        hashed.unpersist()
 
 
 def kmv_build_grouped(

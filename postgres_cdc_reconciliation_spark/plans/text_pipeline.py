@@ -1352,8 +1352,8 @@ FROM embeddings""",
 )
 def q_kmeans(spark, sf_dir):
     from ..operators.clustering import (
+        _well_formed,
         kmeans_fit,
-        kmeans_inertia,
         kmeans_init_farthest,
         _nearest_expr,
     )
@@ -1363,10 +1363,20 @@ def q_kmeans(spark, sf_dir):
     cents, _iters = kmeans_fit(emb, k=4, max_iter=3, seeds=seeds)
 
     # assigner's path (Σ(a-b)² aggregate HOF, ties to smallest cent_id) and
-    # an independent expanded-identity path in ONE frame
-    v = emb.select(
-        F.expr("transform(embedding, x -> cast(x as double))").alias("_v")
-    ).withColumn("_m", _nearest_expr(cents))
+    # an independent expanded-identity path in ONE frame. The two inertia
+    # invariants ride in the SAME single aggregation pass (r14 opt, guide
+    # §1.2): the old shape ran kmeans_inertia twice — two extra full scans
+    # + driver actions per call — to produce two booleans the final agg can
+    # compute itself (well-formed-filtered conditional sums, identical
+    # values; the improved flag keeps its 1e-9 relative guard).
+    v = (
+        emb.select(
+            F.expr("transform(embedding, x -> cast(x as double))").alias("_v"),
+            _well_formed("embedding", len(cents[0])).alias("_wf"),
+        )
+        .withColumn("_m", _nearest_expr(cents))
+        .withColumn("_ms", _nearest_expr(seeds))
+    )
     vnorm = F.expr("aggregate(transform(_v, x -> x * x), 0D, (a, x) -> a + x)")
     dists = []
     for c in cents:
@@ -1383,17 +1393,18 @@ def q_kmeans(spark, sf_dir):
         F.col("_m.dist") > mind + F.lit(1e-9) * (vnorm + F.lit(1.0))
     ).cast("long")
 
-    inertia_final = kmeans_inertia(emb, cents)
-    inertia_seed = kmeans_inertia(emb, seeds)
-    improved = inertia_final <= inertia_seed * (1.0 + 1e-9)
     return v.agg(
         F.count("*").cast("long").alias("n_vectors"),
         F.sum(bad).cast("long").alias("n_misassigned"),
+        F.sum(F.when(F.col("_wf"), F.col("_m.dist"))).alias("_if"),
+        F.sum(F.when(F.col("_wf"), F.col("_ms.dist"))).alias("_is"),
     ).select(
         "n_vectors",
         "n_misassigned",
-        F.lit(bool(improved)).alias("inertia_improved"),
-        F.lit(bool(inertia_final >= 0.0)).alias("inertia_nonneg"),
+        (F.col("_if") <= F.col("_is") * F.lit(1.0 + 1e-9)).alias(
+            "inertia_improved"
+        ),
+        (F.col("_if") >= F.lit(0.0)).alias("inertia_nonneg"),
     )
 
 
@@ -1887,29 +1898,53 @@ FROM embeddings""",
     "test_semantic_dedup.py).",
 )
 def q_semantic_dedup(spark, sf_dir):
-    from ..operators.similarity import _pair_cos_udf, semantic_dedup
+    from ..operators.similarity import semantic_dedup
 
     thr = 0.3
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     res = semantic_dedup(
         emb, threshold=thr, target_cluster_size=128
     ).localCheckpoint()  # feeds the witness join twice (r6 rule)
-    t = res.join(emb.select("vec_id", "embedding"), "vec_id")
-    a = t.select(
-        "cent_id", F.col("vec_id").alias("_a"), F.col("embedding").alias("_ea")
+    t = res.select("vec_id", "cent_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
     )
-    b = t.select(
-        "cent_id", F.col("vec_id").alias("_b"), F.col("embedding").alias("_eb")
-    )
-    # independent scorer: Arrow-batched numpy einsum, NOT the SQL fold the
-    # operator used (evaluate-once marker — the q_series_dtw Catalyst trap)
-    cos = _pair_cos_udf().asNondeterministic()("_ea", "_eb")
-    wit = (
-        a.join(b, "cent_id")
-        .filter(F.col("_a") < F.col("_b"))
-        .select("_b", cos.alias("_cos"))
-        .groupBy("_b")
-        .agg(F.max("_cos").alias("_best"))
+
+    # independent scorer: per-cluster numpy GEMM inside ONE applyInPandas
+    # pass, NOT the SQL fold the operator used. r14 opt (guide §4.2/§2.3):
+    # the old shape exploded every within-cluster pair (a⋈b on cent_id) and
+    # shipped BOTH 64-dim embeddings per pair through the Arrow boundary —
+    # O(Σ cluster²) vector transfers — where the gemm ships each vector
+    # once (O(n)) and scores the cluster's pair matrix in native BLAS.
+    # Numerically this is the same double-precision dot/(|a||b|) the einsum
+    # scorer produced (BLAS vs einsum accumulation differ ~1e-16); the
+    # query's 1e-9 boundary bands absorb scorer noise by design, so the
+    # violation counts are unchanged. Zero-norm members keep the SQL-max
+    # NaN semantics: NaN cosines propagate into _best (NaN outranks any
+    # double in Spark's max), never silently drop.
+    import numpy as np
+    import pandas as pd
+
+    def _best_witness(pdf: pd.DataFrame) -> pd.DataFrame:
+        # members arrive well-formed (semantic_dedup only emits assigned,
+        # well-formed vectors), so the cluster matrix stacks uniformly
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        dots = mat @ mat.T
+        norms = np.linalg.norm(mat, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / np.outer(norms, norms)
+        # witness of column j = max cos over STRICTLY smaller ids (i < j)
+        cos[np.tril_indices(len(ids))] = -np.inf
+        with np.errstate(invalid="ignore"):
+            best = np.max(cos, axis=0)
+        has_witness = ~(best == -np.inf)  # j=0 has none; NaN passes through
+        return pd.DataFrame(
+            {"_b": ids[has_witness], "_best": best[has_witness]}
+        )
+
+    wit = t.groupBy("cent_id").applyInPandas(
+        _best_witness, "_b bigint, _best double"
     )
     per = res.join(wit, res["vec_id"] == wit["_b"], "left")
     pruned_bad = (
@@ -1994,10 +2029,7 @@ FROM embeddings WHERE vec_id % 4 = 1""",
     "pytest-witnessed (tests/test_semantic_dedup.py).",
 )
 def q_semantic_dedup_incremental(spark, sf_dir):
-    from ..operators.similarity import (
-        _pair_cos_udf,
-        semantic_dedup_incremental,
-    )
+    from ..operators.similarity import semantic_dedup_incremental
 
     thr = 0.3
     root = _ensure_semindex_root(spark, sf_dir)
@@ -2005,37 +2037,63 @@ def q_semantic_dedup_incremental(spark, sf_dir):
     batch = emb.filter(F.col("vec_id") % 4 == 1)
     res = semantic_dedup_incremental(
         batch, root, threshold=thr
-    ).localCheckpoint()  # feeds two witness joins + the final agg (r6 rule)
-    t = res.join(emb.select("vec_id", "embedding"), "vec_id")
-    # independent scorer: Arrow-batched numpy einsum, NOT the SQL fold the
-    # operator used (evaluate-once marker — the q_series_dtw Catalyst trap)
-    cos = _pair_cos_udf().asNondeterministic()
+    ).localCheckpoint()  # feeds the witness join + the final agg (r6 rule)
+    t = res.select("vec_id", "cent_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
     members = spark.read.parquet(root).select(
         "cent_id", F.col("embedding").alias("_ec")
     )
-    wit_c = (
-        t.select("cent_id", F.col("vec_id").alias("_p"),
-                 F.col("embedding").alias("_ep"))
-        .join(members, "cent_id")
-        .select("_p", cos("_ep", "_ec").alias("_cos"))
-        .groupBy("_p")
-        .agg(F.max("_cos").alias("_best_c"))
+
+    # independent scorer: BOTH witness classes (corpus member / smaller-id
+    # batch sibling) from ONE cogrouped numpy-GEMM pass per cluster — NOT
+    # the operator's SQL fold. r14 opt (guide §4.2/§2.3): the old shape ran
+    # two pair joins that shipped both 64-dim embeddings per candidate pair
+    # through the Arrow boundary (O(|batch| x cluster) + O(batch-pair)
+    # vector transfers, two shuffles + two groupBy-max + two left joins);
+    # the cogroup ships each vector once and scores in BLAS. A missing
+    # witness is encoded -inf, which fails every >= test exactly like the
+    # old left-join NULL; NaN (zero-norm) keeps its Spark max semantics
+    # (NaN outranks all doubles). The 1e-9 bands absorb gemm-vs-einsum
+    # accumulation noise (~1e-16) by design.
+    import numpy as np
+    import pandas as pd
+
+    def _witnesses(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                {
+                    "_p": pd.Series(dtype="int64"),
+                    "_best_c": pd.Series(dtype="float64"),
+                    "_best_b": pd.Series(dtype="float64"),
+                }
+            )
+        left = left.sort_values("vec_id", kind="mergesort").reset_index(
+            drop=True
+        )
+        ids = left["vec_id"].to_numpy()
+        bm = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        bn = np.linalg.norm(bm, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if len(right):
+                cm = np.stack(right["_ec"].to_numpy()).astype(np.float64)
+                cn = np.linalg.norm(cm, axis=1)
+                cos_c = (bm @ cm.T) / np.outer(bn, cn)
+                best_c = np.max(cos_c, axis=1)
+            else:
+                best_c = np.full(len(ids), -np.inf)
+            cos_b = (bm @ bm.T) / np.outer(bn, bn)
+        cos_b[np.tril_indices(len(ids))] = -np.inf
+        with np.errstate(invalid="ignore"):
+            best_b = np.max(cos_b, axis=0)
+        return pd.DataFrame({"_p": ids, "_best_c": best_c, "_best_b": best_b})
+
+    wit = (
+        t.groupBy("cent_id")
+        .cogroup(members.groupBy("cent_id"))
+        .applyInPandas(_witnesses, "_p bigint, _best_c double, _best_b double")
     )
-    a = t.select("cent_id", F.col("vec_id").alias("_p"),
-                 F.col("embedding").alias("_ep"))
-    b = t.select("cent_id", F.col("vec_id").alias("_b"),
-                 F.col("embedding").alias("_eb"))
-    wit_b = (
-        a.join(b, "cent_id")
-        .filter(F.col("_b") < F.col("_p"))
-        .select("_p", cos("_ep", "_eb").alias("_cos"))
-        .groupBy("_p")
-        .agg(F.max("_cos").alias("_best_b"))
-    )
-    per = (
-        res.join(wit_c, res["vec_id"] == wit_c["_p"], "left").drop("_p")
-        .join(wit_b, res["vec_id"] == wit_b["_p"], "left").drop("_p")
-    )
+    per = res.join(wit, res["vec_id"] == wit["_p"], "left").drop("_p")
     has_c = F.col("_best_c").isNotNull() & (F.col("_best_c") >= thr - 1e-9)
     has_b = F.col("_best_b").isNotNull() & (F.col("_best_b") >= thr - 1e-9)
     strong_c = F.col("_best_c").isNotNull() & (F.col("_best_c") >= thr + 1e-9)
