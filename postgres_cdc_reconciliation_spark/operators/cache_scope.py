@@ -1,21 +1,27 @@
 """Bounded scope for persist()-as-a-hint caches (ADVICE r13 #1).
 
-The two-pass prefix-sum operators (``recon._with_global_positions``,
-``plans.text_pipeline.q_vocab_coverage``) persist an intermediate so its
-input scans once across the offset job and the returned lazy plan. The
-returned plan is consumed by the CALLER at an unknown later time, so the
-helper cannot unpersist inline — and a bare ``persist()`` with no release
+Operators whose plan fans out to several consuming branches (the shingle /
+positional-gram streams in ``dedup``, the train shingles in ``curation``)
+persist the shared intermediate so its upstream scans once. The returned
+plan is consumed by the CALLER at an unknown later time, so the helper
+cannot unpersist inline — and a bare ``persist()`` with no release
 accumulates cached blocks indefinitely in a long-lived session (one recon
 service process runs thousands of diffs).
 
 ``scoped_persist`` keeps the hint but bounds the leak: handles enter a
 small FIFO; registering past the cap unpersists the oldest (non-blocking).
-Eviction is ALWAYS value-safe for these operators — their cached plans
-recompute through deterministic range partitioners (explicit
-numPartitions, so the sampled boundaries are reproducible) — so the cap
-trades at worst a recompute, never correctness. By the time a handle is
-``_CAP`` registrations old its query has been consumed in any real
-call pattern; a pathological interleaving just recomputes.
+
+ELIGIBILITY (tightened r14): eviction means a consumer may RECOMPUTE the
+plan, so scoped_persist is only for caches-as-hints — plans whose
+recomputation is value-identical (deterministic maps: tokenize, explode,
+hash). It must NOT be used where two consumers need a CONSISTENT view of
+a nondeterministic materialization: the r13 two-pass prefix-sum operators
+(``recon._with_global_positions``, ``q_vocab_coverage``) cached a
+range-partitioned frame whose boundary sample can differ on recompute
+(and whose ``spark_partition_id`` column is nondeterministic), so an
+eviction between their two jobs produced DUPLICATE positions. Those
+operators now pin their data with an eager localCheckpoint instead —
+blocks release with the plan via the ContextCleaner.
 """
 
 from __future__ import annotations

@@ -250,13 +250,18 @@ def kmeans_assign(
     the Arrow-batched gemm E-step (plan-size-flat — the large-k path);
     ``"auto"`` picks by k×dim (see _LITERAL_ASSIGN_MAX_TERMS). Downstream
     grouping is the caller's choice."""
+    from ..session import spread_scan
+
     mode = _assign_mode(assign, len(centroids), len(centroids[0]))
     base = (
         # malformed vectors (size != centroid dim, non-finite components)
         # drop out: their padded distances are NULL/NaN, which would
         # otherwise win array_min's struct compare and mis-assign every
-        # dirty row to centroid 0 (and crash the numpy vstack)
-        corpus.filter(_well_formed(vec_col, len(centroids[0])))
+        # dirty row to centroid 0 (and crash the numpy vstack).
+        # spread_scan: assignment is map-only, so a single-row-group
+        # corpus would evaluate every k×dim distance on ONE core (r14
+        # opt, guide §2.5; per-row argmin — bit-identical)
+        spread_scan(corpus).filter(_well_formed(vec_col, len(centroids[0])))
         .select(
             F.col(id_col),
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
@@ -304,7 +309,17 @@ def kmeans_fit(
     # avg() under ANSI, and a NaN/Inf component would poison a centroid —
     # at corpus scale a dirty row must cost itself, not the training job.
     # Seeding runs on the same filtered frame.
-    corpus = corpus.filter(_well_formed(vec_col, dim))
+    # spread_scan (r14 opt, guide §2.5): seeding scans and every Lloyd's
+    # E-step are map-heavy; a single-row-group corpus runs them on ONE
+    # core otherwise. Seeds are unchanged (argmax/hash-sample are exact
+    # order-independent comparisons); the M-step's double avg() merges in
+    # a different partition order, so centroids can drift at the last ulp
+    # (~1e-16) — exactly the "distributed fp centroids aren't bit-stable"
+    # premise the kmeans/semantic-dedup invariant oracles are built on
+    # (their flags carry 1e-9 guards; re-driven MATCH at sf0.01).
+    from ..session import spread_scan
+
+    corpus = spread_scan(corpus).filter(_well_formed(vec_col, dim))
     if seeds is not None:
         if len(seeds) != k:
             raise ValueError(f"got {len(seeds)} seeds for k={k}")

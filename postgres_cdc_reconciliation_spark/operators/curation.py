@@ -498,8 +498,14 @@ def hot_ngrams(
             f"ELSE array() END"
         )
     )
+    from ..session import spread_scan
+
     return (
-        docs.select(F.col(id_col), F.explode(grams).alias("ngram"))
+        # spread_scan: the n-gram explode is the whole cost — a single-
+        # row-group doc table would run it on ONE core (r14 opt, guide
+        # §2.5; exact integer counts, values unchanged)
+        spread_scan(docs)
+        .select(F.col(id_col), F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").cast("long").alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_df)

@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 
 def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("_tokens", F.split(F.col(text_col), " "))
+    # spread_scan: a single-row-group doc table otherwise tokenizes and
+    # explodes on ONE core (r14 opt, guide §2.5); no-op on parallel scans,
+    # bit-identical per row
+    from ..session import spread_scan
+
+    return spread_scan(df).withColumn("_tokens", F.split(F.col(text_col), " "))
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:

@@ -144,29 +144,39 @@ def repair_batch(
 def _with_global_positions(df: DataFrame, order_cols: list[str]) -> DataFrame:
     """Global sort positions WITHOUT a single-partition window: range-
     partition on the full sort key (globally ordered partitions, explicit
-    numPartitions so AQE never re-coalesces and both jobs see the same
-    deterministically-sampled boundaries), collect one (count) row per
-    partition, fold into broadcast rank offsets, then row_number WITHIN
-    each range partition + offset — the q_vocab_coverage two-pass prefix
-    sum (r13). The ranged side is cached so the input scans once
-    (CacheManager dedupes the identical plan across the two jobs); an
-    evicted block recomputes through the deterministic partitioner.
-    Value-identical to `row_number over (ORDER BY order_cols)`: the
-    order is total across partitions, and ties (exact duplicate sort
-    keys) are interchangeable positions either way. The cache is
-    scope-bounded (cache_scope.scoped_persist) so repeated recon runs in
-    a long-lived session don't accumulate blocks; eviction recomputes
-    through the deterministic partitioner."""
-    from .cache_scope import scoped_persist
+    numPartitions so AQE never re-coalesces), row_number WITHIN each range
+    partition, shifted by the preceding partitions' counts.
 
+    Consistency contract (r14 fix): the per-partition counts and the
+    positioned rows MUST see the same partition boundaries. The ranged
+    frame is therefore materialized ONCE — an eager localCheckpoint, so
+    the boundary sample happens exactly once and both jobs read the
+    frozen blocks. The r13 shape instead relied on a scoped CACHE for
+    the second job to see the first job's boundaries; a cache eviction
+    between the jobs (FIFO churn in a busy session) let the range
+    exchange re-sample against nondeterministic upstream intra-partition
+    order — observed as DUPLICATE positions (a 1,501-row positional diff
+    returned 1,510 rows). Exchange reuse cannot restore the guarantee
+    either: the _pid projection contains spark_partition_id(), a
+    nondeterministic expression, so two consuming branches never
+    canonicalize equal (verified — the exchange planned twice).
+    Caching-as-correctness was the bug; the checkpoint pins the data,
+    and its blocks are released with the plan by the ContextCleaner
+    rather than held in an unbounded cache registry.
+
+    Value-identical to `row_number over (ORDER BY order_cols)`: the order
+    is total across partitions, and ties (exact duplicate sort keys) are
+    interchangeable positions either way. The offsets collect is
+    O(numPartitions) rows — bounded driver metadata."""
     spark = df.sparkSession
     try:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except ValueError:  # e.g. "auto" on vendor runtimes
         n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = scoped_persist(
+    ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     counts = sorted(
         ranged.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]

@@ -53,6 +53,12 @@ def cosine_topk(
     bucket_col=None → brute force (query broadcast against full corpus);
     bucket_col='label' → IVF-style: candidates restricted to the query's
     bucket (equality join on the bucket key — shuffle pruning)."""
+    from ..session import spread_scan
+
+    # the broadcast join preserves the corpus side's partitioning, so a
+    # single-row-group corpus would score every pair on ONE core (r14 opt,
+    # guide §2.5; no-op on parallel scans, bit-identical per pair)
+    corpus = spread_scan(corpus)
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -101,8 +107,11 @@ def cosine_topk_fast(
     per-pair work grow (768-4096-dim model embeddings). Results agree with
     cosine_topk to float round-off (numpy pairwise summation differs in the
     last ulps — ranks stable unless two cosines are within ~1e-13)."""
+    from ..session import spread_scan
+
     pair_cos = _pair_cos_udf()
 
+    corpus = spread_scan(corpus)  # see cosine_topk (r14 opt, guide §2.5)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -1595,6 +1604,12 @@ def ivf_assign(
     centroid table + min_by hash aggregate: map-side combinable, one keyed
     shuffle on ``id_col``, no window sort. At 100 TB this runs once at
     ingest and persists as a partition/bucket column."""
+    from ..session import spread_scan
+
+    # the centroid broadcast explodes ×k on the vector side's partitioning
+    # — spread a degenerate scan first (r14 opt, guide §2.5; min_by over
+    # exact struct comparisons is order-independent, values unchanged)
+    vectors = spread_scan(vectors)
     scored = vectors.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
@@ -1824,9 +1839,14 @@ def pq_encode_fast(
             )
 
     # same malformed-row drop as pq_encode (agreement-tested): a NULL or
-    # wrong-length vector would crash the batched reshape
+    # wrong-length vector would crash the batched reshape.
+    # spread_scan: mapInPandas inherits the scan's partitioning, so a
+    # single-row-group corpus would encode on ONE core (r14 opt, guide
+    # §2.5; the encoder is row-independent — bit-identical codes)
+    from ..session import spread_scan
+
     return (
-        corpus.filter(F.size(vec_col) == n_sub * d_sub)
+        spread_scan(corpus.filter(F.size(vec_col) == n_sub * d_sub))
         .select(id_col, vec_col)
         .mapInPandas(encode, schema=f"{id_col} long, sub integer, code integer")
     )
@@ -2000,7 +2020,13 @@ def sq_topk(
     compare is row-hash equality, tools/verify_replication.py:88) — this
     tier exists for the LLM-pipeline brief; semantics follow the published
     IVF-SQ8 design."""
+    from ..session import spread_scan
+
     dq = lambda c: _sq_dequant_expr(c, scales)  # noqa: E731
+    # spread a degenerate corpus scan before the broadcast cross join —
+    # it preserves the left side's partitioning, so pair scoring would
+    # otherwise run on one core (r14 opt, guide §2.5; bit-identical)
+    corpus = spread_scan(corpus)
     # norms are computed ONCE PER SIDE here, not per joined pair: the
     # aggregate() fold is an interpreted higher-order expression, so leaving
     # it above the cross join re-evaluates a dim-length fold |q|x|corpus|
@@ -2089,6 +2115,9 @@ def sq_topk_codes(
     dim-length scale list rides along as a literal. Value-identical to
     ``sq_topk`` on the same corpus (pytest-pinned): dequantization
     (code * scale) is exact double math either way."""
+    from ..session import spread_scan
+
+    codes = spread_scan(codes)  # see sq_topk (r14 opt, guide §2.5)
     lits = ", ".join(f"cast({s!r} as double)" for s in scales)
     dq_codes = F.expr(
         f"zip_with(codes, array({lits}), (c, s) -> cast(c as double) * s)"

@@ -294,6 +294,90 @@ def kmv_build(
         hashed.unpersist()
 
 
+def kmv_build_pair(
+    df: DataFrame,
+    side_col: str,
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmv-v1",
+) -> dict:
+    """Two (or more) :func:`kmv_build` sketches from ONE pass over a
+    side-tagged stream — {side_value: sketch DataFrame}.
+
+    Value-identical to calling ``kmv_build`` once per side (same hash,
+    same 4x-headroom threshold pre-filter per side, same unfiltered
+    fallback, byte-identical <=k-row sketches), but the physical shape
+    halves the work (r14 opt, guide §1.2): the source is scanned and
+    md5-hashed ONCE for all sides (persisted across the actions, released
+    before returning), the per-side HLL n-estimates share one aggregation
+    action, and the per-side filtered bottom-k survivors materialize in
+    one combined action (per-side window rank over the thresholded hash
+    line — each side's prefix property is untouched, so the proof in
+    kmv_build applies per side verbatim). Per-build action count drops
+    from 2 per side to ~3 total; at corpus scale the saved term is the
+    repeated raw-stream scan+hash, which dominates the O(k) sketch work.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    hashed = (
+        df.select(F.col(side_col).alias("_side"), F.col(value_col))
+        .where(F.col(value_col).isNotNull())
+        .select("_side", kmv_hash(value_col, salt).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        ests = {
+            r["_side"]: r["n"]
+            for r in hashed.groupBy("_side")
+            .agg(F.approx_count_distinct("h").alias("n"))
+            .collect()
+        }
+        sides = sorted(ests)
+        out: dict = {}
+        filt_sides = [s for s in sides if ests[s] > 4 * k]
+        if filt_sides:
+            cond = F.lit(False)
+            for s in filt_sides:
+                thr = int(KMV_SPACE * (4.0 * k / float(ests[s])))
+                cond = cond | (
+                    (F.col("_side") == F.lit(s)) & (F.col("h") < F.lit(thr))
+                )
+            w = Window.partitionBy("_side").orderBy("h")
+            both = (
+                hashed.where(cond)
+                .distinct()
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .select("_side", "h")
+                .localCheckpoint()  # bounded: <= k rows per side
+            )
+            counts = {
+                r["_side"]: r["c"]
+                for r in both.groupBy("_side")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            }
+            for s in filt_sides:
+                if counts.get(s, 0) >= k:
+                    out[s] = both.where(F.col("_side") == F.lit(s)).select("h")
+        for s in sides:
+            if s not in out:  # small side, or filter under-filled (fallback)
+                out[s] = (
+                    hashed.where(F.col("_side") == F.lit(s))
+                    .select("h")
+                    .distinct()
+                    .orderBy("h")
+                    .limit(k)
+                    .localCheckpoint()
+                )
+        return out
+    finally:
+        hashed.unpersist()
+
+
 def kmv_build_grouped(
     df: DataFrame,
     group_col: str,

@@ -945,18 +945,19 @@ def q_kmv_distinct(spark, sf_dir):
 )
 def q_kmv_overlap(spark, sf_dir):
     from ..operators.dedup import shingles
-    from ..operators.sketches import kmv_build, kmv_jaccard
+    from ..operators.sketches import kmv_build_pair, kmv_jaccard
 
     d = _t(spark, sf_dir, "documents")
-    a = shingles(d.where(F.col("doc_id") % 2 == 0), k=3).select(
-        F.col("shingle").alias("v")
+    # one-pass two-sided build (r14 opt): both halves come from the SAME
+    # corpus, so the shingle explode + md5 hashing run once over a
+    # parity-tagged stream instead of once per side x per action —
+    # sketches byte-identical to the per-side kmv_build (same hash/
+    # threshold/fallback; pinned in tests/test_sketches.py)
+    sh = shingles(d, k=3).select(
+        (F.col("doc_id") % 2).alias("side"), F.col("shingle").alias("v")
     )
-    b = shingles(d.where(F.col("doc_id") % 2 == 1), k=3).select(
-        F.col("shingle").alias("v")
-    )
-    sk_a = kmv_build(a, "v", k=256)
-    sk_b = kmv_build(b, "v", k=256)
-    return kmv_jaccard(sk_a, sk_b, k=256)
+    sk = kmv_build_pair(sh, "side", "v", k=256)
+    return kmv_jaccard(sk[0], sk[1], k=256)
 
 
 @register(

@@ -31,7 +31,10 @@ from ..operators.curation import (
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_scan (r14 opt, guide §2.5) — see plans/text_pipeline._docs
+    from ..session import spread_scan
+
+    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # DuckDB equivalent of operators.curation.hash_bucket (salt "split-v1:").

@@ -15,7 +15,14 @@ from .registry import register
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_scan (r14 opt, guide §2.5): the testdata doc table is one
+    # parquet row group → a 1-task scan, which serializes every tokenize/
+    # explode-heavy text query on one core; no-op on parallel scans.
+    # Value-safe for this module: the text metrics are exact-integer /
+    # per-row / per-doc-ordered-window by design.
+    from ..session import spread_scan
+
+    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 @register(
@@ -1129,21 +1136,22 @@ def q_vocab_coverage(spark, sf_dir):
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except ValueError:  # e.g. "auto" on vendor runtimes
         n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = freq.repartitionByRange(
-        n_parts, F.desc("freq"), F.asc("token")
-    ).withColumn("_pid", F.spark_partition_id())
-    # cache the RANGED vocabulary so the corpus explode+groupBy runs ONCE
-    # across the two passes (uncached, pass 2 re-tokenized the corpus —
-    # measured 2.6x at sf0.1). Cache-as-hint, not correctness: an evicted
-    # block recomputes through the deterministic range partitioner. The
-    # cached table is the VOCABULARY (the query's own output size), never
-    # the corpus — and the handle is scope-bounded (cache_scope) so
-    # repeated calls in a long-lived session don't accumulate blocks.
-    from ..operators.cache_scope import scoped_persist
-
-    ranged = scoped_persist(ranged)
+    # boundary-consistency contract (r14 fix — the _with_global_positions
+    # pattern, operators/recon.py): the ranged vocabulary is materialized
+    # ONCE as an eager localCheckpoint, so the range boundaries are
+    # sampled exactly once and both passes read the frozen blocks. The
+    # r13 scoped-cache version could re-sample boundaries if the cache
+    # entry was evicted between its two jobs (duplicate positions) —
+    # spark_partition_id() is nondeterministic, so the two branches never
+    # share the exchange either. The checkpointed table is the VOCABULARY
+    # (the query's own output size), never the corpus; blocks release
+    # with the plan via the ContextCleaner.
+    ranged = (
+        freq.repartitionByRange(n_parts, F.desc("freq"), F.asc("token"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     # pass 1: per-partition subtotals — O(n_parts) rows to the driver
-    # (this job also populates the cache pass 2 reads)
     stats = sorted(
         ranged.groupBy("_pid")
         .agg(F.count("*").alias("_cnt"), F.sum("freq").alias("_sum"))

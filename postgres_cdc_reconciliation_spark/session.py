@@ -76,6 +76,34 @@ def interactive_profile(spark: SparkSession, shuffle_partitions: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
+def spread_scan(df):
+    """Fan a degenerately-partitioned source out to the session's default
+    parallelism before expensive per-row work (r14 opt, guide §2.5 "input
+    skew": one huge unsplittable file → repartition immediately after the
+    read).
+
+    A single-row-group parquet file — this testdata's shape, and any
+    unsplittable or over-compacted input — plans as ONE scan task, so
+    explode/HOF/Arrow-UDF map stages downstream run on one core no matter
+    how wide the cluster is. No-op when the scan already carries at least
+    half the default parallelism, so on a healthy many-file table this
+    adds nothing (the 100 TB case pays zero). The round-robin repartition
+    is deterministic (sort-before-repartition, SPARK-23207) and row-local:
+    per-row results are bit-identical, only row→task placement changes.
+    Callers whose downstream merges DOUBLE partial aggregates must confirm
+    merge-order tolerance before adopting (exact-integer/decimal and
+    per-row/min/max paths are unconditionally safe)."""
+    try:
+        spark = df.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur * 2 >= target:
+        return df
+    return df.repartition(target)
+
+
 def pandas_parallelism(spark: SparkSession) -> int:
     """Partition count for applyInPandas stages whose cost is per-group
     Python/Arrow overhead rather than bytes (DTW DP, per-bucket gemm):

@@ -528,7 +528,14 @@ def test_repetition_mode_freq_is_sorted_run(spark, sf_dir):
     assert "sort_array" in plan
     # the quadratic form iterated filter(w, ...) once per distinct token
     assert "filter(w" not in plan.replace("Filter", "filter_")
-    assert "Exchange" not in plan  # runs at scan speed
+    # still no KEYED shuffle — the metrics stay partition-local array math.
+    # r14's spread_scan may add ONE round-robin fan-out exchange below the
+    # map when the source is a single-row-group file (guide §2.5); that is
+    # scan parallelization, not a data shuffle, and it no-ops on healthy
+    # parallel scans. Keyed partitionings print as hashpartitioning/
+    # rangepartitioning/SinglePartition in the exchange arguments.
+    for marker in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert marker not in plan, marker
 
 
 def test_repetition_mode_freq_values(spark, sf_dir):

@@ -316,3 +316,28 @@ def test_kmv_determinism_nulls_and_validation(spark):
         kmv_build(df, "member", k=1)
     with pytest.raises(ValueError, match="k must be"):
         kmv_build_grouped(df, "member", "member", k=0)
+
+
+def test_kmv_build_pair_matches_per_side_build(spark):
+    # r14 opt: the one-pass two-sided build must be byte-identical to
+    # kmv_build run per side — covering both the threshold-filtered side
+    # (500 distinct > 4*64) and the small-side fallback (40 distinct < 4*64)
+    from postgres_cdc_reconciliation_spark.operators.sketches import (
+        kmv_build,
+        kmv_build_pair,
+    )
+
+    rows = [(0, i % 500) for i in range(8000)] + [
+        (1, i % 40) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "side int, v long")
+    pair = kmv_build_pair(df, "side", "v", k=64)
+    for side in (0, 1):
+        got = sorted(r["h"] for r in pair[side].collect())
+        ref = sorted(
+            r["h"]
+            for r in kmv_build(
+                df.where(F.col("side") == side), "v", k=64
+            ).collect()
+        )
+        assert got == ref, side
