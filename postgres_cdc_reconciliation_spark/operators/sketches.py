@@ -300,6 +300,7 @@ def kmv_build_pair(
     value_col: str,
     k: int = 256,
     salt: str = "kmv-v1",
+    sides: tuple = (),
 ) -> dict:
     """Two (or more) :func:`kmv_build` sketches from ONE pass over a
     side-tagged stream — {side_value: sketch DataFrame}.
@@ -335,6 +336,11 @@ def kmv_build_pair(
             .agg(F.approx_count_distinct("h").alias("n"))
             .collect()
         }
+        # ``sides`` pre-declares the expected side values so a side with
+        # ZERO rows (empty half of an empty/degenerate corpus) still gets
+        # its (empty) sketch — kmv_build's empty-input contract per side
+        for s in sides:
+            ests.setdefault(s, 0)
         sides = sorted(ests)
         out: dict = {}
         filt_sides = [s for s in sides if ests[s] > 4 * k]

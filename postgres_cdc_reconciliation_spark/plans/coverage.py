@@ -956,7 +956,7 @@ def q_kmv_overlap(spark, sf_dir):
     sh = shingles(d, k=3).select(
         (F.col("doc_id") % 2).alias("side"), F.col("shingle").alias("v")
     )
-    sk = kmv_build_pair(sh, "side", "v", k=256)
+    sk = kmv_build_pair(sh, "side", "v", k=256, sides=(0, 1))
     return kmv_jaccard(sk[0], sk[1], k=256)
 
 

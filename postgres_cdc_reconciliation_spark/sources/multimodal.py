@@ -55,8 +55,15 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
     Payload = unhex(md5(id) || md5(id||'x')) → 32 opaque bytes; kind and
     meta from modulo. Reproducible identically in DuckDB for oracle tests.
     """
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.col("o_orderkey").alias("media_id")
+    from ..session import spread_scan
+
+    # spread_scan (r14 opt, guide §2.5): the md5 payload synthesis and
+    # every downstream codec mapInPandas inherit the scan's partitioning —
+    # a single-row-group orders file would run them on ONE core
+    o = spread_scan(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("media_id")
+        )
     )
     sid = F.col("media_id").cast("string")
     kind = (
@@ -199,7 +206,12 @@ def synth_media_real(spark, sf_dir: str, every: int = 10) -> DataFrame:
     """Media table whose image/audio payloads are REAL files (BMP/WAV built
     by the codecs above), sampled every `every`-th order key. Video stays an
     opaque payload (no stdlib container format) and is excluded here."""
-    ids = (
+    from ..session import spread_scan
+
+    # spread_scan (r14 opt, guide §2.5): the BMP/WAV builders and the
+    # decoder mapInPandas downstream otherwise run single-task on a
+    # single-row-group scan; per-row codecs — bit-identical payloads
+    ids = spread_scan(
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .select(F.col("o_orderkey").alias("media_id"))
         .filter((F.col("media_id") % every == 0) & (F.col("media_id") % 3 != 2))
