@@ -17,11 +17,15 @@ recomputation is value-identical (deterministic maps: tokenize, explode,
 hash). It must NOT be used where two consumers need a CONSISTENT view of
 a nondeterministic materialization: the r13 two-pass prefix-sum operators
 (``recon._with_global_positions``, ``q_vocab_coverage``) cached a
-range-partitioned frame whose boundary sample can differ on recompute
+range-partitioned frame whose boundary sample could differ on recompute
 (and whose ``spark_partition_id`` column is nondeterministic), so an
-eviction between their two jobs produced DUPLICATE positions. Those
-operators now pin their data with an eager localCheckpoint instead —
-blocks release with the plan via the ContextCleaner.
+eviction between their two jobs produced DUPLICATE positions. r14 pinned
+those frames with an eager localCheckpoint; r15 removed the pin entirely
+by making the bucket id a pure row-value expression over boundary
+LITERALS (``recon.range_pid_expr``) — recomputation now derives identical
+buckets from scratch, so those operators are back to hint-eligible and
+use scoped_persist again. The rule stands for any future consumer of a
+genuinely nondeterministic materialization.
 """
 
 from __future__ import annotations

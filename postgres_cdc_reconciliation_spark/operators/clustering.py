@@ -8,16 +8,17 @@ move to the density modes. This module provides the training step with the
 dataflow that survives 100 TB:
 
   broadcast centroids  →  per-row nearest-centroid (min_by over k dists,
-  map-only)  →  ONE keyed shuffle of (cent_id, partial sums)  →  k×dim
-  driver-side centroid refresh  →  rebroadcast.
+  map-only)  →  per-partition (cent_id, count, sum) numpy partials
+  (≤ k rows per task, no shuffle)  →  k×dim driver-side centroid refresh
+  →  rebroadcast.
 
-Per iteration the shuffle volume is |clusters| × dim doubles (map-side
-combine collapses each partition to ≤k rows before the exchange), never
-|rows|; the only driver-side state is the k×dim centroid matrix itself,
-which must be broadcast-sized regardless of algorithm. Assignment cost is
-the unavoidable O(rows × k × dim) multiply, all inside native SQL
-aggregates (one ``avg(vec[i])`` column per dimension — whole-stage
-codegen, no Python in the loop).
+Per iteration the cross-boundary volume is ≤ k × partitions partial rows
+of dim doubles, never |rows|; the only driver-side state is the k×dim
+centroid matrix itself, which must be broadcast-sized regardless of
+algorithm. Assignment cost is the unavoidable O(rows × k × dim) multiply
+— codegen'd SQL fold for small k×dim, Arrow-batched numpy gemm when k
+grows with the corpus (r15: the M-step reduction is numpy partial sums
+in both modes, replacing the dim-wide ``avg()`` aggregation).
 
 Everything is deterministic: init picks the k corpus vectors with the
 smallest ``xxhash64(id)`` (a seeded, reproducible "random" sample), ties
@@ -276,6 +277,55 @@ def kmeans_assign(
     )
 
 
+def _mstep_partial_fn(k: int, dim: int, cents: list[list[float]] | None):
+    """Builder for the per-partition M-step sufficient-statistics function
+    (r15 opt, guide §4.2/§2.3): each task folds its rows into at most k
+    (cent_id, count, sum-vector) partial rows — the classic distributed
+    k-means reduction, computed with one numpy pass per Arrow batch.
+
+    ``cents=None``: rows arrive pre-assigned (cent_id column present — the
+    literal-E-step path, whose assignment arithmetic stays the codegen'd
+    JVM fold, bit-identical to before). ``cents`` given: the E-step is
+    FUSED in (same expanded ||v||²-2v·C+||c||² identity + argmin as
+    _assign_pandas — the numpy-mode assignment arithmetic, unchanged), so
+    vectors cross the Python boundary once per iteration instead of twice.
+    Accumulation is sequential per batch (np.add.at) over a pinned
+    (localCheckpoint) input — deterministic partials either way."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.float64) if cents is not None else None
+        cn = (C * C).sum(axis=1) if C is not None else None
+        S = np.zeros((k, dim), dtype=np.float64)
+        N = np.zeros(k, dtype=np.int64)
+        got = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["_v"].to_numpy())
+            if C is not None:
+                d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
+                m = d2.argmin(axis=1)
+            else:
+                m = pdf["cent_id"].to_numpy()
+            np.add.at(S, m, V)
+            np.add.at(N, m, 1)
+            got = True
+        if got:
+            nz = np.flatnonzero(N)
+            yield pd.DataFrame(
+                {
+                    "cent_id": nz.astype("int32"),
+                    "n": N[nz],
+                    "s": [S[i].tolist() for i in nz],
+                }
+            )
+
+    return fn
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int,
@@ -298,11 +348,13 @@ def kmeans_fit(
     smallest-cent_id tie rule, so results differ only by gemm-vs-fold
     summation order — ~1e-15 relative).
 
-    Each iteration: one scan + one keyed shuffle whose volume is ≤
-    k × partitions partial rows (map-side combine on the dim avg() columns)
-    — the per-iteration cost model that holds at 100 TB. Empty clusters
-    keep their previous centroid (standard Lloyd's fallback; with hash
-    seeding they are rare)."""
+    Each iteration: one map-only job over the pinned feature vectors whose
+    output is ≤ k × partitions (cent_id, count, sum) partial rows combined
+    on the driver (r15: the numpy partial-sum M-step replaced the dim-wide
+    avg() aggregation — no shuffle at all in the loop) — the per-iteration
+    cost model that holds at 100 TB. Empty clusters keep their previous
+    centroid (standard Lloyd's fallback; with hash seeding they are
+    rare)."""
     dim = _dim_of(corpus, vec_col)
     # well-formed vectors only: a NULL/truncated embedding cannot be
     # assigned (zip_with pads to NULL dists) and crashes the per-dimension
@@ -341,21 +393,43 @@ def kmeans_fit(
     # per iteration.
     mode = _assign_mode(assign, k, dim)
     it = 0
+    # M-step (r15 opt, guide §4.2/§2.3): per-partition numpy partial sums
+    # via mapInPandas + a tiny driver combine, replacing the dim-wide
+    # avg() aggregation + exchange + collect. The iteration is now ONE
+    # map-only job transferring <= k rows per partition; assignment
+    # arithmetic per mode is unchanged (literal keeps the JVM fold E-step;
+    # numpy keeps _assign_pandas's expanded identity, fused so vectors
+    # cross the Python boundary once). Only the mean's summation ORDER
+    # moves (driver combine in partition order vs exchange fetch order) —
+    # last-ulp centroid drift, the premise the kmeans/semantic invariant
+    # oracles are built on (1e-9 guards).
+    schema = "cent_id int, n bigint, s array<double>"
     for it in range(1, max_iter + 1):
         if mode == "numpy":
-            assigned = _assign_pandas(vecs, cents).select("cent_id", "_v")
+            partials = vecs.mapInPandas(
+                _mstep_partial_fn(k, dim, cents), schema
+            )
         else:
             assigned = vecs.withColumn("_m", _nearest_expr(cents)).select(
                 F.col("_m.cent_id").alias("cent_id"), "_v"
             )
-        means = (
-            assigned.groupBy("cent_id")
-            .agg(*[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)])
-            .collect()
-        )
+            partials = assigned.mapInPandas(
+                _mstep_partial_fn(k, dim, None), schema
+            )
+        sums: dict[int, tuple[int, list[float]]] = {}
+        for row in partials.collect():
+            cid = row["cent_id"]
+            if cid in sums:
+                n0, s0 = sums[cid]
+                sums[cid] = (
+                    n0 + row["n"],
+                    [a + b for a, b in zip(s0, row["s"])],
+                )
+            else:
+                sums[cid] = (row["n"], list(row["s"]))
         new_cents = [list(c) for c in cents]
-        for row in means:
-            new_cents[row["cent_id"]] = [row[f"m{i}"] for i in range(dim)]
+        for cid, (n, s) in sums.items():
+            new_cents[cid] = [x / n for x in s]
         shift = max(
             sum((a - b) * (a - b) for a, b in zip(nc, oc))
             for nc, oc in zip(new_cents, cents)

@@ -490,11 +490,16 @@ def hot_ngrams(
     after the agg — the surviving hot set is tiny by construction. At
     100 TB, shingle-hash the n-gram text (xxhash64) so the shuffle carries
     8-byte keys, then join the survivors back for display."""
+    # tokenize ONCE in a projection below the n-gram transform (r15 opt,
+    # guide §4.1): the old form re-ran split() INSIDE the per-position
+    # lambda, making one L-token document cost O(L²) characters — a single
+    # ~60k-token mega-doc took minutes. Hoisting the token array is
+    # value-identical (same tokens, same grams).
     grams = F.array_distinct(
         F.expr(
-            f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
-            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-            f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) "
+            f"CASE WHEN size(_toks) >= {n} THEN "
+            f"transform(sequence(1, size(_toks) - {n - 1}),"
+            f" i -> array_join(slice(_toks, i, {n}), ' ')) "
             f"ELSE array() END"
         )
     )
@@ -505,6 +510,7 @@ def hot_ngrams(
         # row-group doc table would run it on ONE core (r14 opt, guide
         # §2.5; exact integer counts, values unchanged)
         spread_scan(docs)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
         .select(F.col(id_col), F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").cast("long").alias("doc_freq"))

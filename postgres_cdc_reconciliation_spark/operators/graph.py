@@ -462,12 +462,15 @@ def kcore_peel_rounds(
 
     Scale shape (the third iterative graph op, after connected components
     and pagerank): each round is one degree aggregation (map-side combined,
-    shuffle O(V)) + two semi-joins of edges against the survivor set
-    (shuffle O(E) on the vertex key — the same key every round, so
-    pre-partitioning/bucketing edges by vertex makes the loop shuffle-free
-    on the edge side). localCheckpoint per round keeps the plan
-    constant-size; per-round 1-row counts are unioned into the trace frame
-    rather than collect()ed, so the whole trace is one job at the end.
+    shuffle O(V)) + two ANTI-joins of edges against the REMOVED set (r15
+    opt: removed = deg < k is equivalent to surviving = deg >= k because
+    every endpoint is in deg, but the removed set collapses to ~nothing
+    after round 1 — empty at the fixpoint — so AQE broadcasts it and the
+    edge table is never shuffled in the loop; the old survivors-side
+    semi-join shuffled O(E) by u and again by v every round).
+    localCheckpoint per round keeps the plan constant-size; per-round
+    1-row counts are unioned into the trace frame rather than
+    collect()ed, so the whole trace is one job at the end.
     Peeling rounds needed in the worst case is O(V) (a path graph peels 2
     vertices per round) but real degree distributions finish in a handful;
     the per-round trace makes "did it converge" visible to the caller.
@@ -478,22 +481,32 @@ def kcore_peel_rounds(
     e = e.localCheckpoint()
     trace = []
     for i in range(1, rounds + 1):
+        # r15 opt (guide §2.4/§3.1): materialize the DEGREE table per
+        # round (O(V) rows — the same class the old shape checkpointed as
+        # `keep`) and filter edges by ANTI-joining against the REMOVED
+        # set instead of semi-joining against the survivors. Every
+        # endpoint of e is in deg by construction, so e ⋉ keep ≡
+        # e ▷ removed exactly — but `removed` collapses to a handful of
+        # rows after round 1 (at the fixpoint it is EMPTY), so AQE plans
+        # both anti-joins as broadcasts and the edge table is never
+        # shuffled in the loop; the survivors-side semi-join shuffled e
+        # by u and again by v every round regardless of convergence.
         deg = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count("*").cast("long").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("node")
-        keep = keep.localCheckpoint()
+        ).localCheckpoint()
+        removed = deg.filter(F.col("d") < k).select("node")
         e = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "semi")
+            e.join(removed.withColumnRenamed("node", "u"), "u", "anti")
+            .join(removed.withColumnRenamed("node", "v"), "v", "anti")
             .select("u", "v")
         )
         e = e.localCheckpoint()
         trace.append(
-            keep.agg(F.count("*").cast("long").alias("n_vertices"))
+            deg.filter(F.col("d") >= k)
+            .agg(F.count("*").cast("long").alias("n_vertices"))
             .crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
             .select(
                 F.lit(i).cast("long").alias("round"), "n_vertices", "n_edges"

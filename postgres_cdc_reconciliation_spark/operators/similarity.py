@@ -1996,6 +1996,83 @@ def sq_encode(
     return out
 
 
+def _sq_matrix_shortlist(
+    c: DataFrame,
+    q: DataFrame,
+    k_eff: int,
+) -> DataFrame:
+    """Matrix-scorer pair stage shared by sq_topk / sq_topk_codes (r15 opt,
+    guide §4.2): the query block (bounded — the ANN query-set class, same
+    bounded-collect family as centroid lists / scale vectors) is collected
+    once and folded into a mapInPandas closure over the corpus side, so the
+    |q|×|corpus| pair rows are never materialized in the JVM and the
+    interpreted per-pair `aggregate` fold is gone from the plan. Each task
+    emits only its local top-k_eff candidates per query (top-k is a
+    monotone selection: the global winners survive any per-partition
+    pruning under the same total order), so the window stage downstream
+    ranks |q| × k_eff × partitions rows instead of |q| × |corpus|.
+
+    BIT-IDENTICAL to the SQL-fold scorer, not merely close: the dot
+    product accumulates per dimension in array order (one vectorized
+    rank-1 update per dimension — the same sequence of IEEE double
+    operations as `aggregate(zip_with(...))`), the cosine is the same
+    single division, and a zero divisor is dropped exactly where
+    try_divide returns NULL. Inputs must carry (neighbor_id, c_vec, _scn)
+    on the corpus side and (query_id, q_vec, _sqn) on the query side."""
+    q_rows = q.collect()
+    id_type_q = dict(q.dtypes)["query_id"]
+    id_type_c = dict(c.dtypes)["neighbor_id"]
+    out_schema = f"query_id {id_type_q}, neighbor_id {id_type_c}, cos double"
+    if not q_rows:
+        return c.sparkSession.createDataFrame([], out_schema)
+    import numpy as np
+
+    Q = np.asarray([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
+    qn = np.asarray([r["_sqn"] for r in q_rows], dtype=np.float64)
+    qids = [r["query_id"] for r in q_rows]
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        per_q: list[list[pd.DataFrame]] = [[] for _ in qids]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["c_vec"].to_numpy())
+            cn = pdf["_scn"].to_numpy(dtype=np.float64)
+            nid = pdf["neighbor_id"].to_numpy()
+            # dimension-order accumulation: bit-identical to the SQL fold
+            dots = np.zeros((len(pdf), len(qids)), dtype=np.float64)
+            for d in range(V.shape[1]):
+                dots += np.outer(V[:, d], Q[:, d])
+            den = np.outer(cn, qn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / den
+            for j, qid in enumerate(qids):
+                keep = (den[:, j] != 0.0) & (nid != qid)
+                if not keep.any():
+                    continue
+                cand = pd.DataFrame(
+                    {"neighbor_id": nid[keep], "cos": cos[keep, j]}
+                ).sort_values(
+                    ["cos", "neighbor_id"], ascending=[False, True]
+                ).head(k_eff)
+                per_q[j].append(cand)
+        for j, qid in enumerate(qids):
+            if not per_q[j]:
+                continue
+            best = (
+                pd.concat(per_q[j], ignore_index=True)
+                .sort_values(["cos", "neighbor_id"], ascending=[False, True])
+                .head(k_eff)
+            )
+            best.insert(0, "query_id", qid)
+            yield best
+
+    return c.mapInPandas(fn, out_schema)
+
+
 def sq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -2004,6 +2081,7 @@ def sq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 0,
+    scorer: str = "matrix",
 ) -> DataFrame:
     """Top-k cosine neighbors scored on int8-dequantized vectors.
 
@@ -2019,9 +2097,18 @@ def sq_topk(
     Reference parity: the reference has no vector surface at all (its
     compare is row-hash equality, tools/verify_replication.py:88) — this
     tier exists for the LLM-pipeline brief; semantics follow the published
-    IVF-SQ8 design."""
+    IVF-SQ8 design.
+
+    ``scorer="matrix"`` (default, r15 opt): pair scoring via
+    :func:`_sq_matrix_shortlist` — the query block rides in a mapInPandas
+    closure, no |q|×|corpus| JVM pair rows, per-partition top-k pruning;
+    bit-identical cosines to ``scorer="sql"`` (the dimension-order fold is
+    reproduced exactly), which stays as the agreement-tested reference
+    plan (pinned in tests/test_quality.py)."""
     from ..session import spread_scan
 
+    if scorer not in ("matrix", "sql"):
+        raise ValueError(f"sq_topk: unknown scorer {scorer!r}")
     dq = lambda c: _sq_dequant_expr(c, scales)  # noqa: E731
     # spread a degenerate corpus scan before the broadcast cross join —
     # it preserves the left side's partitioning, so pair scoring would
@@ -2054,21 +2141,27 @@ def sq_topk(
         .select(F.col(id_col).alias("neighbor_id"), dq(vec_col).alias("c_vec"))
         .select("neighbor_id", "c_vec", cn_in.alias("_scn"))
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            # try_divide: an all-zero (or zero-quantized) vector has no
-            # cosine — drop it from the ranking rather than raise/rank NaN
-            "cos",
-            F.try_divide(_dot("q_vec", "c_vec"), F.col("_sqn") * F.col("_scn")),
-        )
-        .filter(F.col("cos").isNotNull())
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    k_eff = rerank if rerank > 0 else k
+    if scorer == "matrix":
+        scored = _sq_matrix_shortlist(c, q, k_eff)
+    else:
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                # try_divide: an all-zero (or zero-quantized) vector has no
+                # cosine — drop it from the ranking rather than raise/rank NaN
+                "cos",
+                F.try_divide(
+                    _dot("q_vec", "c_vec"), F.col("_sqn") * F.col("_scn")
+                ),
+            )
+            .filter(F.col("cos").isNotNull())
+        )
     short = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= (rerank if rerank > 0 else k))
+        .filter(F.col("rank") <= k_eff)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
     if rerank <= 0:
@@ -2107,6 +2200,7 @@ def sq_topk_codes(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "matrix",
 ) -> DataFrame:
     """``sq_topk`` scoring straight off a PERSISTED codes table
     (``sq_encode`` output: id + array<int> codes) — the at-scale shape:
@@ -2114,9 +2208,13 @@ def sq_topk_codes(
     RLE/dictionary-packed) instead of float32 vectors, and only the
     dim-length scale list rides along as a literal. Value-identical to
     ``sq_topk`` on the same corpus (pytest-pinned): dequantization
-    (code * scale) is exact double math either way."""
+    (code * scale) is exact double math either way. ``scorer``: same two
+    tiers as sq_topk (default "matrix", r15 opt — bit-identical
+    cosines)."""
     from ..session import spread_scan
 
+    if scorer not in ("matrix", "sql"):
+        raise ValueError(f"sq_topk_codes: unknown scorer {scorer!r}")
     codes = spread_scan(codes)  # see sq_topk (r14 opt, guide §2.5)
     lits = ", ".join(f"cast({s!r} as double)" for s in scales)
     dq_codes = F.expr(
@@ -2146,15 +2244,20 @@ def sq_topk_codes(
     )
     q = q.select("query_id", "q_vec", qn_in.alias("_sqn"))
     c = c.select("neighbor_id", "c_vec", cn_in.alias("_scn"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            F.try_divide(_dot("q_vec", "c_vec"), F.col("_sqn") * F.col("_scn")),
+    if scorer == "matrix":
+        scored = _sq_matrix_shortlist(c, q, k)
+    else:
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cos",
+                F.try_divide(
+                    _dot("q_vec", "c_vec"), F.col("_sqn") * F.col("_scn")
+                ),
+            )
+            .filter(F.col("cos").isNotNull())
         )
-        .filter(F.col("cos").isNotNull())
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -272,6 +272,13 @@ def kmv_build(
     # is unpersisted before returning (every returned sketch is an eager
     # localCheckpoint of <= k rows, so no consumer ever re-reads the cache
     # — the ADVICE r13 persist-leak rule).
+    # Footprint note (ADVICE r14): the persisted stream is ONE long per
+    # member — 8 bytes x total shingles of executor storage for the
+    # build's duration, spilling to disk past the memory fraction
+    # (MEMORY_AND_DISK). That trades bounded, evictable storage for not
+    # re-running the corpus explode+md5; on a stream too large even for
+    # disk, drop the persist and pay the recompute — the sketch value is
+    # identical either way (the cache is a hint, not a consistency pin).
     hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         bottom = None
@@ -317,6 +324,12 @@ def kmv_build_pair(
     kmv_build applies per side verbatim). Per-build action count drops
     from 2 per side to ~3 total; at corpus scale the saved term is the
     repeated raw-stream scan+hash, which dominates the O(k) sketch work.
+
+    Rows with a NULL side are dropped (ADVICE r14: a NULL side key is not
+    a side — it would otherwise become a None dict key and break the
+    sorted-side iteration). Side values present in the DATA but absent
+    from ``sides`` get sketches under their own keys — callers indexing
+    by expected side should pass ``sides`` explicitly.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
@@ -325,7 +338,7 @@ def kmv_build_pair(
 
     hashed = (
         df.select(F.col(side_col).alias("_side"), F.col(value_col))
-        .where(F.col(value_col).isNotNull())
+        .where(F.col(value_col).isNotNull() & F.col(side_col).isNotNull())
         .select("_side", kmv_hash(value_col, salt).alias("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

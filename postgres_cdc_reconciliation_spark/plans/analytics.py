@@ -1197,9 +1197,10 @@ s{i} AS (
     "unrolled-CTE DuckDB oracle sees the identical computation (the "
     "q_pagerank tol=0 discipline); post-fixpoint rounds are identity. "
     "Each round: one degree agg (map-side combined, shuffle O(V)) + two "
-    "semi-joins of edges vs survivors (keyed on the vertex — the SAME "
-    "key every round, so bucketing edges by vertex makes the loop "
-    "shuffle-free on the edge side at scale), lineage truncated per "
+    "ANTI-joins of edges vs the REMOVED set (r15: equivalent to the "
+    "survivors semi-join since every endpoint is in deg, but removed "
+    "collapses to ~nothing after round 1 — AQE broadcasts it and the "
+    "edge table is never shuffled in the loop), lineage truncated per "
     "round. All-BIGINT output — bit-deterministic in any engine. "
     "operators/graph.py::kcore_peel_rounds.",
 )

@@ -1112,16 +1112,16 @@ FROM ranked""",
     "the old single global Window.orderBy pushed the ENTIRE vocabulary "
     "through one task — fatal at 100 TB of web text, where distinct "
     "whitespace tokens (URLs, hashes, typos) run to billions. Now a "
-    "range-partitioned two-pass prefix sum: repartitionByRange on "
-    "(freq desc, token) gives globally ordered partitions; pass 1 is one "
-    "bounded job collecting per-partition (count, sum) subtotals — one row "
-    "PER PARTITION, never per token; the driver folds them into rank/"
-    "cumulative offsets broadcast back; pass 2 windows WITHIN each range "
-    "partition and adds the offsets. No single-partition Exchange "
-    "anywhere (pinned in tests/test_plan_audit.py). The explicit "
-    "numPartitions pins the RangePartitioner (AQE never coalesces "
-    "user-specified repartitions), so both passes see identical, "
-    "deterministically-sampled boundaries.",
+    "range-bucketed two-pass prefix sum: a value-derived bucket id over "
+    "deterministically-sampled boundary LITERALS (operators/recon.py::"
+    "range_pid_expr, r15) keeps partitions globally ordered; pass 1 is "
+    "one bounded job collecting per-bucket (count, sum) subtotals — one "
+    "row PER BUCKET, never per token; the driver folds them into rank/"
+    "cumulative offsets broadcast back; pass 2 windows WITHIN each "
+    "bucket and adds the offsets. No single-partition Exchange anywhere "
+    "(pinned in tests/test_plan_audit.py), and no pinned data: both "
+    "passes recompute identical buckets from the literals (cache is a "
+    "hint, executor-loss-safe).",
 )
 def q_vocab_coverage(spark, sf_dir):
     from pyspark.sql import Window
@@ -1136,44 +1136,63 @@ def q_vocab_coverage(spark, sf_dir):
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except ValueError:  # e.g. "auto" on vendor runtimes
         n_parts = max(2, spark.sparkContext.defaultParallelism)
-    # boundary-consistency contract (r14 fix — the _with_global_positions
-    # pattern, operators/recon.py): the ranged vocabulary is materialized
-    # ONCE as an eager localCheckpoint, so the range boundaries are
-    # sampled exactly once and both passes read the frozen blocks. The
-    # r13 scoped-cache version could re-sample boundaries if the cache
-    # entry was evicted between its two jobs (duplicate positions) —
-    # spark_partition_id() is nondeterministic, so the two branches never
-    # share the exchange either. The checkpointed table is the VOCABULARY
-    # (the query's own output size), never the corpus; blocks release
-    # with the plan via the ContextCleaner.
-    ranged = (
-        freq.repartitionByRange(n_parts, F.desc("freq"), F.asc("token"))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+    # boundary-consistency contract (r15 redesign — the
+    # _with_global_positions pattern, operators/recon.py, VERDICT r14
+    # #5): the bucket id is a pure ROW-VALUE expression over boundary
+    # LITERALS (deterministic driver-side sample), so both passes — and
+    # any recomputation after eviction or executor loss — derive
+    # identical buckets from scratch. No pinned data: the r14
+    # localCheckpoint held the vocabulary in non-replicated executor
+    # blocks (executor loss kills the query at scale); the persist here
+    # is a pure hint (one vocabulary materialization instead of three
+    # aggregation scans).
+    from ..operators.cache_scope import scoped_persist
+    from ..operators.recon import range_boundaries, range_pid_expr
+
+    keys = [("freq", False), ("token", True)]
+    freq = scoped_persist(freq)
+    ranged = freq.withColumn(
+        "_pid",
+        range_pid_expr(freq, keys, range_boundaries(freq, keys, n_parts)),
     )
-    # pass 1: per-partition subtotals — O(n_parts) rows to the driver
-    stats = sorted(
-        ranged.groupBy("_pid")
-        .agg(F.count("*").alias("_cnt"), F.sum("freq").alias("_sum"))
-        .collect(),
-        key=lambda r: r["_pid"],
+    # per-bucket subtotals and their prefix offsets computed INSIDE the
+    # plan (r15, the _with_global_positions pattern): the subtotal agg is
+    # ≤ n_parts rows, each bucket's (rank, cumulative) offset is the sum
+    # over the buckets before it (≤ n_parts² self-join, AQE-broadcast),
+    # and the grand total rides in as a 1-row cross join — the whole
+    # query is ONE job, no driver collect round-trips.
+    sub = ranged.groupBy("_pid").agg(
+        F.count("*").alias("_cnt"), F.sum("freq").alias("_sum")
     )
-    total = sum(r["_sum"] for r in stats)
-    offsets, rank_off, cum_off = [], 0, 0
-    for r in stats:
-        offsets.append((r["_pid"], rank_off, cum_off))
-        rank_off += r["_cnt"]
-        cum_off += r["_sum"]
-    off_df = spark.createDataFrame(
-        offsets, "_pid int, _rank_off bigint, _cum_off bigint"
+    prev = sub.select(
+        F.col("_pid").alias("_ppid"),
+        F.col("_cnt").alias("_pcnt"),
+        F.col("_sum").alias("_psum"),
     )
-    # pass 2: window per RANGE partition (hash shuffle on _pid keeps each
-    # partition's rows in one task at range-partition granularity), then
-    # shift by the broadcast offsets — value-identical to the global window
+    before = F.col("_ppid") < F.col("_pid")
+    # the all-pairs product also carries the GRAND total (sum of every
+    # bucket's _psum per _pid group) — a global agg would plan an
+    # Exchange SinglePartition, which this query's plan contract forbids
+    offs = (
+        sub.crossJoin(F.broadcast(prev))
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum(F.when(before, F.col("_pcnt"))), F.lit(0))
+            .cast("long")
+            .alias("_rank_off"),
+            F.coalesce(F.sum(F.when(before, F.col("_psum"))), F.lit(0))
+            .cast("long")
+            .alias("_cum_off"),
+            F.sum("_psum").cast("long").alias("_total"),
+        )
+    )
+    # pass 2: window per BUCKET (hash shuffle on _pid keeps each bucket's
+    # rows in one task), then shift by the broadcast offsets —
+    # value-identical to the global window
     w_local = Window.partitionBy("_pid").orderBy(F.desc("freq"), F.asc("token"))
     w_cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        ranged.join(F.broadcast(off_df), "_pid")
+        ranged.join(F.broadcast(offs), "_pid")
         .select(
             "token",
             "freq",
@@ -1182,7 +1201,7 @@ def q_vocab_coverage(spark, sf_dir):
             .alias("rank"),
             (
                 (F.sum("freq").over(w_cum) + F.col("_cum_off")).cast("double")
-                / F.lit(total).cast("double")
+                / F.col("_total").cast("double")
             ).alias("cum_share"),
         )
     )
@@ -1409,10 +1428,16 @@ def q_kmeans(spark, sf_dir):
     ).select(
         "n_vectors",
         "n_misassigned",
-        (F.col("_if") <= F.col("_is") * F.lit(1.0 + 1e-9)).alias(
-            "inertia_improved"
+        # coalesce(True): with ZERO well-formed vectors both conditional
+        # sums are NULL and the invariants are vacuously true — the flags
+        # must be defined booleans, never NULL (ADVICE r14). No-op when
+        # any well-formed vector exists (driver data always has them).
+        F.coalesce(
+            F.col("_if") <= F.col("_is") * F.lit(1.0 + 1e-9), F.lit(True)
+        ).alias("inertia_improved"),
+        F.coalesce(F.col("_if") >= F.lit(0.0), F.lit(True)).alias(
+            "inertia_nonneg"
         ),
-        (F.col("_if") >= F.lit(0.0)).alias("inertia_nonneg"),
     )
 
 

@@ -39,13 +39,28 @@ def _plan(df) -> str:
     )
 
 
+# Building a registered query's DataFrame is not free — many fn()s run
+# bounded driver actions (scale fits, boundary samples, count-sized knobs)
+# before returning the plan. Every test in this module audits the SAME
+# session-scoped (spark, sf_dir) plans, so build each query's plan string
+# once per run and share it (r15: the module rebuilt ~190 plans three
+# times over — ~1 min of redundant suite wall).
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _plan_of(qs, spark, sf_dir, name: str) -> str:
+    if name not in _PLAN_CACHE:
+        _PLAN_CACHE[name] = _plan(qs[name].fn(spark, sf_dir))
+    return _PLAN_CACHE[name]
+
+
 def test_no_cartesian_and_broadcasts_present(spark, sf_dir):
     qs = all_queries()
     missing = [n for n in AUDITED if n not in qs]
     assert not missing, f"audited queries no longer registered: {missing}"
     offenders, no_broadcast = [], []
     for name in AUDITED:
-        plan = _plan(qs[name].fn(spark, sf_dir))
+        plan = _plan_of(qs, spark, sf_dir, name)
         if "CartesianProduct" in plan:
             offenders.append(name)
         if "BroadcastHashJoin" not in plan and "Join" in plan:
@@ -59,7 +74,7 @@ def test_scans_prune_columns(spark, sf_dir):
     """Column pruning must reach the lineitem scan: the widest fact table
     read should never materialize all 16 columns for an aggregate query."""
     qs = all_queries()
-    plan = _plan(qs["q_pricing_summary"].fn(spark, sf_dir))
+    plan = _plan_of(qs, spark, sf_dir, "q_pricing_summary")
     # the formatted plan prints the scan's ReadSchema; l_comment is never
     # referenced by the query and must not be read
     assert "l_comment" not in plan
@@ -72,10 +87,10 @@ def test_text_pipeline_plans(spark, sf_dir):
     qs = all_queries()
     for name in ("q_tfidf", "q_unigram_logprob", "q_dedup_incremental",
                  "q_stratified_sample", "q_corpus_mix", "q_bm25"):
-        plan = _plan(qs[name].fn(spark, sf_dir))
+        plan = _plan_of(qs, spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
     for name in ("q_tfidf", "q_unigram_logprob", "q_bm25"):
-        plan = _plan(qs[name].fn(spark, sf_dir))
+        plan = _plan_of(qs, spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, f"{name} lost its vocab broadcast"
 
 
@@ -87,7 +102,7 @@ def test_top1_per_group_is_hash_agg_not_window_sort(spark, sf_dir):
     the group exchange."""
     qs = all_queries()
     for name in ("q_priority_pick", "q_latest_per_group"):
-        plan = _plan(qs[name].fn(spark, sf_dir))
+        plan = _plan_of(qs, spark, sf_dir, name)
         assert "Window" not in plan, f"{name} regressed to a window plan"
         # min_by/max_by over a struct is a typed aggregate: Spark plans it
         # as ObjectHashAggregate (hash-based, map-side partial) rather than
@@ -102,7 +117,7 @@ def test_grouped_demean_stays_native(spark, sf_dir):
     round-trip in the plan — that is the r3 VERDICT's per-group-Python
     scale smell, moved to tests/test_pandas_surface.py as a demo)."""
     qs = all_queries()
-    plan = _plan(qs["q_grouped_demean"].fn(spark, sf_dir))
+    plan = _plan_of(qs, spark, sf_dir, "q_grouped_demean")
     for node in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert node not in plan
 
@@ -113,7 +128,7 @@ def test_lakehouse_plans(spark, sf_dir):
     cartesian product."""
     qs = all_queries()
     for name in ("q_snapshot_cdf", "q_schema_evolution"):
-        plan = _plan(qs[name].fn(spark, sf_dir))
+        plan = _plan_of(qs, spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
 
 
@@ -123,7 +138,7 @@ def test_behavioral_analytics_plans(spark, sf_dir):
     plan as equality joins (a cartesian 3-way self-join would be O(E^3))."""
     qs = all_queries()
     for name in ("q_cohort_retention", "q_funnel_steps", "q_triangle_count"):
-        plan = _plan(qs[name].fn(spark, sf_dir))
+        plan = _plan_of(qs, spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
 
 
@@ -168,7 +183,7 @@ def test_kcore_and_fingerprint_plans(spark, sf_dir):
     the O(buckets)-row full-outer merge of the two per-bucket aggregates."""
     qs = all_queries()
     for name in ("q_kcore", "q_recon_fingerprint"):
-        plan = _plan(qs[name].fn(spark, sf_dir))
+        plan = _plan_of(qs, spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
 
 
@@ -191,7 +206,7 @@ def test_r6_registrations_plan_shapes(spark, sf_dir):
     qs = all_queries()
     for name in ("q_interval_overlap", "q_profile_diff",
                  "q_series_similarity", "q_series_dtw"):
-        plan = _plan(qs[name].fn(spark, sf_dir))
+        plan = _plan_of(qs, spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         if name != "q_profile_diff":
             # profile_diff's exact mode cross-joins two ONE-ROW aggregate
@@ -270,14 +285,10 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
     ~140 against an innocent refactor quietly degrading one of them.
     (~1 min: a few queries eagerly materialize bounded intermediates
     during plan build.)"""
+    qs = all_queries()
     offenders = []
-    for name, spec in all_queries().items():
-        df = spec.fn(spark, sf_dir)
-        p = df._jdf.queryExecution().explainString(
-            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "simple"
-            )
-        )
+    for name in qs:
+        p = _plan_of(qs, spark, sf_dir, name)
         if "CartesianProduct" in p:
             offenders.append((name, "CartesianProduct"))
         if "BatchEvalPython" in p:
@@ -292,7 +303,7 @@ def test_prefix_join_and_point_lookup_plans(spark, sf_dir):
     reads a single-digit number of bucket files with the key IN-list
     pushed into the parquet scan."""
     qs = all_queries()
-    plan = _plan(qs["q_dedup_ngram_prefix"].fn(spark, sf_dir))
+    plan = _plan_of(qs, spark, sf_dir, "q_dedup_ngram_prefix")
     assert "CartesianProduct" not in plan
 
     df = qs["q_manifest_point_lookup"].fn(spark, sf_dir)
@@ -334,7 +345,7 @@ def test_round10b_registrations_plan_shapes(spark, sf_dir):
 
     for name in ("q_semantic_dedup", "q_perplexity_buckets",
                  "q_training_shards"):
-        assert "CartesianProduct" not in _plan(qs[name].fn(spark, sf_dir)), name
+        assert "CartesianProduct" not in _plan_of(qs, spark, sf_dir, name), name
 
     stats = qs["q_target_stats"].fn(spark, sf_dir)
     plan = _plan(stats)
@@ -378,7 +389,7 @@ def test_round10c_registrations_plan_shapes(spark, sf_dir):
 
     # production scorer: one Arrow-batched gemm map over the corpus —
     # no join, no shuffle, no row-at-a-time Python
-    plan = _plan(qs["q_semantic_contamination"].fn(spark, sf_dir))
+    plan = _plan_of(qs, spark, sf_dir, "q_semantic_contamination")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
@@ -497,7 +508,7 @@ def test_round12_stats_join_cached_plan_shape(spark, sf_dir):
     same physical strategy as fresh planning."""
     qs = all_queries()
     for _ in range(2):  # second call rides the cache
-        plan = _plan(qs["q_stats_join"].fn(spark, sf_dir))
+        plan = _plan_of(qs, spark, sf_dir, "q_stats_join")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
 
@@ -509,7 +520,7 @@ def test_vocab_coverage_no_single_partition_exchange(spark, sf_dir):
     the plan must contain no SinglePartition Exchange and no
     empty-partition-spec Window."""
     qs = all_queries()
-    plan = _plan(qs["q_vocab_coverage"].fn(spark, sf_dir))
+    plan = _plan_of(qs, spark, sf_dir, "q_vocab_coverage")
     assert "Exchange SinglePartition" not in plan
     assert "SinglePartition" not in plan
     # the windows are partitioned by the range-partition id
@@ -524,7 +535,7 @@ def test_repetition_mode_freq_is_sorted_run(spark, sf_dir):
     100k-token document would cost ~1e10 comparisons inside one row's
     expression eval. Map-only shape: no Exchange at all."""
     qs = all_queries()
-    plan = _plan(qs["q_repetition"].fn(spark, sf_dir))
+    plan = _plan_of(qs, spark, sf_dir, "q_repetition")
     assert "sort_array" in plan
     # the quadratic form iterated filter(w, ...) once per distinct token
     assert "filter(w" not in plan.replace("Filter", "filter_")
@@ -575,7 +586,7 @@ def test_recon_positional_no_single_partition_window(spark, sf_dir):
     Exchange; the misalignment SEMANTICS stay (parity bug kept), the
     single-task sort does not."""
     qs = all_queries()
-    plan = _plan(qs["q_recon_positional"].fn(spark, sf_dir))
+    plan = _plan_of(qs, spark, sf_dir, "q_recon_positional")
     assert "SinglePartition" not in plan
     assert "_pid" in plan and "BroadcastHashJoin" in plan
 
@@ -586,7 +597,7 @@ def test_categorical_drift_topk_is_take_ordered(spark, sf_dir):
     unpartitioned window — a high-cardinality column would push every
     distinct category through one task."""
     qs = all_queries()
-    plan = _plan(qs["q_drift_categorical"].fn(spark, sf_dir))
+    plan = _plan_of(qs, spark, sf_dir, "q_drift_categorical")
     # the anchor-set selection is the distributed top-k...
     assert "TakeOrderedAndProject" in plan
     # ...and the only windows left are the share computations over the

@@ -312,3 +312,70 @@ def test_scoped_persist_bounds_cached_handles(spark):
     cache_scope.release_all()
     with cache_scope._lock:
         assert not cache_scope._handles
+
+
+def test_range_pid_expr_nulls_nan_and_duplicates(spark):
+    """r15 boundary-broadcast mechanics: the value-derived bucket id must
+    be monotone under Spark's sort semantics for dirty keys too — NULLs
+    (asc NULLS FIRST), NaN (above every number), heavy duplication — so
+    positions stay the exact 1..n permutation with contiguous tie
+    blocks."""
+    from postgres_cdc_reconciliation_spark.operators.recon import (
+        _with_global_positions,
+    )
+
+    rows = [(float("nan"), i) for i in range(40)]
+    rows += [(None, i) for i in range(40)]
+    rows += [(float(i % 7), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "k double, payload long")
+    out = _with_global_positions(df, ["k"]).collect()
+    assert sorted(r["_pos"] for r in out) == list(range(1, len(rows) + 1))
+    by_pos = sorted(out, key=lambda r: r["_pos"])
+
+    def order_key(v):
+        if v is None:
+            return (0, 0.0)
+        if v != v:
+            return (2, 0.0)
+        return (1, v)
+
+    ks = [order_key(r["k"]) for r in by_pos]
+    assert ks == sorted(ks)
+
+
+def test_range_pid_expr_desc_key_matches_global_window(spark):
+    """The desc-numeric path (q_vocab_coverage's freq DESC) must bucket
+    monotone under the descending order — checked against the global
+    row_number."""
+    from pyspark.sql import Window
+
+    from postgres_cdc_reconciliation_spark.operators.recon import (
+        range_boundaries,
+        range_pid_expr,
+    )
+
+    df = spark.range(3000).selectExpr(
+        "cast(id % 53 as long) as freq", "concat('t', id) as token"
+    )
+    keys = [("freq", False), ("token", True)]
+    bounds = range_boundaries(df, keys, 8)
+    assert bounds, "sample must yield boundaries on 3000 rows"
+    wp = df.withColumn("_pid", range_pid_expr(df, keys, bounds))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    chk = wp.withColumn("_rn", F.row_number().over(w)).collect()
+    by_rn = sorted(chk, key=lambda r: r["_rn"])
+    pids = [r["_pid"] for r in by_rn]
+    assert pids == sorted(pids), "bucket id must be monotone in sort order"
+
+
+def test_range_boundaries_tiny_frames(spark):
+    """Frames smaller than the sample budget (or that thin to nothing)
+    still position exactly — fewer boundaries only coarsen balance."""
+    from postgres_cdc_reconciliation_spark.operators.recon import (
+        _with_global_positions,
+    )
+
+    for n in (0, 1, 3, 31):
+        df = spark.range(n).selectExpr("cast(id % 5 as long) as k", "id as v")
+        out = _with_global_positions(df, ["k"]).collect()
+        assert sorted(r["_pos"] for r in out) == list(range(1, n + 1))

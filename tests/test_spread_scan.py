@@ -37,7 +37,9 @@ def test_halfway_threshold(spark):
     target = spark.sparkContext.defaultParallelism
     if target < 4:
         return  # threshold indistinguishable below 4 cores
-    half = target // 2
+    # ceil-half: for odd targets, floor-half * 2 < target would still fan
+    # out (ADVICE r14) — the left-alone case needs cur * 2 >= target
+    half = (target + 1) // 2
     # >= half the parallelism: left alone
     ok = spark.range(1000, numPartitions=half)
     assert spread_scan(ok) is ok
