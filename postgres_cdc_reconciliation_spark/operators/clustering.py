@@ -336,6 +336,7 @@ def kmeans_fit(
     init: str = "farthest",
     seeds: list[list[float]] | None = None,
     assign: str = "auto",
+    dim: int | None = None,
 ) -> tuple[list[list[float]], int]:
     """Lloyd's iterations until the max centroid displacement² < tol or
     max_iter. Returns (centroids, iterations_run). ``init``: "farthest"
@@ -346,7 +347,9 @@ def kmeans_fit(
     grows with the corpus (plan compile time on a many-centroid literal
     expression otherwise dominates the fit; both paths share the
     smallest-cent_id tie rule, so results differ only by gemm-vs-fold
-    summation order — ~1e-15 relative).
+    summation order — ~1e-15 relative). ``dim``: pass the already-inferred
+    dimensionality to skip the inference scan (r15 — callers that size k
+    or seed externally already ran it; one fewer driver job per fit).
 
     Each iteration: one map-only job over the pinned feature vectors whose
     output is ≤ k × partitions (cent_id, count, sum) partial rows combined
@@ -355,7 +358,8 @@ def kmeans_fit(
     cost model that holds at 100 TB. Empty clusters keep their previous
     centroid (standard Lloyd's fallback; with hash seeding they are
     rare)."""
-    dim = _dim_of(corpus, vec_col)
+    if dim is None:
+        dim = _dim_of(corpus, vec_col)
     # well-formed vectors only: a NULL/truncated embedding cannot be
     # assigned (zip_with pads to NULL dists) and crashes the per-dimension
     # avg() under ANSI, and a NaN/Inf component would poison a centroid —

@@ -265,10 +265,17 @@ def _ngram_jaccard_prefix(
     index plan's blow up), and two keyed joins of the candidate pairs
     against bounded per-doc arrays. Every shuffle is keyed; nothing is
     quadratic outside candidate buckets."""
+    from .cache_scope import scoped_persist
+
     ranked = sh.join(dfm, "shingle")
     w_order = Window.partitionBy(id_col).orderBy("_df", "shingle")
     w_all = Window.partitionBy(id_col)
-    prefix = (
+    # the prefix table feeds BOTH self-join sides: without the persist
+    # hint each side re-runs the df-lookup join and both windows over the
+    # full shingle stream (r15 opt, guide §1.2 — verified in the plan:
+    # the window subtree appeared twice). Deterministic recompute
+    # (windows over a total order), so the bounded cache scope applies.
+    prefix = scoped_persist(
         ranked.withColumn("_pos", F.row_number().over(w_order))
         .withColumn("_sz", F.count("*").over(w_all))
         .filter(
@@ -277,7 +284,7 @@ def _ngram_jaccard_prefix(
             - F.ceil(F.lit(threshold) * F.col("_sz")).cast("long")
             + F.lit(1)
         )
-        .select(F.col(id_col), "shingle")
+        .select(F.col(id_col), "shingle", "_sz")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -285,14 +292,30 @@ def _ngram_jaccard_prefix(
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # PPJoin length filter (Xiao et al., WWW 2008 — lossless):
+            # J ≥ t forces t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|), so any
+            # pair whose sizes differ by more than 1/t can never reach
+            # the threshold and is pruned BEFORE the candidate distinct
+            # (r15 opt, guide §2.3 — fewer pairs shuffled and verified).
+            # 1e-6 slack: a borderline quotient that ROUNDS onto the
+            # threshold in the final double Jaccard must never be
+            # length-pruned; a false positive only reaches the exact
+            # verification join, so the slack costs nothing.
+            & (F.col("a._sz").cast("double") + 1e-6
+               >= threshold * F.col("b._sz"))
+            & (F.col("b._sz").cast("double") + 1e-6
+               >= threshold * F.col("a._sz")),
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .distinct()
     )
-    arrs = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_arr"))
+    # one collect_list pass instead of two (both verification joins read it)
+    arrs = scoped_persist(
+        sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_arr"))
+    )
     sa = arrs.select(
         F.col(id_col).alias("doc_a"),
         F.col("_arr").alias("_arr_a"),

@@ -491,12 +491,19 @@ def kcore_peel_rounds(
         # both anti-joins as broadcasts and the edge table is never
         # shuffled in the loop; the survivors-side semi-join shuffled e
         # by u and again by v every round regardless of convergence.
+        # deg is NOT materialized (r15): it hangs off the previous round's
+        # checkpointed edge table, the two anti-join branches below are
+        # canonically identical so the exchange is planned once and
+        # reused, and the trace's per-round aggregates recompute it from
+        # the same frozen edges inside the single trace job — dropping
+        # one driver action per round (the old shape checkpointed the
+        # survivor set every round).
         deg = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count("*").cast("long").alias("d"))
-        ).localCheckpoint()
+        )
         removed = deg.filter(F.col("d") < k).select("node")
         e = (
             e.join(removed.withColumnRenamed("node", "u"), "u", "anti")

@@ -910,13 +910,16 @@ def semantic_dedup(
         raise ValueError(f"threshold must be a number, got {threshold!r}")
     if keep not in ("first", "central"):
         raise ValueError(f"keep must be 'first' or 'central', got {keep!r}")
+    # ONE grouped-size scan serves both bounded driver values (r15,
+    # guide §1.2): n (k sizing — all rows, like the old count()) and the
+    # modal dimensionality (same rule as clustering._dim_of: most
+    # frequent positive size, ties to the larger), which kmeans_fit
+    # would otherwise re-infer with its own scan.
+    sizes = vectors.groupBy(F.size(vec_col).alias("d")).count().collect()
+    n = sum(r["count"] for r in sizes)
     if k is None:
         import math
 
-        # bounded driver value: one count() to size k, the same corpus-
-        # tracking rule as auto_n_planes (target_cluster_size is the knob
-        # that fixes per-cluster pair cost at any n)
-        n = vectors.count()
         if n == 0:
             return vectors.select(
                 F.col(id_col),
@@ -924,9 +927,17 @@ def semantic_dedup(
                 F.lit(True).alias("keep"),
             ).limit(0)
         k = max(1, math.ceil(n / target_cluster_size))
+    good = [r for r in sizes if r["d"] is not None and r["d"] > 0]
+    if not good:
+        raise ValueError(
+            f"cannot infer dimensionality of {vec_col!r}: empty input"
+        )
+    dim = int(
+        max(good, key=lambda r: (r["count"], r["d"]))["d"]
+    )
     cents, _iters = kmeans_fit(
         vectors, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
-        init=init,
+        init=init, dim=dim,
     )
     assigned = kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
     # priority: a vector is pruned only by a STRICTLY higher-priority
@@ -956,13 +967,11 @@ def semantic_dedup(
     # absent (dedup must return a verdict for every well-formed vector)
     pair_src = tbl
     if max_cluster_size is not None:
-        from .clustering import _dim_of
-
         pair_src = cap_hot_buckets(
             tbl,
             max_cluster_size,
             "cent_id",
-            dim=_dim_of(vectors, vec_col),
+            dim=dim,
             vec_col="_vec",
         ).localCheckpoint()
     a = pair_src.select(
@@ -1923,27 +1932,51 @@ def sq_scales(
     Symmetric max-abs is the standard int8 scheme: codes live in
     [-127, 127], dequantization is code * scale, and the scale list is the
     entire "model" — 8x smaller vectors at query time, like the published
-    IVF-SQ8 index family."""
+    IVF-SQ8 index family.
+
+    r15 shape: per-partition numpy max-abs partials via mapInPandas +
+    driver combine (the kmeans M-step pattern, guide §4.2) — the old
+    d-cell ``max()`` aggregate compiled a d-wide codegen'd buffer per
+    call, which cost more than the whole scan at bench scale. max is
+    order-independent, so the value is EXACT-identical; non-finite
+    components are masked out exactly like the old per-cell
+    ``when(~isnan & != inf)`` guard (an all-dirty dimension still fits
+    scale 0)."""
     d = dim or _dim_of_local(corpus, vec_col)
 
-    def _fin_abs(i):
-        x = F.element_at(F.col(vec_col), i + 1).cast("double")
-        a = F.abs(x)
-        # fit on FINITE components only: one NaN/Inf reading would otherwise
-        # become the dimension's max and fold into the plan as an
-        # unparseable nan/Infinity literal (the k-means dirty-corpus trap,
-        # operators/clustering.py::_well_formed)
-        return F.when(~F.isnan(a) & (a != float("inf")), a)
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
 
-    row = corpus.where(F.size(vec_col) == d).agg(
-        *[F.max(_fin_abs(i)).alias(f"_m{i}") for i in range(d)]
-    ).first()
-    if row is None:
-        raise ValueError("sq_scales: empty corpus (no well-formed vectors)")
+        m = np.full(d, -np.inf)
+        got = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # via pandas so a NULL component becomes NaN (the old per-cell
+            # guard ignored NULLs exactly like NaN/Inf)
+            V = np.abs(
+                pd.DataFrame(pdf["_v"].tolist()).to_numpy(np.float64)
+            )
+            V[~np.isfinite(V)] = -np.inf  # finite components only
+            m = np.maximum(m, V.max(axis=0))
+            got = True
+        if got:
+            yield pd.DataFrame({"m": [m.tolist()]})
+
+    parts = (
+        corpus.where(F.size(vec_col) == d)
+        .select(F.col(vec_col).alias("_v"))
+        .mapInPandas(fn, "m array<double>")
+        .collect()
+    )
+    import numpy as np
+
+    m = np.full(d, -np.inf)
+    for r in parts:
+        m = np.maximum(m, np.asarray(r["m"], dtype=np.float64))
     # an all-dirty dimension has no finite max: scale 0 (encodes to 0)
-    return [
-        (float(row[i]) / 127.0 if row[i] is not None else 0.0) for i in range(d)
-    ]
+    return [(float(x) / 127.0 if np.isfinite(x) else 0.0) for x in m]
 
 
 def _dim_of_local(df: DataFrame, vec_col: str) -> int:

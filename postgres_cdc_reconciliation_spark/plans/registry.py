@@ -142,6 +142,33 @@ _CHECK_PRIORITY: list[str] = [
     # staleness anyway — listed here so the re-check is guaranteed even if
     # a late registration reshuffles the staleness tier. The 41 r10-stale
     # rows fill the rest of the window automatically.
+    # -- round 15 window (optimization round 2): every query whose
+    # IMPLEMENTATION changed this round fronts for an independent driver
+    # re-verification, plus the four VERDICT r14 #8 carries whose r14
+    # equivalence arguments the driver should confirm (q_percentiles,
+    # q_kmv_overlap, q_semantic_dedup(_incremental), q_kmeans). Changed
+    # this round: the numpy partial-sum k-means M-step (q_kmeans,
+    # q_semantic_dedup, q_semantic_dedup_incremental, q_dedup_clusters),
+    # the sq matrix scorer + numpy sq_scales (q_ann_sq), the
+    # boundary-literal positional rewrite (q_recon_positional,
+    # q_vocab_coverage), the kcore anti-join loop (q_kcore), the
+    # hot_ngrams tokenize hoist (q_hot_ngrams), and the prefix-join
+    # length filter + prefix/arrs persists (q_dedup_ngram_prefix). All
+    # re-driven MATCH at sf0.01 after every change (full 191/191 drives
+    # committed in OPTIMIZATION_r15.md); the pins make the driver's own
+    # rows the independent evidence.
+    "q_kmeans",
+    "q_semantic_dedup",
+    "q_semantic_dedup_incremental",
+    "q_dedup_clusters",
+    "q_ann_sq",
+    "q_recon_positional",
+    "q_vocab_coverage",
+    "q_kcore",
+    "q_hot_ngrams",
+    "q_dedup_ngram_prefix",
+    "q_percentiles",
+    "q_kmv_overlap",
     "q_ann_pq",
     "q_ann_pq_rerank",
 ]
@@ -153,7 +180,7 @@ _CHECK_PRIORITY: list[str] = [
 # while stale rows get buried (the exact failure mode VERDICT r5 #1
 # flagged). Retired pins fall back into the staleness tier like any other
 # query, so the next round's window self-corrects with no list edit.
-_CHECK_PRIORITY_ROUND = 14
+_CHECK_PRIORITY_ROUND = 15
 
 
 import functools

@@ -1379,6 +1379,7 @@ FROM embeddings""",
 )
 def q_kmeans(spark, sf_dir):
     from ..operators.clustering import (
+        _dim_of,
         _well_formed,
         kmeans_fit,
         kmeans_init_farthest,
@@ -1386,8 +1387,11 @@ def q_kmeans(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    seeds = kmeans_init_farthest(emb, 4)
-    cents, _iters = kmeans_fit(emb, k=4, max_iter=3, seeds=seeds)
+    # infer the dimensionality ONCE and share it with the seeder and the
+    # fit (r15, guide §1.2 — each otherwise runs its own inference scan)
+    dim = _dim_of(emb, "embedding")
+    seeds = kmeans_init_farthest(emb, 4, dim=dim)
+    cents, _iters = kmeans_fit(emb, k=4, max_iter=3, seeds=seeds, dim=dim)
 
     # assigner's path (Σ(a-b)² aggregate HOF, ties to smallest cent_id) and
     # an independent expanded-identity path in ONE frame. The two inertia
