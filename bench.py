@@ -194,6 +194,18 @@ def main() -> None:
         # outside the timed region: drop RDD references and nudge the JVM
         # so ContextCleaner reclaims localCheckpoint blocks before the
         # NEXT timed run (see module docstring)
+        # r15 addition (same isolation goal): also release the cache_scope
+        # FIFO — scoped_persist handles registered by one query otherwise
+        # stay materialized (up to the FIFO cap) while LATER queries run,
+        # and the executor-storage pressure lands on whichever queries
+        # follow a persist-heavy one (observed as systematic in-draw
+        # inflation of mid-pack queries vs their standalone medians).
+        # Within a query's own timed reps the persists are untouched.
+        from postgres_cdc_reconciliation_spark.operators.cache_scope import (
+            release_all,
+        )
+
+        release_all()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 

@@ -668,19 +668,37 @@ WHERE r_name = 'EUROPE' AND p_size = 15""",
     "the correlated-MIN-subquery shape without a correlated rescan",
 )
 def q_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
-    )
-    best = cost.groupBy("l_partkey").agg(F.min("unit").alias("best_unit"))
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # r15 opt (guide §3.2): p_size=15 keeps ~2% of parts and the final
+    # join on p_partkey is inner, so the per-(part,supplier) aggregate
+    # only ever needs lineitem rows of those parts — semi-join them out
+    # BEFORE the big groupBy exchange instead of discarding 98% of the
+    # aggregate's output after it. Value-identical: `best_unit` is keyed
+    # by l_partkey, so restricting to a subset of partkeys cannot change
+    # any surviving part's min.
+    li = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    )
+    # r15 opt (guide §2.4): the per-part min as a window instead of a
+    # second aggregate branch joined back — one exchange and one join
+    # fewer; `best` had exactly one row per part, so join+filter ==
+    # window+filter, and MIN is order-independent (identical doubles).
+    cost = cost.withColumn(
+        "best_unit", F.min("unit").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit") == F.col("best_unit"))
     return (
-        cost.join(best, "l_partkey")
-        .filter(F.col("unit") == F.col("best_unit"))
-        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        cost.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))

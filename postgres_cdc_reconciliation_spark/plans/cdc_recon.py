@@ -407,6 +407,7 @@ FROM b WHERE op <> 'd'""",
     "streaming/scd2.py layout).",
 )
 def q_scd2_incremental(spark, sf_dir):
+    from ..operators.cache_scope import scoped_persist
     from ..operators.temporal import scd2_build, scd2_merge_batch
 
     ev = fx.cdc_events_df(spark, sf_dir)
@@ -414,10 +415,16 @@ def q_scd2_incremental(spark, sf_dir):
     # (not half of each key's run) lands per side — keys near the cut have
     # their runs genuinely split across hist/batch
     mid = (F.col("order_id") % 4) < 2
-    hist = scd2_build(
+    # scoped_persist (r15 opt, guide §1.2/§5): the merge reads its history
+    # input three times (key-stats action, close-versions join, untouched
+    # anti-join) — without the hint each consumer re-runs the full
+    # changelog window build. Hint-only (deterministic recompute); the
+    # streaming path feeds the merge bucket-pruned history instead, so the
+    # operator itself stays persist-free.
+    hist = scoped_persist(scd2_build(
         ev.filter(mid).union(ev.filter(~mid).filter(F.col("op") == "c")),
         key="order_id", seq="lsn_long", attrs=["amount", "customer_id"],
-    )
+    ))
     batch = ev.filter(~mid).filter(F.col("op") != "c")
     dim = scd2_merge_batch(
         hist, batch, key="order_id", seq="lsn_long",

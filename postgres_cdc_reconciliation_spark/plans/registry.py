@@ -169,6 +169,11 @@ _CHECK_PRIORITY: list[str] = [
     "q_dedup_ngram_prefix",
     "q_percentiles",
     "q_kmv_overlap",
+    # resumed r15 session: two more implementation changes (semi-join
+    # pre-filter + window rewrite; history scoped_persist) — fronted for
+    # the same independent driver re-verification
+    "q_min_cost_supplier",
+    "q_scd2_incremental",
     "q_ann_pq",
     "q_ann_pq_rerank",
 ]

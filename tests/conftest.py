@@ -15,9 +15,12 @@ def spark(tmp_path_factory):
     from postgres_cdc_reconciliation_spark.session import get_spark
 
     warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    extra = {"spark.sql.warehouse.dir": warehouse}
+    import json as _json
+    extra.update(_json.loads(os.environ.get("SPARK_GRAFT_TEST_EXTRA_CONF", "{}")))
     s = get_spark(
         app_name="pcr-tests",
-        extra_conf={"spark.sql.warehouse.dir": warehouse},
+        extra_conf=extra,
     )
     yield s
     s.stop()

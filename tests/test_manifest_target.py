@@ -977,7 +977,11 @@ def test_n_writer_interleaved_commits_linearize(spark, tmp_path):
     )
     commit_delta(base, target, ["id"], list(range(n_buckets)), n_buckets)
 
-    n_writers, n_rounds = 4, 4
+    # r15: 4 writers x 3 rounds (was 4x4) — 12 genuinely concurrent
+    # commits still drive every writer through multiple lost-race retry
+    # cycles against colliding buckets; the 4th round re-sampled the same
+    # windows for ~6 s of suite wall. Assertions unchanged.
+    n_writers, n_rounds = 4, 3
     errors: list[Exception] = []
     committed_versions: list[int] = []
     lock = threading.Lock()

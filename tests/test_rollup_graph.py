@@ -140,7 +140,10 @@ def test_star_contraction_agrees_with_union_find(spark):
 
     rng = random.Random(42)
     cases = {
-        "path": [(i, i + 1) for i in range(0, 60)],
+        # r15: path length 32 (was 60) — still a high-diameter chain that
+        # needs multiple contraction rounds; the extra 28 hops re-proved
+        # the same round structure for ~5 s of suite wall
+        "path": [(i, i + 1) for i in range(0, 32)],
         "star": [(0, i) for i in range(1, 40)],
         "cliques": [
             (a + off, b + off)
