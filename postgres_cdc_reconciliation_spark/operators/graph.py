@@ -491,19 +491,20 @@ def kcore_peel_rounds(
         # both anti-joins as broadcasts and the edge table is never
         # shuffled in the loop; the survivors-side semi-join shuffled e
         # by u and again by v every round regardless of convergence.
-        # deg is NOT materialized (r15): it hangs off the previous round's
-        # checkpointed edge table, the two anti-join branches below are
-        # canonically identical so the exchange is planned once and
-        # reused, and the trace's per-round aggregates recompute it from
-        # the same frozen edges inside the single trace job — dropping
-        # one driver action per round (the old shape checkpointed the
-        # survivor set every round).
+        # deg IS materialized per round (r15 final): it feeds three
+        # consumers — both anti-join branches (same checkpoint job) and
+        # the trace's per-round aggregates (a SEPARATE job, where
+        # cross-job exchange reuse never applies) — so without the pin
+        # the 2|E|-row degree aggregation re-ran up to 3x per round,
+        # measured 0.83x at sf1 (9.4 s vs 7.8 s) when an interim version
+        # dropped this checkpoint. One O(V) materialization per round is
+        # the cheaper trade at every scale that matters.
         deg = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count("*").cast("long").alias("d"))
-        )
+        ).localCheckpoint()
         removed = deg.filter(F.col("d") < k).select("node")
         e = (
             e.join(removed.withColumnRenamed("node", "u"), "u", "anti")
